@@ -1,0 +1,1 @@
+from .parquet import read_pages, read_table  # noqa: F401

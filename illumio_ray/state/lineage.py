@@ -1,0 +1,103 @@
+"""Per-partition lineage manifests — exactly-once resume for batch runs.
+
+≙ the reference's ``state.json`` processed-keys manifest
+(app/s3_manager.py:253-267, updated after every file at 356-359): here the
+unit of commit is an output *shard* (a fixed set of input fragments). The
+commit protocol:
+
+  1. the shard's routed parquet is written to ``<out>/routed/shard=NNNN.tmp``
+  2. the tmp dir is atomically renamed to ``<out>/routed/shard=NNNN``
+  3. the manifest ``<out>/manifests/shard-NNNN.json`` is written via
+     tmp-file + atomic rename — this is the commit point
+
+Resume = anti-join of planned shards vs committed manifests (≙ the
+reference's processed-key anti-join, app/s3_manager.py:208-211); any shard
+directory without a manifest is discarded and re-run, so a mid-run kill
+can never double-write or drop rows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from datetime import datetime, timezone
+from pathlib import Path
+
+
+def list_fragments(pages_dir: str | Path) -> list[str]:
+    """Sorted parquet fragment paths (deterministic shard planning)."""
+    return sorted(str(p) for p in Path(pages_dir).glob("*.parquet"))
+
+
+def plan_shards(fragments: list[str], num_shards: int) -> list[tuple[int, list[str]]]:
+    """Contiguous round-robin-free split: shard i gets fragments[i::num_shards]
+    is NOT used — contiguous ranges keep within-shard path order sorted."""
+    if not fragments:
+        return []
+    num_shards = max(1, min(num_shards, len(fragments)))
+    out = []
+    base, rem = divmod(len(fragments), num_shards)
+    start = 0
+    for i in range(num_shards):
+        n = base + (1 if i < rem else 0)
+        out.append((i, fragments[start : start + n]))
+        start += n
+    return out
+
+
+def manifest_dir(out_dir: str | Path) -> Path:
+    return Path(out_dir) / "manifests"
+
+
+def shard_dir(out_dir: str | Path, shard_id: int, tmp: bool = False) -> Path:
+    name = f"shard={shard_id:05d}"
+    return Path(out_dir) / "routed" / (name + (".tmp" if tmp else ""))
+
+
+def write_manifest(out_dir: str | Path, shard_id: int, payload: dict) -> Path:
+    mdir = manifest_dir(out_dir)
+    mdir.mkdir(parents=True, exist_ok=True)
+    payload = dict(payload)
+    payload.setdefault("shard_id", shard_id)
+    payload.setdefault("written_at", datetime.now(timezone.utc).isoformat())
+    final = mdir / f"shard-{shard_id:05d}.json"
+    tmp = mdir / f".shard-{shard_id:05d}.json.tmp"
+    tmp.write_text(json.dumps(payload, indent=1, sort_keys=True))
+    os.replace(tmp, final)  # commit point
+    return final
+
+
+def load_manifests(out_dir: str | Path) -> dict[int, dict]:
+    out = {}
+    mdir = manifest_dir(out_dir)
+    if not mdir.exists():
+        return out
+    for p in sorted(mdir.glob("shard-*.json")):
+        try:
+            m = json.loads(p.read_text())
+            out[int(m["shard_id"])] = m
+        except (ValueError, KeyError, json.JSONDecodeError):
+            continue  # torn manifest → treated as uncommitted
+    return out
+
+
+def pending_shards(out_dir: str | Path,
+                   shards: list[tuple[int, list[str]]]) -> list[tuple[int, list[str]]]:
+    """Shards not yet committed; validates that committed shards cover the
+    same fragment sets (a changed input plan invalidates nothing silently)."""
+    done = load_manifests(out_dir)
+    pending = []
+    for sid, frags in shards:
+        m = done.get(sid)
+        if m is not None and m.get("input_fragments") == frags:
+            continue
+        pending.append((sid, frags))
+    return pending
+
+
+def clean_uncommitted(out_dir: str | Path, shard_id: int) -> None:
+    """Remove any partial output for an uncommitted shard (idempotent)."""
+    for tmp in (shard_dir(out_dir, shard_id, tmp=True), shard_dir(out_dir, shard_id)):
+        if tmp.exists():
+            shutil.rmtree(tmp)

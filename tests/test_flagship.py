@@ -1,0 +1,92 @@
+"""Routed-equality suite (SURVEY.md §5 test 1): the Ray pipeline vs a
+pure-Python per-row oracle, including the byte-identity invariant on
+extracted_text and the SIEM wire string."""
+
+import pandas as pd
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from illumio_ray.pipelines.flagship import aggregate_routed, build_routed
+from illumio_ray.stages.enrich import broadcast_lookups
+from illumio_ray.synth import synth_pages
+
+from .oracle import run_oracle
+
+
+@pytest.fixture(scope="module")
+def small_run(tmp_path_factory):
+    base = tmp_path_factory.mktemp("flag")
+    info = synth_pages(base, rows=1500, num_files=8)
+    pages_ds = rd.read_parquet(info["pages_dir"])
+    lookups = broadcast_lookups(info["lookup_lang"], info["lookup_host"])
+    routed = build_routed(pages_ds, lookups, enrich_concurrency=2).to_pandas()
+
+    pages_df = pads.dataset(info["pages_dir"]).to_table().to_pandas()
+    oracle_rows = pd.DataFrame(
+        run_oracle(
+            pages_df,
+            pq.read_table(info["lookup_lang"]).to_pandas(),
+            pq.read_table(info["lookup_host"]).to_pandas(),
+        )
+    )
+    return routed, oracle_rows
+
+
+def test_routed_equality(small_run):
+    routed, oracle = small_run
+    assert len(routed) == len(oracle)
+    r = routed.sort_values("url").reset_index(drop=True)
+    o = oracle.sort_values("url").reset_index(drop=True)
+    assert list(r.url) == list(o.url)
+    for col in ["url_host", "url_path", "title", "page_event", "event_class",
+                "lang_name", "lang_family", "host_category", "n_tokens"]:
+        pd.testing.assert_series_equal(
+            r[col], o[col], check_names=False, check_dtype=False, obj=col
+        )
+
+
+def test_byte_identity_extracted_text(small_run):
+    """BASELINE.json input_hint invariant: byte-identical extracted text
+    per url (extraction out of html must reproduce the text column)."""
+    routed, oracle = small_run
+    r = routed.sort_values("url").reset_index(drop=True)
+    o = oracle.sort_values("url").reset_index(drop=True)
+    assert all(
+        a.encode() == b.encode() for a, b in zip(r.extracted_text, o.extracted_text)
+    )
+
+
+def test_wire_byte_identity(small_run):
+    routed, oracle = small_run
+    r = routed.sort_values("url").reset_index(drop=True)
+    o = oracle.sort_values("url").reset_index(drop=True)
+    mism = [(a, b) for a, b in zip(r.wire, o.wire) if a != b]
+    assert not mism, mism[:2]
+    assert all(len(w) <= 2048 + 18 for w in r.wire)
+
+
+def test_dropped_rows_are_truncated_only(small_run, tmp_path):
+    routed, oracle = small_run
+    assert len(routed) == len(oracle)  # oracle drops exactly the truncated rows
+
+
+def test_aggregate_counts(small_run):
+    routed, oracle = small_run
+    exp = (
+        oracle.groupby(["event_class", "lang", "hour"], as_index=False)
+        .agg(n_docs=("url", "count"), sum_tokens=("n_tokens", "sum"))
+        .rename(columns={"event_class": "sink"})
+        .sort_values(["sink", "lang", "hour"])
+        .reset_index(drop=True)
+    )
+    got = (
+        aggregate_routed(rd.from_pandas(routed[["event_class", "lang", "hour", "n_tokens"]]))
+        .to_pandas()
+        .sort_values(["sink", "lang", "hour"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["sink", "lang", "hour", "n_docs", "sum_tokens"]], exp, check_dtype=False
+    )

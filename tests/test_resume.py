@@ -1,0 +1,80 @@
+"""Checkpoint-resume suite (SURVEY.md §5 test 2): kill mid-run, resume,
+assert the union of committed shards covers every input row exactly once
+— no duplicates, no drops (≙ reference state.json semantics,
+app/s3_manager.py:253-267,356-359)."""
+
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pytest
+
+from illumio_ray.pipelines.flagship import run_flagship
+from illumio_ray.state import lineage
+from illumio_ray.synth import synth_pages
+
+from .oracle import BODY
+
+
+def _routed_urls(out_dir):
+    t = pads.dataset(str(out_dir / "routed"), partitioning="hive").to_table(
+        columns=["url"]
+    )
+    return t["url"].to_pylist()
+
+
+def test_mid_run_kill_then_resume(tmp_path):
+    info = synth_pages(tmp_path / "in", rows=1200, num_files=8)
+    out = tmp_path / "out"
+
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                     info["lookup_host"], num_shards=4, fail_after_shards=2)
+
+    partial = lineage.load_manifests(out)
+    assert len(partial) == 2  # two shards committed before the kill
+
+    # Resume: must run only the remaining shards.
+    metrics = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                           info["lookup_host"], num_shards=4)
+    assert metrics["shards_run_this_invocation"] == 2
+    assert metrics["shards_total"] == 4
+
+    # Exactly-once: routed urls == input urls minus truncated-html rows.
+    pages = pads.dataset(info["pages_dir"]).to_table(columns=["url", "html"])
+    expected = {
+        u for u, h in zip(pages["url"].to_pylist(), pages["html"].to_pylist())
+        if BODY.search(h.decode())
+    }
+    urls = _routed_urls(out)
+    assert len(urls) == len(set(urls)), "duplicate rows after resume"
+    assert set(urls) == expected, "dropped or extra rows after resume"
+
+    # Manifests cover every input fragment exactly once.
+    manifests = lineage.load_manifests(out)
+    frags = [f for m in manifests.values() for f in m["input_fragments"]]
+    assert sorted(frags) == lineage.list_fragments(info["pages_dir"])
+    assert len(frags) == len(set(frags))
+
+
+def test_uncommitted_partial_output_is_discarded(tmp_path):
+    info = synth_pages(tmp_path / "in", rows=600, num_files=4)
+    out = tmp_path / "out"
+    # Fake a torn shard dir (data written, no manifest) — must be redone.
+    torn = lineage.shard_dir(out, 1)
+    torn.mkdir(parents=True)
+    (torn / "garbage.parquet").write_bytes(b"not parquet")
+
+    metrics = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                           info["lookup_host"], num_shards=2)
+    assert metrics["shards_run_this_invocation"] == 2
+    urls = _routed_urls(out)
+    assert len(urls) == len(set(urls))
+
+
+def test_completed_run_resume_is_noop(tmp_path):
+    info = synth_pages(tmp_path / "in", rows=400, num_files=4)
+    out = tmp_path / "out"
+    run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                 info["lookup_host"], num_shards=2)
+    m2 = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                      info["lookup_host"], num_shards=2)
+    assert m2["shards_run_this_invocation"] == 0
