@@ -1,44 +1,56 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in illumio_ray's library code) calls ray.init/shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``   — flagship parse→enrich→route→aggregate run over pages
+                  synthesized at sf0.001 scale; returns the aggregate table.
+- ``queries()`` — one callable per implemented operator (SURVEY.md §2 +
+                  the training-data operator families); each takes sf_dir.
+- ``oracle_sql()`` — matching DuckDB SQL per query where SQL-expressible.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
+from pathlib import Path
 from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001-scale synthesized pages; returns the
+    per-(sink, lang, hour) aggregate as a pandas DataFrame."""
+    import pyarrow.dataset as pads
+
+    from illumio_ray.pipelines.flagship import run_flagship
+    from illumio_ray.synth import ensure_pages_for_sf
+
+    info = ensure_pages_for_sf(0.001)
+    out_dir = Path(tempfile.mkdtemp(prefix="illumio_ray_entry_"))
+    try:
+        run_flagship(info["pages_dir"], out_dir, info["lookup_lang"],
+                     info["lookup_host"], num_shards=4)
+        agg = pads.dataset(str(out_dir / "aggregates")).to_table().to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return agg.sort_values(["sink", "lang", "hour"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from illumio_ray.pipelines.queries import REGISTRY
+    from illumio_ray.synth import ensure_pages_for_sf
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # The pages-backed queries read synthesized parquet; materialize the
+    # sf0.01 copy now so the DuckDB oracle (static path) always finds it.
+    ensure_pages_for_sf(0.01)
+    return {name: spec.fn for name, spec in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from illumio_ray.pipelines.queries import REGISTRY
+    from illumio_ray.synth import ensure_pages_for_sf
+
+    ensure_pages_for_sf(0.01)
+    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql}

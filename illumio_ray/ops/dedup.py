@@ -1,0 +1,223 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale shapes (SURVEY.md §2.7 + ray_guide dedup patterns):
+  - exact: content-hash column (vectorized) → groupby(hash) → first-per-group;
+    the shuffle key is the 64-bit hash, never the text payload;
+  - MinHash-LSH: shingle→minhash per batch → explode to
+    (band_id, band_hash, doc_id) rows → groupby bands → candidate pairs →
+    verify true Jaccard on the pair table (join back to texts) → filter;
+  - SimHash: 64-bit signature per doc; near-dup buckets by rotated
+    prefixes;
+  - embedding near-dup: brute-force cosine per batch against a broadcast
+    matrix at small scale; the LSH/IVF variant in similarity.py is the
+    scale path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from ..functions.hashing import hash64, minhash_signatures, simhash64
+from ..functions.rounding import round_np
+
+TOKEN_RE = r"[A-Za-z0-9_]+"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
+    """Keep one representative row (min id) per distinct content value.
+
+    hash-partition + per-group first (the groupby key is the 64-bit content
+    hash — constant width regardless of document size)."""
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = hash64(t[content_col]).astype(np.int64)
+        return t.append_column("__h", pa.array(h, pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(id_col).head(1).drop(columns="__h")
+
+    return hashed.groupby("__h").map_groups(first_per_group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling helpers (per-batch, numpy-vectorized core)
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(texts: list[str], n: int = 3) -> list[np.ndarray]:
+    """Per doc: hashed word-n-gram shingle set (uint64)."""
+    out = []
+    for s in texts:
+        toks = s.lower().split() if s else []
+        if len(toks) < n:
+            shingles = [" ".join(toks)] if toks else []
+        else:
+            shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        out.append(np.unique(hash64(shingles)) if shingles else np.array([], np.uint64))
+    return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
+                           num_perm: int = 64, bands: int = 16,
+                           shingle_n: int = 3, seed: int = 7) -> rd.Dataset:
+    """Stage 1+2: per-batch minhash signatures, exploded to LSH band rows,
+    grouped by (band_id, band_hash) → candidate pair rows (id_a < id_b)."""
+    rows_per_band = num_perm // bands
+
+    def to_band_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        sigs = minhash_signatures(_shingle_hashes(texts, shingle_n), num_perm, seed)
+        n = len(ids)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        doc_ids = np.repeat(np.asarray(ids), bands)
+        # Hash each band's slice of the signature to one 64-bit bucket key.
+        band_hash = np.empty(n * bands, dtype=np.int64)
+        for b in range(bands):
+            seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
+            keys = ["_".join(map(str, row)) for row in seg]
+            band_hash[b::bands] = hash64(keys).astype(np.int64)
+        return pa.table({
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hash, pa.int64()),
+            id_col: pa.array(doc_ids),
+        })
+
+    band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        a, b = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+
+    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas"
+    )
+    # Same pair can fire in multiple bands → dedup.
+    return cand.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def verify_jaccard_pairs(cand: rd.Dataset, docs: pa.Table, id_col: str,
+                         text_col: str, threshold: float = 0.8,
+                         shingle_n: int = 3) -> rd.Dataset:
+    """Stage 3: compute true n-gram Jaccard for candidate pairs against the
+    broadcast doc table; keep pairs >= threshold.
+
+    Broadcast is valid while the candidate universe's text fits an actor
+    (here: the whole docs table). At 100 TB the same verify runs as two
+    hash joins (pair ⋈ docs on id_a, then id_b) feeding the identical
+    per-pair kernel."""
+    ref = ray.put(docs)
+
+    class Verify:
+        def __init__(self):
+            d = ray.get(ref)
+            ids = d[id_col].to_pylist()
+            self.sh = dict(zip(ids, _shingle_hashes(d[text_col].to_pylist(), shingle_n)))
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            js = [
+                jaccard(self.sh.get(a, np.array([], np.uint64)),
+                        self.sh.get(b, np.array([], np.uint64)))
+                for a, b in zip(batch["id_a"], batch["id_b"])
+            ]
+            batch = batch.assign(jaccard=round_np(np.asarray(js), 6))
+            return batch[batch["jaccard"] >= threshold]
+
+    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+
+def near_dup_pairs(ds: rd.Dataset, docs: pa.Table, id_col: str, text_col: str,
+                   threshold: float = 0.8, **kw) -> rd.Dataset:
+    cand = minhash_lsh_candidates(ds, id_col, text_col, **kw)
+    return verify_jaccard_pairs(cand, docs, id_col, text_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def add_simhash(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
+    """64-bit SimHash per doc (token-hash sign aggregation)."""
+    def fn(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        toks = [np.unique(hash64((s or "").lower().split())) if s else np.array([], np.uint64)
+                for s in texts]
+        sh = simhash64(toks).astype(np.int64)
+        return t.append_column("simhash", pa.array(sh, pa.int64()))
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_dup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
+    """Exact-signature SimHash buckets with >1 member (near-dup clusters)."""
+    sh = add_simhash(ds, id_col, text_col)
+
+    def group(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return g.head(0)[[id_col, "simhash"]]
+        return g[[id_col, "simhash"]]
+
+    return sh.groupby("simhash").map_groups(group, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
+                             threshold: float = 0.95) -> rd.Dataset:
+    """Pairs of vectors with cosine >= threshold: per-batch matmul against
+    the broadcast (normalized) matrix — O(N*B) flops per batch, no Python
+    loop. Scale path: bucket by sign-LSH first (similarity.py)."""
+    mat_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    full = pa.concat_tables([ray.get(r) for r in mat_tbl])
+    all_ids = np.asarray(full[id_col].to_pylist())
+    m = np.stack(full[vec_col].to_pylist()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((all_ids, m))
+
+    class Pairs:
+        def __init__(self):
+            self.ids, self.m = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+            sims = v @ self.m.T  # (B, N)
+            bi, ni = np.nonzero(sims >= threshold)
+            ids_b = batch[id_col].to_numpy()[bi]
+            ids_n = self.ids[ni]
+            keep = ids_b < ids_n  # dedup + drop self-pairs
+            return pd.DataFrame({
+                "id_a": ids_b[keep], "id_b": ids_n[keep],
+                "cosine": round_np(sims[bi, ni][keep], 6),
+            })
+
+    return ds.map_batches(Pairs, batch_format="pandas", concurrency=(1, 4))

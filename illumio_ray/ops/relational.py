@@ -1,0 +1,193 @@
+"""Relational operators: filter/project, grouped aggregates with partial
+combining, top-k, joins (broadcast, hash-partitioned, semi/anti), distinct,
+time bucketing.
+
+≙ the reference's aggregate/ordering surface (SURVEY.md §2.5/§2.6:
+db_stats group-bys, s3_analyzer window stats, max-per-group, batch limits)
+generalized to arbitrary tables.
+
+Scale contract for every function here:
+  - per-batch work is Arrow-vectorized (pyarrow.compute / Table.group_by);
+  - grouped aggregates combine per batch BEFORE the all-to-all shuffle, so
+    the exchange moves O(groups x blocks) partial rows, not O(rows);
+  - small join sides are broadcast (zero shuffle); large-large joins
+    hash-partition both sides on the key.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+# ---------------------------------------------------------------------------
+# filter / project
+# ---------------------------------------------------------------------------
+
+def filter_batches(ds: rd.Dataset, predicate: Callable[[pa.Table], pa.ChunkedArray]) -> rd.Dataset:
+    """Vectorized filter: predicate(batch) → boolean mask. Faster than
+    ds.filter(row_fn), which is a per-row Python call."""
+    return ds.map_batches(
+        lambda t: t.filter(pc.fill_null(predicate(t), False)),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+
+
+def with_columns(ds: rd.Dataset, builders: dict[str, Callable[[pa.Table], pa.Array]],
+                 keep: Sequence[str] | None = None) -> rd.Dataset:
+    """Append computed columns (vectorized); optionally project afterwards."""
+    def fn(t: pa.Table) -> pa.Table:
+        for name, build in builders.items():
+            t = t.append_column(name, build(t))
+        return t.select(list(keep)) if keep else t
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregates with a per-batch combiner
+# ---------------------------------------------------------------------------
+
+_PARTIALIZABLE = {"sum", "count", "min", "max", "mean"}
+
+
+def grouped_agg(ds: rd.Dataset, keys: list[str],
+                aggs: list[tuple[str, str, str]]) -> rd.Dataset:
+    """groupby(keys) with specs (col, fn, out_name), fn in
+    sum|count|min|max|mean. Combines inside map_batches first (arrow
+    Table.group_by), then reduces the partials with a small global groupby
+    — the shuffle moves per-(batch, group) rows only."""
+    for _, fn, _ in aggs:
+        if fn not in _PARTIALIZABLE:
+            raise ValueError(f"unsupported agg fn: {fn}")
+
+    # mean = sum/count computed from partials.
+    partial_specs: list[tuple[str, str]] = []
+    for col, fn, _ in aggs:
+        if fn == "mean":
+            partial_specs += [(col, "sum"), (col, "count")]
+        else:
+            partial_specs.append((col, fn))
+    partial_specs = list(dict.fromkeys(partial_specs))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(keys).aggregate(partial_specs)
+        cols = {k: g[k] for k in keys}
+        for col, fn in partial_specs:
+            cols[f"__{col}_{fn}"] = g[f"{col}_{fn}"]
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    ray_aggs = []
+    for col, fn in partial_specs:
+        pname = f"__{col}_{fn}"
+        if fn in ("sum", "count"):
+            ray_aggs.append(Sum(pname, alias_name=pname))
+        elif fn == "min":
+            ray_aggs.append(Min(pname, alias_name=pname))
+        elif fn == "max":
+            ray_aggs.append(Max(pname, alias_name=pname))
+    reduced = partials.groupby(keys).aggregate(*ray_aggs)
+
+    def finalize(t: pa.Table) -> pa.Table:
+        cols = {k: t[k] for k in keys}
+        for col, fn, out in aggs:
+            if fn == "mean":
+                cols[out] = pc.divide(
+                    pc.cast(t[f"__{col}_sum"], pa.float64()),
+                    pc.cast(t[f"__{col}_count"], pa.float64()),
+                )
+            else:
+                cols[out] = t[f"__{col}_{fn}"]
+        return pa.table(cols)
+
+    return reduced.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# top-k / distinct
+# ---------------------------------------------------------------------------
+
+def topk(ds: rd.Dataset, keys: list[str], k: int,
+         descending: bool | list[bool] = True) -> rd.Dataset:
+    """Top-k without a full global sort: per-block local top-k first, then a
+    global sort over <= k*num_blocks survivors."""
+    if isinstance(descending, bool):
+        descending = [descending] * len(keys)
+    order = [(c, "descending" if d else "ascending") for c, d in zip(keys, descending)]
+
+    def local(t: pa.Table) -> pa.Table:
+        return t.sort_by(order).slice(0, k)
+
+    pruned = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.sort(keys, descending=descending).limit(k)
+
+
+def distinct(ds: rd.Dataset, cols: list[str]) -> rd.Dataset:
+    """Distinct rows of a column subset via per-batch dedup + groupby."""
+    def local(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+    return ds.map_batches(local, batch_format="pyarrow",
+                          zero_copy_batch=True).groupby(cols).count().select_columns(cols)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def broadcast_join(ds: rd.Dataset, small: pa.Table, on: list[str],
+                   join_type: str = "left outer") -> rd.Dataset:
+    """Small-side join with zero shuffle: the dimension table rides the
+    object store once (ray.put) and each batch arrow-joins against it
+    (≙ reference enum/label lookups, SURVEY.md J2/J3)."""
+    ref = ray.put(small)
+
+    class JoinBatch:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.join(self.small, keys=on, join_type=join_type)
+
+    return ds.map_batches(JoinBatch, batch_format="pyarrow",
+                          zero_copy_batch=True, concurrency=(1, 8))
+
+
+def semi_anti_join(ds: rd.Dataset, key_values, col: str, anti: bool = False) -> rd.Dataset:
+    """Semi/anti join against a broadcast key set (≙ the reference's
+    processed-keys anti-join, app/s3_manager.py:208-211)."""
+    keys_arr = pa.array(key_values)
+    ref = ray.put(keys_arr)
+
+    def fn(t: pa.Table) -> pa.Table:
+        mask = pc.fill_null(pc.is_in(t[col], value_set=ray.get(ref)), False)
+        if anti:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+              join_type: str = "inner", num_partitions: int | None = None) -> rd.Dataset:
+    """Large-large join: Ray Data's hash-partitioned Dataset.join (both
+    sides shuffled on the key). For skewed keys, salt before calling."""
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return left.join(right, join_type=join_type, on=tuple(on),
+                     num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# time bucketing (≙ s3_analyzer window stats / db_stats rate windows)
+# ---------------------------------------------------------------------------
+
+def time_bucket(ds: rd.Dataset, ts_col: str, unit: str = "hour",
+                out_col: str = "bucket") -> rd.Dataset:
+    return with_columns(ds, {out_col: lambda t: pc.floor_temporal(t[ts_col], unit=unit)})

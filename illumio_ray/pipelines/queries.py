@@ -1,0 +1,544 @@
+"""Driver-contract query registry: every operator exposed as a named query
+over the sf testdata tables (or the synthesized pages table), each paired
+with an ANSI-SQL oracle DuckDB can run on the same parquet.
+
+Column names match between Ray result and SQL oracle exactly (the driver
+sorts columns by name and value-hashes). All float outputs are rounded
+half-away-from-zero on BOTH sides (functions/rounding.py) so hashes are
+stable across summation orders.
+
+Ray is assumed already initialised by the caller (driver contract — no
+ray.init here).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from ..functions.rounding import round_col
+
+
+def _ts(iso: str) -> pa.Scalar:
+    return pa.scalar(np.datetime64(iso, "us"), pa.timestamp("us"))
+from ..ops import dedup, multimodal, relational as rel, similarity, textops
+from ..sources import read_table
+from ..stages.enrich import broadcast_lookups
+from ..synth import ensure_pages_for_sf, sf_from_dir
+from .flagship import aggregate_routed, build_routed
+
+# ---------------------------------------------------------------------------
+# registry plumbing
+# ---------------------------------------------------------------------------
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[str], Any]
+    sql: str | None  # None → non-SQL-expressible (driver does rows-only)
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(fn, sql)
+        return fn
+    return deco
+
+
+def _pages(sf_dir: str) -> dict:
+    """Synthesize (idempotent) the pages dataset matching this sf dir."""
+    return ensure_pages_for_sf(sf_from_dir(sf_dir))
+
+
+def _routed_ds(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    info = _pages(sf_dir)
+    pages = rd.read_parquet(info["pages_dir"])
+    lookups = broadcast_lookups(info["lookup_lang"], info["lookup_host"])
+    routed = build_routed(pages, lookups, with_wire=False)
+    return routed.select_columns(columns)
+
+
+# The oracle runs at sf0.01 only — static paths for the SQL strings.
+_P = "/tmp/illumio_ray_testdata/sf0.01"
+PAGES_GLOB = f"{_P}/pages/*.parquet"
+HOST_LOOKUP = f"{_P}/lookup_host.parquet"
+LANG_LOOKUP = f"{_P}/lookup_lang.parquet"
+
+_ROUTED_CTE = f"""
+WITH parsed AS (
+  SELECT url, warc_ts, lang,
+         regexp_extract(url, '^https?://([^/]+)', 1) AS url_host,
+         NULLIF(trim(regexp_extract(decode(html), '<title>([^<]*)</title>', 1)), '') AS title,
+         NULLIF(regexp_extract(decode(html), '<meta name="event" content="([^"]*)"/>', 1), '') AS page_event,
+         regexp_extract(decode(html), '<body>(.*?)</body>', 1) AS extracted_text,
+         CAST(len(regexp_extract_all(regexp_extract(decode(html), '<body>(.*?)</body>', 1), '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
+  FROM read_parquet('{PAGES_GLOB}')
+  WHERE regexp_matches(decode(html), '<body>.*?</body>')
+),
+routed AS (
+  SELECT p.*, h.host_category, h.host_rank,
+         CASE WHEN p.page_event IN ('login','error','admin')
+                OR h.host_category IN ('gov','malware') THEN 'auditable_events'
+              WHEN p.page_event IS NULL THEN 'unknown'
+              ELSE 'summaries' END AS event_class
+  FROM parsed p
+  LEFT JOIN read_parquet('{HOST_LOOKUP}') h ON p.url_host = h.url_host
+)
+"""
+
+# ---------------------------------------------------------------------------
+# flagship / pages queries
+# ---------------------------------------------------------------------------
+
+@register("pages_routed", _ROUTED_CTE + """
+SELECT url, lang, url_host, title, page_event, extracted_text, n_tokens,
+       host_category, event_class
+FROM routed
+""")
+def pages_routed(sf_dir: str):
+    return _routed_ds(sf_dir, ["url", "lang", "url_host", "title", "page_event",
+                               "extracted_text", "n_tokens", "host_category",
+                               "event_class"])
+
+
+@register("pages_routed_counts", _ROUTED_CTE + """
+SELECT event_class, CAST(count(*) AS BIGINT) AS n_docs FROM routed GROUP BY event_class
+""")
+def pages_routed_counts(sf_dir: str):
+    ds = _routed_ds(sf_dir, ["event_class"])
+    return rel.grouped_agg(ds, ["event_class"], [("event_class", "count", "n_docs")])
+
+
+@register("pages_aggregate", _ROUTED_CTE + """
+SELECT event_class AS sink, lang, date_trunc('hour', warc_ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM routed GROUP BY 1, 2, 3
+""")
+def pages_aggregate(sf_dir: str):
+    ds = _routed_ds(sf_dir, ["event_class", "lang", "warc_ts", "n_tokens"])
+    ds = rel.time_bucket(ds, "warc_ts", "hour", out_col="hour")
+    return aggregate_routed(ds.select_columns(["event_class", "lang", "hour", "n_tokens"]))
+
+
+@register("pages_window_filter", f"""
+SELECT lang, CAST(count(*) AS BIGINT) AS n_pages
+FROM read_parquet('{PAGES_GLOB}')
+WHERE warc_ts >= TIMESTAMP '2024-10-01 00:00:00'
+  AND warc_ts <  TIMESTAMP '2024-10-02 00:00:00'
+GROUP BY lang
+""")
+def pages_window_filter(sf_dir: str):
+    """Look-back-window predicate (≙ TIME_WINDOW_HOURS, app/s3_manager.py:212)
+    — column-pruned read: only (warc_ts, lang) leave storage."""
+    info = _pages(sf_dir)
+    ds = rd.read_parquet(info["pages_dir"], columns=["warc_ts", "lang"])
+    lo = _ts("2024-10-01")
+    hi = _ts("2024-10-02")
+    ds = rel.filter_batches(
+        ds, lambda t: pc.and_(pc.greater_equal(t["warc_ts"], lo), pc.less(t["warc_ts"], hi))
+    )
+    return rel.grouped_agg(ds, ["lang"], [("lang", "count", "n_pages")])
+
+
+@register("pages_enriched_hosts", _ROUTED_CTE + """
+SELECT host_category, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(max(host_rank) AS BIGINT) AS max_rank
+FROM routed GROUP BY host_category
+""")
+def pages_enriched_hosts(sf_dir: str):
+    ds = _routed_ds(sf_dir, ["host_category", "n_tokens", "host_rank"])
+    return rel.grouped_agg(ds, ["host_category"], [
+        ("n_tokens", "count", "n_docs"),
+        ("n_tokens", "sum", "sum_tokens"),
+        ("host_rank", "max", "max_rank"),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# relational queries (TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2
+""")
+def q1_pricing_summary(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_linestatus", "l_quantity",
+                             "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = _ts("1998-09-02")
+    ds = rel.filter_batches(ds, lambda t: pc.less_equal(t["l_shipdate"], cutoff))
+    ds = rel.with_columns(ds, {
+        "disc_price": lambda t: pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+    })
+    agg = rel.grouped_agg(ds, ["l_returnflag", "l_linestatus"], [
+        ("l_quantity", "sum", "sum_qty_raw"),
+        ("l_extendedprice", "sum", "sum_base_price_raw"),
+        ("disc_price", "sum", "sum_disc_price_raw"),
+        ("l_quantity", "mean", "avg_qty_raw"),
+        ("l_quantity", "count", "count_order"),
+    ])
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": round_col(t["sum_qty_raw"], 2),
+            "sum_base_price": round_col(t["sum_base_price_raw"], 2),
+            "sum_disc_price": round_col(t["sum_disc_price_raw"], 2),
+            "avg_qty": round_col(t["avg_qty_raw"], 6),
+            "count_order": t["count_order"],
+        })
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+@register("q6_revenue", """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+""")
+def q6_revenue(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo = _ts("1996-01-01")
+    hi = _ts("1997-01-01")
+    ds = rel.filter_batches(ds, lambda t: pc.and_(
+        pc.and_(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+        pc.and_(
+            pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07))),
+            pc.less(t["l_quantity"], pa.scalar(24.0)),
+        ),
+    ))
+    ds = rel.with_columns(
+        ds, {"rev": lambda t: pc.multiply(t["l_extendedprice"], t["l_discount"])},
+        keep=["rev"],
+    )
+    total = ds.sum("rev")
+    return pa.table({"revenue": pa.array(
+        [float(np.sign(total) * np.floor(abs(total) * 100 + 0.5) / 100)], pa.float64())})
+
+
+@register("filter_project_revenue", """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-06-01'
+""")
+def filter_project_revenue(sf_dir: str):
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+    cutoff = _ts("1996-06-01")
+    ds = rel.filter_batches(ds, lambda t: pc.less(t["l_shipdate"], cutoff))
+    return rel.with_columns(ds, {
+        "revenue": lambda t: round_col(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])), 4)
+    }, keep=["l_orderkey", "l_linenumber", "revenue"])
+
+
+@register("top_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def top_orders(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return rel.topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
+
+
+@register("distinct_flags", """
+SELECT DISTINCT l_returnflag FROM lineitem
+""")
+def distinct_flags(sf_dir: str):
+    return rel.distinct(read_table(sf_dir, "lineitem", columns=["l_returnflag"]),
+                        ["l_returnflag"])
+
+
+@register("customers_per_region", """
+SELECT r_name, CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def customers_per_region(sf_dir: str):
+    """Broadcast join: the nation⋈region dimension (25 rows) is pre-joined
+    driver-side and broadcast; the customer table never shuffles."""
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
+    region = pq.read_table(str(Path(sf_dir) / "region.parquet"))
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey", join_type="inner")
+    dim = dim.select(["n_nationkey", "r_name"]).rename_columns(["c_nationkey", "r_name"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = rel.broadcast_join(cust, dim, on=["c_nationkey"])
+    return rel.grouped_agg(joined, ["r_name"], [("c_custkey", "count", "n_customers")])
+
+
+@register("revenue_by_segment", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def revenue_by_segment(sf_dir: str):
+    """Hash-partitioned large-large join (Ray Dataset.join)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    joined = rel.hash_join(orders, cust, on=["o_custkey"], num_partitions=8)
+    agg = rel.grouped_agg(joined, ["c_mktsegment"], [
+        ("o_totalprice", "count", "n_orders"),
+        ("o_totalprice", "sum", "total_raw"),
+    ])
+    return agg.map_batches(lambda t: pa.table({
+        "c_mktsegment": t["c_mktsegment"],
+        "n_orders": t["n_orders"],
+        "total_price": round_col(t["total_raw"], 2),
+    }), batch_format="pyarrow")
+
+
+@register("customers_no_big_orders", """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""")
+def customers_no_big_orders(sf_dir: str):
+    """Anti join against a broadcast key set (≙ processed-keys anti-join,
+    app/s3_manager.py:208-211)."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = rel.filter_batches(
+        orders, lambda t: pc.greater(t["o_totalprice"], pa.scalar(300000.0)))
+    keys = pc.unique(pa.concat_tables(
+        [pa.table(b) for b in big.iter_batches(batch_format="pyarrow")])["o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    return rel.semi_anti_join(cust, keys, "c_custkey", anti=True)
+
+
+@register("max_order_per_customer", """
+SELECT o_custkey, MAX(o_totalprice) AS max_price, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_custkey
+""")
+def max_order_per_customer(sf_dir: str):
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return rel.grouped_agg(ds, ["o_custkey"], [
+        ("o_totalprice", "max", "max_price"),
+        ("o_totalprice", "count", "n_orders"),
+    ])
+
+
+# ---------------------------------------------------------------------------
+# events queries
+# ---------------------------------------------------------------------------
+
+@register("events_by_type", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events GROUP BY event_type
+""")
+def events_by_type(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    agg = rel.grouped_agg(ds, ["event_type"], [
+        ("value", "count", "n_events"), ("value", "sum", "sum_raw")])
+    return agg.map_batches(lambda t: pa.table({
+        "event_type": t["event_type"], "n_events": t["n_events"],
+        "sum_value": round_col(t["sum_raw"], 2)}), batch_format="pyarrow")
+
+
+@register("events_hourly", """
+SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""")
+def events_hourly(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["ts"])
+    ds = rel.time_bucket(ds, "ts", "hour", out_col="hour")
+    return rel.grouped_agg(ds.select_columns(["hour"]), ["hour"],
+                           [("hour", "count", "n_events")])
+
+
+@register("events_window", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events FROM events
+WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-17 00:00:00'
+GROUP BY event_type
+""")
+def events_window(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    lo = _ts("2024-01-10")
+    hi = _ts("2024-01-17")
+    ds = rel.filter_batches(ds, lambda t: pc.and_(
+        pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi)))
+    return rel.grouped_agg(ds, ["event_type"], [("event_type", "count", "n_events")])
+
+
+@register("events_json_extract", """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1
+""")
+def events_json_extract(sf_dir: str):
+    """JSON scalar extraction (≙ json.loads per record, M1) — vectorized
+    RE2 fast path for flat JSON."""
+    ds = read_table(sf_dir, "events", columns=["props"])
+
+    def extract(t: pa.Table) -> pa.Table:
+        k_str = pc.struct_field(
+            pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)'), "k")
+        k = pc.cast(k_str, pa.int64())
+        k_np = k.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "k_bucket": pa.array(k_np % 10, pa.int64()),
+            "k": k,
+        })
+
+    ds = ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.grouped_agg(ds, ["k_bucket"], [
+        ("k", "count", "n_events"), ("k", "sum", "sum_k")])
+
+
+# ---------------------------------------------------------------------------
+# documents: text analysis + dedup
+# ---------------------------------------------------------------------------
+
+@register("doc_token_counts", """
+SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens
+FROM documents
+""")
+def doc_token_counts(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.add_token_counts(ds).select_columns(["doc_id", "n_tokens"])
+
+
+@register("doc_stats_by_lang", """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       ROUND(SUM(n_chars) / COUNT(*), 6) AS avg_chars
+FROM documents GROUP BY lang
+""")
+def doc_stats_by_lang(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    agg = rel.grouped_agg(ds, ["lang"], [
+        ("n_chars", "count", "n_docs"),
+        ("n_chars", "sum", "sum_chars"),
+        ("n_chars", "mean", "avg_raw"),
+    ])
+    return agg.map_batches(lambda t: pa.table({
+        "lang": t["lang"], "n_docs": t["n_docs"], "sum_chars": t["sum_chars"],
+        "avg_chars": round_col(t["avg_raw"], 6)}), batch_format="pyarrow")
+
+
+@register("doc_quality", r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|for)\b')) AS BIGINT) AS n_stopwords,
+       ROUND(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|for)\b'))
+             / GREATEST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')), 1), 6) AS stop_ratio
+FROM documents
+""")
+def doc_quality(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.add_quality(ds).select_columns(
+        ["doc_id", "n_tokens", "n_stopwords", "stop_ratio"])
+
+
+@register("dedup_exact", """
+SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+""")
+def dedup_exact_q(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
+
+
+@register("doc_fingerprints", None)  # hash64 not SQL-expressible → rows-only
+def doc_fingerprints(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.add_fingerprint(ds).select_columns(["doc_id", "fingerprint"])
+
+
+@register("doc_lang_id", None)  # model scoring → rows-only
+def doc_lang_id(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    return textops.add_lang_id(ds).select_columns(
+        ["doc_id", "lang", "lang_pred", "lang_score"])
+
+
+@register("near_dup_docs", None)  # MinHash-LSH → rows-only
+def near_dup_docs(sf_dir: str):
+    docs = pq.read_table(str(Path(sf_dir) / "documents.parquet"),
+                         columns=["doc_id", "text"])
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.near_dup_pairs(ds, docs, "doc_id", "text", threshold=0.8)
+
+
+@register("simhash_dup_groups", None)  # rows-only
+def simhash_groups(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup.simhash_dup_groups(ds, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search + near-dup
+# ---------------------------------------------------------------------------
+
+def _query_vec(sf_dir: str) -> np.ndarray:
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"))
+    idx = pc.index(t["vec_id"], pa.scalar(0)).as_py()
+    return np.asarray(t["embedding"][idx].as_py(), dtype=np.float64)
+
+
+@register("embedding_topk", """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 6) AS score
+FROM embeddings, q
+ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 6) DESC, vec_id
+LIMIT 10
+""")
+def embedding_topk(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.brute_force_topk(ds, _query_vec(sf_dir), 10)
+
+
+@register("embedding_ann_lsh", None)  # approximate → rows-only
+def embedding_ann_lsh(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.lsh_topk(ds, _query_vec(sf_dir), 10)
+
+
+@register("embedding_near_dup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.35
+""")
+def embedding_near_dup(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return dedup.embedding_near_dup_pairs(ds, "vec_id", "embedding", threshold=0.35)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (stubbed decode — deterministic fake)
+# ---------------------------------------------------------------------------
+
+@register("multimodal_decode", None)  # hash-derived fake decode → rows-only
+def multimodal_decode(sf_dir: str):
+    info = _pages(sf_dir)
+    ds = rd.read_parquet(info["pages_dir"], columns=["url", "html"])
+    return multimodal.decode_binary_metadata(ds, "html")

@@ -1,0 +1,89 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from illumio_ray.ops import dedup, multimodal, relational as rel, similarity
+
+
+def test_exact_dedup_keeps_min_id():
+    df = pd.DataFrame({
+        "doc_id": [5, 1, 3, 2, 4],
+        "text": ["aa", "bb", "aa", "cc", "bb"],
+    })
+    out = dedup.exact_dedup(rd.from_pandas(df), "text", "doc_id").to_pandas()
+    assert sorted(out.doc_id) == [1, 2, 3]  # min id per distinct text
+
+
+def test_near_dup_finds_exact_duplicate():
+    texts = [f"unique words {i} " + " ".join(f"w{i}{j}" for j in range(20))
+             for i in range(30)]
+    texts.append(texts[0])  # exact dup of doc 0 → jaccard 1.0
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = pa.Table.from_pandas(df)
+    pairs = dedup.near_dup_pairs(rd.from_pandas(df), docs, "doc_id", "text",
+                                 threshold=0.9).to_pandas()
+    assert len(pairs) == 1
+    assert (pairs.iloc[0].id_a, pairs.iloc[0].id_b) == (0, 30)
+    assert pairs.iloc[0].jaccard == 1.0
+
+
+def test_simhash_groups_exact_dup():
+    texts = ["alpha beta gamma delta", "epsilon zeta eta theta",
+             "alpha beta gamma delta"]
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": texts})
+    out = dedup.simhash_dup_groups(rd.from_pandas(df), "doc_id", "text").to_pandas()
+    assert sorted(out.doc_id) == [1, 3]
+
+
+def test_lsh_topk_recall_on_clustered_data():
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal(32)
+    near = q[None, :] + 0.1 * rng.standard_normal((10, 32))   # true neighbors
+    far = rng.standard_normal((200, 32)) * 5
+    vecs = np.vstack([near, far])
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    ds = rd.from_pandas(df)
+    exact = set(similarity.brute_force_topk(ds, q, 10).to_pandas().vec_id)
+    approx = set(similarity.lsh_topk(ds, q, 10).to_pandas().vec_id)
+    assert exact == set(range(10))  # sanity: brute force finds the cluster
+    recall = len(exact & approx) / 10
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_multimodal_decode_stub_deterministic():
+    df = pd.DataFrame({"url": ["a", "b"], "payload": [b"\x01\x02\x03", b"\xff" * 10]})
+    out1 = multimodal.decode_binary_metadata(rd.from_pandas(df), "payload").to_pandas()
+    out2 = multimodal.decode_binary_metadata(rd.from_pandas(df), "payload").to_pandas()
+    pd.testing.assert_frame_equal(out1.sort_values("url").reset_index(drop=True),
+                                  out2.sort_values("url").reset_index(drop=True))
+    assert list(out1.sort_values("url").n_bytes) == [3, 10]
+    assert (out1.width > 0).all() and (out1.height > 0).all()
+    assert "payload" not in out1.columns
+
+
+def test_multimodal_real_decode_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.DecodeImageStub(real=True)
+
+
+def test_topk_matches_pandas():
+    df = pd.DataFrame({"k": np.arange(100), "v": np.arange(100)[::-1] % 17})
+    got = rel.topk(rd.from_pandas(df), ["v", "k"], 5,
+                   descending=[True, False]).to_pandas()
+    exp = df.sort_values(["v", "k"], ascending=[False, True]).head(5).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.reset_index(drop=True)[["k", "v"]], exp[["k", "v"]])
+
+
+def test_grouped_agg_mean_min_max():
+    df = pd.DataFrame({"g": ["a", "b", "a", "b", "a"], "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = rel.grouped_agg(rd.from_pandas(df), ["g"], [
+        ("x", "mean", "avg_x"), ("x", "min", "min_x"),
+        ("x", "max", "max_x"), ("x", "count", "n"),
+    ]).to_pandas().sort_values("g").reset_index(drop=True)
+    assert got.avg_x.tolist() == [3.0, 3.0]
+    assert got.min_x.tolist() == [1.0, 2.0]
+    assert got.max_x.tolist() == [5.0, 4.0]
+    assert got.n.tolist() == [3, 2]
