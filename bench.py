@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Benchmark harness (≙ the reference's s3_analyzer MPS monitor,
+/root/reference/app/s3_analyzer.py:213-292 — docs/sec here ≙ its MPS).
+
+Default mode: ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32), run the
+flagship parse→enrich→route→aggregate over pages synthesized at the scale
+of $GRAFT_SF_DIR (default /root/testdata/sf0.1) plus a headline set of
+registry queries over the sf dir, and print ONE JSON line:
+
+  {"metric": "e2e_total_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": .., "num_cpus": N,
+   "flagship_docs_per_sec": ..., "rows_routed": ...}
+
+--scaling: run the flagship twice in FRESH subprocesses (num_cpus=8 then
+32) on the same input — the sandbox stand-in for N vs 4N nodes — and
+print docs/sec at both plus efficiency = (T32/T8)/4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+
+HEADLINE_QUERIES = [
+    "pages_aggregate",
+    "q1_pricing_summary",
+    "q6_revenue",
+    "revenue_by_segment",
+    "events_by_type",
+    "doc_token_counts",
+    "dedup_exact",
+    "near_dup_docs",
+    "embedding_topk",
+]
+
+
+def _consume(result) -> int:
+    """Execute a query result fully, streaming (no driver materialization
+    of big outputs); return row count."""
+    import pandas as pd
+    import pyarrow as pa
+
+    if isinstance(result, pd.DataFrame):
+        return len(result)
+    if isinstance(result, pa.Table):
+        return result.num_rows
+    n = 0
+    for batch in result.iter_batches(batch_format="pyarrow"):
+        n += batch.num_rows
+    return n
+
+
+def run_flagship_once(num_cpus: int, sf: float) -> dict:
+    """Own a fresh Ray session; run the flagship end-to-end; return metrics."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from illumio_ray.pipelines.flagship import run_flagship
+        from illumio_ray.synth import ensure_pages_for_sf
+
+        info = ensure_pages_for_sf(sf)
+        out_dir = Path(tempfile.mkdtemp(prefix=f"illumio_bench_{num_cpus}c_"))
+        try:
+            t0 = time.perf_counter()
+            metrics = run_flagship(
+                info["pages_dir"], out_dir, info["lookup_lang"],
+                info["lookup_host"],
+                num_shards=max(4, num_cpus // 4), resume=False)
+            elapsed = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        docs = metrics["rows_routed"]
+        return {"num_cpus": num_cpus, "sf": sf, "elapsed_sec": elapsed,
+                "rows_routed": docs, "docs_per_sec": docs / elapsed}
+    finally:
+        ray.shutdown()
+
+
+def bench_main(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        from illumio_ray.pipelines.flagship import run_flagship
+        from illumio_ray.pipelines.queries import REGISTRY
+        from illumio_ray.synth import ensure_pages_for_sf, sf_from_dir
+
+        sf = sf_from_dir(sf_dir)
+        info = ensure_pages_for_sf(sf)
+
+        timings: dict[str, float] = {}
+
+        out_dir = Path(tempfile.mkdtemp(prefix="illumio_bench_"))
+        try:
+            t0 = time.perf_counter()
+            metrics = run_flagship(
+                info["pages_dir"], out_dir, info["lookup_lang"],
+                info["lookup_host"],
+                num_shards=max(4, num_cpus // 4), resume=False)
+            flagship_sec = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        timings["flagship"] = round(flagship_sec, 3)
+        rows_routed = metrics["rows_routed"]
+
+        for name in HEADLINE_QUERIES:
+            spec = REGISTRY.get(name)
+            if spec is None:
+                continue
+            t0 = time.perf_counter()
+            _consume(spec.fn(sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+
+        total = round(sum(timings.values()), 3)
+        return {
+            "metric": "e2e_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "num_cpus": num_cpus,
+            "flagship_docs_per_sec": round(rows_routed / flagship_sec, 1),
+            "rows_routed": rows_routed,
+        }
+    finally:
+        ray.shutdown()
+
+
+def bench_scaling(sf: float, low: int, high: int) -> dict:
+    """Same job, same input, two fresh processes (N vs 4N stand-in)."""
+    # Pre-synthesize once so neither timed run pays generation cost.
+    subprocess.run(
+        [sys.executable, "-c",
+         f"from illumio_ray.synth import ensure_pages_for_sf; ensure_pages_for_sf({sf})"],
+        cwd=REPO, check=True)
+    results = {}
+    for cpus in (low, high):
+        out = subprocess.run(
+            [sys.executable, str(REPO / "bench.py"), "--_flagship-once",
+             "--cpus", str(cpus), "--sf", str(sf)],
+            cwd=REPO, check=True, capture_output=True, text=True)
+        results[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    t_low = results[low]["docs_per_sec"]
+    t_high = results[high]["docs_per_sec"]
+    eff = (t_high / t_low) / (high / low)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sf": sf,
+        "cpus_low": low,
+        "cpus_high": high,
+        "docs_per_sec_low": round(t_low, 1),
+        "docs_per_sec_high": round(t_high, 1),
+        "elapsed_sec_low": round(results[low]["elapsed_sec"], 3),
+        "elapsed_sec_high": round(results[high]["elapsed_sec"], 3),
+        "rows_routed": results[high]["rows_routed"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true",
+                    help="run flagship at two parallelism levels in fresh "
+                         "processes and report scaling efficiency")
+    ap.add_argument("--_flagship-once", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: one fresh-session run
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--sf", type=float, default=None)
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    args = ap.parse_args()
+
+    num_cpus = args.cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if args._flagship_once:
+        sf = args.sf if args.sf is not None else 0.1
+        print(json.dumps(run_flagship_once(num_cpus, sf)))
+        return
+
+    if args.scaling:
+        sf = args.sf
+        if sf is None:
+            from illumio_ray.synth import sf_from_dir
+            sf = sf_from_dir(args.sf_dir)
+        print(json.dumps(bench_scaling(sf, low=8, high=num_cpus)))
+        return
+
+    print(json.dumps(bench_main(args.sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,3 +18,28 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Ray Data's path resolution probes `from fsspec.implementations.http import
+# HTTPFileSystem` on EVERY read/write. With aiohttp absent that import fails,
+# is never cached (failed imports are retried), and two driver threads
+# importing it concurrently race into a partially-initialized module and an
+# uncaught ImportError. Register a stub module once so the probe always
+# resolves (isinstance against the stub class is simply False).
+def _stub_fsspec_http() -> None:
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except Exception:
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # never instantiated; only isinstance-checked
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = mod
+
+
+_stub_fsspec_http()
+del _stub_fsspec_http

@@ -35,6 +35,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
+from ray.data.datasource.partitioning import PathPartitionFilter
 
 from ..functions.extract import extract_page_fields
 from ..functions.hashing import combine_unordered, hash64
@@ -43,16 +44,23 @@ from ..stages.route import route_batch
 from ..state import lineage
 
 
-def default_enrich_concurrency() -> int:
-    """Half the cluster CPUs: an actor pool that reserves every CPU
-    starves the read/write task stages and the pipeline deadlocks."""
+def _cluster_cpus() -> int:
     import ray
 
     try:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
+        return int(ray.cluster_resources().get("CPU", 4))
     except Exception:
-        cpus = 4
-    return max(1, cpus // 2)
+        return 4
+
+
+def default_enrich_concurrency(n_concurrent_pipelines: int = 1) -> tuple[int, int]:
+    """Autoscaling actor-pool bounds. Fixed pools pay full actor startup
+    even for tiny inputs (16 eager actors cost ~12 s before the first
+    batch); (1, max) lets Ray Data scale with queue depth. The max is
+    capped at cpus/pipelines so concurrent shard pipelines plus their
+    read/write task stages can't starve each other."""
+    cpus = _cluster_cpus()
+    return (1, max(2, cpus // max(1, n_concurrent_pipelines)))
 
 
 def build_routed(pages_ds: rd.Dataset, lookup_kwargs: dict,
@@ -124,6 +132,26 @@ def _shard_content_hash(shard_path: Path) -> tuple[int, int]:
     return n, h
 
 
+TARGET_READ_BLOCK_BYTES = 64 * 1024 * 1024
+
+
+def _read_blocks_for(fragments: list[str]) -> int:
+    """Block count sized from real fragment bytes. Ray's default parallelism
+    heuristic shatters small fragments into micro-blocks, and every
+    downstream stage (and the partitioned write: one file per block ×
+    partition) inherits the fan-out — 49 k rows became 1498 output files.
+    One block per ~64 MB compressed, at least one per fragment."""
+    import os
+
+    total = 0
+    for f in fragments:
+        try:
+            total += os.path.getsize(f)
+        except OSError:
+            pass
+    return max(len(fragments), total // TARGET_READ_BLOCK_BYTES)
+
+
 def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
               lookup_kwargs: dict, enrich_concurrency=None,
               with_wire: bool = True) -> dict:
@@ -133,7 +161,8 @@ def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
     tmp = lineage.shard_dir(out_dir, shard_id, tmp=True)
     final = lineage.shard_dir(out_dir, shard_id)
 
-    pages = rd.read_parquet(fragments)
+    pages = rd.read_parquet(fragments,
+                            override_num_blocks=_read_blocks_for(fragments))
     routed = build_routed(pages, lookup_kwargs, enrich_concurrency, with_wire)
     routed.write_parquet(str(tmp), partition_cols=["event_class"])
     tmp.rename(final)
@@ -153,9 +182,17 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
                  lang_path: str, host_path: str,
                  num_shards: int = 4, resume: bool = True,
                  enrich_concurrency=None, with_wire: bool = True,
-                 fail_after_shards: int | None = None) -> dict:
+                 fail_after_shards: int | None = None,
+                 max_concurrent_shards: int = 4) -> dict:
     """Full resumable run. ``fail_after_shards`` simulates a mid-run kill
-    (used by the checkpoint-resume test)."""
+    (used by the checkpoint-resume test; forces serial shard order).
+
+    Shards run ``max_concurrent_shards`` at a time (driver threads, one Ray
+    Data pipeline each): per-shard fixed costs (actor-pool spin-up, dataset
+    orchestration) overlap, while each shard keeps its own atomic
+    write→rename→manifest commit. At 100 TB a shard holds thousands of
+    fragments and saturates the cluster alone; concurrency then mostly
+    pipelines one shard's write tail into the next's read head."""
     t0 = time.perf_counter()
     out_dir = Path(out_dir)
     fragments = lineage.list_fragments(pages_dir)
@@ -163,27 +200,58 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
         return {"shards_total": 0, "shards_run_this_invocation": 0,
                 "rows_routed": 0, "elapsed_sec": 0.0, "aggregates_path": None}
     shards = lineage.plan_shards(fragments, num_shards)
+    lineage.sweep_stale(out_dir)
     todo = lineage.pending_shards(out_dir, shards) if resume else shards
 
     lookup_kwargs = broadcast_lookups(lang_path, host_path)
-    done = 0
-    for sid, frags in todo:
-        run_shard(sid, frags, out_dir, lookup_kwargs,
-                  enrich_concurrency=enrich_concurrency, with_wire=with_wire)
-        done += 1
-        if fail_after_shards is not None and done >= fail_after_shards:
-            raise RuntimeError(f"simulated failure after {done} shards")
+    n_threads = max(1, min(max_concurrent_shards, len(todo)))
+    if fail_after_shards is not None:
+        n_threads = 1  # deterministic commit order for the kill simulation
+    if enrich_concurrency is None:
+        enrich_concurrency = default_enrich_concurrency(n_threads)
 
-    # Final aggregate over committed routed output — pruned columns only.
+    done = 0
+    if n_threads == 1:
+        for sid, frags in todo:
+            run_shard(sid, frags, out_dir, lookup_kwargs,
+                      enrich_concurrency=enrich_concurrency, with_wire=with_wire)
+            done += 1
+            if fail_after_shards is not None and done >= fail_after_shards:
+                raise RuntimeError(f"simulated failure after {done} shards")
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(n_threads) as ex:
+            futs = [
+                ex.submit(run_shard, sid, frags, out_dir, lookup_kwargs,
+                          enrich_concurrency=enrich_concurrency,
+                          with_wire=with_wire)
+                for sid, frags in todo
+            ]
+            for f in futs:
+                f.result()
+                done += 1
+
+    # Final aggregate over COMMITTED routed output only — reading the whole
+    # routed/ dir would also pick up any *.tmp dir left by a crash mid-write;
+    # the manifest set is the exactly-once read surface. Pruned columns only.
+    planned_ids = [sid for sid, _ in shards]
+    manifests = {sid: m for sid, m in lineage.load_manifests(out_dir).items()
+                 if sid in set(planned_ids)}
+    missing = [sid for sid in planned_ids if sid not in manifests]
+    if missing:
+        raise RuntimeError(f"shards missing manifests after run: {missing}")
+    committed = {f"{sid:05d}" for sid in manifests}
     routed_ds = rd.read_parquet(
         str(out_dir / "routed"),
         columns=["event_class", "lang", "hour", "n_tokens"],
+        partition_filter=PathPartitionFilter.of(
+            lambda kv: kv.get("shard") in committed, style="hive"),
     )
     agg = aggregate_routed(routed_ds)
     agg_path = out_dir / "aggregates"
     agg.write_parquet(str(agg_path), mode="overwrite")
 
-    manifests = lineage.load_manifests(out_dir)
     total_rows = sum(m["row_count"] for m in manifests.values())
     metrics = {
         "shards_total": len(shards),

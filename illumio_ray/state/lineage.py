@@ -96,6 +96,27 @@ def pending_shards(out_dir: str | Path,
     return pending
 
 
+def sweep_stale(out_dir: str | Path) -> None:
+    """Remove every routed shard dir not backed by a committed manifest
+    (crash leftovers: *.tmp dirs, renamed-but-unmanifested dirs). Called
+    once at run start, before any shard work launches."""
+    routed = Path(out_dir) / "routed"
+    if not routed.exists():
+        return
+    committed = set(load_manifests(out_dir))
+    for p in routed.iterdir():
+        name = p.name
+        if name.endswith(".tmp"):
+            shutil.rmtree(p, ignore_errors=True)
+            continue
+        try:
+            sid = int(name.split("=", 1)[1])
+        except (IndexError, ValueError):
+            continue
+        if sid not in committed:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def clean_uncommitted(out_dir: str | Path, shard_id: int) -> None:
     """Remove any partial output for an uncommitted shard (idempotent)."""
     for tmp in (shard_dir(out_dir, shard_id, tmp=True), shard_dir(out_dir, shard_id)):
