@@ -31,15 +31,15 @@ from __future__ import annotations
 import time
 from pathlib import Path
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Sum
-from ray.data.datasource.partitioning import PathPartitionFilter
 
 from ..functions.extract import extract_page_fields
 from ..functions.hashing import combine_unordered, hash64
-from ..stages.enrich import Enricher, broadcast_lookups
+from ..stages.enrich import Enricher, broadcast_lookups, make_task_enricher
 from ..stages.route import route_batch
 from ..state import lineage
 
@@ -64,21 +64,35 @@ def default_enrich_concurrency(n_concurrent_pipelines: int = 1) -> tuple[int, in
 
 
 def build_routed(pages_ds: rd.Dataset, lookup_kwargs: dict,
-                 enrich_concurrency=None, with_wire: bool = True) -> rd.Dataset:
-    """Lazy routed dataset from a pages dataset."""
-    if enrich_concurrency is None:
-        enrich_concurrency = default_enrich_concurrency()
+                 enrich_concurrency=None, with_wire: bool = True,
+                 enrich_mode: str = "task") -> rd.Dataset:
+    """Lazy routed dataset from a pages dataset.
+
+    ``enrich_mode="task"`` (default) fuses read→extract→enrich→route into
+    one task chain (per-worker-process Enricher cache; no object-store hop,
+    no pool ramp). ``"actor"`` runs the Enricher on an autoscaling actor
+    pool — the right shape when per-actor state is expensive to build
+    (models, indexes), kept for that case and exercised in tests."""
     ds = pages_ds.map_batches(
         extract_page_fields, batch_format="pyarrow", zero_copy_batch=True
     )
-    ds = ds.map_batches(
-        Enricher,
-        fn_constructor_kwargs=lookup_kwargs,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=enrich_concurrency,
-        num_cpus=1,
-    )
+    if enrich_mode == "actor":
+        if enrich_concurrency is None:
+            enrich_concurrency = default_enrich_concurrency()
+        ds = ds.map_batches(
+            Enricher,
+            fn_constructor_kwargs=lookup_kwargs,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=enrich_concurrency,
+            num_cpus=1,
+        )
+    else:
+        ds = ds.map_batches(
+            make_task_enricher(**lookup_kwargs),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
     ds = ds.map_batches(
         lambda b: route_batch(b, with_wire=with_wire),
         batch_format="pyarrow",
@@ -117,30 +131,113 @@ def aggregate_routed(routed_ds: rd.Dataset) -> rd.Dataset:
     return agg
 
 
-def _shard_content_hash(shard_path: Path) -> tuple[int, int]:
-    """(row_count, order-insensitive content hash over urls) for a
-    committed shard — cheap single-column pruned read."""
-    import pyarrow.dataset as pads
+def _combine_partials(tbl: pa.Table) -> pa.Table:
+    g = tbl.group_by(["sink", "lang", "hour"]).aggregate(
+        [("n_docs_p", "sum"), ("sum_tokens_p", "sum")]
+    )
+    return pa.table({
+        "sink": g["sink"], "lang": g["lang"], "hour": g["hour"],
+        "n_docs_p": g["n_docs_p_sum"], "sum_tokens_p": g["sum_tokens_p_sum"],
+    })
 
-    dset = pads.dataset(str(shard_path), format="parquet", partitioning="hive")
-    n = 0
-    h = 0
-    for rb in dset.to_batches(columns=["url"]):
-        n += rb.num_rows
-        if rb.num_rows:
-            h = (h + combine_unordered(hash64(rb.column(0)))) % (1 << 64)
-    return n, h
+
+def aggregate_routed_table(routed_ds: rd.Dataset,
+                           tree_threshold_blocks: int = 256) -> pa.Table:
+    """Same result as :func:`aggregate_routed` but returned as an Arrow
+    table, skipping the sort-based groupby shuffle: the group key space is
+    tiny and bounded (sinks × langs × hours), so per-block partials are
+    O(groups) rows and a driver-side combine is exact and cheap. When the
+    partial count is large (many blocks × groups at 100 TB), one
+    ``repartition`` tree step combines before the driver pull."""
+    partials = routed_ds.map_batches(
+        _partial_agg, batch_format="pyarrow", zero_copy_batch=True
+    )
+    try:
+        n_in = routed_ds.input_files()
+    except Exception:
+        n_in = []
+    if len(n_in) > tree_threshold_blocks:
+        partials = partials.repartition(32).map_batches(
+            _combine_partials, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(
+        pa.table(b) for b in partials.iter_batches(batch_format="pyarrow"))
+    g = _combine_partials(tbl)
+    return pa.table({
+        "sink": g["sink"], "lang": g["lang"], "hour": g["hour"],
+        "n_docs": pc.cast(g["n_docs_p"], pa.int64()),
+        "sum_tokens": pc.cast(g["sum_tokens_p"], pa.int64()),
+    })
+
+
+def _shard_stats_batch(t: pa.Table) -> pa.Table:
+    """Per-batch summary: partial (sink, lang, hour) aggregate rows plus the
+    batch's order-insensitive url content-hash carried on the first row
+    (combine_unordered is sum mod 2^64, so partial sums compose)."""
+    g = _partial_agg(t)
+    h = combine_unordered(hash64(t["url"])) if t.num_rows else 0
+    hash_col = np.zeros(g.num_rows, dtype=np.uint64)
+    if g.num_rows:
+        hash_col[0] = np.uint64(h)
+    return g.append_column("url_hash_p", pa.array(hash_col, pa.uint64()))
+
+
+def make_write_summarize(shard_tmp: Path):
+    """Sink stage: each task writes its batch's rows into the shard tmp dir
+    (hive layout, one file per event_class per batch — mirroring
+    write_parquet(partition_cols)) and returns only the batch SUMMARY
+    (partial aggregate + content hash + count). The pipeline's consumed
+    output is therefore tiny, and write + stats happen in ONE pass over the
+    data — the earlier design's separate stats re-read doubled the routed
+    scan and added ~40% to end-to-end wall time."""
+    shard_tmp = str(shard_tmp)
+
+    def write_and_summarize(batch: pa.Table) -> pa.Table:
+        import os
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        fname = f"part-{uuid.uuid4().hex}.parquet"
+        for cls in pc.unique(batch["event_class"]).to_pylist():
+            sub = batch.filter(pc.equal(batch["event_class"], cls))
+            d = os.path.join(shard_tmp, f"event_class={cls}")
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(sub.drop_columns(["event_class"]),
+                           os.path.join(d, fname))
+        return _shard_stats_batch(batch)
+
+    return write_and_summarize
+
+
+_EMPTY_SUMMARY = pa.table({
+    "sink": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+    "hour": pa.array([], pa.timestamp("us")),
+    "n_docs_p": pa.array([], pa.int64()),
+    "sum_tokens_p": pa.array([], pa.int64()),
+    "url_hash_p": pa.array([], pa.uint64()),
+})
+
+
+def _reduce_summaries(tables: list[pa.Table]) -> tuple[int, int, pa.Table]:
+    """(row_count, content hash, partial aggregate) from batch summaries."""
+    tbl = pa.concat_tables(tables) if tables else _EMPTY_SUMMARY
+    n = int(pc.sum(tbl["n_docs_p"]).as_py() or 0)
+    h = combine_unordered(tbl["url_hash_p"].to_numpy(zero_copy_only=False))
+    agg = _combine_partials(tbl)
+    return n, h, agg
 
 
 TARGET_READ_BLOCK_BYTES = 64 * 1024 * 1024
 
 
-def _read_blocks_for(fragments: list[str]) -> int:
+def _read_blocks_for(fragments: list[str], min_blocks: int = 1) -> int:
     """Block count sized from real fragment bytes. Ray's default parallelism
     heuristic shatters small fragments into micro-blocks, and every
     downstream stage (and the partitioned write: one file per block ×
     partition) inherits the fan-out — 49 k rows became 1498 output files.
-    One block per ~64 MB compressed, at least one per fragment."""
+    One block per ~64 MB compressed, floored at ``min_blocks`` so a small
+    shard still spreads across the CPUs assigned to its pipeline (fragments
+    split at row-group granularity)."""
     import os
 
     total = 0
@@ -149,25 +246,41 @@ def _read_blocks_for(fragments: list[str]) -> int:
             total += os.path.getsize(f)
         except OSError:
             pass
-    return max(len(fragments), total // TARGET_READ_BLOCK_BYTES)
+    return max(min_blocks, len(fragments), total // TARGET_READ_BLOCK_BYTES)
 
 
 def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
               lookup_kwargs: dict, enrich_concurrency=None,
-              with_wire: bool = True) -> dict:
+              with_wire: bool = True, min_blocks: int = 1,
+              enrich_mode: str = "task") -> dict:
     """Process one shard end-to-end and commit its manifest."""
     out_dir = Path(out_dir)
     lineage.clean_uncommitted(out_dir, shard_id)
     tmp = lineage.shard_dir(out_dir, shard_id, tmp=True)
     final = lineage.shard_dir(out_dir, shard_id)
 
-    pages = rd.read_parquet(fragments,
-                            override_num_blocks=_read_blocks_for(fragments))
-    routed = build_routed(pages, lookup_kwargs, enrich_concurrency, with_wire)
-    routed.write_parquet(str(tmp), partition_cols=["event_class"])
+    pages = rd.read_parquet(
+        fragments,
+        override_num_blocks=_read_blocks_for(fragments, min_blocks))
+    routed = build_routed(pages, lookup_kwargs, enrich_concurrency, with_wire,
+                          enrich_mode=enrich_mode)
+    # One pass: the sink stage writes partitioned files AND streams back
+    # per-batch summaries (partial agg + hash); the summary is all the
+    # driver ever pulls.
+    summaries = routed.map_batches(
+        make_write_summarize(tmp), batch_format="pyarrow",
+        zero_copy_batch=True)
+    tmp.mkdir(parents=True, exist_ok=True)
+    batch_summaries = [
+        pa.table(b) for b in summaries.iter_batches(batch_format="pyarrow")]
     tmp.rename(final)
 
-    rows_out, content_hash = _shard_content_hash(final)
+    # The shard's partial-aggregate sidecar lands BEFORE the manifest (the
+    # commit point): a committed shard always has its partial, so the final
+    # aggregate is a driver combine of committed sidecars and never rescans
+    # routed data.
+    rows_out, content_hash, partial = _reduce_summaries(batch_summaries)
+    lineage.write_partial(out_dir, shard_id, partial)
     manifest = {
         "shard_id": shard_id,
         "input_fragments": fragments,
@@ -183,7 +296,8 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
                  num_shards: int = 4, resume: bool = True,
                  enrich_concurrency=None, with_wire: bool = True,
                  fail_after_shards: int | None = None,
-                 max_concurrent_shards: int = 4) -> dict:
+                 max_concurrent_shards: int = 4,
+                 enrich_mode: str = "task") -> dict:
     """Full resumable run. ``fail_after_shards`` simulates a mid-run kill
     (used by the checkpoint-resume test; forces serial shard order).
 
@@ -207,14 +321,20 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
     n_threads = max(1, min(max_concurrent_shards, len(todo)))
     if fail_after_shards is not None:
         n_threads = 1  # deterministic commit order for the kill simulation
-    if enrich_concurrency is None:
+    if enrich_concurrency is None and enrich_mode == "actor":
         enrich_concurrency = default_enrich_concurrency(n_threads)
+
+    # Spread each shard's read across the CPUs its pipeline can use, even
+    # when the shard has few fragments (splits at row-group granularity).
+    min_blocks = max(1, (2 * _cluster_cpus()) // n_threads)
 
     done = 0
     if n_threads == 1:
         for sid, frags in todo:
             run_shard(sid, frags, out_dir, lookup_kwargs,
-                      enrich_concurrency=enrich_concurrency, with_wire=with_wire)
+                      enrich_concurrency=enrich_concurrency,
+                      with_wire=with_wire, min_blocks=min_blocks,
+                      enrich_mode=enrich_mode)
             done += 1
             if fail_after_shards is not None and done >= fail_after_shards:
                 raise RuntimeError(f"simulated failure after {done} shards")
@@ -225,32 +345,38 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
             futs = [
                 ex.submit(run_shard, sid, frags, out_dir, lookup_kwargs,
                           enrich_concurrency=enrich_concurrency,
-                          with_wire=with_wire)
+                          with_wire=with_wire, min_blocks=min_blocks,
+                          enrich_mode=enrich_mode)
                 for sid, frags in todo
             ]
             for f in futs:
                 f.result()
                 done += 1
 
-    # Final aggregate over COMMITTED routed output only — reading the whole
-    # routed/ dir would also pick up any *.tmp dir left by a crash mid-write;
-    # the manifest set is the exactly-once read surface. Pruned columns only.
+    # Final aggregate = driver combine of the COMMITTED shards' partial
+    # sidecars (each O(groups) rows, computed distributed at shard commit).
+    # No rescan of routed data; crash leftovers can't leak in because only
+    # manifest-backed shards contribute.
     planned_ids = [sid for sid, _ in shards]
     manifests = {sid: m for sid, m in lineage.load_manifests(out_dir).items()
                  if sid in set(planned_ids)}
     missing = [sid for sid in planned_ids if sid not in manifests]
     if missing:
         raise RuntimeError(f"shards missing manifests after run: {missing}")
-    committed = {f"{sid:05d}" for sid in manifests}
-    routed_ds = rd.read_parquet(
-        str(out_dir / "routed"),
-        columns=["event_class", "lang", "hour", "n_tokens"],
-        partition_filter=PathPartitionFilter.of(
-            lambda kv: kv.get("shard") in committed, style="hive"),
-    )
-    agg = aggregate_routed(routed_ds)
+    partials = pa.concat_tables(lineage.read_partials(out_dir, manifests))
+    g = _combine_partials(partials)
+    agg_tbl = pa.table({
+        "sink": g["sink"], "lang": g["lang"], "hour": g["hour"],
+        "n_docs": pc.cast(g["n_docs_p"], pa.int64()),
+        "sum_tokens": pc.cast(g["sum_tokens_p"], pa.int64()),
+    })
     agg_path = out_dir / "aggregates"
-    agg.write_parquet(str(agg_path), mode="overwrite")
+    if agg_path.exists():
+        import shutil as _shutil
+        _shutil.rmtree(agg_path)
+    agg_path.mkdir(parents=True)
+    import pyarrow.parquet as _pq
+    _pq.write_table(agg_tbl, agg_path / "part-00000.parquet")
 
     total_rows = sum(m["row_count"] for m in manifests.values())
     metrics = {

@@ -44,6 +44,35 @@ class _ArrowLookup:
         return pc.take(self.values[name], idx)
 
 
+_PROCESS_CACHE: dict = {}
+
+
+def make_task_enricher(lang_ref, host_ref):
+    """Task-mode enrichment: a plain function for ``map_batches`` that
+    builds the Enricher once per WORKER PROCESS (module-level cache keyed
+    by the broadcast refs) and reuses it across tasks — actor-like setup
+    amortization without an actor pool.
+
+    Why not always actors? An actor stage breaks Ray Data's operator
+    fusion: read→extract→enrich→route collapse into one task chain in
+    task mode (no object-store hop between stages), and the pool ramp
+    (actors start one by one under autoscaling) throttles small and
+    medium runs. Actor mode (see ``Enricher`` used directly with
+    ``concurrency=``) is the right choice only when per-actor state is
+    expensive — model weights, big indexes — not for two dictionary
+    lookups; the multimodal ops keep the actor form."""
+
+    def enrich(batch: pa.Table) -> pa.Table:
+        key = (lang_ref, host_ref)
+        e = _PROCESS_CACHE.get(key)
+        if e is None:
+            e = Enricher(lang_ref=lang_ref, host_ref=host_ref)
+            _PROCESS_CACHE[key] = e
+        return e(batch)
+
+    return enrich
+
+
 class Enricher:
     """Actor-pool stage: setup once in __init__, vectorized work per batch."""
 

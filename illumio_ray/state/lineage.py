@@ -96,6 +96,32 @@ def pending_shards(out_dir: str | Path,
     return pending
 
 
+def partials_dir(out_dir: str | Path) -> Path:
+    return Path(out_dir) / "partials"
+
+
+def write_partial(out_dir: str | Path, shard_id: int, table) -> Path:
+    """Atomically write a shard's partial-aggregate sidecar (must land
+    before the shard's manifest — manifest is the commit point)."""
+    import pyarrow.parquet as pq
+
+    pdir = partials_dir(out_dir)
+    pdir.mkdir(parents=True, exist_ok=True)
+    final = pdir / f"shard-{shard_id:05d}.parquet"
+    tmp = pdir / f".shard-{shard_id:05d}.parquet.tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def read_partials(out_dir: str | Path, shard_ids) -> list:
+    """Partial-aggregate tables for committed shards."""
+    import pyarrow.parquet as pq
+
+    return [pq.read_table(partials_dir(out_dir) / f"shard-{sid:05d}.parquet")
+            for sid in sorted(shard_ids)]
+
+
 def sweep_stale(out_dir: str | Path) -> None:
     """Remove every routed shard dir not backed by a committed manifest
     (crash leftovers: *.tmp dirs, renamed-but-unmanifested dirs). Called

@@ -72,6 +72,10 @@ def _zipf_host_probs(n: int, a: float = 1.3) -> np.ndarray:
 
 
 def _gen_fragment(frag_idx: int, n_rows: int, row_offset: int, seed: int) -> pa.Table:
+    """Fully vectorized (Arrow/numpy kernels; no per-row Python) so large
+    scale factors for the scaling benchmark generate in seconds."""
+    import pyarrow.compute as pc
+
     rng = np.random.default_rng([seed, frag_idx])
     hosts = np.array(host_pool())
     host_idx = rng.choice(N_HOSTS, size=n_rows, p=_zipf_host_probs(N_HOSTS))
@@ -83,43 +87,76 @@ def _gen_fragment(frag_idx: int, n_rows: int, row_offset: int, seed: int) -> pa.
     no_event = (~truncated) & (rng.random(n_rows) < FRAC_NO_EVENT)
 
     vocab = np.array(VOCAB)
-    # One flat draw for all words of all rows, split per row.
+    # One flat draw for all words of all rows; per-row join via Arrow's
+    # list binary_join (C++), not a Python loop.
     total_words = int(n_words.sum())
     flat_words = vocab[rng.integers(0, len(vocab), size=total_words)]
-    bounds = np.cumsum(n_words)[:-1]
-    per_row = np.split(flat_words, bounds)
+    offsets = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(n_words, out=offsets[1:])
+    flat_arr = pa.array(flat_words, pa.string())
+    if isinstance(flat_arr, pa.ChunkedArray):
+        flat_arr = flat_arr.combine_chunks()
+    word_lists = pa.ListArray.from_arrays(pa.array(offsets), flat_arr)
+    text = pc.binary_join(word_lists, " ")
 
     page_ids = row_offset + np.arange(n_rows)
     w1 = vocab[rng.integers(0, len(vocab), size=n_rows)]
     w2 = vocab[rng.integers(0, len(vocab), size=n_rows)]
 
-    urls, htmls, texts = [], [], []
-    for i in range(n_rows):
-        host = hosts[host_idx[i]]
-        pid = page_ids[i]
-        url = f"https://{host}/p/{pid:010d}-{w1[i].replace('|','-')}.html"
-        text = " ".join(per_row[i])
-        title = f"{w1[i].replace('|',' ')} {w2[i].replace('|',' ')} {pid}"
-        meta = "" if no_event[i] else f'<meta name="event" content="{event[i]}"/>'
-        if truncated[i]:
-            html = f"<html><head><title>{title}</title>{meta}</head><body>{text[: max(1, len(text) // 2)]}"
-        else:
-            html = (f"<html><head><title>{title}</title>{meta}</head>"
-                    f"<body>{text}</body></html>")
-        urls.append(url)
-        texts.append(text)
-        htmls.append(html.encode("utf-8"))
+    def _s(x) -> pa.Array:
+        return pa.array(x, pa.string())
+
+    def _cat(*parts) -> pa.Array:
+        # last positional arg of binary_join_element_wise is the separator
+        return pc.binary_join_element_wise(*parts, "", null_handling="skip")
+
+    pid10 = _s(np.char.zfill(page_ids.astype("U10"), 10))
+    url = _cat("https://", _s(hosts[host_idx]), "/p/", pid10, "-",
+               _s(np.char.replace(w1, "|", "-")), ".html")
+    title = _cat(_s(np.char.replace(w1, "|", " ")), " ",
+                 _s(np.char.replace(w2, "|", " ")), " ",
+                 _s(page_ids.astype("U10")))
+    meta = pc.if_else(
+        pa.array(no_event),
+        pa.scalar("", pa.string()),
+        _cat('<meta name="event" content="', _s(event), '"/>'))
+
+    head = _cat("<html><head><title>", title, "</title>", meta,
+                "</head><body>")
+    full = _cat(head, text, "</body></html>")
+    # Truncated bodies (~2%): per-row slice stop is not vectorizable in
+    # Arrow; build replacements for just those rows, then replace_with_mask.
+    if truncated.any():
+        idx = pa.array(np.flatnonzero(truncated))
+        head_sub = head.take(idx).to_pylist()
+        text_sub = text.take(idx).to_pylist()
+        repl = pa.array(
+            [h + t[: max(1, len(t) // 2)] for h, t in zip(head_sub, text_sub)],
+            pa.string())
+        html = pc.replace_with_mask(full, pa.array(truncated), repl)
+    else:
+        html = full
 
     return pa.table(
         {
-            "url": pa.array(urls, pa.string()),
+            "url": url,
             "warc_ts": pa.array(ts_us, pa.timestamp("us")),
-            "html": pa.array(htmls, pa.binary()),
-            "text": pa.array(texts, pa.string()),
+            "html": pc.cast(html, pa.binary()),
+            "text": text,
             "lang": pa.array(lang, pa.string()),
         },
         schema=PAGES_SCHEMA,
     )
+
+
+def _write_fragment(job: tuple) -> str:
+    frag_idx, n, offset, seed, pages_dir = job
+    tbl = _gen_fragment(frag_idx, n, offset, seed)
+    # Small row groups keep fragments splittable into multiple read
+    # blocks (a single-row-group file caps read parallelism at 1 task).
+    path = Path(pages_dir) / f"part-{frag_idx:05d}.parquet"
+    pq.write_table(tbl, path, compression="zstd", row_group_size=8192)
+    return str(path)
 
 
 def lookup_tables() -> tuple[pa.Table, pa.Table]:
@@ -157,7 +194,7 @@ def synth_pages(out_dir: str | Path, rows: int, num_files: int | None = None,
     processed-state manifest idea, app/s3_manager.py:253-267)."""
     out = Path(out_dir)
     marker = out / "_SYNTH_OK.json"
-    params = {"rows": rows, "num_files": num_files, "seed": seed, "v": 3}
+    params = {"rows": rows, "num_files": num_files, "seed": seed, "v": 5}
     if marker.exists() and not force:
         try:
             if json.loads(marker.read_text())["params"] == params:
@@ -165,18 +202,26 @@ def synth_pages(out_dir: str | Path, rows: int, num_files: int | None = None,
         except Exception:
             pass
     if num_files is None:
-        num_files = max(8, rows // 65536)
+        num_files = max(8, rows // 31250)
     pages_dir = out / "pages"
     pages_dir.mkdir(parents=True, exist_ok=True)
     for old in pages_dir.glob("*.parquet"):
         old.unlink()
     per = [rows // num_files + (1 if i < rows % num_files else 0) for i in range(num_files)]
-    offset = 0
-    for i, n in enumerate(per):
-        tbl = _gen_fragment(i, n, offset, seed)
-        pq.write_table(tbl, pages_dir / f"part-{i:05d}.parquet",
-                       compression="zstd", row_group_size=65536)
-        offset += n
+    offsets = np.zeros(num_files, dtype=np.int64)
+    np.cumsum(per[:-1], out=offsets[1:])
+    jobs = [(i, per[i], int(offsets[i]), seed, str(pages_dir)) for i in range(num_files)]
+    # Fragments are independent (seeded by [seed, frag_idx]) → generate in
+    # parallel worker processes; output bytes are identical to a serial run.
+    if rows >= 200_000 and num_files > 1:
+        from concurrent.futures import ProcessPoolExecutor
+
+        workers = min(num_files, os.cpu_count() or 4, 16)
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_write_fragment, jobs, chunksize=1))
+    else:
+        for job in jobs:
+            _write_fragment(job)
     lang_tbl, host_tbl = lookup_tables()
     pq.write_table(lang_tbl, out / "lookup_lang.parquet")
     pq.write_table(host_tbl, out / "lookup_host.parquet")
