@@ -55,15 +55,25 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 def _shingle_hashes(texts: list[str], n: int = 3) -> list[np.ndarray]:
-    """Per doc: hashed word-n-gram shingle set (uint64)."""
-    out = []
+    """Per doc: hashed word-n-gram shingle set (uint64). All docs' shingles
+    are hashed in ONE hash64 call (per-doc calls pay pandas hashing setup
+    per doc)."""
+    all_shingles: list[str] = []
+    counts: list[int] = []
     for s in texts:
         toks = s.lower().split() if s else []
         if len(toks) < n:
             shingles = [" ".join(toks)] if toks else []
         else:
             shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-        out.append(np.unique(hash64(shingles)) if shingles else np.array([], np.uint64))
+        all_shingles.extend(shingles)
+        counts.append(len(shingles))
+    flat = hash64(all_shingles) if all_shingles else np.array([], np.uint64)
+    out = []
+    pos = 0
+    for c in counts:
+        out.append(np.unique(flat[pos : pos + c]) if c else np.array([], np.uint64))
+        pos += c
     return out
 
 
@@ -108,6 +118,32 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow",
                                zero_copy_batch=True)
 
+    # Band rows are O(docs × bands) narrow int rows — tiny relative to the
+    # text. Below ~2M docs the bucket-join runs driver-side in one pandas
+    # pass (two Ray sort-shuffles cost seconds of fixed overhead each);
+    # above it, the same logic runs as distributed groupbys.
+    n_docs = ds.count()
+    if n_docs is not None and n_docs <= 2_000_000:
+        tbl = pa.concat_tables(
+            pa.table(b) for b in band_rows.iter_batches(batch_format="pyarrow"))
+        df = tbl.to_pandas()
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
+            if len(g) < 2:
+                continue
+            ids = np.sort(g[id_col].to_numpy())
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if out_a:
+            pairs_df = pd.DataFrame({
+                "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
+            }).drop_duplicates(ignore_index=True)
+        else:
+            pairs_df = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
+                                     "id_b": pd.Series([], dtype=np.int64)})
+        return rd.from_pandas(pairs_df)
+
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
         if len(ids) < 2:
@@ -136,22 +172,24 @@ def verify_jaccard_pairs(cand: rd.Dataset, docs: pa.Table, id_col: str,
     per-pair kernel."""
     ref = ray.put(docs)
 
-    class Verify:
-        def __init__(self):
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        # per-worker-process shingle cache (task mode: no actor-pool ramp)
+        sh = _VERIFY_CACHE.get(ref)
+        if sh is None:
             d = ray.get(ref)
-            ids = d[id_col].to_pylist()
-            self.sh = dict(zip(ids, _shingle_hashes(d[text_col].to_pylist(), shingle_n)))
+            sh = dict(zip(d[id_col].to_pylist(),
+                          _shingle_hashes(d[text_col].to_pylist(), shingle_n)))
+            _VERIFY_CACHE[ref] = sh
+        empty = np.array([], np.uint64)
+        js = [jaccard(sh.get(a, empty), sh.get(b, empty))
+              for a, b in zip(batch["id_a"], batch["id_b"])]
+        batch = batch.assign(jaccard=round_np(np.asarray(js), 6))
+        return batch[batch["jaccard"] >= threshold]
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            js = [
-                jaccard(self.sh.get(a, np.array([], np.uint64)),
-                        self.sh.get(b, np.array([], np.uint64)))
-                for a, b in zip(batch["id_a"], batch["id_b"])
-            ]
-            batch = batch.assign(jaccard=round_np(np.asarray(js), 6))
-            return batch[batch["jaccard"] >= threshold]
+    return cand.map_batches(verify, batch_format="pandas")
 
-    return cand.map_batches(Verify, batch_format="pandas", concurrency=(1, 4))
+
+_VERIFY_CACHE: dict = {}
 
 
 def near_dup_pairs(ds: rd.Dataset, docs: pa.Table, id_col: str, text_col: str,
@@ -203,21 +241,22 @@ def embedding_near_dup_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     ref = ray.put((all_ids, m))
 
-    class Pairs:
-        def __init__(self):
-            self.ids, self.m = ray.get(ref)
+    def pairs_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        cached = _VERIFY_CACHE.get(ref)
+        if cached is None:
+            cached = ray.get(ref)
+            _VERIFY_CACHE[ref] = cached
+        ids, mat = cached
+        v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = v @ mat.T  # (B, N)
+        bi, ni = np.nonzero(sims >= threshold)
+        ids_b = batch[id_col].to_numpy()[bi]
+        ids_n = ids[ni]
+        keep = ids_b < ids_n  # dedup + drop self-pairs
+        return pd.DataFrame({
+            "id_a": ids_b[keep], "id_b": ids_n[keep],
+            "cosine": round_np(sims[bi, ni][keep], 6),
+        })
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-            v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            sims = v @ self.m.T  # (B, N)
-            bi, ni = np.nonzero(sims >= threshold)
-            ids_b = batch[id_col].to_numpy()[bi]
-            ids_n = self.ids[ni]
-            keep = ids_b < ids_n  # dedup + drop self-pairs
-            return pd.DataFrame({
-                "id_a": ids_b[keep], "id_b": ids_n[keep],
-                "cosine": round_np(sims[bi, ni][keep], 6),
-            })
-
-    return ds.map_batches(Pairs, batch_format="pandas", concurrency=(1, 4))
+    return ds.map_batches(pairs_fn, batch_format="pandas")

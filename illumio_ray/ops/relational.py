@@ -57,11 +57,22 @@ _PARTIALIZABLE = {"sum", "count", "min", "max", "mean"}
 
 
 def grouped_agg(ds: rd.Dataset, keys: list[str],
-                aggs: list[tuple[str, str, str]]) -> rd.Dataset:
+                aggs: list[tuple[str, str, str]],
+                mode: str = "driver") -> rd.Dataset:
     """groupby(keys) with specs (col, fn, out_name), fn in
     sum|count|min|max|mean. Combines inside map_batches first (arrow
-    Table.group_by), then reduces the partials with a small global groupby
-    — the shuffle moves per-(batch, group) rows only."""
+    Table.group_by), so only O(groups × blocks) partial rows ever leave the
+    map stage.
+
+    Final reduce modes:
+      - "driver" (default): stream partial batches to the driver and combine
+        incrementally (memory stays O(groups)). Right whenever the group-key
+        space is BOUNDED (lang, hour, segment, event type, …) — true at any
+        input scale, and it skips a whole sort-shuffle (~seconds of fixed
+        cost per query at bench scale).
+      - "shuffle": distributed groupby reduce. Required when the key space
+        grows with the data (user ids, urls, …) and the group table itself
+        would not fit one machine."""
     for _, fn, _ in aggs:
         if fn not in _PARTIALIZABLE:
             raise ValueError(f"unsupported agg fn: {fn}")
@@ -84,16 +95,8 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    ray_aggs = []
-    for col, fn in partial_specs:
-        pname = f"__{col}_{fn}"
-        if fn in ("sum", "count"):
-            ray_aggs.append(Sum(pname, alias_name=pname))
-        elif fn == "min":
-            ray_aggs.append(Min(pname, alias_name=pname))
-        elif fn == "max":
-            ray_aggs.append(Max(pname, alias_name=pname))
-    reduced = partials.groupby(keys).aggregate(*ray_aggs)
+    # re-aggregation function for a partial column
+    _re_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
     def finalize(t: pa.Table) -> pa.Table:
         cols = {k: t[k] for k in keys}
@@ -106,6 +109,44 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
             else:
                 cols[out] = t[f"__{col}_{fn}"]
         return pa.table(cols)
+
+    if mode == "driver":
+        re_specs = [(f"__{col}_{fn}", _re_fn[fn]) for col, fn in partial_specs]
+        renames = {f"__{col}_{fn}_{_re_fn[fn]}": f"__{col}_{fn}"
+                   for col, fn in partial_specs}
+
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by(keys).aggregate(re_specs)
+            return g.rename_columns(
+                [renames.get(c, c) for c in g.column_names])
+
+        acc: pa.Table | None = None
+        buf: list[pa.Table] = []
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            buf.append(pa.table(b))
+            if len(buf) >= 64:
+                pieces = buf + ([acc] if acc is not None else [])
+                acc = combine(pa.concat_tables(pieces, promote_options="permissive"))
+                buf = []
+        pieces = buf + ([acc] if acc is not None else [])
+        if not pieces:  # empty input: zero groups, with the right columns
+            empty_cols = {k: pa.array([], pa.string()) for k in keys}
+            for _, _, out in aggs:
+                empty_cols[out] = pa.array([], pa.float64())
+            return rd.from_arrow(pa.table(empty_cols))
+        acc = combine(pa.concat_tables(pieces, promote_options="permissive"))
+        return rd.from_arrow(finalize(acc))
+
+    ray_aggs = []
+    for col, fn in partial_specs:
+        pname = f"__{col}_{fn}"
+        if fn in ("sum", "count"):
+            ray_aggs.append(Sum(pname, alias_name=pname))
+        elif fn == "min":
+            ray_aggs.append(Min(pname, alias_name=pname))
+        elif fn == "max":
+            ray_aggs.append(Max(pname, alias_name=pname))
+    reduced = partials.groupby(keys).aggregate(*ray_aggs)
 
     return reduced.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -33,7 +33,7 @@ from ..ops import dedup, multimodal, relational as rel, similarity, textops
 from ..sources import read_table
 from ..stages.enrich import broadcast_lookups
 from ..synth import ensure_pages_for_sf, sf_from_dir
-from .flagship import aggregate_routed, build_routed
+from .flagship import aggregate_routed_table, build_routed
 
 # ---------------------------------------------------------------------------
 # registry plumbing
@@ -127,7 +127,8 @@ FROM routed GROUP BY 1, 2, 3
 def pages_aggregate(sf_dir: str):
     ds = _routed_ds(sf_dir, ["event_class", "lang", "warc_ts", "n_tokens"])
     ds = rel.time_bucket(ds, "warc_ts", "hour", out_col="hour")
-    return aggregate_routed(ds.select_columns(["event_class", "lang", "hour", "n_tokens"]))
+    return aggregate_routed_table(
+        ds.select_columns(["event_class", "lang", "hour", "n_tokens"]))
 
 
 @register("pages_window_filter", f"""
@@ -336,10 +337,11 @@ FROM orders GROUP BY o_custkey
 """)
 def max_order_per_customer(sf_dir: str):
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    # customer-key space grows with the data → distributed reduce
     return rel.grouped_agg(ds, ["o_custkey"], [
         ("o_totalprice", "max", "max_price"),
         ("o_totalprice", "count", "n_orders"),
-    ])
+    ], mode="shuffle")
 
 
 # ---------------------------------------------------------------------------
