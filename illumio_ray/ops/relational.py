@@ -225,6 +225,64 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                      num_partitions=num_partitions)
 
 
+def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
+                        right_ts: str, value_map: dict[str, str]) -> rd.Dataset:
+    """As-of join (backward): for each left row, the latest right row with
+    ``right[right_ts] <= left[left_ts]``; no match → nulls.
+
+    Ray Data has no as-of join; this is the broadcast form — the right side
+    is sorted once on the driver, shipped via ray.put, and each batch does a
+    vectorized searchsorted (no shuffle, no per-row Python). Valid while the
+    right side fits in memory; at scale, range-partition both sides on time
+    and run this per partition with boundary overlap.
+
+    value_map: {output_col: right_col} columns to carry from the match."""
+    right = right.sort_by([(right_ts, "ascending")]).combine_chunks()
+    ref = ray.put(right)
+
+    def fn(t: pa.Table) -> pa.Table:
+        r = _ASOF_CACHE.get(ref)
+        if r is None:
+            r = ray.get(ref)
+            _ASOF_CACHE[ref] = r
+        r_ts = r[right_ts].to_numpy(zero_copy_only=False)
+        l_ts = t[left_ts].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        valid = pa.array(idx >= 0)
+        take = pa.array(np.where(idx >= 0, idx, 0), pa.int64())
+        out = t
+        for out_name, rcol in value_map.items():
+            col = r[rcol].combine_chunks() if isinstance(r[rcol], pa.ChunkedArray) else r[rcol]
+            v = pc.if_else(valid, pc.take(col, take), pa.scalar(None, col.type))
+            out = out.append_column(out_name, v)
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_ASOF_CACHE: dict = {}
+
+
+def topk_per_group(ds: rd.Dataset, group_keys: list[str],
+                   order_keys: list[str], k: int,
+                   descending: list[bool]) -> rd.Dataset:
+    """Top-k rows within each group (≙ SQL ROW_NUMBER() OVER (PARTITION BY
+    …) <= k). Per-batch local prune first — only k rows per (batch, group)
+    enter the shuffle — then an exact per-group top-k after the groupby."""
+    ascending = [not d for d in descending]
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_keys, ascending=ascending)
+                  .groupby(group_keys, sort=False).head(k))
+
+    pruned = ds.map_batches(local, batch_format="pandas")
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_keys, ascending=ascending).head(k)
+
+    return pruned.groupby(group_keys).map_groups(per_group, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # time bucketing (≙ s3_analyzer window stats / db_stats rate windows)
 # ---------------------------------------------------------------------------

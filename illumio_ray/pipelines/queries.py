@@ -536,6 +536,186 @@ def embedding_near_dup(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# wire serialization (M10 — the byte-identity surface, SQL-oracled)
+# ---------------------------------------------------------------------------
+
+_WIRE_CTE = _ROUTED_CTE.rstrip() + f""",
+wired AS (
+  SELECT r.*, ll.lang_family,
+         strftime(r.warc_ts, '%Y-%m-%d %H:%M:%S.%f') AS time_iso,
+         CAST(r.n_tokens AS VARCHAR) AS n_tokens_str,
+         CASE r.event_class WHEN 'auditable_events' THEN 'IllumioAudit'
+              WHEN 'summaries' THEN 'IllumioSummary'
+              ELSE 'IllumioUnknown' END AS device_type
+  FROM routed r LEFT JOIN read_parquet('{LANG_LOOKUP}') ll ON r.lang = ll.lang
+)
+"""
+
+
+def _sql_piece(key: str, col: str) -> str:
+    return (f"CASE WHEN {col} IS NULL OR {col} = '' THEN '' "
+            f"ELSE '{key}=' || replace({col}, '|', '_') END")
+
+
+def _sql_wire(specs: list[tuple[str, str]]) -> str:
+    pieces = " || '|' || ".join(_sql_piece(k, c) for k, c in specs)
+    return ("regexp_replace('beatname=webbeat|device_type=' || device_type || "
+            "'|fullyqualifiedbeatname=webbeat|' || " + pieces +
+            " || '|tag1=' || device_type, '\\|{2,}', '|', 'g')"
+            " || '|original_message=' || replace(coalesce(extracted_text, ''), '|', '_')")
+
+
+_WIRE_SQL = _WIRE_CTE + f"""
+SELECT url, event_class,
+  CASE event_class
+    WHEN 'auditable_events' THEN {_sql_wire([
+        ("time", "time_iso"), ("objectname", "title"), ("url", "url"),
+        ("command", "page_event"), ("severity", "host_category"),
+        ("login", "lang"), ("vmid", "page_event")])}
+    WHEN 'summaries' THEN {_sql_wire([
+        ("time", "time_iso"), ("object", "url_host"), ("objectname", "title"),
+        ("objecttype", "host_category"), ("process", "page_event"),
+        ("quantity", "n_tokens_str"), ("sname", "url_host"),
+        ("login", "lang"), ("tag5", "lang_family")])}
+    ELSE {_sql_wire([("time", "time_iso"), ("object", "url_host"),
+                     ("status", "'unparsed'")])}
+  END AS wire
+FROM wired
+"""
+
+
+@register("pages_wire", _WIRE_SQL)
+def pages_wire(sf_dir: str):
+    """M10 serializer byte-identity: the full pipe-delimited wire message per
+    routed doc, compared byte-for-byte against a SQL reimplementation
+    (reference format_log_for_siem, app/log_processor.py:480-497)."""
+    info = _pages(sf_dir)
+    pages = rd.read_parquet(info["pages_dir"])
+    lookups = broadcast_lookups(info["lookup_lang"], info["lookup_host"])
+    routed = build_routed(pages, lookups, with_wire=True)
+    return routed.select_columns(["url", "event_class", "wire"])
+
+
+# ---------------------------------------------------------------------------
+# ordering / windows / set ops / as-of
+# ---------------------------------------------------------------------------
+
+@register("pages_sorted_head", f"""
+SELECT url, warc_ts FROM read_parquet('{PAGES_GLOB}')
+ORDER BY warc_ts, url LIMIT 20
+""")
+def pages_sorted_head(sf_dir: str):
+    """Global sort + limit (≙ O1/O4: ordered delivery / first-N)."""
+    info = _pages(sf_dir)
+    ds = rd.read_parquet(info["pages_dir"], columns=["url", "warc_ts"])
+    return ds.sort(["warc_ts", "url"]).limit(20)
+
+
+@register("top3_lineitems_per_flag", """
+SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+QUALIFY row_number() OVER (PARTITION BY l_returnflag
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3
+""")
+def top3_lineitems_per_flag(sf_dir: str):
+    """Top-k per group (≙ O6 max-per-group generalized; SQL ROW_NUMBER)."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_orderkey", "l_linenumber",
+                             "l_extendedprice"])
+    return rel.topk_per_group(
+        ds, ["l_returnflag"],
+        ["l_extendedprice", "l_orderkey", "l_linenumber"], 3,
+        descending=[True, False, False])
+
+
+@register("events_asof_view", """
+SELECT l.event_id, l.ts, r.ts AS prev_view_ts
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT ts FROM events WHERE event_type = 'view') r
+  ON l.ts >= r.ts
+""")
+def events_asof_view(sf_dir: str):
+    """As-of join: each click matched to the latest 'view' event at or
+    before it (custom operator — Ray Data has no as-of join)."""
+    events = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    clicks = rel.filter_batches(
+        events, lambda t: pc.equal(t["event_type"], "click")
+    ).select_columns(["event_id", "ts"])
+    views = pq.read_table(str(Path(sf_dir) / "events.parquet"),
+                          columns=["ts", "event_type"])
+    views = views.filter(pc.equal(views["event_type"], "view")).select(["ts"])
+    return rel.asof_broadcast_join(clicks, views, "ts", "ts",
+                                   {"prev_view_ts": "ts"})
+
+
+@register("events_daily_rate", """
+SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(count(*) / 24.0, 6) AS events_per_hour
+FROM events GROUP BY 1
+""")
+def events_daily_rate(sf_dir: str):
+    """Windowed rate (≙ A4: growth/processing rate over time windows)."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+    ds = rel.time_bucket(ds, "ts", "day", out_col="day")
+    agg = rel.grouped_agg(ds.select_columns(["day"]), ["day"],
+                          [("day", "count", "n_events")])
+    return agg.map_batches(lambda t: t.append_column(
+        "events_per_hour",
+        round_col(pc.divide(pc.cast(t["n_events"], pa.float64()), 24.0), 6)),
+        batch_format="pyarrow")
+
+
+@register("orders_union_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT o_orderpriority FROM orders WHERE o_totalprice > 200000
+  UNION ALL
+  SELECT o_orderpriority FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+) GROUP BY 1
+""")
+def orders_union_priority(sf_dir: str):
+    """Dataset union (UNION ALL semantics) + aggregate."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderpriority", "o_totalprice", "o_orderdate"])
+    big = rel.filter_batches(
+        orders, lambda t: pc.greater(t["o_totalprice"], pa.scalar(200000.0)))
+    cutoff = _ts("1997-01-01")
+    recent = rel.filter_batches(
+        orders, lambda t: pc.greater_equal(t["o_orderdate"], cutoff))
+    unioned = big.select_columns(["o_orderpriority"]).union(
+        recent.select_columns(["o_orderpriority"]))
+    return rel.grouped_agg(unioned, ["o_orderpriority"],
+                           [("o_orderpriority", "count", "n")])
+
+
+@register("pages_ts_roundtrip", f"""
+SELECT strptime(substr(strftime(warc_ts, '%Y%m%d%H%M%S'), 1, 8), '%Y%m%d') AS day,
+       CAST(count(*) AS BIGINT) AS n
+FROM read_parquet('{PAGES_GLOB}') GROUP BY 1
+""")
+def pages_ts_roundtrip(sf_dir: str):
+    """Filename-timestamp semantics (≙ M12: strftime → 14-char slice →
+    strptime('%Y%m%d'), reference app/s3_manager.py:293-302)."""
+    info = _pages(sf_dir)
+    ds = rd.read_parquet(info["pages_dir"], columns=["warc_ts"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        s = pc.strftime(t["warc_ts"], format="%Y%m%d%H%M%S")
+        day8 = pc.utf8_slice_codeunits(s, 0, 8)
+        day = pc.strptime(day8, format="%Y%m%d", unit="us")
+        return pa.table({"day": day})
+
+    ds = ds.map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.grouped_agg(ds, ["day"], [("day", "count", "n")])
+
+
+@register("events_random_sample", None)  # sampling → rows-only
+def events_random_sample(sf_dir: str):
+    """Random sample (≙ O5: ORDER BY RANDOM() LIMIT sampling)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return ds.random_sample(0.01, seed=42)
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed decode — deterministic fake)
 # ---------------------------------------------------------------------------
 

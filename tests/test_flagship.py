@@ -90,3 +90,40 @@ def test_aggregate_counts(small_run):
     pd.testing.assert_frame_equal(
         got[["sink", "lang", "hour", "n_docs", "sum_tokens"]], exp, check_dtype=False
     )
+
+
+def test_enrich_actor_mode_matches_task_mode(tmp_path):
+    """The actor-pool Enricher (stateful-stage pattern) and the fused task
+    mode must produce identical routed rows."""
+    import ray.data as rd
+
+    from illumio_ray.pipelines.flagship import build_routed
+    from illumio_ray.stages.enrich import broadcast_lookups
+    from illumio_ray.synth import synth_pages
+
+    info = synth_pages(tmp_path, rows=1200, num_files=4)
+    lk = broadcast_lookups(info["lookup_lang"], info["lookup_host"])
+    pages = rd.read_parquet(info["pages_dir"])
+    a = build_routed(pages, lk, enrich_mode="task").to_pandas()
+    b = build_routed(pages, lk, enrich_mode="actor",
+                     enrich_concurrency=2).to_pandas()
+    cols = sorted(a.columns)
+    a = a[cols].sort_values("url").reset_index(drop=True)
+    b = b[cols].sort_values("url").reset_index(drop=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_sweep_stale_removes_unmanifested_dirs(tmp_path):
+    from illumio_ray.state import lineage
+
+    routed = tmp_path / "routed"
+    (routed / "shard=00000.tmp").mkdir(parents=True)
+    (routed / "shard=00007").mkdir()
+    lineage.write_manifest(tmp_path, 1, {"input_fragments": [], "row_count": 0,
+                                         "content_hash": 0})
+    (routed / "shard=00001").mkdir()
+    lineage.sweep_stale(tmp_path)
+    assert not (routed / "shard=00000.tmp").exists()
+    assert not (routed / "shard=00007").exists()   # no manifest -> removed
+    assert (routed / "shard=00001").exists()       # committed -> kept

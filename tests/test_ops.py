@@ -87,3 +87,47 @@ def test_grouped_agg_mean_min_max():
     assert got.min_x.tolist() == [1.0, 2.0]
     assert got.max_x.tolist() == [5.0, 4.0]
     assert got.n.tolist() == [3, 2]
+
+
+def test_asof_broadcast_join_backward():
+    left = pd.DataFrame({"id": [1, 2, 3, 4],
+                         "ts": pd.to_datetime(["2024-01-01 00:05", "2024-01-01 00:10",
+                                               "2024-01-01 00:00", "2024-01-01 00:30"])})
+    right = pa.Table.from_pandas(pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:03", "2024-01-01 00:10",
+                              "2024-01-01 00:20"]),
+        "v": [10, 20, 30]}))
+    out = rel.asof_broadcast_join(rd.from_pandas(left), right, "ts", "ts",
+                                  {"prev_v": "v"}).to_pandas().sort_values("id")
+    # id=3 at 00:00 precedes all right rows -> null; 00:10 matches equal ts
+    assert out.prev_v.tolist()[0] == 10
+    assert out.prev_v.tolist()[1] == 20
+    assert pd.isna(out.prev_v.tolist()[2])
+    assert out.prev_v.tolist()[3] == 30
+
+
+def test_topk_per_group_matches_pandas():
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.integers(0, 5, 200),
+                       "x": rng.random(200), "id": np.arange(200)})
+    out = rel.topk_per_group(rd.from_pandas(df), ["g"], ["x", "id"], 3,
+                             descending=[True, False]).to_pandas()
+    expect = (df.sort_values(["x", "id"], ascending=[False, True])
+                .groupby("g").head(3))
+    assert (out.sort_values(["g", "x"], ascending=[True, False])
+               .reset_index(drop=True)[["g", "x", "id"]]
+            .equals(expect.sort_values(["g", "x"], ascending=[True, False])
+                    .reset_index(drop=True)[["g", "x", "id"]]))
+
+
+def test_grouped_agg_driver_equals_shuffle():
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"k": rng.integers(0, 7, 500), "v": rng.random(500)})
+    specs = [("v", "sum", "s"), ("v", "mean", "m"), ("v", "max", "mx"),
+             ("v", "count", "n")]
+    a = rel.grouped_agg(rd.from_pandas(df), ["k"], specs, mode="driver").to_pandas()
+    b = rel.grouped_agg(rd.from_pandas(df), ["k"], specs, mode="shuffle").to_pandas()
+    a = a.sort_values("k").reset_index(drop=True)
+    b = b.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False,
+                                  check_exact=False, rtol=1e-12)
