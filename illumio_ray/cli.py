@@ -1,0 +1,120 @@
+"""CLI entry point — the `ray job submit` surface.
+
+≙ the reference's three entry points (SURVEY.md §3): `run` is app/main.py's
+flagship flow as a batch job over a snapshot; `synth` replaces S3 fixtures;
+`stats` is the s3_analyzer/db_stats-style report over a finished run's
+manifests and aggregates.
+
+Usage (local or via `ray job submit -- python -m illumio_ray run …`):
+
+    python -m illumio_ray synth --out /tmp/pages --rows 100000
+    python -m illumio_ray run --pages-dir /tmp/pages/pages \
+        --lang /tmp/pages/lookup_lang.parquet \
+        --host /tmp/pages/lookup_host.parquet \
+        --out /tmp/run1 --num-shards 16
+    python -m illumio_ray stats --out /tmp/run1
+
+Owns its Ray session (guarded init — the driver-contract modules never call
+ray.init; scripts do).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False)
+
+
+def cmd_synth(args) -> int:
+    from .synth import synth_pages
+
+    info = synth_pages(args.out, rows=args.rows, num_files=args.num_files,
+                       seed=args.seed)
+    print(json.dumps(info, indent=1))
+    return 0
+
+
+def cmd_run(args) -> int:
+    _ray_init()
+    from .pipelines.flagship import run_flagship
+
+    metrics = run_flagship(
+        args.pages_dir, args.out, args.lang, args.host,
+        num_shards=args.num_shards, resume=not args.no_resume,
+        max_concurrent_shards=args.max_concurrent_shards,
+        enrich_mode=args.enrich_mode)
+    print(json.dumps(metrics, indent=1))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def cmd_stats(args) -> int:
+    """Per-sink / per-shard report over a finished run (≙ db_stats +
+    health_reporter report surfaces)."""
+    from pathlib import Path
+
+    import pyarrow.dataset as pads
+
+    from .state import lineage
+
+    out = Path(args.out)
+    manifests = lineage.load_manifests(out)
+    total = sum(m["row_count"] for m in manifests.values())
+    report = {
+        "shards_committed": len(manifests),
+        "rows_routed": total,
+        "per_shard": {sid: m["row_count"] for sid, m in sorted(manifests.items())},
+    }
+    agg_dir = out / "aggregates"
+    if agg_dir.exists():
+        agg = pads.dataset(str(agg_dir)).to_table()
+        per_sink: dict[str, int] = {}
+        for sink, n in zip(agg["sink"].to_pylist(), agg["n_docs"].to_pylist()):
+            per_sink[sink] = per_sink.get(sink, 0) + int(n)
+        report["per_sink_docs"] = per_sink
+        report["aggregate_groups"] = agg.num_rows
+    print(json.dumps(report, indent=1))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="illumio_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("synth", help="generate deterministic pages input")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--rows", type=int, default=100_000)
+    sp.add_argument("--num-files", type=int, default=None)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.set_defaults(fn=cmd_synth)
+
+    rp = sub.add_parser("run", help="run the flagship pipeline (resumable)")
+    rp.add_argument("--pages-dir", required=True)
+    rp.add_argument("--lang", required=True)
+    rp.add_argument("--host", required=True)
+    rp.add_argument("--out", required=True)
+    rp.add_argument("--num-shards", type=int, default=16)
+    rp.add_argument("--max-concurrent-shards", type=int, default=4)
+    rp.add_argument("--enrich-mode", choices=["task", "actor"], default="task")
+    rp.add_argument("--no-resume", action="store_true")
+    rp.set_defaults(fn=cmd_run)
+
+    tp = sub.add_parser("stats", help="report over a finished run")
+    tp.add_argument("--out", required=True)
+    tp.set_defaults(fn=cmd_stats)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

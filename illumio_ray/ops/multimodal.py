@@ -72,3 +72,88 @@ def decode_binary_metadata(ds: rd.Dataset, binary_col: str,
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+class ResizeImageStub:
+    """Actor-pool stage: (payload, width, height) → resized payload metadata.
+
+    Deterministic fake resize: output dims are the requested box preserving
+    the stub aspect ratio; payload is replaced by a content-derived digest
+    (a real deployment writes the resized bytes instead). Plumbing —
+    signature, small batch size, actor pool — is the real shape."""
+
+    def __init__(self, binary_col: str = "payload", max_w: int = 256,
+                 max_h: int = 256):
+        self.binary_col = binary_col
+        self.max_w = max_w
+        self.max_h = max_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch[self.binary_col]
+        h64 = hash64(payload.to_pandas())
+        w = (h64 % np.uint64(1920)).astype(np.float64) + 16
+        h = (h64 // np.uint64(7) % np.uint64(1080)).astype(np.float64) + 16
+        scale = np.minimum(1.0, np.minimum(self.max_w / w, self.max_h / h))
+        out_w = np.maximum(1, np.floor(w * scale)).astype(np.int64)
+        out_h = np.maximum(1, np.floor(h * scale)).astype(np.int64)
+        return (
+            batch.drop_columns([self.binary_col])
+            .append_column("out_width", pa.array(out_w, pa.int64()))
+            .append_column("out_height", pa.array(out_h, pa.int64()))
+            .append_column("resized_digest",
+                           pa.array((h64 ^ np.uint64(0x9E3779B97F4A7C15))
+                                    .astype(np.int64), pa.int64()))
+        )
+
+
+class FrameSampleStub:
+    """Actor-pool stage: video payload → one row per sampled frame
+    (flat_map-shaped output: input rows expand). Frame count is derived
+    deterministically from the payload hash; a real build decodes with
+    ffmpeg/pyav here."""
+
+    def __init__(self, binary_col: str = "payload", every_n: int = 10,
+                 max_frames: int = 8):
+        self.binary_col = binary_col
+        self.every_n = every_n
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch[self.binary_col]
+        h64 = hash64(payload.to_pandas())
+        n_frames = (h64 % np.uint64(300)).astype(np.int64) + 1  # fake length
+        sampled = np.minimum((n_frames + self.every_n - 1) // self.every_n,
+                             self.max_frames)
+        idx = np.repeat(np.arange(len(batch)), sampled)
+        frame_no = np.concatenate(
+            [np.arange(s) * self.every_n for s in sampled]
+        ) if len(batch) else np.array([], np.int64)
+        out = batch.drop_columns([self.binary_col]).take(pa.array(idx))
+        return (
+            out.append_column("frame_no", pa.array(frame_no, pa.int64()))
+            .append_column("frame_digest", pa.array(
+                (h64[idx] + frame_no.astype(np.uint64)).astype(np.int64),
+                pa.int64()))
+        )
+
+
+def resize_binary(ds: rd.Dataset, binary_col: str, max_w: int = 256,
+                  max_h: int = 256, concurrency=(1, 4),
+                  batch_size: int = 256) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeImageStub,
+        fn_constructor_kwargs={"binary_col": binary_col, "max_w": max_w,
+                               "max_h": max_h},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+def frame_sample(ds: rd.Dataset, binary_col: str, every_n: int = 10,
+                 max_frames: int = 8, concurrency=(1, 4),
+                 batch_size: int = 64) -> rd.Dataset:
+    return ds.map_batches(
+        FrameSampleStub,
+        fn_constructor_kwargs={"binary_col": binary_col, "every_n": every_n,
+                               "max_frames": max_frames},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)

@@ -129,3 +129,17 @@ def add_fingerprint(ds: rd.Dataset, text_col: str = "text",
         fp = hash64(norm).astype(np.int64)  # reinterpret u64 as i64 for arrow
         return t.append_column(out_col, pa.array(fp, pa.int64()))
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+BPEISH_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+             r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def add_bpeish_token_counts(ds: rd.Dataset, text_col: str = "text",
+                            out_col: str = "n_bpe_tokens") -> rd.Dataset:
+    """GPT-2-style pre-tokenizer segment count (RE2-compatible pattern — no
+    lookaheads — shared verbatim with the DuckDB oracle)."""
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(t[text_col], BPEISH_RE), pa.int64())
+        return t.append_column(out_col, n)
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -724,3 +724,85 @@ def multimodal_decode(sf_dir: str):
     info = _pages(sf_dir)
     ds = rd.read_parquet(info["pages_dir"], columns=["url", "html"])
     return multimodal.decode_binary_metadata(ds, "html")
+
+
+@register("multimodal_resize", None)  # stub resize → rows-only
+def multimodal_resize(sf_dir: str):
+    info = _pages(sf_dir)
+    ds = rd.read_parquet(info["pages_dir"], columns=["url", "html"])
+    return multimodal.resize_binary(ds, "html")
+
+
+@register("multimodal_frames", None)  # stub frame sampling (flat_map) → rows-only
+def multimodal_frames(sf_dir: str):
+    info = _pages(sf_dir)
+    ds = rd.read_parquet(info["pages_dir"], columns=["url", "html"])
+    return multimodal.frame_sample(ds, "html")
+
+
+# ---------------------------------------------------------------------------
+# remaining reference-map coverage: M7 flatten, A2 deltas, BPE-ish tokens
+# ---------------------------------------------------------------------------
+
+@register("pages_label_flatten", _ROUTED_CTE.rstrip() + f""",
+flat AS (
+  SELECT r.url,
+         'Language: name=' || ll.lang_name || ', family=' || ll.lang_family AS lang_tag
+  FROM routed r LEFT JOIN read_parquet('{LANG_LOOKUP}') ll ON r.lang = ll.lang
+)
+SELECT url, lang_tag FROM flat
+""")
+def pages_label_flatten(sf_dir: str):
+    """Map-flatten (≙ M7: src_labels dict → 'Source: k=v, k=v' display
+    string, reference app/log_processor.py:452-459) — the enrichment dict
+    flattened to one display tag, vectorized string join."""
+    ds = _routed_ds(sf_dir, ["url", "lang_name", "lang_family"])
+
+    def flatten(t: pa.Table) -> pa.Table:
+        tag = pc.binary_join_element_wise(
+            "Language: name=", t["lang_name"], ", family=", t["lang_family"], "")
+        return pa.table({"url": t["url"], "lang_tag": tag})
+
+    return ds.map_batches(flatten, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("events_daily_delta", """
+WITH daily AS (
+  SELECT date_trunc('day', ts) AS day, count(*) AS n
+  FROM events GROUP BY 1
+)
+SELECT day, CAST(n AS BIGINT) AS n_events,
+       CAST(n - coalesce(lag(n) OVER (ORDER BY day), 0) AS BIGINT) AS delta
+FROM daily
+""")
+def events_daily_delta(sf_dir: str):
+    """Delta-since-last-window (≙ A2: HealthReporter counter deltas between
+    successive reports). Bounded key space → daily counts combine on the
+    driver; the lag/delta is a vectorized shift over the sorted group table."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+    ds = rel.time_bucket(ds, "ts", "day", out_col="day")
+    agg = rel.grouped_agg(ds.select_columns(["day"]), ["day"],
+                          [("day", "count", "n_events")])
+
+    def add_delta(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("day", "ascending")])
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        prev = np.concatenate([[0], n[:-1]])
+        return t.append_column("delta", pa.array(n - prev, pa.int64()))
+
+    # agg is a single driver-combined block → the shift sees the full table
+    return agg.map_batches(add_delta, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@register("doc_bpeish_tokens", f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{textops.BPEISH_RE.replace(chr(39), chr(39) * 2)}')) AS BIGINT) AS n_bpe_tokens
+FROM documents
+""")
+def doc_bpeish_tokens(sf_dir: str):
+    """BPE-style pre-tokenizer counts (≙ token counting for training-data
+    budgeting; same RE2 pattern string on both sides)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.add_bpeish_token_counts(ds).select_columns(
+        ["doc_id", "n_bpe_tokens"])
