@@ -263,6 +263,29 @@ def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
 _ASOF_CACHE: dict = {}
 
 
+def salted_topk_per_group(ds: rd.Dataset, group_keys: list[str],
+                          order_keys: list[str], k: int,
+                          descending: list[bool], salt_col: str,
+                          num_salts: int = 16) -> rd.Dataset:
+    """Top-k per group under KEY SKEW (SURVEY.md §4): a hot group's rows
+    would all land on one reducer in a plain groupby. Phase 1 groups by
+    (key, salt) where salt = hash(salt_col) % num_salts, so a hot key's
+    rows spread over ``num_salts`` reducers and each keeps only k; phase 2
+    re-groups the ≤ k × num_salts survivors per key — a tiny exchange."""
+    from ..functions.hashing import salt_column
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__salt", pa.array(salt_column(t[salt_col], num_salts), pa.int32()))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    phase1 = topk_per_group(salted, group_keys + ["__salt"], order_keys, k,
+                            descending)
+    phase2 = topk_per_group(phase1, group_keys, order_keys, k, descending)
+    return phase2.map_batches(lambda t: t.drop_columns(["__salt"]),
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+
 def topk_per_group(ds: rd.Dataset, group_keys: list[str],
                    order_keys: list[str], k: int,
                    descending: list[bool]) -> rd.Dataset:

@@ -708,6 +708,21 @@ def pages_ts_roundtrip(sf_dir: str):
     return rel.grouped_agg(ds, ["day"], [("day", "count", "n")])
 
 
+@register("top2_pages_per_host", _ROUTED_CTE + """
+SELECT url_host, url, n_tokens FROM routed
+QUALIFY row_number() OVER (PARTITION BY url_host
+    ORDER BY n_tokens DESC, url) <= 2
+""")
+def top2_pages_per_host(sf_dir: str):
+    """Top-k per group over the Zipf-skewed url_host key (the hottest host
+    holds ~25% of all pages) — salted two-phase top-k so no single reducer
+    sees a hot host's full row set (SURVEY.md §4 skew handling)."""
+    ds = _routed_ds(sf_dir, ["url_host", "url", "n_tokens"])
+    return rel.salted_topk_per_group(
+        ds, ["url_host"], ["n_tokens", "url"], 2,
+        descending=[True, False], salt_col="url", num_salts=16)
+
+
 @register("events_random_sample", None)  # sampling → rows-only
 def events_random_sample(sf_dir: str):
     """Random sample (≙ O5: ORDER BY RANDOM() LIMIT sampling)."""

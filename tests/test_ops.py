@@ -131,3 +131,19 @@ def test_grouped_agg_driver_equals_shuffle():
     b = b.sort_values("k").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b[a.columns], check_dtype=False,
                                   check_exact=False, rtol=1e-12)
+
+
+def test_salted_topk_matches_plain():
+    rng = np.random.default_rng(9)
+    # skewed: 70% of rows in one group
+    g = np.where(rng.random(400) < 0.7, 0, rng.integers(1, 6, 400))
+    df = pd.DataFrame({"g": g, "x": rng.random(400), "u": [f"u{i}" for i in range(400)]})
+    plain = rel.topk_per_group(rd.from_pandas(df), ["g"], ["x", "u"], 3,
+                               descending=[True, False]).to_pandas()
+    salted = rel.salted_topk_per_group(rd.from_pandas(df), ["g"], ["x", "u"], 3,
+                                       descending=[True, False],
+                                       salt_col="u").to_pandas()
+    key = ["g", "x", "u"]
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True)[key],
+        salted.sort_values(key).reset_index(drop=True)[key])
