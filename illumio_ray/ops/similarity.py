@@ -89,3 +89,60 @@ def lsh_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
         lambda b: b[b["lsh_bucket"].isin(probes)], batch_format="pandas"
     )
     return brute_force_topk(cand, q, k, id_col, vec_col)
+
+
+class IVFIndex:
+    """IVF (inverted-file) coarse quantizer: k-means centroids learned
+    driver-side from a sample, vectors assigned to their nearest centroid.
+    Queries probe the ``nprobe`` nearest cells only — at scale the cell id
+    is a parquet partition key and a probe is a partition-pruned read.
+
+    Deterministic: fixed seed, fixed iteration count (Lloyd's)."""
+
+    def __init__(self, sample: np.ndarray, n_cells: int = 16, iters: int = 10,
+                 seed: int = 29):
+        m = _normalize(np.asarray(sample, dtype=np.float64))
+        rng = np.random.default_rng(seed)
+        n_cells = min(n_cells, len(m))
+        self.centroids = m[rng.choice(len(m), n_cells, replace=False)]
+        for _ in range(iters):
+            assign = (m @ self.centroids.T).argmax(axis=1)
+            for c in range(n_cells):
+                members = m[assign == c]
+                if len(members):
+                    v = members.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        self.centroids[c] = v / n
+
+    def assign(self, m: np.ndarray) -> np.ndarray:
+        return (m @ self.centroids.T).argmax(axis=1).astype(np.int64)
+
+    def probe_cells(self, q: np.ndarray, nprobe: int) -> np.ndarray:
+        sims = self.centroids @ q
+        return np.argsort(-sims)[:nprobe].astype(np.int64)
+
+
+def ivf_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
+             n_cells: int = 16, nprobe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             train_sample_rows: int = 4096) -> rd.Dataset:
+    """Approximate top-k via IVF: train centroids on a driver-side sample,
+    score only vectors whose cell is among the query's ``nprobe`` nearest
+    cells. Recall is tested against brute force."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+
+    sample = ds.limit(train_sample_rows).to_pandas()
+    index = IVFIndex(np.stack(sample[vec_col].to_numpy()), n_cells=n_cells)
+    probes = set(index.probe_cells(q, nprobe).tolist())
+    ref = ray.put(index)
+
+    def cell_filter(batch: pd.DataFrame) -> pd.DataFrame:
+        idx = ray.get(ref)
+        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
+        cells = idx.assign(v)
+        return batch[np.isin(cells, list(probes))]
+
+    cand = ds.map_batches(cell_filter, batch_format="pandas")
+    return brute_force_topk(cand, q, k, id_col, vec_col)

@@ -522,6 +522,12 @@ def embedding_ann_lsh(sf_dir: str):
     return similarity.lsh_topk(ds, _query_vec(sf_dir), 10)
 
 
+@register("embedding_ann_ivf", None)  # approximate → rows-only
+def embedding_ann_ivf(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.ivf_topk(ds, _query_vec(sf_dir), 10)
+
+
 @register("embedding_near_dup", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

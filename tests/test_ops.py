@@ -147,3 +147,17 @@ def test_salted_topk_matches_plain():
     pd.testing.assert_frame_equal(
         plain.sort_values(key).reset_index(drop=True)[key],
         salted.sort_values(key).reset_index(drop=True)[key])
+
+
+def test_ivf_topk_recall():
+    from illumio_ray.ops import similarity as sim
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16))
+    vecs = np.concatenate([c + 0.05 * rng.standard_normal((50, 16)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                       "embedding": list(vecs.astype(np.float32))})
+    q = centers[0]
+    exact = sim.brute_force_topk(rd.from_pandas(df), q, 10).to_pandas()
+    approx = sim.ivf_topk(rd.from_pandas(df), q, 10, n_cells=8, nprobe=2).to_pandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.8
