@@ -43,13 +43,21 @@ def cmd_synth(args) -> int:
 
 def cmd_run(args) -> int:
     _ray_init()
-    from .pipelines.flagship import run_flagship
+    from .pipelines.flagship import run_flagship, run_incremental
 
-    metrics = run_flagship(
-        args.pages_dir, args.out, args.lang, args.host,
-        num_shards=args.num_shards, resume=not args.no_resume,
-        max_concurrent_shards=args.max_concurrent_shards,
-        enrich_mode=args.enrich_mode)
+    window = tuple(args.window.split("/")) if args.window else None
+    if args.incremental:
+        metrics = run_incremental(
+            args.pages_dir, args.out, args.lang, args.host,
+            fragments_per_shard=args.fragments_per_shard,
+            max_concurrent_shards=args.max_concurrent_shards,
+            enrich_mode=args.enrich_mode, time_window=window)
+    else:
+        metrics = run_flagship(
+            args.pages_dir, args.out, args.lang, args.host,
+            num_shards=args.num_shards, resume=not args.no_resume,
+            max_concurrent_shards=args.max_concurrent_shards,
+            enrich_mode=args.enrich_mode)
     print(json.dumps(metrics, indent=1))
     import ray
 
@@ -106,6 +114,13 @@ def main(argv=None) -> int:
     rp.add_argument("--max-concurrent-shards", type=int, default=4)
     rp.add_argument("--enrich-mode", choices=["task", "actor"], default="task")
     rp.add_argument("--no-resume", action="store_true")
+    rp.add_argument("--incremental", action="store_true",
+                    help="process only fragments not yet covered by a "
+                         "committed manifest (poll-loop semantics)")
+    rp.add_argument("--fragments-per-shard", type=int, default=16)
+    rp.add_argument("--window", default=None,
+                    help="warc_ts look-back window 'ISO_LO/ISO_HI' "
+                         "(incremental mode)")
     rp.set_defaults(fn=cmd_run)
 
     tp = sub.add_parser("stats", help="report over a finished run")

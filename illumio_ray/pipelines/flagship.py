@@ -252,7 +252,8 @@ def _read_blocks_for(fragments: list[str], min_blocks: int = 1) -> int:
 def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
               lookup_kwargs: dict, enrich_concurrency=None,
               with_wire: bool = True, min_blocks: int = 1,
-              enrich_mode: str = "task") -> dict:
+              enrich_mode: str = "task",
+              time_window: tuple | None = None) -> dict:
     """Process one shard end-to-end and commit its manifest."""
     out_dir = Path(out_dir)
     lineage.clean_uncommitted(out_dir, shard_id)
@@ -262,6 +263,13 @@ def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
     pages = rd.read_parquet(
         fragments,
         override_num_blocks=_read_blocks_for(fragments, min_blocks))
+    if time_window is not None:
+        lo = pa.scalar(np.datetime64(time_window[0], "us"), pa.timestamp("us"))
+        hi = pa.scalar(np.datetime64(time_window[1], "us"), pa.timestamp("us"))
+        pages = pages.map_batches(
+            lambda t: t.filter(pc.and_(pc.greater_equal(t["warc_ts"], lo),
+                                       pc.less(t["warc_ts"], hi))),
+            batch_format="pyarrow", zero_copy_batch=True)
     routed = build_routed(pages, lookup_kwargs, enrich_concurrency, with_wire,
                           enrich_mode=enrich_mode)
     # One pass: the sink stage writes partitioned files AND streams back
@@ -289,6 +297,71 @@ def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
     }
     lineage.write_manifest(out_dir, shard_id, manifest)
     return manifest
+
+
+def run_incremental(pages_dir: str | Path, out_dir: str | Path,
+                    lang_path: str, host_path: str,
+                    fragments_per_shard: int = 16,
+                    max_concurrent_shards: int = 4,
+                    with_wire: bool = True,
+                    enrich_mode: str = "task",
+                    time_window: tuple | None = None) -> dict:
+    """Incremental ingestion (≙ the reference's poll-loop iteration,
+    app/main.py:339-384): discover fragments, anti-join against committed
+    manifests, process ONLY new fragments into fresh shards, refresh the
+    aggregate over everything committed. Safe to call repeatedly as data
+    arrives; committed shards are never reprocessed or invalidated.
+
+    ``time_window=(lo, hi)`` applies the look-back-window predicate on
+    warc_ts (≙ TIME_WINDOW_HOURS, app/s3_manager.py:212) inside the parse
+    stage of the NEW shards only."""
+    t0 = time.perf_counter()
+    out_dir = Path(out_dir)
+    fragments = lineage.list_fragments(pages_dir)
+    lineage.sweep_stale(out_dir)
+    todo = lineage.plan_incremental(out_dir, fragments, fragments_per_shard)
+
+    lookup_kwargs = broadcast_lookups(lang_path, host_path)
+    n_threads = max(1, min(max_concurrent_shards, max(len(todo), 1)))
+    min_blocks = max(1, (2 * _cluster_cpus()) // n_threads)
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if todo:
+        with ThreadPoolExecutor(n_threads) as ex:
+            futs = [
+                ex.submit(run_shard, sid, frags, out_dir, lookup_kwargs,
+                          with_wire=with_wire, min_blocks=min_blocks,
+                          enrich_mode=enrich_mode, time_window=time_window)
+                for sid, frags in todo
+            ]
+            for f in futs:
+                f.result()
+
+    manifests = lineage.load_manifests(out_dir)
+    partials = pa.concat_tables(lineage.read_partials(out_dir, manifests))
+    g = _combine_partials(partials)
+    agg_tbl = pa.table({
+        "sink": g["sink"], "lang": g["lang"], "hour": g["hour"],
+        "n_docs": pc.cast(g["n_docs_p"], pa.int64()),
+        "sum_tokens": pc.cast(g["sum_tokens_p"], pa.int64()),
+    })
+    agg_path = out_dir / "aggregates"
+    if agg_path.exists():
+        import shutil as _shutil
+        _shutil.rmtree(agg_path)
+    agg_path.mkdir(parents=True)
+    import pyarrow.parquet as _pq
+    _pq.write_table(agg_tbl, agg_path / "part-00000.parquet")
+
+    return {
+        "shards_total": len(manifests),
+        "shards_run_this_invocation": len(todo),
+        "new_fragments": sum(len(f) for _, f in todo),
+        "rows_routed": sum(m["row_count"] for m in manifests.values()),
+        "elapsed_sec": time.perf_counter() - t0,
+        "aggregates_path": str(agg_path),
+    }
 
 
 def run_flagship(pages_dir: str | Path, out_dir: str | Path,

@@ -96,6 +96,26 @@ def pending_shards(out_dir: str | Path,
     return pending
 
 
+def plan_incremental(out_dir: str | Path, fragments: list[str],
+                     fragments_per_shard: int) -> list[tuple[int, list[str]]]:
+    """Incremental plan (≙ the reference's poll loop: list → anti-join vs
+    processed keys → process only new files, app/s3_manager.py:208-211):
+    fragments already covered by a committed manifest are skipped; only NEW
+    fragments are planned, into fresh shard ids after the highest committed
+    id. Committed shards are never invalidated by later arrivals."""
+    done = load_manifests(out_dir)
+    covered: set[str] = set()
+    for m in done.values():
+        covered.update(m.get("input_fragments", []))
+    new = [f for f in sorted(fragments) if f not in covered]
+    if not new:
+        return []
+    next_id = max(done) + 1 if done else 0
+    size = max(1, fragments_per_shard)
+    return [(next_id + i, new[s : s + size])
+            for i, s in enumerate(range(0, len(new), size))]
+
+
 def partials_dir(out_dir: str | Path) -> Path:
     return Path(out_dir) / "partials"
 

@@ -78,3 +78,47 @@ def test_completed_run_resume_is_noop(tmp_path):
     m2 = run_flagship(info["pages_dir"], out, info["lookup_lang"],
                       info["lookup_host"], num_shards=2)
     assert m2["shards_run_this_invocation"] == 0
+
+
+def test_incremental_processes_only_new_fragments(tmp_path):
+    """Poll-loop semantics (reference app/main.py:339-384): a second
+    invocation after new files arrive processes only the new fragments and
+    the aggregate covers everything exactly once."""
+    import pyarrow.dataset as pads
+
+    from illumio_ray.pipelines.flagship import run_incremental
+    from illumio_ray.synth import _write_fragment, synth_pages
+
+    info = synth_pages(tmp_path / "in", rows=1200, num_files=4)
+    out = tmp_path / "out"
+    m1 = run_incremental(info["pages_dir"], out, info["lookup_lang"],
+                         info["lookup_host"], fragments_per_shard=2)
+    assert m1["shards_run_this_invocation"] == 2
+    rows1 = m1["rows_routed"]
+
+    # two new fragments "arrive" (distinct content via fresh frag indices)
+    _write_fragment((100, 300, 10_000, 42, info["pages_dir"]))
+    _write_fragment((101, 300, 10_300, 42, info["pages_dir"]))
+
+    m2 = run_incremental(info["pages_dir"], out, info["lookup_lang"],
+                         info["lookup_host"], fragments_per_shard=2)
+    assert m2["shards_run_this_invocation"] == 1
+    assert m2["new_fragments"] == 2
+    assert m2["rows_routed"] > rows1
+
+    # third run: nothing new → no work, same totals
+    m3 = run_incremental(info["pages_dir"], out, info["lookup_lang"],
+                         info["lookup_host"], fragments_per_shard=2)
+    assert m3["shards_run_this_invocation"] == 0
+    assert m3["rows_routed"] == m2["rows_routed"]
+
+    # exactly-once across all routed output
+    routed = pads.dataset(str(out / "routed"), partitioning="hive").to_table(
+        columns=["url"])
+    assert routed.num_rows == m2["rows_routed"]
+    assert len(set(routed["url"].to_pylist())) == routed.num_rows
+
+    # aggregate covers all committed docs
+    agg = pads.dataset(str(out / "aggregates")).to_table()
+    import pyarrow.compute as pc
+    assert pc.sum(agg["n_docs"]).as_py() == m2["rows_routed"]
