@@ -344,6 +344,122 @@ def max_order_per_customer(sf_dir: str):
     ], mode="shuffle")
 
 
+@register("q3_shipping_priority", """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""")
+def q3_shipping_priority(sf_dir: str):
+    """Three-table join plan: filtered customer dimension broadcast into
+    orders (no shuffle for the small side), then a hash-partitioned
+    orders⋈lineitem join, shuffle-grouped on the order key, global top-10."""
+    cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"])
+    cust = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    cust = cust.select(["c_custkey"]).rename_columns(["o_custkey"])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                                 "o_orderpriority"])
+    cutoff = _ts("1995-03-15")
+    orders = rel.filter_batches(
+        orders, lambda t: pc.less(t["o_orderdate"], cutoff))
+    orders = rel.broadcast_join(orders, cust, on=["o_custkey"],
+                                join_type="inner")
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "o_orderdate", "o_orderpriority"])
+                   .rename_columns(["l_orderkey", "o_orderdate", "o_orderpriority"]),
+        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    li = rel.filter_batches(li, lambda t: pc.greater(t["l_shipdate"], cutoff))
+    li = rel.with_columns(li, {
+        "rev": lambda t: pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+    }, keep=["l_orderkey", "rev"])
+
+    joined = rel.hash_join(li, orders, on=["l_orderkey"], num_partitions=8)
+    agg = rel.grouped_agg(joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+                          [("rev", "sum", "rev_raw")], mode="shuffle")
+    agg = agg.map_batches(lambda t: pa.table({
+        "l_orderkey": t["l_orderkey"], "o_orderdate": t["o_orderdate"],
+        "o_orderpriority": t["o_orderpriority"],
+        "revenue": round_col(t["rev_raw"], 2)}), batch_format="pyarrow")
+    return rel.topk(agg, ["revenue", "l_orderkey"], 10, descending=[True, False])
+
+
+@register("q14_promo_revenue", """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                  THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-09-01' AND l_shipdate < TIMESTAMP '1995-10-01'
+""")
+def q14_promo_revenue(sf_dir: str):
+    """Broadcast fact⋈dimension join (part is the broadcast side) + global
+    conditional ratio."""
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    is_promo = pc.starts_with(part["p_type"], "PROMO")
+    part = pa.table({"l_partkey": part["p_partkey"],
+                     "is_promo": pc.cast(is_promo, pa.float64())})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    lo, hi = _ts("1995-09-01"), _ts("1995-10-01")
+    li = rel.filter_batches(li, lambda t: pc.and_(
+        pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
+    joined = rel.broadcast_join(li, part, on=["l_partkey"], join_type="inner")
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        promo = pc.multiply(rev, t["is_promo"])
+        return pa.table({
+            "promo_rev": pa.array([pc.sum(promo).as_py() or 0.0], pa.float64()),
+            "total_rev": pa.array([pc.sum(rev).as_py() or 0.0], pa.float64()),
+        })
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).to_pandas()
+    pct = 100.0 * parts.promo_rev.sum() / parts.total_rev.sum()
+    import numpy as _np
+    pct = float(_np.sign(pct) * _np.floor(abs(pct) * 1e6 + 0.5) / 1e6)
+    return pa.table({"promo_pct": pa.array([pct], pa.float64())})
+
+
+@register("suppliers_by_nation", """
+SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+""")
+def suppliers_by_nation(sf_dir: str):
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                           columns=["n_nationkey", "n_name"])
+    nation = nation.rename_columns(["s_nationkey", "n_name"])
+    sup = read_table(sf_dir, "supplier", columns=["s_suppkey", "s_nationkey",
+                                                  "s_acctbal"])
+    joined = rel.broadcast_join(sup, nation, on=["s_nationkey"],
+                                join_type="inner")
+    agg = rel.grouped_agg(joined, ["n_name"], [
+        ("s_suppkey", "count", "n_suppliers"),
+        ("s_acctbal", "sum", "bal_raw")])
+    return agg.map_batches(lambda t: pa.table({
+        "n_name": t["n_name"], "n_suppliers": t["n_suppliers"],
+        "total_acctbal": round_col(t["bal_raw"], 2)}), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # events queries
 # ---------------------------------------------------------------------------
