@@ -129,11 +129,31 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
                 acc = combine(pa.concat_tables(pieces, promote_options="permissive"))
                 buf = []
         pieces = buf + ([acc] if acc is not None else [])
-        if not pieces:  # empty input: zero groups, with the right columns
-            empty_cols = {k: pa.array([], pa.string()) for k in keys}
-            for _, _, out in aggs:
-                empty_cols[out] = pa.array([], pa.float64())
-            return rd.from_arrow(pa.table(empty_cols))
+        if not pieces:
+            # empty input: zero groups with CORRECT types, derived from the
+            # input schema (a hardcoded string/float64 guess breaks
+            # downstream unions/appends that also see non-empty inputs)
+            in_sch = ds.schema()
+            base = getattr(in_sch, "base_schema", in_sch)
+            type_of: dict[str, pa.DataType] = {}
+            if base is not None and hasattr(base, "field"):
+                type_of = {n: base.field(n).type for n in base.names}
+            elif base is not None and hasattr(base, "names"):
+                # PandasBlockSchema: names + numpy/pyarrow dtypes
+                for n, t in zip(base.names, base.types):
+                    try:
+                        type_of[n] = t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t)
+                    except (pa.ArrowNotImplementedError, TypeError):
+                        type_of[n] = pa.string()
+            fields: dict[str, pa.DataType] = {}
+            for kcol in keys:
+                fields[kcol] = type_of.get(kcol, pa.string())
+            for col, fnm in partial_specs:
+                src = type_of.get(col, pa.float64())
+                fields[f"__{col}_{fnm}"] = (
+                    pa.int64() if fnm == "count" else src)
+            empty = pa.table({n: pa.array([], t) for n, t in fields.items()})
+            return rd.from_arrow(finalize(combine(empty)))
         acc = combine(pa.concat_tables(pieces, promote_options="permissive"))
         return rd.from_arrow(finalize(acc))
 
@@ -189,15 +209,22 @@ def broadcast_join(ds: rd.Dataset, small: pa.Table, on: list[str],
     (≙ reference enum/label lookups, SURVEY.md J2/J3)."""
     ref = ray.put(small)
 
-    class JoinBatch:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join_batch(t: pa.Table) -> pa.Table:
+        # task mode + per-worker-process cache: full parallelism and
+        # operator fusion (an actor pool here capped the stage at its pool
+        # size and paid ramp-up for a stateless Arrow join)
+        s = _BROADCAST_CACHE.get(ref)
+        if s is None:
+            s = ray.get(ref)
+            _BROADCAST_CACHE.clear()
+            _BROADCAST_CACHE[ref] = s
+        return t.join(s, keys=on, join_type=join_type)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            return t.join(self.small, keys=on, join_type=join_type)
+    return ds.map_batches(join_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
-    return ds.map_batches(JoinBatch, batch_format="pyarrow",
-                          zero_copy_batch=True, concurrency=(1, 8))
+
+_BROADCAST_CACHE: dict = {}
 
 
 def semi_anti_join(ds: rd.Dataset, key_values, col: str, anti: bool = False) -> rd.Dataset:
@@ -237,6 +264,7 @@ def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
     and run this per partition with boundary overlap.
 
     value_map: {output_col: right_col} columns to carry from the match."""
+    right = right.filter(pc.is_valid(right[right_ts]))  # null ts can't match
     right = right.sort_by([(right_ts, "ascending")]).combine_chunks()
     ref = ray.put(right)
 
@@ -244,12 +272,15 @@ def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
         r = _ASOF_CACHE.get(ref)
         if r is None:
             r = ray.get(ref)
+            _ASOF_CACHE.clear()  # one pinned right side per worker
             _ASOF_CACHE[ref] = r
         r_ts = r[right_ts].to_numpy(zero_copy_only=False)
         l_ts = t[left_ts].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(r_ts, l_ts, side="right") - 1
-        valid = pa.array(idx >= 0)
-        take = pa.array(np.where(idx >= 0, idx, 0), pa.int64())
+        # null left ts sorts as NaT-largest in searchsorted → force no-match
+        ok = (idx >= 0) & ~pd.isna(l_ts)
+        valid = pa.array(ok)
+        take = pa.array(np.where(ok, idx, 0), pa.int64())
         out = t
         for out_name, rcol in value_map.items():
             col = r[rcol].combine_chunks() if isinstance(r[rcol], pa.ChunkedArray) else r[rcol]
@@ -295,8 +326,9 @@ def topk_per_group(ds: rd.Dataset, group_keys: list[str],
     ascending = [not d for d in descending]
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
+        # dropna=False: SQL window semantics keep a NULL partition
         return (df.sort_values(order_keys, ascending=ascending)
-                  .groupby(group_keys, sort=False).head(k))
+                  .groupby(group_keys, sort=False, dropna=False).head(k))
 
     pruned = ds.map_batches(local, batch_format="pandas")
 

@@ -141,6 +141,14 @@ def _combine_partials(tbl: pa.Table) -> pa.Table:
     })
 
 
+_EMPTY_AGG = pa.table({
+    "sink": pa.array([], pa.string()), "lang": pa.array([], pa.string()),
+    "hour": pa.array([], pa.timestamp("us")),
+    "n_docs": pa.array([], pa.int64()),
+    "sum_tokens": pa.array([], pa.int64()),
+})
+
+
 def aggregate_routed_table(routed_ds: rd.Dataset,
                            tree_threshold_blocks: int = 256) -> pa.Table:
     """Same result as :func:`aggregate_routed` but returned as an Arrow
@@ -159,9 +167,10 @@ def aggregate_routed_table(routed_ds: rd.Dataset,
     if len(n_in) > tree_threshold_blocks:
         partials = partials.repartition(32).map_batches(
             _combine_partials, batch_format="pyarrow", zero_copy_batch=True)
-    tbl = pa.concat_tables(
-        pa.table(b) for b in partials.iter_batches(batch_format="pyarrow"))
-    g = _combine_partials(tbl)
+    tables = [pa.table(b) for b in partials.iter_batches(batch_format="pyarrow")]
+    if not tables:
+        return _EMPTY_AGG
+    g = _combine_partials(pa.concat_tables(tables))
     return pa.table({
         "sink": g["sink"], "lang": g["lang"], "hour": g["hour"],
         "n_docs": pc.cast(g["n_docs_p"], pa.int64()),
@@ -193,11 +202,15 @@ def make_write_summarize(shard_tmp: Path):
 
     def write_and_summarize(batch: pa.Table) -> pa.Table:
         import os
-        import uuid
 
         import pyarrow.parquet as pq
 
-        fname = f"part-{uuid.uuid4().hex}.parquet"
+        # Content-derived filename → a Ray task retry (worker died after
+        # writing, before returning its summary) overwrites the SAME file
+        # instead of adding a duplicate under a fresh random name; the
+        # exactly-once invariant survives task-level retries.
+        content_id = combine_unordered(hash64(batch["url"])) if batch.num_rows else 0
+        fname = f"part-{content_id:016x}-{batch.num_rows}.parquet"
         for cls in pc.unique(batch["event_class"]).to_pylist():
             sub = batch.filter(pc.equal(batch["event_class"], cls))
             d = os.path.join(shard_tmp, f"event_class={cls}")
@@ -299,6 +312,30 @@ def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
     return manifest
 
 
+def _write_aggregate(out_dir: Path, manifests: dict) -> Path:
+    """Combine committed shards' partial sidecars into the aggregate table
+    and write it (single small file, replaced atomically enough for a
+    driver-side artifact). Handles the zero-committed-shards case."""
+    if manifests:
+        partials = pa.concat_tables(lineage.read_partials(out_dir, manifests))
+        g = _combine_partials(partials)
+        agg_tbl = pa.table({
+            "sink": g["sink"], "lang": g["lang"], "hour": g["hour"],
+            "n_docs": pc.cast(g["n_docs_p"], pa.int64()),
+            "sum_tokens": pc.cast(g["sum_tokens_p"], pa.int64()),
+        })
+    else:
+        agg_tbl = _EMPTY_AGG
+    agg_path = out_dir / "aggregates"
+    if agg_path.exists():
+        import shutil as _shutil
+        _shutil.rmtree(agg_path)
+    agg_path.mkdir(parents=True)
+    import pyarrow.parquet as _pq
+    _pq.write_table(agg_tbl, agg_path / "part-00000.parquet")
+    return agg_path
+
+
 def run_incremental(pages_dir: str | Path, out_dir: str | Path,
                     lang_path: str, host_path: str,
                     fragments_per_shard: int = 16,
@@ -339,20 +376,7 @@ def run_incremental(pages_dir: str | Path, out_dir: str | Path,
                 f.result()
 
     manifests = lineage.load_manifests(out_dir)
-    partials = pa.concat_tables(lineage.read_partials(out_dir, manifests))
-    g = _combine_partials(partials)
-    agg_tbl = pa.table({
-        "sink": g["sink"], "lang": g["lang"], "hour": g["hour"],
-        "n_docs": pc.cast(g["n_docs_p"], pa.int64()),
-        "sum_tokens": pc.cast(g["sum_tokens_p"], pa.int64()),
-    })
-    agg_path = out_dir / "aggregates"
-    if agg_path.exists():
-        import shutil as _shutil
-        _shutil.rmtree(agg_path)
-    agg_path.mkdir(parents=True)
-    import pyarrow.parquet as _pq
-    _pq.write_table(agg_tbl, agg_path / "part-00000.parquet")
+    agg_path = _write_aggregate(out_dir, manifests)
 
     return {
         "shards_total": len(manifests),
@@ -429,27 +453,19 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
     # Final aggregate = driver combine of the COMMITTED shards' partial
     # sidecars (each O(groups) rows, computed distributed at shard commit).
     # No rescan of routed data; crash leftovers can't leak in because only
-    # manifest-backed shards contribute.
+    # manifest-backed shards contribute. Committed shards from a PREVIOUS
+    # plan (e.g. an earlier run with different num_shards) are removed so
+    # the routed dir and the aggregate describe the same rows.
     planned_ids = [sid for sid, _ in shards]
-    manifests = {sid: m for sid, m in lineage.load_manifests(out_dir).items()
+    all_manifests = lineage.load_manifests(out_dir)
+    for sid in set(all_manifests) - set(planned_ids):
+        lineage.remove_shard(out_dir, sid)
+    manifests = {sid: m for sid, m in all_manifests.items()
                  if sid in set(planned_ids)}
     missing = [sid for sid in planned_ids if sid not in manifests]
     if missing:
         raise RuntimeError(f"shards missing manifests after run: {missing}")
-    partials = pa.concat_tables(lineage.read_partials(out_dir, manifests))
-    g = _combine_partials(partials)
-    agg_tbl = pa.table({
-        "sink": g["sink"], "lang": g["lang"], "hour": g["hour"],
-        "n_docs": pc.cast(g["n_docs_p"], pa.int64()),
-        "sum_tokens": pc.cast(g["sum_tokens_p"], pa.int64()),
-    })
-    agg_path = out_dir / "aggregates"
-    if agg_path.exists():
-        import shutil as _shutil
-        _shutil.rmtree(agg_path)
-    agg_path.mkdir(parents=True)
-    import pyarrow.parquet as _pq
-    _pq.write_table(agg_tbl, agg_path / "part-00000.parquet")
+    agg_path = _write_aggregate(out_dir, manifests)
 
     total_rows = sum(m["row_count"] for m in manifests.values())
     metrics = {

@@ -164,7 +164,22 @@ def sweep_stale(out_dir: str | Path) -> None:
 
 
 def clean_uncommitted(out_dir: str | Path, shard_id: int) -> None:
-    """Remove any partial output for an uncommitted shard (idempotent)."""
-    for tmp in (shard_dir(out_dir, shard_id, tmp=True), shard_dir(out_dir, shard_id)):
-        if tmp.exists():
-            shutil.rmtree(tmp)
+    """Remove any prior output for a shard about to be (re)processed.
+
+    Invalidation order is the COMMIT order reversed: manifest first, then
+    sidecar, then data dirs — a crash mid-clean can leave orphan data (swept
+    later) but never a manifest claiming data that no longer exists."""
+    remove_shard(out_dir, shard_id)
+
+
+def remove_shard(out_dir: str | Path, shard_id: int) -> None:
+    """Fully remove a shard: manifest → partial sidecar → data (idempotent)."""
+    m = manifest_dir(out_dir) / f"shard-{shard_id:05d}.json"
+    if m.exists():
+        m.unlink()
+    p = partials_dir(out_dir) / f"shard-{shard_id:05d}.parquet"
+    if p.exists():
+        p.unlink()
+    for d in (shard_dir(out_dir, shard_id, tmp=True), shard_dir(out_dir, shard_id)):
+        if d.exists():
+            shutil.rmtree(d)

@@ -161,3 +161,38 @@ def test_ivf_topk_recall():
     approx = sim.ivf_topk(rd.from_pandas(df), q, 10, n_cells=8, nprobe=2).to_pandas()
     recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
     assert recall >= 0.8
+
+
+def test_topk_per_group_keeps_null_partition():
+    df = pd.DataFrame({"g": ["a", "a", None, None, "b"],
+                       "x": [5.0, 3.0, 9.0, 1.0, 2.0],
+                       "id": [1, 2, 3, 4, 5]})
+    out = rel.topk_per_group(rd.from_pandas(df), ["g"], ["x", "id"], 1,
+                             descending=[True, False]).to_pandas()
+    # SQL window semantics: NULL is its own partition
+    assert len(out) == 3
+    null_rows = out[out.g.isna()]
+    assert len(null_rows) == 1 and null_rows.iloc[0].id == 3
+
+
+def test_asof_join_null_left_ts_yields_null():
+    left = pd.DataFrame({"id": [1, 2],
+                         "ts": pd.to_datetime(["2024-01-01 00:10", None])})
+    right = pa.Table.from_pandas(pd.DataFrame({
+        "ts": pd.to_datetime(["2024-01-01 00:00"]), "v": [7]}))
+    out = rel.asof_broadcast_join(rd.from_pandas(left), right, "ts", "ts",
+                                  {"prev_v": "v"}).to_pandas().sort_values("id")
+    assert out.prev_v.tolist()[0] == 7
+    assert pd.isna(out.prev_v.tolist()[1])
+
+
+def test_grouped_agg_empty_input_keeps_key_types():
+    df = pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                       "v": pd.Series([], dtype="float64")})
+    out = rel.grouped_agg(rd.from_pandas(df), ["k"],
+                          [("v", "sum", "s")], mode="driver")
+    assert out.count() == 0
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert str(types["k"]) == "int64"   # not a hardcoded string guess
+    assert str(types["s"]) == "double"

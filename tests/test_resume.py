@@ -122,3 +122,39 @@ def test_incremental_processes_only_new_fragments(tmp_path):
     agg = pads.dataset(str(out / "aggregates")).to_table()
     import pyarrow.compute as pc
     assert pc.sum(agg["n_docs"]).as_py() == m2["rows_routed"]
+
+
+def test_incremental_empty_input_is_noop(tmp_path):
+    from illumio_ray.pipelines.flagship import run_incremental
+    from illumio_ray.synth import lookup_tables
+    import pyarrow.parquet as pq
+
+    (tmp_path / "pages").mkdir()
+    lang, host = lookup_tables()
+    pq.write_table(lang, tmp_path / "lang.parquet")
+    pq.write_table(host, tmp_path / "host.parquet")
+    m = run_incremental(tmp_path / "pages", tmp_path / "out",
+                        str(tmp_path / "lang.parquet"),
+                        str(tmp_path / "host.parquet"))
+    assert m["rows_routed"] == 0
+    assert m["shards_run_this_invocation"] == 0
+
+
+def test_replan_with_fewer_shards_removes_stale_dirs(tmp_path):
+    import pyarrow.dataset as pads
+
+    from illumio_ray.pipelines.flagship import run_flagship
+    from illumio_ray.synth import synth_pages
+
+    info = synth_pages(tmp_path / "in", rows=1200, num_files=4)
+    out = tmp_path / "out"
+    m1 = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                      info["lookup_host"], num_shards=4)
+    m2 = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                      info["lookup_host"], num_shards=2, resume=False)
+    assert m1["rows_routed"] == m2["rows_routed"]
+    routed = pads.dataset(str(out / "routed"), partitioning="hive").to_table(
+        columns=["url"])
+    # no stale shard dirs from the 4-shard plan → no duplicate urls
+    assert routed.num_rows == m2["rows_routed"]
+    assert len(set(routed["url"].to_pylist())) == routed.num_rows
