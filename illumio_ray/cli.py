@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
 
 
 def _ray_init() -> None:
@@ -58,6 +59,19 @@ def cmd_run(args) -> int:
             num_shards=args.num_shards, resume=not args.no_resume,
             max_concurrent_shards=args.max_concurrent_shards,
             enrich_mode=args.enrich_mode)
+    if args.siem:
+        # Optional delivery leg (≙ reference send_to_siem): stream committed
+        # wire messages to a TCP endpoint after the parquet sink commits.
+        host, port = args.siem.rsplit(":", 1)
+        import ray.data as rd
+
+        from .stages.sink import send_to_syslog
+
+        routed = rd.read_parquet(str(Path(args.out) / "routed"),
+                                 columns=["wire"])
+        metrics["siem_messages_sent"] = send_to_syslog(
+            routed, host, int(port), max_per_second=args.max_mps)
+
     print(json.dumps(metrics, indent=1))
     import ray
 
@@ -121,6 +135,11 @@ def main(argv=None) -> int:
     rp.add_argument("--window", default=None,
                     help="warc_ts look-back window 'ISO_LO/ISO_HI' "
                          "(incremental mode)")
+    rp.add_argument("--siem", default=None, metavar="HOST:PORT",
+                    help="after committing, stream wire messages to this "
+                         "TCP endpoint (reference send_to_siem)")
+    rp.add_argument("--max-mps", type=float, default=None,
+                    help="per-connection message rate ceiling for --siem")
     rp.set_defaults(fn=cmd_run)
 
     tp = sub.add_parser("stats", help="report over a finished run")
