@@ -103,8 +103,10 @@ def transform_row(row: dict, lang_lookup: dict, host_lookup: dict) -> dict | Non
 def wire_for(r: dict) -> str:
     device_type = DEVICE_TYPES[r["event_class"]]
     vals = dict(r)
-    # str(pandas.Timestamp) matches pyarrow's timestamp→string cast.
-    vals["time_iso"] = str(r["warc_ts"])
+    # Always-6-digit fractional seconds: pyarrow's timestamp→string cast
+    # (and the SQL oracle's '%Y-%m-%d %H:%M:%S.%f') print '.000000' for
+    # whole seconds, which str(pandas.Timestamp) drops.
+    vals["time_iso"] = r["warc_ts"].strftime("%Y-%m-%d %H:%M:%S.%f")
     vals["n_tokens_str"] = str(r["n_tokens"])
     vals["const_unparsed"] = "unparsed"
     pieces = [f"beatname={BEATNAME}", f"device_type={device_type}",
