@@ -204,8 +204,51 @@ def bench_scaling(sf: float, low: int, high: int) -> dict:
     }
 
 
+def bench_stats(sf: float, num_cpus: int, out_path: str) -> dict:
+    """Run the fused flagship pipeline once and persist Ray Data's
+    per-operator stats (the evidence that wall time is spent in useful
+    compute, not scheduling)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        import ray.data as rd
+
+        from illumio_ray.pipelines.flagship import build_routed, make_write_summarize
+        from illumio_ray.stages.enrich import broadcast_lookups
+        from illumio_ray.synth import ensure_pages_for_sf
+
+        info = ensure_pages_for_sf(sf)
+        rd.range(1000).map_batches(lambda b: b).count()
+        lk = broadcast_lookups(info["lookup_lang"], info["lookup_host"])
+        out_dir = _bench_out_dir("illumio_stats_")
+        try:
+            t0 = time.perf_counter()
+            routed = build_routed(rd.read_parquet(info["pages_dir"]), lk)
+            summaries = routed.map_batches(
+                make_write_summarize(out_dir / "routed"),
+                batch_format="pyarrow", zero_copy_batch=True)
+            n = sum(b.num_rows for b in summaries.iter_batches(batch_format="pyarrow"))
+            elapsed = time.perf_counter() - t0
+            stats = summaries.stats()
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+        Path(out_path).write_text(
+            f"# Ray Data operator stats — fused flagship pipeline\n\n"
+            f"sf={sf}, num_cpus={num_cpus}, wall={elapsed:.2f}s, "
+            f"summary_rows={n}\n\n```\n{stats}\n```\n")
+        return {"metric": "stats_run_sec", "value": round(elapsed, 3),
+                "unit": "sec", "sf": sf, "num_cpus": num_cpus,
+                "stats_path": out_path}
+    finally:
+        ray.shutdown()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--stats", action="store_true",
+                    help="run the fused pipeline once and write Ray Data "
+                         "operator stats to BENCH_STATS.md")
     ap.add_argument("--scaling", action="store_true",
                     help="run flagship at two parallelism levels in fresh "
                          "processes and report scaling efficiency")
@@ -222,6 +265,12 @@ def main() -> None:
     if args._flagship_once:
         sf = args.sf if args.sf is not None else 0.1
         print(json.dumps(run_flagship_once(num_cpus, sf)))
+        return
+
+    if args.stats:
+        sf = args.sf if args.sf is not None else 0.1
+        print(json.dumps(bench_stats(sf, num_cpus,
+                                     str(REPO / "BENCH_STATS.md"))))
         return
 
     if args.scaling:

@@ -152,8 +152,10 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
                 src = type_of.get(col, pa.float64())
                 fields[f"__{col}_{fnm}"] = (
                     pa.int64() if fnm == "count" else src)
+            # zero rows: finalize directly (running agg kernels on an empty
+            # table adds nothing and chokes on odd inferred types)
             empty = pa.table({n: pa.array([], t) for n, t in fields.items()})
-            return rd.from_arrow(finalize(combine(empty)))
+            return rd.from_arrow(finalize(empty))
         acc = combine(pa.concat_tables(pieces, promote_options="permissive"))
         return rd.from_arrow(finalize(acc))
 

@@ -100,3 +100,36 @@ def test_wire_matches_oracle_on_adversarial_rows(rows):
         mism = got[col].fillna("∅") != want[col].fillna("∅")
         assert not mism.any(), (col, got[mism].head(2)[col].tolist(),
                                 want[mism].head(2)[col].tolist())
+
+
+_agg_df = st.lists(
+    st.tuples(st.one_of(st.none(), st.integers(0, 4)),
+              st.floats(min_value=-1e6, max_value=1e6, allow_nan=False)),
+    min_size=0, max_size=60)
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_agg_df)
+def test_grouped_agg_matches_pandas(rows):
+    from illumio_ray.ops import relational as rel
+
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    df["k"] = df["k"].astype("Int64")
+    df["v"] = df["v"].astype("float64")
+    out = rel.grouped_agg(rd.from_pandas(df), ["k"], [
+        ("v", "sum", "s"), ("v", "count", "n"),
+        ("v", "min", "lo"), ("v", "max", "hi"), ("v", "mean", "m"),
+    ], mode="driver").to_pandas()
+    if len(df) == 0:
+        assert len(out) == 0
+        return
+    want = (df.groupby("k", dropna=False)["v"]
+              .agg(s="sum", n="count", lo="min", hi="max", m="mean")
+              .reset_index())
+    got = out.sort_values("k", na_position="last").reset_index(drop=True)
+    want = want.sort_values("k", na_position="last").reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ["s", "n", "lo", "hi", "m"]:
+        np.testing.assert_allclose(got[col].to_numpy(dtype=float),
+                                   want[col].to_numpy(dtype=float),
+                                   rtol=1e-9, equal_nan=True)
