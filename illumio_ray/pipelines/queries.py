@@ -609,6 +609,46 @@ def simhash_groups(sf_dir: str):
     return dedup.simhash_dup_groups(ds, "doc_id", "text")
 
 
+@register("doc_chars_histogram", """
+SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+""")
+def doc_chars_histogram(sf_dir: str):
+    """Fixed-width histogram — fully distributed (bin key is bounded)."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.multiply(pc.floor(pc.divide(pc.cast(t["n_chars"], pa.float64()),
+                                           100.0)), 100.0)
+        return pa.table({"bin_lo": pc.cast(b, pa.int64())})
+
+    ds = ds.map_batches(binned, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.grouped_agg(ds, ["bin_lo"], [("bin_lo", "count", "n_docs")])
+
+
+@register("doc_chars_quantiles", """
+SELECT ROUND(quantile_cont(n_chars, 0.5), 6) AS p50,
+       ROUND(quantile_cont(n_chars, 0.9), 6) AS p90,
+       ROUND(quantile_cont(n_chars, 0.99), 6) AS p99
+FROM documents
+""")
+def doc_chars_quantiles(sf_dir: str):
+    """Exact quantiles over a numeric column. The quantile input is a
+    single pruned int64 column — tiny relative to the documents — so it is
+    collected and sorted driver-side; the 100 TB path replaces this with a
+    distributed fixed-bin histogram (doc_chars_histogram) + interpolation."""
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+    vals = np.concatenate([
+        b["n_chars"].to_numpy(zero_copy_only=False)
+        for b in ds.iter_batches(batch_format="pyarrow")])
+    p50, p90, p99 = np.percentile(vals, [50, 90, 99], method="linear")
+    from ..functions.rounding import round_np
+    out = round_np(np.array([p50, p90, p99]), 6)
+    return pa.table({"p50": pa.array([out[0]]), "p90": pa.array([out[1]]),
+                     "p99": pa.array([out[2]])})
+
+
 # ---------------------------------------------------------------------------
 # embeddings: similarity search + near-dup
 # ---------------------------------------------------------------------------
