@@ -108,6 +108,26 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_curate(args) -> int:
+    _ray_init()
+    import ray
+    import ray.data as rd
+
+    from .pipelines.curation import curate
+
+    docs = rd.read_parquet(args.docs)
+    langs = args.langs.split(",") if args.langs else None
+    kept, report = curate(docs, min_tokens=args.min_tokens,
+                          max_stop_ratio=args.max_stop_ratio, langs=langs,
+                          near_dup_threshold=args.near_dup_threshold)
+    out = Path(args.out)
+    kept.write_parquet(str(out / "kept"))
+    (out / "report.json").write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+    ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="illumio_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -145,6 +165,16 @@ def main(argv=None) -> int:
     tp = sub.add_parser("stats", help="report over a finished run")
     tp.add_argument("--out", required=True)
     tp.set_defaults(fn=cmd_stats)
+
+    cp = sub.add_parser("curate", help="training-data curation: quality "
+                        "filter -> exact dedup -> near-dup removal")
+    cp.add_argument("--docs", required=True, help="documents parquet path")
+    cp.add_argument("--out", required=True)
+    cp.add_argument("--min-tokens", type=int, default=5)
+    cp.add_argument("--max-stop-ratio", type=float, default=0.6)
+    cp.add_argument("--langs", default=None, help="comma-separated keep list")
+    cp.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cp.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)
     return args.fn(args)

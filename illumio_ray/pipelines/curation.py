@@ -1,0 +1,101 @@
+"""Training-data curation pipeline: the operator families a 100 TB
+pretraining-data build chains together, composed end-to-end.
+
+    documents
+      → quality features (vectorized RE2: tokens, stopword ratio)
+      → quality + language filter
+      → exact dedup   (content-hash groupby, keep min doc_id)
+      → near-dup removal (MinHash+LSH candidates → Jaccard verify →
+                          drop the higher doc_id of each surviving pair)
+      → kept docs + per-stage funnel report (token budget accounting)
+
+Everything deterministic; the SQL-expressible prefix (filters + exact
+dedup) is oracle-checked by the driver (`curation_filtered`), the full
+pipeline including near-dup removal is exposed rows-only
+(`curation_kept_docs`).
+
+Scale notes: the quality/filter stages are fused map_batches; exact dedup
+shuffles 64-bit content hashes (never text); near-dup candidate bucketing
+is the thresholded driver/distributed hybrid in ops/dedup.py; the drop-set
+for near-dup removal is O(duplicate pairs) and broadcasts.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..ops import dedup, relational as rel, textops
+
+DEFAULT_MIN_TOKENS = 5
+DEFAULT_MAX_STOP_RATIO = 0.6
+
+
+def quality_filter(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
+                   max_stop_ratio: float = DEFAULT_MAX_STOP_RATIO,
+                   langs: list[str] | None = None) -> rd.Dataset:
+    """Quality + language gate (fused, vectorized)."""
+    ds = textops.add_quality(docs)
+
+    def keep(t: pa.Table):
+        # ratio test in the form n_stop <= r * max(n_tokens, 1): one float
+        # multiply, bit-identical between Arrow and the SQL oracle (the
+        # rounded stop_ratio column would introduce rounding-mode edges)
+        denom = pc.max_element_wise(t["n_tokens"], pa.scalar(1, pa.int64()))
+        m = pc.and_(
+            pc.greater_equal(t["n_tokens"], pa.scalar(min_tokens, pa.int64())),
+            pc.less_equal(
+                pc.cast(t["n_stopwords"], pa.float64()),
+                pc.multiply(pa.scalar(float(max_stop_ratio)),
+                            pc.cast(denom, pa.float64()))),
+        )
+        if langs is not None:
+            m = pc.and_(m, pc.is_in(t["lang"], value_set=pa.array(langs)))
+        return m
+
+    return rel.filter_batches(ds, keep)
+
+
+def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
+           max_stop_ratio: float = DEFAULT_MAX_STOP_RATIO,
+           langs: list[str] | None = None,
+           near_dup_threshold: float = 0.8) -> tuple[rd.Dataset, dict]:
+    """Full curation; returns (kept dataset, funnel report).
+
+    The near-dup stage needs the filtered corpus twice (signatures + verify
+    shingles), so the filtered/deduped slice is materialized once — it is
+    the survivor set, already a fraction of the input."""
+    n_input = docs.count()
+    filtered = quality_filter(docs, min_tokens, max_stop_ratio, langs)
+    exact = dedup.exact_dedup(filtered, "text", "doc_id")
+    exact_tbl = pa.concat_tables(
+        [pa.table(b) for b in exact.iter_batches(batch_format="pyarrow")])
+    n_filtered_exact = exact_tbl.num_rows
+
+    survivors = rd.from_arrow(exact_tbl)
+    pairs = dedup.near_dup_pairs(
+        survivors, exact_tbl.select(["doc_id", "text"]), "doc_id", "text",
+        threshold=near_dup_threshold).to_pandas()
+    drop_ids = set(pairs["id_b"].tolist())  # keep the lower doc_id of a pair
+
+    kept = rel.semi_anti_join(survivors, pa.array(sorted(drop_ids), pa.int64()),
+                              "doc_id", anti=True)
+    kept = kept.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_tokens", "text"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    kept_mask = pc.invert(pc.is_in(
+        exact_tbl["doc_id"], value_set=pa.array(sorted(drop_ids), pa.int64())))
+    kept_tokens = pc.sum(
+        pc.if_else(kept_mask, exact_tbl["n_tokens"],
+                   pa.scalar(0, pa.int64()))).as_py() or 0
+    report = {
+        "docs_input": n_input,
+        "docs_after_quality_and_exact_dedup": n_filtered_exact,
+        "near_dup_pairs": int(len(pairs)),
+        "docs_dropped_near_dup": len(drop_ids),
+        "docs_kept": n_filtered_exact - len(drop_ids),
+        "tokens_kept": int(kept_tokens),
+    }
+    return kept, report

@@ -609,6 +609,42 @@ def simhash_groups(sf_dir: str):
     return dedup.simhash_dup_groups(ds, "doc_id", "text")
 
 
+@register("curation_filtered", r"""
+WITH q AS (
+  SELECT doc_id, text, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|for)\b')) AS BIGINT) AS n_stop
+  FROM documents
+), f AS (
+  SELECT * FROM q
+  WHERE n_tokens >= 5
+    AND CAST(n_stop AS DOUBLE) <= 0.6 * GREATEST(n_tokens, 1)
+)
+SELECT doc_id, lang, n_tokens FROM f
+QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+""")
+def curation_filtered(sf_dir: str):
+    """Deterministic prefix of the training-data curation pipeline:
+    quality gate + exact dedup (pipelines/curation.py)."""
+    from .curation import quality_filter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    filtered = quality_filter(docs)
+    kept = dedup.exact_dedup(filtered, "text", "doc_id")
+    return kept.map_batches(lambda t: t.select(["doc_id", "lang", "n_tokens"]),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("curation_kept_docs", None)  # near-dup stage → rows-only
+def curation_kept_docs(sf_dir: str):
+    """Full curation pipeline incl. MinHash near-dup removal."""
+    from .curation import curate
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    kept, _report = curate(docs)
+    return kept.select_columns(["doc_id", "lang", "n_tokens"])
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs

@@ -1,0 +1,43 @@
+"""Training-data curation pipeline: funnel invariants + known dup removal."""
+
+import pandas as pd
+import ray.data as rd
+
+from illumio_ray.pipelines.curation import curate, quality_filter
+
+
+def _docs():
+    rows = []
+    # 20 quality docs
+    for i in range(20):
+        rows.append({"doc_id": i, "lang": "en",
+                     "text": f"unique document {i} " + " ".join(
+                         f"w{i}x{j}" for j in range(20))})
+    rows.append({"doc_id": 100, "lang": "en", "text": rows[0]["text"]})   # exact dup
+    near = rows[1]["text"].rsplit(" ", 1)[0] + " CHANGED"                 # near dup of 1
+    rows.append({"doc_id": 101, "lang": "en", "text": near})
+    rows.append({"doc_id": 102, "lang": "en", "text": "tiny"})            # too short
+    rows.append({"doc_id": 103, "lang": "en",
+                 "text": "the a of to and in is for the a of to"})        # stopword soup
+    return pd.DataFrame(rows)
+
+
+def test_quality_filter_drops_short_and_stopword_soup():
+    out = quality_filter(rd.from_pandas(_docs())).to_pandas()
+    ids = set(out.doc_id)
+    assert 102 not in ids and 103 not in ids
+    assert 0 in ids and 100 in ids
+
+
+def test_curate_funnel():
+    kept, report = curate(rd.from_pandas(_docs()), near_dup_threshold=0.7)
+    kept_df = kept.to_pandas()
+    ids = set(kept_df.doc_id)
+    assert report["docs_input"] == 24
+    assert 100 not in ids            # exact dup dropped (keeps 0)
+    assert 0 in ids
+    assert 101 not in ids            # near dup of 1 dropped (keeps lower id)
+    assert 1 in ids
+    assert 102 not in ids and 103 not in ids
+    assert report["docs_kept"] == len(kept_df) == 20
+    assert report["tokens_kept"] == int(kept_df.n_tokens.sum())
