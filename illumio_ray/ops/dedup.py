@@ -192,6 +192,77 @@ def verify_jaccard_pairs(cand: rd.Dataset, docs: pa.Table, id_col: str,
 _VERIFY_CACHE: dict = {}
 
 
+def verify_jaccard_pairs_join(cand: rd.Dataset, docs: rd.Dataset, id_col: str,
+                              text_col: str, threshold: float = 0.8,
+                              shingle_n: int = 3,
+                              num_partitions: int | None = None) -> rd.Dataset:
+    """The 100 TB verify path: no broadcast of the corpus. Candidate pairs
+    are key-partitioned with the docs table twice (reduce-side join on
+    id_a, then id_b) to carry both texts to the pair row, then the same
+    per-pair Jaccard kernel runs per batch. Shuffle volume is
+    O(pairs + docs), never a full corpus broadcast.
+
+    Implemented as groupby().map_groups reduce-side joins rather than
+    Dataset.join: Ray 2.49's hash-join operator crashes when a partition
+    receives rows on only one side (schema-less empty block → acero
+    'no match for key field' in the chained join)."""
+    del num_partitions  # groupby picks its own partitioning
+
+    def _attach(pairs_ds: rd.Dataset, key: str, pair_cols: list[str],
+                out_text: str) -> rd.Dataset:
+        """Reduce-side join: union pair rows and doc rows into one
+        column-aligned dataset keyed by __k, then attach the group's doc
+        text to its pair rows."""
+        col_types = {"id_a": pa.int64(), "id_b": pa.int64(),
+                     "__text_a": pa.string()}
+        union_cols = pair_cols + ["__k", "__doc_text"]
+
+        def pad_pairs(t: pa.Table, k=key) -> pa.Table:
+            cols = {c: pc.cast(t[c], col_types.get(c, pa.string()))
+                    for c in pair_cols}
+            cols["__k"] = pc.cast(t[k], pa.int64())
+            cols["__doc_text"] = pa.nulls(t.num_rows, pa.string())
+            return pa.table({c: cols[c] for c in union_cols})
+
+        def pad_docs(t: pa.Table) -> pa.Table:
+            cols = {c: pa.nulls(t.num_rows, col_types.get(c, pa.string()))
+                    for c in pair_cols}
+            cols["__k"] = pc.cast(t[id_col], pa.int64())
+            cols["__doc_text"] = pc.cast(t[text_col], pa.string())
+            return pa.table({c: cols[c] for c in union_cols})
+
+        tagged_pairs = pairs_ds.map_batches(pad_pairs, batch_format="pyarrow",
+                                            zero_copy_batch=True)
+        tagged_docs = docs.map_batches(pad_docs, batch_format="pyarrow",
+                                       zero_copy_batch=True)
+
+        def attach(g: pd.DataFrame) -> pd.DataFrame:
+            doc_rows = g[g["__doc_text"].notna()]
+            pair_rows = g[g["__doc_text"].isna()]
+            if doc_rows.empty or pair_rows.empty:
+                pair_rows = pair_rows.head(0)
+                text_val = pd.Series([], dtype=str)
+            else:
+                text_val = doc_rows["__doc_text"].iloc[0]
+            return (pair_rows.drop(columns=["__doc_text", "__k"])
+                             .assign(**{out_text: text_val}))
+
+        merged = tagged_pairs.union(tagged_docs)
+        return merged.groupby("__k").map_groups(attach, batch_format="pandas")
+
+    step1 = _attach(cand, "id_a", ["id_a", "id_b"], "__text_a")
+    step2 = _attach(step1, "id_b", ["id_a", "id_b", "__text_a"], "__text_b")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sh_a = _shingle_hashes(batch["__text_a"].tolist(), shingle_n)
+        sh_b = _shingle_hashes(batch["__text_b"].tolist(), shingle_n)
+        js = np.asarray([jaccard(a, b) for a, b in zip(sh_a, sh_b)])
+        out = batch[["id_a", "id_b"]].assign(jaccard=round_np(js, 6))
+        return out[out["jaccard"] >= threshold]
+
+    return step2.map_batches(verify, batch_format="pandas")
+
+
 def near_dup_pairs(ds: rd.Dataset, docs: pa.Table, id_col: str, text_col: str,
                    threshold: float = 0.8, **kw) -> rd.Dataset:
     cand = minhash_lsh_candidates(ds, id_col, text_col, **kw)

@@ -196,3 +196,50 @@ def test_grouped_agg_empty_input_keeps_key_types():
     types = dict(zip(sch.names, sch.types))
     assert str(types["k"]) == "int64"   # not a hardcoded string guess
     assert str(types["s"]) == "double"
+
+
+def test_verify_jaccard_join_matches_broadcast():
+    texts = [f"unique words {i} " + " ".join(f"w{i}{j}" for j in range(20))
+             for i in range(30)]
+    texts.append(texts[0])
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs_tbl = pa.Table.from_pandas(df)
+    ds = rd.from_pandas(df)
+    cand = dedup.minhash_lsh_candidates(ds, "doc_id", "text")
+    a = dedup.verify_jaccard_pairs(cand, docs_tbl, "doc_id", "text",
+                                   threshold=0.9).to_pandas()
+    cand2 = dedup.minhash_lsh_candidates(ds, "doc_id", "text")
+    b = dedup.verify_jaccard_pairs_join(cand2, rd.from_pandas(df), "doc_id",
+                                        "text", threshold=0.9).to_pandas()
+    key = ["id_a", "id_b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[key],
+        b.sort_values(key).reset_index(drop=True)[key],
+        check_dtype=False)
+
+
+def test_read_pages_jsonl_gz_roundtrip(tmp_path):
+    import base64
+    import gzip
+    import json as _json
+
+    from illumio_ray.sources.jsonl import read_pages_jsonl
+
+    rows = [
+        {"url": "https://a/1", "warc_ts": "2024-10-01T00:00:01",
+         "html": base64.b64encode("<body>hi</body>".encode()).decode(),
+         "text": "hi", "lang": "en"},
+        {"url": "https://a/2", "warc_ts": 1727740800000000,
+         "html": base64.b64encode("<body>yo</body>".encode()).decode(),
+         "text": "yo", "lang": "de"},
+    ]
+    p = tmp_path / "pages.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+        f.write("{not json}\n")          # malformed -> dropped
+        f.write('{"url": "https://a/3"}\n')  # missing fields -> dropped
+    out = read_pages_jsonl(p).to_pandas().sort_values("url")
+    assert list(out.url) == ["https://a/1", "https://a/2"]
+    assert out.html.iloc[0] == b"<body>hi</body>"
+    assert str(out.warc_ts.iloc[1]) == "2024-10-01 00:00:00"
