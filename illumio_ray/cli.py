@@ -43,6 +43,16 @@ def cmd_synth(args) -> int:
 
 
 def cmd_run(args) -> int:
+    # validate delivery endpoint BEFORE running the pipeline — a malformed
+    # --siem must not discard a completed run's metrics
+    siem_addr = None
+    if args.siem:
+        host, sep, port = args.siem.rpartition(":")
+        if not sep or not port.isdigit() or not host:
+            raise SystemExit(
+                f"--siem expects HOST:PORT, got {args.siem!r}")
+        siem_addr = (host, int(port))
+
     _ray_init()
     from .pipelines.flagship import run_flagship, run_incremental
 
@@ -59,10 +69,9 @@ def cmd_run(args) -> int:
             num_shards=args.num_shards, resume=not args.no_resume,
             max_concurrent_shards=args.max_concurrent_shards,
             enrich_mode=args.enrich_mode)
-    if args.siem:
+    if siem_addr:
         # Optional delivery leg (≙ reference send_to_siem): stream committed
         # wire messages to a TCP endpoint after the parquet sink commits.
-        host, port = args.siem.rsplit(":", 1)
         import ray.data as rd
 
         from .stages.sink import send_to_syslog
@@ -70,7 +79,7 @@ def cmd_run(args) -> int:
         routed = rd.read_parquet(str(Path(args.out) / "routed"),
                                  columns=["wire"])
         metrics["siem_messages_sent"] = send_to_syslog(
-            routed, host, int(port), max_per_second=args.max_mps)
+            routed, siem_addr[0], siem_addr[1], max_per_second=args.max_mps)
 
     print(json.dumps(metrics, indent=1))
     import ray

@@ -45,7 +45,12 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col).head(1).drop(columns="__h")
+        # confirm equality on the actual content within the hash bucket:
+        # at 10^12 docs, 64-bit collisions are expected (birthday bound),
+        # and keying on the hash alone would silently drop distinct docs
+        return (g.sort_values(id_col)
+                 .drop_duplicates(subset=[content_col], keep="first")
+                 .drop(columns="__h"))
 
     return hashed.groupby("__h").map_groups(first_per_group, batch_format="pandas")
 
@@ -236,19 +241,25 @@ def verify_jaccard_pairs_join(cand: rd.Dataset, docs: rd.Dataset, id_col: str,
         tagged_docs = docs.map_batches(pad_docs, batch_format="pyarrow",
                                        zero_copy_batch=True)
 
-        def attach(g: pd.DataFrame) -> pd.DataFrame:
-            doc_rows = g[g["__doc_text"].notna()]
-            pair_rows = g[g["__doc_text"].isna()]
-            if doc_rows.empty or pair_rows.empty:
-                pair_rows = pair_rows.head(0)
-                text_val = pd.Series([], dtype=str)
+        def attach(g: pa.Table) -> pa.Table:
+            # pyarrow groups (not pandas): null-padded int64 id columns
+            # would be promoted to float64 by a pandas conversion,
+            # corrupting ids >= 2^53
+            has_text = pc.is_valid(g["__doc_text"])
+            doc_rows = g.filter(has_text)
+            pair_rows = g.filter(pc.invert(has_text))
+            if doc_rows.num_rows == 0 or pair_rows.num_rows == 0:
+                pair_rows = pair_rows.slice(0, 0)
+                text_col_out = pa.array([], pa.string())
             else:
-                text_val = doc_rows["__doc_text"].iloc[0]
-            return (pair_rows.drop(columns=["__doc_text", "__k"])
-                             .assign(**{out_text: text_val}))
+                text_col_out = pa.array(
+                    [doc_rows["__doc_text"][0].as_py()] * pair_rows.num_rows,
+                    pa.string())
+            return (pair_rows.drop_columns(["__doc_text", "__k"])
+                             .append_column(out_text, text_col_out))
 
         merged = tagged_pairs.union(tagged_docs)
-        return merged.groupby("__k").map_groups(attach, batch_format="pandas")
+        return merged.groupby("__k").map_groups(attach, batch_format="pyarrow")
 
     step1 = _attach(cand, "id_a", ["id_a", "id_b"], "__text_a")
     step2 = _attach(step1, "id_b", ["id_a", "id_b", "__text_a"], "__text_b")

@@ -60,42 +60,49 @@ def quality_filter(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
 def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
            max_stop_ratio: float = DEFAULT_MAX_STOP_RATIO,
            langs: list[str] | None = None,
-           near_dup_threshold: float = 0.8) -> tuple[rd.Dataset, dict]:
+           near_dup_threshold: float = 0.8,
+           spill_dir: str | None = None) -> tuple[rd.Dataset, dict]:
     """Full curation; returns (kept dataset, funnel report).
 
-    The near-dup stage needs the filtered corpus twice (signatures + verify
-    shingles), so the filtered/deduped slice is materialized once — it is
-    the survivor set, already a fraction of the input."""
+    The near-dup stage needs the survivor corpus twice (signatures +
+    verify), so the filtered/deduped slice is STREAMED to a spill dir and
+    re-read — the driver never holds document text (the drop-id set and
+    the funnel counters are the only driver-side state). Verify runs as a
+    reduce-side join (no corpus broadcast)."""
+    import tempfile
+
+    from pathlib import Path
+
     n_input = docs.count()
     filtered = quality_filter(docs, min_tokens, max_stop_ratio, langs)
     exact = dedup.exact_dedup(filtered, "text", "doc_id")
-    exact_tbl = pa.concat_tables(
-        [pa.table(b) for b in exact.iter_batches(batch_format="pyarrow")])
-    n_filtered_exact = exact_tbl.num_rows
 
-    survivors = rd.from_arrow(exact_tbl)
-    pairs = dedup.near_dup_pairs(
-        survivors, exact_tbl.select(["doc_id", "text"]), "doc_id", "text",
-        threshold=near_dup_threshold).to_pandas()
-    drop_ids = set(pairs["id_b"].tolist())  # keep the lower doc_id of a pair
-
-    kept = rel.semi_anti_join(survivors, pa.array(sorted(drop_ids), pa.int64()),
-                              "doc_id", anti=True)
-    kept = kept.map_batches(
+    spill = Path(spill_dir or tempfile.mkdtemp(prefix="illumio_curate_"))
+    surv_dir = spill / "survivors"
+    exact.map_batches(
         lambda t: t.select(["doc_id", "lang", "n_tokens", "text"]),
-        batch_format="pyarrow", zero_copy_batch=True)
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).write_parquet(str(surv_dir))
+    survivors = rd.read_parquet(str(surv_dir))
+    n_filtered_exact = survivors.count()  # parquet metadata, no scan
 
-    kept_mask = pc.invert(pc.is_in(
-        exact_tbl["doc_id"], value_set=pa.array(sorted(drop_ids), pa.int64())))
-    kept_tokens = pc.sum(
-        pc.if_else(kept_mask, exact_tbl["n_tokens"],
-                   pa.scalar(0, pa.int64()))).as_py() or 0
+    cand = dedup.minhash_lsh_candidates(
+        rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
+        "doc_id", "text")
+    pairs = dedup.verify_jaccard_pairs_join(
+        cand, rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
+        "doc_id", "text", threshold=near_dup_threshold).to_pandas()
+    drop_arr = pa.array(sorted(set(pairs["id_b"].tolist())), pa.int64())
+
+    kept = rel.semi_anti_join(survivors, drop_arr, "doc_id", anti=True)
+    kept_tokens = kept.sum("n_tokens") or 0
+
     report = {
         "docs_input": n_input,
         "docs_after_quality_and_exact_dedup": n_filtered_exact,
         "near_dup_pairs": int(len(pairs)),
-        "docs_dropped_near_dup": len(drop_ids),
-        "docs_kept": n_filtered_exact - len(drop_ids),
+        "docs_dropped_near_dup": len(drop_arr),
+        "docs_kept": n_filtered_exact - len(drop_arr),
         "tokens_kept": int(kept_tokens),
     }
     return kept, report

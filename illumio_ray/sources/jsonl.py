@@ -25,7 +25,24 @@ from ..schema import PAGES_SCHEMA
 _REQUIRED = ("url", "warc_ts", "html", "text", "lang")
 
 
-def _parse_lines_batch(batch: pa.Table) -> pa.Table:
+def _parse_ts(ts_raw) -> np.datetime64:
+    """ISO-8601 string (optionally with a single trailing 'Z') or epoch
+    microseconds. Offset-bearing timestamps ('+02:00') are REJECTED rather
+    than passed to numpy — numpy's tz parsing is deprecated and would flip
+    such rows from parsed to silently dropped on an upgrade."""
+    if isinstance(ts_raw, bool):  # bool is an int subclass; not a timestamp
+        raise TypeError("bool is not a timestamp")
+    if isinstance(ts_raw, (int, float)):
+        return np.datetime64(int(ts_raw), "us")
+    s = str(ts_raw)
+    if s.endswith("Z"):
+        s = s[:-1]
+    if "+" in s or (len(s) > 10 and s[10:].count("-")):
+        raise ValueError(f"tz offsets not supported: {ts_raw!r}")
+    return np.datetime64(s, "us")
+
+
+def _parse_lines_batch(batch: pa.Table, html_encoding: str) -> pa.Table:
     """text-line batch → pages rows; invalid/malformed lines dropped.
 
     Per-line json.loads is inherent to schemaless JSONL validation (the
@@ -37,26 +54,24 @@ def _parse_lines_batch(batch: pa.Table) -> pa.Table:
             continue
         try:
             obj = json.loads(line)
+            if any(k not in obj for k in _REQUIRED):
+                raise KeyError("missing required field")
             url = obj["url"]
-            ts_raw = obj["warc_ts"]
-            if isinstance(ts_raw, (int, float)):
-                ts = np.datetime64(int(ts_raw), "us")
-            else:
-                ts = np.datetime64(str(ts_raw).replace("Z", ""), "us")
+            ts = _parse_ts(obj["warc_ts"])
             html_raw = obj["html"]
-            if isinstance(html_raw, str):
-                try:
-                    html = base64.b64decode(html_raw, validate=True)
-                except (ValueError, TypeError):
-                    html = html_raw.encode("utf-8")
-            else:
+            if not isinstance(html_raw, str):
                 raise TypeError("html must be a string")
+            if html_encoding == "base64":
+                html = base64.b64decode(html_raw, validate=True)
+            else:  # "utf8": payload is the literal text
+                html = html_raw.encode("utf-8")
             text = obj["text"]
             lang = obj["lang"]
             if not isinstance(url, str) or not isinstance(text, str) \
                     or not isinstance(lang, str):
                 raise TypeError("bad field types")
-        except (KeyError, TypeError, ValueError, json.JSONDecodeError):
+        except (KeyError, TypeError, ValueError, OverflowError,
+                json.JSONDecodeError):
             continue  # drop-invalid-line policy
         urls.append(url)
         tss.append(ts)
@@ -73,11 +88,18 @@ def _parse_lines_batch(batch: pa.Table) -> pa.Table:
     }, schema=PAGES_SCHEMA)
 
 
-def read_pages_jsonl(path: str | Path, **kwargs) -> rd.Dataset:
+def read_pages_jsonl(path: str | Path, html_encoding: str = "base64",
+                     **kwargs) -> rd.Dataset:
     """Read .jsonl / .jsonl.gz page files into the canonical pages schema.
 
-    Uses read_text (arrow handles gzip by extension) + a vectorized-batch
-    parse stage; line-level errors drop the line, never the file."""
+    Uses read_text (arrow handles gzip by extension) + a batch parse
+    stage; line-level errors drop the line, never the file.
+
+    ``html_encoding`` is EXPLICIT ('base64' or 'utf8'): sniffing would
+    silently corrupt plain-text payloads that happen to be valid base64."""
+    if html_encoding not in ("base64", "utf8"):
+        raise ValueError("html_encoding must be 'base64' or 'utf8'")
     ds = rd.read_text(str(path), **kwargs)
-    return ds.map_batches(_parse_lines_batch, batch_format="pyarrow",
-                          zero_copy_batch=True)
+    return ds.map_batches(
+        lambda t: _parse_lines_batch(t, html_encoding),
+        batch_format="pyarrow", zero_copy_batch=True)

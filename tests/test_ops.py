@@ -243,3 +243,66 @@ def test_read_pages_jsonl_gz_roundtrip(tmp_path):
     assert list(out.url) == ["https://a/1", "https://a/2"]
     assert out.html.iloc[0] == b"<body>hi</body>"
     assert str(out.warc_ts.iloc[1]) == "2024-10-01 00:00:00"
+
+
+def test_exact_dedup_survives_hash_collision(monkeypatch):
+    """Distinct texts colliding on hash64 must BOTH survive."""
+    from illumio_ray.ops import dedup as dd
+
+    def fake_hash(values, seed=0):
+        return np.zeros(len(values), dtype=np.uint64)  # everything collides
+
+    monkeypatch.setattr(dd, "hash64", fake_hash)
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": ["aa", "bb", "aa"]})
+    out = dd.exact_dedup(rd.from_pandas(df), "text", "doc_id").to_pandas()
+    assert sorted(out.doc_id) == [1, 2]
+
+
+def test_verify_join_preserves_int64_ids():
+    texts = [f"unique words {i} " + " ".join(f"w{i}{j}" for j in range(20))
+             for i in range(10)]
+    texts.append(texts[0])
+    big = 2**60  # would corrupt if promoted to float64
+    ids = list(range(10)) + [big]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    cand = dedup.minhash_lsh_candidates(rd.from_pandas(df), "doc_id", "text")
+    out = dedup.verify_jaccard_pairs_join(cand, rd.from_pandas(df), "doc_id",
+                                          "text", threshold=0.9).to_pandas()
+    assert len(out) == 1
+    assert out.id_a.dtype == np.int64 and out.id_b.dtype == np.int64
+    assert out.id_b.iloc[0] == big
+
+
+def test_jsonl_rejects_overflow_bool_and_offset_ts(tmp_path):
+    import gzip
+    import json as _json
+
+    from illumio_ray.sources.jsonl import read_pages_jsonl
+
+    base = {"html": "", "text": "t", "lang": "en"}
+    rows = [
+        {"url": "ok", "warc_ts": "2024-10-01T00:00:01Z", **base},
+        {"url": "overflow", "warc_ts": 99999999999999999999, **base},
+        {"url": "bool", "warc_ts": True, **base},
+        {"url": "offset", "warc_ts": "2024-10-01T00:00:01+02:00", **base},
+        {"url": "negoffset", "warc_ts": "2024-10-01T00:00:01-05:00", **base},
+    ]
+    p = tmp_path / "x.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+    out = read_pages_jsonl(p).to_pandas()
+    assert list(out.url) == ["ok"]
+    assert str(out.warc_ts.iloc[0]) == "2024-10-01 00:00:01"
+
+
+def test_jsonl_utf8_mode_keeps_base64_lookalike(tmp_path):
+    import json as _json
+
+    from illumio_ray.sources.jsonl import read_pages_jsonl
+
+    p = tmp_path / "y.jsonl"
+    p.write_text(_json.dumps({"url": "u", "warc_ts": 0, "html": "deadbeef",
+                              "text": "t", "lang": "en"}) + "\n")
+    out = read_pages_jsonl(p, html_encoding="utf8").to_pandas()
+    assert out.html.iloc[0] == b"deadbeef"  # NOT base64-decoded garbage
