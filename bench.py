@@ -41,6 +41,7 @@ HEADLINE_QUERIES = [
     "doc_token_counts",
     "dedup_exact",
     "near_dup_docs",
+    "curation_kept_docs",
     "embedding_topk",
 ]
 

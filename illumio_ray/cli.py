@@ -126,12 +126,16 @@ def cmd_curate(args) -> int:
 
     docs = rd.read_parquet(args.docs)
     langs = args.langs.split(",") if args.langs else None
+    out = Path(args.out)
     kept, report = curate(docs, min_tokens=args.min_tokens,
                           max_stop_ratio=args.max_stop_ratio, langs=langs,
-                          near_dup_threshold=args.near_dup_threshold)
-    out = Path(args.out)
+                          near_dup_threshold=args.near_dup_threshold,
+                          spill_dir=str(out / "_spill"))
     kept.write_parquet(str(out / "kept"))
     (out / "report.json").write_text(json.dumps(report, indent=1))
+    import shutil
+
+    shutil.rmtree(out / "_spill", ignore_errors=True)
     print(json.dumps(report, indent=1))
     ray.shutdown()
     return 0

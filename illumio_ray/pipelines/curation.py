@@ -86,12 +86,22 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
     survivors = rd.read_parquet(str(surv_dir))
     n_filtered_exact = survivors.count()  # parquet metadata, no scan
 
-    cand = dedup.minhash_lsh_candidates(
-        rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
-        "doc_id", "text")
-    pairs = dedup.verify_jaccard_pairs_join(
-        cand, rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
-        "doc_id", "text", threshold=near_dup_threshold).to_pandas()
+    surv_pruned = rd.read_parquet(str(surv_dir), columns=["doc_id", "text"])
+    if n_filtered_exact <= 200_000:
+        # small survivor set: broadcast verify (fewer shuffles); above the
+        # threshold, the reduce-side join keeps text off the driver
+        import pyarrow.dataset as pads
+
+        docs_tbl = pads.dataset(str(surv_dir)).to_table(
+            columns=["doc_id", "text"])
+        pairs = dedup.near_dup_pairs(
+            surv_pruned, docs_tbl, "doc_id", "text",
+            threshold=near_dup_threshold).to_pandas()
+    else:
+        cand = dedup.minhash_lsh_candidates(surv_pruned, "doc_id", "text")
+        pairs = dedup.verify_jaccard_pairs_join(
+            cand, rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
+            "doc_id", "text", threshold=near_dup_threshold).to_pandas()
     drop_arr = pa.array(sorted(set(pairs["id_b"].tolist())), pa.int64())
 
     kept = rel.semi_anti_join(survivors, drop_arr, "doc_id", anti=True)
