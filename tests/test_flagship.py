@@ -127,3 +127,21 @@ def test_sweep_stale_removes_unmanifested_dirs(tmp_path):
     assert not (routed / "shard=00000.tmp").exists()
     assert not (routed / "shard=00007").exists()   # no manifest -> removed
     assert (routed / "shard=00001").exists()       # committed -> kept
+
+
+def test_run_flagship_actor_mode_end_to_end(tmp_path):
+    import pyarrow.dataset as pads
+
+    from illumio_ray.pipelines.flagship import run_flagship
+    from illumio_ray.synth import synth_pages
+
+    info = synth_pages(tmp_path / "in", rows=1000, num_files=2)
+    # serial shards + autoscaling (1,2) pool: an actor pool that reserves
+    # every test-session CPU would starve the read/write tasks and deadlock
+    m = run_flagship(info["pages_dir"], tmp_path / "out", info["lookup_lang"],
+                     info["lookup_host"], num_shards=2, enrich_mode="actor",
+                     enrich_concurrency=(1, 2), max_concurrent_shards=1)
+    routed = pads.dataset(str(tmp_path / "out" / "routed"),
+                          partitioning="hive").to_table(columns=["url"])
+    assert routed.num_rows == m["rows_routed"] > 0
+    assert len(set(routed["url"].to_pylist())) == routed.num_rows
