@@ -529,6 +529,143 @@ def events_json_extract(sf_dir: str):
         ("k", "count", "n_events"), ("k", "sum", "sum_k")])
 
 
+@register("events_sessionize", """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions
+FROM e GROUP BY user_id
+""")
+def events_sessionize(sf_dir: str):
+    """Sessionization (30-min inactivity gap) — the hallmark log-pipeline
+    windowed-state operator. Distributed: events hash-partition by user_id
+    (groupby), each group sorts its own timestamps and counts gap breaks;
+    no global sort, state never leaves the group."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    gap = np.timedelta64(30 * 60 * 1_000_000, "us")
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        if len(ts) == 0:
+            return pd.DataFrame({"user_id": [], "n_events": [], "n_sessions": []})
+        breaks = 1 + int((np.diff(ts) > gap).sum())
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_events": [len(ts)], "n_sessions": [breaks]})
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+@register("q12_shipmode", """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+GROUP BY l_returnflag
+""")
+def q12_shipmode(sf_dir: str):
+    """Join + conditional aggregate (TPC-H q12 shape on available columns)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_returnflag", "l_shipdate"])
+    lo, hi = _ts("1995-01-01"), _ts("1996-01-01")
+    li = rel.filter_batches(li, lambda t: pc.and_(
+        pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow")
+    joined = rel.hash_join(li, orders, on=["l_orderkey"], num_partitions=8)
+
+    def flags(t: pa.Table) -> pa.Table:
+        hi_mask = pc.is_in(t["o_orderpriority"],
+                           value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "hi": pc.cast(hi_mask, pa.int64()),
+            "lo": pc.cast(pc.invert(hi_mask), pa.int64()),
+        })
+
+    flagged = joined.map_batches(flags, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    return rel.grouped_agg(flagged, ["l_returnflag"], [
+        ("hi", "sum", "high_line_count"), ("lo", "sum", "low_line_count")])
+
+
+@register("q5_local_supplier_volume", """
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-01-01'
+GROUP BY n_name
+""")
+def q5_local_supplier_volume(sf_dir: str):
+    """Six-table plan: all dimension sides (customer keys per nation,
+    supplier→nation, nation⋈region) broadcast; the lineitem fact table
+    never shuffles — one broadcast join chain + bounded-key aggregate."""
+    nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
+    region = pq.read_table(str(Path(sf_dir) / "region.parquet"))
+    dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
+    dim = dim.filter(pc.equal(dim["r_name"], "ASIA"))
+    asia_nations = dim.select(["n_nationkey", "n_name"])
+
+    sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.join(asia_nations.rename_columns(["s_nationkey", "n_name"]),
+                   keys="s_nationkey", join_type="inner")
+
+    cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"])
+
+    # orders in window joined (broadcast) to customer nation
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lo, hi = _ts("1995-01-01"), _ts("1996-01-01")
+    orders = rel.filter_batches(orders, lambda t: pc.and_(
+        pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)))
+    orders = rel.broadcast_join(
+        orders, cust.rename_columns(["o_custkey", "c_nationkey"]),
+        on=["o_custkey"], join_type="inner")
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"])
+                   .rename_columns(["l_orderkey", "c_nationkey"]),
+        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount"])
+    # fact⋈fact leg: hash-partitioned join (orders-in-window is itself a
+    # fact-sized side at scale — never collected to the driver)
+    li = rel.hash_join(li, orders, on=["l_orderkey"], num_partitions=8)
+    sup_map = sup.select(["s_suppkey", "s_nationkey", "n_name"]) \
+                 .rename_columns(["l_suppkey", "s_nationkey", "n_name"])
+    li = rel.broadcast_join(li, sup_map, on=["l_suppkey"], join_type="inner")
+    li = rel.filter_batches(
+        li, lambda t: pc.equal(t["c_nationkey"], t["s_nationkey"]))
+    li = rel.with_columns(li, {
+        "rev": lambda t: pc.multiply(
+            t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+    }, keep=["n_name", "rev"])
+    agg = rel.grouped_agg(li, ["n_name"], [("rev", "sum", "rev_raw")])
+    return agg.map_batches(lambda t: pa.table({
+        "n_name": t["n_name"], "revenue": round_col(t["rev_raw"], 2)}),
+        batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # documents: text analysis + dedup
 # ---------------------------------------------------------------------------
