@@ -306,3 +306,21 @@ def test_jsonl_utf8_mode_keeps_base64_lookalike(tmp_path):
                               "text": "t", "lang": "en"}) + "\n")
     out = read_pages_jsonl(p, html_encoding="utf8").to_pandas()
     assert out.html.iloc[0] == b"deadbeef"  # NOT base64-decoded garbage
+
+
+def test_hll_distinct_accuracy_and_merge():
+    from illumio_ray.functions.sketches import HyperLogLog, hll_distinct
+
+    vals = [f"key-{i}" for i in range(20_000)] * 3  # 20k distinct, 60k rows
+    # merge property: two halves merged == whole
+    a = HyperLogLog().add(vals[:30_000])
+    b = HyperLogLog().add(vals[30_000:])
+    whole = HyperLogLog().add(vals)
+    assert a.merge(b).estimate() == whole.estimate()
+    est = whole.estimate()
+    assert abs(est - 20_000) / 20_000 < 0.05, est
+
+    # distributed path
+    df = pd.DataFrame({"k": vals})
+    est2 = hll_distinct(rd.from_pandas(df), "k")
+    assert abs(est2 - 20_000) / 20_000 < 0.05, est2
