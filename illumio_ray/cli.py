@@ -43,14 +43,30 @@ def cmd_synth(args) -> int:
 
 
 def cmd_run(args) -> int:
+    # config file + env fill any flag the user left unset (precedence:
+    # flag > ILLUMIO_RAY_* env > ini > default — ≙ reference app/config.py)
+    from .config import load_settings
+
+    cfg = load_settings(args.config)
+    num_shards = args.num_shards if args.num_shards is not None else cfg.num_shards
+    max_conc = (args.max_concurrent_shards
+                if args.max_concurrent_shards is not None
+                else cfg.max_concurrent_shards)
+    frags = (args.fragments_per_shard if args.fragments_per_shard is not None
+             else cfg.fragments_per_shard)
+    enrich_mode = args.enrich_mode or cfg.enrich_mode
+    max_mps = args.max_mps if args.max_mps is not None else (
+        cfg.max_messages_per_second or None)
+    siem = args.siem or (f"{cfg.sma_host}:{cfg.sma_port}" if cfg.sma_host else None)
+
     # validate delivery endpoint BEFORE running the pipeline — a malformed
     # --siem must not discard a completed run's metrics
     siem_addr = None
-    if args.siem:
-        host, sep, port = args.siem.rpartition(":")
+    if siem:
+        host, sep, port = siem.rpartition(":")
         if not sep or not port.isdigit() or not host:
             raise SystemExit(
-                f"--siem expects HOST:PORT, got {args.siem!r}")
+                f"--siem expects HOST:PORT, got {siem!r}")
         siem_addr = (host, int(port))
 
     _ray_init()
@@ -60,15 +76,15 @@ def cmd_run(args) -> int:
     if args.incremental:
         metrics = run_incremental(
             args.pages_dir, args.out, args.lang, args.host,
-            fragments_per_shard=args.fragments_per_shard,
-            max_concurrent_shards=args.max_concurrent_shards,
-            enrich_mode=args.enrich_mode, time_window=window)
+            fragments_per_shard=frags,
+            max_concurrent_shards=max_conc,
+            enrich_mode=enrich_mode, time_window=window)
     else:
         metrics = run_flagship(
             args.pages_dir, args.out, args.lang, args.host,
-            num_shards=args.num_shards, resume=not args.no_resume,
-            max_concurrent_shards=args.max_concurrent_shards,
-            enrich_mode=args.enrich_mode)
+            num_shards=num_shards, resume=not args.no_resume,
+            max_concurrent_shards=max_conc,
+            enrich_mode=enrich_mode)
     if siem_addr:
         # Optional delivery leg (≙ reference send_to_siem): stream committed
         # wire messages to a TCP endpoint after the parquet sink commits.
@@ -79,7 +95,8 @@ def cmd_run(args) -> int:
         routed = rd.read_parquet(str(Path(args.out) / "routed"),
                                  columns=["wire"])
         metrics["siem_messages_sent"] = send_to_syslog(
-            routed, siem_addr[0], siem_addr[1], max_per_second=args.max_mps)
+            routed, siem_addr[0], siem_addr[1], max_per_second=max_mps,
+            proto=cfg.siem_proto)
 
     print(json.dumps(metrics, indent=1))
     import ray
@@ -157,14 +174,18 @@ def main(argv=None) -> int:
     rp.add_argument("--lang", required=True)
     rp.add_argument("--host", required=True)
     rp.add_argument("--out", required=True)
-    rp.add_argument("--num-shards", type=int, default=16)
-    rp.add_argument("--max-concurrent-shards", type=int, default=4)
-    rp.add_argument("--enrich-mode", choices=["task", "actor"], default="task")
+    rp.add_argument("--config", default=None, metavar="SETTINGS_INI",
+                    help="settings.ini supplying defaults for the flags "
+                         "below (see settings.example.ini; env overrides "
+                         "via ILLUMIO_RAY_<SECTION>_<KEY>)")
+    rp.add_argument("--num-shards", type=int, default=None)
+    rp.add_argument("--max-concurrent-shards", type=int, default=None)
+    rp.add_argument("--enrich-mode", choices=["task", "actor"], default=None)
     rp.add_argument("--no-resume", action="store_true")
     rp.add_argument("--incremental", action="store_true",
                     help="process only fragments not yet covered by a "
                          "committed manifest (poll-loop semantics)")
-    rp.add_argument("--fragments-per-shard", type=int, default=16)
+    rp.add_argument("--fragments-per-shard", type=int, default=None)
     rp.add_argument("--window", default=None,
                     help="warc_ts look-back window 'ISO_LO/ISO_HI' "
                          "(incremental mode)")

@@ -75,7 +75,9 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
     import pyarrow as pa
 
     def partial(t: pa.Table) -> pa.Table:
-        h = HyperLogLog(p).add_hashes(hash64(t[col]))
+        import pyarrow.compute as pc
+        vals = t[col].drop_null()  # SQL COUNT(DISTINCT col) excludes NULLs
+        h = HyperLogLog(p).add_hashes(hash64(vals))
         return pa.table({"registers": pa.array([h.registers.tobytes()],
                                                pa.binary())})
 

@@ -96,9 +96,15 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
                            num_perm: int = 64, bands: int = 16,
-                           shingle_n: int = 3, seed: int = 7) -> rd.Dataset:
+                           shingle_n: int = 3, seed: int = 7,
+                           n_docs: int | None = None) -> rd.Dataset:
     """Stage 1+2: per-batch minhash signatures, exploded to LSH band rows,
-    grouped by (band_id, band_hash) → candidate pair rows (id_a < id_b)."""
+    grouped by (band_id, band_hash) → candidate pair rows (id_a < id_b).
+
+    Pass ``n_docs`` when the caller knows it (survivor counts, parquet
+    metadata): calling ``ds.count()`` on a lazy non-parquet pipeline would
+    force a full extra execution of the upstream stages just to pick the
+    fast path. Unknown size falls through to the distributed path."""
     rows_per_band = num_perm // bands
 
     def to_band_rows(t: pa.Table) -> pa.Table:
@@ -124,10 +130,19 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
                                zero_copy_batch=True)
 
     # Band rows are O(docs × bands) narrow int rows — tiny relative to the
-    # text. Below ~2M docs the bucket-join runs driver-side in one pandas
-    # pass (two Ray sort-shuffles cost seconds of fixed overhead each);
-    # above it, the same logic runs as distributed groupbys.
-    n_docs = ds.count()
+    # text. Below ~2M KNOWN docs the bucket-join runs driver-side in one
+    # pandas pass (two Ray sort-shuffles cost seconds of fixed overhead
+    # each); above — or when the size is unknown — the same logic runs as
+    # distributed groupbys.
+    if n_docs is None:
+        # cheap signal only: a bare read op answers count() from parquet
+        # footers; anything with transform stages would re-execute, so skip
+        try:
+            from ray.data._internal.logical.operators.read_operator import Read
+            if isinstance(ds._plan._logical_plan.dag, Read):
+                n_docs = ds.count()
+        except Exception:
+            n_docs = None
     if n_docs is not None and n_docs <= 2_000_000:
         tbl = pa.concat_tables(
             pa.table(b) for b in band_rows.iter_batches(batch_format="pyarrow"))
@@ -144,10 +159,14 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
             pairs_df = pd.DataFrame({
                 "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
             }).drop_duplicates(ignore_index=True)
-        else:
-            pairs_df = pd.DataFrame({"id_a": pd.Series([], dtype=np.int64),
-                                     "id_b": pd.Series([], dtype=np.int64)})
-        return rd.from_pandas(pairs_df)
+            return rd.from_pandas(pairs_df)
+        # keep the input id TYPE (string doc ids must not become int64 here
+        # while the non-empty case and the distributed path preserve them);
+        # built as Arrow — Ray drops columns on an empty object-dtype
+        # pandas frame
+        id_type = tbl.schema.field(id_col).type
+        return rd.from_arrow(pa.table({"id_a": pa.array([], id_type),
+                                       "id_b": pa.array([], id_type)}))
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g[id_col].to_numpy())
@@ -184,6 +203,10 @@ def verify_jaccard_pairs(cand: rd.Dataset, docs: pa.Table, id_col: str,
             d = ray.get(ref)
             sh = dict(zip(d[id_col].to_pylist(),
                           _shingle_hashes(d[text_col].to_pylist(), shingle_n)))
+            # one pinned corpus per worker: a session running many queries
+            # (bench runs 10+) must not accumulate corpus-sized shingle
+            # dicts per long-lived worker process
+            _VERIFY_CACHE.clear()
             _VERIFY_CACHE[ref] = sh
         empty = np.array([], np.uint64)
         js = [jaccard(sh.get(a, empty), sh.get(b, empty))
@@ -311,34 +334,145 @@ def simhash_dup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_near_dup_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
-                             threshold: float = 0.95) -> rd.Dataset:
-    """Pairs of vectors with cosine >= threshold: per-batch matmul against
-    the broadcast (normalized) matrix — O(N*B) flops per batch, no Python
-    loop. Scale path: bucket by sign-LSH first (similarity.py)."""
-    mat_tbl = ds.select_columns([id_col, vec_col]).to_arrow_refs()
-    full = pa.concat_tables([ray.get(r) for r in mat_tbl])
-    all_ids = np.asarray(full[id_col].to_pylist())
-    m = np.stack(full[vec_col].to_pylist()).astype(np.float64)
+def _ids_and_matrix(tbl: pa.Table, id_col: str, vec_col: str):
+    ids = np.asarray(tbl[id_col].to_pylist())
+    m = np.stack(tbl[vec_col].to_pylist()).astype(np.float64)
     m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((all_ids, m))
+    return ids, m
 
-    def pairs_fn(batch: pd.DataFrame) -> pd.DataFrame:
-        cached = _VERIFY_CACHE.get(ref)
-        if cached is None:
-            cached = ray.get(ref)
-            _VERIFY_CACHE[ref] = cached
-        ids, mat = cached
-        v = np.stack(batch[vec_col].to_numpy()).astype(np.float64)
-        v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = v @ mat.T  # (B, N)
-        bi, ni = np.nonzero(sims >= threshold)
-        ids_b = batch[id_col].to_numpy()[bi]
-        ids_n = ids[ni]
-        keep = ids_b < ids_n  # dedup + drop self-pairs
-        return pd.DataFrame({
-            "id_a": ids_b[keep], "id_b": ids_n[keep],
-            "cosine": round_np(sims[bi, ni][keep], 6),
-        })
 
-    return ds.map_batches(pairs_fn, batch_format="pandas")
+def _cosine_pairs(ids_a, m_a, ids_b, m_b, threshold: float) -> pa.Table:
+    """All (id_a < id_b) pairs between two normalized matrices with cosine
+    >= threshold — one matmul, no Python loop over rows."""
+    sims = m_a @ m_b.T
+    ai, bi = np.nonzero(sims >= threshold)
+    pa_ids, pb_ids = ids_a[ai], ids_b[bi]
+    keep = pa_ids < pb_ids  # canonical order + drop self-pairs
+    return pa.table({
+        "id_a": pa.array(pa_ids[keep]), "id_b": pa.array(pb_ids[keep]),
+        "cosine": pa.array(round_np(sims[ai, bi][keep], 6)),
+    })
+
+
+@ray.remote
+def _block_pair_task(blocks_a: list, blocks_b: list, id_col: str,
+                     vec_col: str, threshold: float, same: bool) -> pa.Table:
+    # block refs arrive nested in lists (Ray resolves only top-level args),
+    # so each task pulls exactly its two chunks from the object store
+    a = pa.concat_tables(ray.get(list(blocks_a)))
+    ids_a, m_a = _ids_and_matrix(a, id_col, vec_col)
+    if same:
+        ids_b, m_b = ids_a, m_a
+    else:
+        b = pa.concat_tables(ray.get(list(blocks_b)))
+        ids_b, m_b = _ids_and_matrix(b, id_col, vec_col)
+    out = _cosine_pairs(ids_a, m_a, ids_b, m_b, threshold)
+    if not same:
+        # the task only sees (group_i, group_j) with i < j; the reverse-order
+        # pairs (id in j-group < id in i-group) must come from the same task
+        rev = _cosine_pairs(ids_b, m_b, ids_a, m_a, threshold)
+        out = pa.concat_tables([out, rev])
+    return out
+
+
+def exact_cosine_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
+                       threshold: float, max_groups: int = 16) -> rd.Dataset:
+    """EXACT all-pairs cosine >= threshold, distributed: the corpus's Arrow
+    block refs are grouped into <= max_groups chunks, and one Ray task per
+    (group_i <= group_j) pulls just its two chunks from the object store and
+    matmuls them — the driver holds only refs and the (small) pair results,
+    never the vector matrix. O(N^2) flops is inherent to exactness; this
+    path is for bounded corpora (or low thresholds where LSH recall dies) —
+    ``lsh_cosine_pairs`` is the 10^12-scale path for true near-dup
+    thresholds."""
+    refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
+    if not refs:
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    g = min(max_groups, len(refs))
+    groups = [refs[i::g] for i in range(g)]
+    out_refs = []
+    for i in range(g):
+        for j in range(i, g):
+            out_refs.append(_block_pair_task.remote(
+                groups[i], groups[j] if j != i else [], id_col, vec_col,
+                threshold, same=(i == j)))
+    return rd.from_arrow_refs(out_refs)
+
+
+def lsh_cosine_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
+                     threshold: float = 0.9, n_bits: int = 8,
+                     n_tables: int = 4, seed: int = 13) -> rd.Dataset:
+    """Scale path: multi-table sign-LSH bucketed candidates → in-bucket
+    exact-cosine verify. Rows replicate n_tables× into (bucket, id, vec)
+    rows, hash-partition by bucket (groupby — never all-pairs), each bucket
+    matmuls only its own members, and duplicate pairs from multiple tables
+    collapse in a final tiny pair-level groupby. Approximate by design
+    (recall tested vs the exact path); only sound for high thresholds —
+    at cosine 0.9 a pair disagrees on a hyperplane with p≈0.14, so with
+    hamming-0 buckets over n_bits=8 × 4 tables the per-pair miss rate is
+    ~(1-0.86^8)^4 ≈ 4%; raise n_tables for tighter recall."""
+    from .similarity import SignLSHIndex, _normalize
+
+    sample = ds.take(1)
+    dim = len(sample[0][vec_col])
+    indexes = [SignLSHIndex(dim, n_bits, seed + 101 * t) for t in range(n_tables)]
+    ref = ray.put(indexes)
+
+    def to_bucket_rows(t: pa.Table) -> pa.Table:
+        idxs = ray.get(ref)
+        m = _normalize(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        parts = []
+        for ti, idx in enumerate(idxs):
+            b = idx.buckets(m) + (ti << n_bits)
+            parts.append(pa.table({
+                "__bucket": pa.array(b, pa.int64()),
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+            }))
+        return pa.concat_tables(parts)
+
+    bucketed = ds.map_batches(to_bucket_rows, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def in_bucket_pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return pa.table({"id_a": pa.array([], g[id_col].type),
+                             "id_b": pa.array([], g[id_col].type),
+                             "cosine": pa.array([], pa.float64())})
+        ids, m = _ids_and_matrix(g, id_col, vec_col)
+        return _cosine_pairs(ids, m, ids, m, threshold)
+
+    pairs = bucketed.groupby("__bucket").map_groups(
+        in_bucket_pairs, batch_format="pyarrow")
+    # same pair can fire in multiple tables → collapse
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def embedding_near_dup_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
+                             threshold: float = 0.95, method: str = "auto",
+                             n_rows: int | None = None,
+                             exact_gate: int = 200_000) -> rd.Dataset:
+    """Pairs of vectors with cosine >= threshold.
+
+    method:
+      - "exact": distributed block-pair matmul (exact_cosine_pairs) — right
+        for bounded corpora and for low thresholds;
+      - "lsh":   sign-LSH bucketed candidates + verify (lsh_cosine_pairs) —
+        the 10^12-doc path for true near-dup thresholds (>= ~0.8);
+      - "auto":  exact when the corpus is known-small (n_rows <= exact_gate)
+        or the threshold is too low for LSH recall, else lsh. Pass n_rows
+        when known (a ds.count() on a lazy pipeline would re-execute it)."""
+    if method == "auto":
+        if n_rows is None:
+            try:
+                n_rows = ds.count()  # metadata-cheap on fresh parquet reads
+            except Exception:
+                n_rows = None
+        small = n_rows is not None and n_rows <= exact_gate
+        method = "exact" if (small or threshold < 0.8) else "lsh"
+    if method == "exact":
+        return exact_cosine_pairs(ds, id_col, vec_col, threshold)
+    return lsh_cosine_pairs(ds, id_col, vec_col, threshold)

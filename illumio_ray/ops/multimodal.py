@@ -16,41 +16,67 @@ import ray.data as rd
 
 from ..functions.hashing import hash64
 
-try:  # real decoder gated behind an import-try (not present in sandbox)
-    import PIL.Image  # type: ignore  # noqa: F401
-    _HAS_PIL = True
-except ImportError:
-    _HAS_PIL = False
+def _resolve_pil():
+    """Lazy PIL import (not present in this container). Resolved at actor
+    construction, not module import, so a full environment — or a test
+    injecting a fake into sys.modules — exercises the real branch with no
+    code change."""
+    try:
+        from PIL import Image  # type: ignore
+        return Image
+    except ImportError:
+        return None
 
 
 class DecodeImageStub:
     """Actor-pool stage: binary column → (width, height, n_bytes, phash).
 
-    Deterministic fake: dimensions derived from the payload hash. A real
-    deployment overrides ``_decode``. Keep ``batch_size`` small for large
-    payloads — batch_size × concurrency payloads live in worker heaps.
+    ``real=True``: decode with PIL (``Image.open`` per payload — the decode
+    itself is inherently per-image; everything around it stays columnar).
+    Raises at CONSTRUCTION time when PIL is absent, so a misconfigured
+    pipeline fails fast instead of per batch. ``real=False`` (default here,
+    since the container ships no image libs): deterministic fake decode with
+    dimensions derived from the payload hash — same schema, same actor-pool
+    shape. Keep ``batch_size`` small for large payloads — batch_size ×
+    concurrency payloads live in worker heaps.
     """
 
     def __init__(self, binary_col: str = "payload", real: bool = False):
         self.binary_col = binary_col
+        self.pil = None
         if real:
-            if not _HAS_PIL:
+            self.pil = _resolve_pil()
+            if self.pil is None:
                 raise NotImplementedError(
                     "real image decode requires PIL, which this container "
                     "does not ship; use the deterministic stub (real=False)"
                 )
-            raise NotImplementedError("real decode path not wired up yet")
 
     def _decode(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         width = (h % np.uint64(1920)).astype(np.int64) + 16
         height = (h // np.uint64(7) % np.uint64(1080)).astype(np.int64) + 16
         return width, height
 
+    def _decode_real(self, payload) -> tuple[np.ndarray, np.ndarray]:
+        import io
+
+        widths = np.empty(len(payload), dtype=np.int64)
+        heights = np.empty(len(payload), dtype=np.int64)
+        for i, buf in enumerate(payload):
+            with self.pil.open(io.BytesIO(buf.as_py())) as img:
+                widths[i], heights[i] = img.size
+        return widths, heights
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch[self.binary_col]
         n_bytes = pa.compute.cast(pa.compute.binary_length(payload), pa.int64())
-        h = hash64(payload.to_pandas())
-        width, height = self._decode(h)
+        h = hash64(payload)
+        if self.pil is not None:
+            width, height = self._decode_real(
+                payload.combine_chunks() if isinstance(payload, pa.ChunkedArray)
+                else payload)
+        else:
+            width, height = self._decode(h)
         return (
             batch.drop_columns([self.binary_col])
             .append_column("n_bytes", n_bytes)
@@ -61,11 +87,12 @@ class DecodeImageStub:
 
 
 def decode_binary_metadata(ds: rd.Dataset, binary_col: str,
-                           concurrency=(1, 4), batch_size: int = 256) -> rd.Dataset:
+                           concurrency=(1, 4), batch_size: int = 256,
+                           real: bool = False) -> rd.Dataset:
     """Run the decode actor pool over a dataset with a binary column."""
     return ds.map_batches(
         DecodeImageStub,
-        fn_constructor_kwargs={"binary_col": binary_col},
+        fn_constructor_kwargs={"binary_col": binary_col, "real": real},
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
@@ -90,7 +117,7 @@ class ResizeImageStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch[self.binary_col]
-        h64 = hash64(payload.to_pandas())
+        h64 = hash64(payload)
         w = (h64 % np.uint64(1920)).astype(np.float64) + 16
         h = (h64 // np.uint64(7) % np.uint64(1080)).astype(np.float64) + 16
         scale = np.minimum(1.0, np.minimum(self.max_w / w, self.max_h / h))
@@ -120,7 +147,7 @@ class FrameSampleStub:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payload = batch[self.binary_col]
-        h64 = hash64(payload.to_pandas())
+        h64 = hash64(payload)
         n_frames = (h64 % np.uint64(300)).astype(np.int64) + 1  # fake length
         sampled = np.minimum((n_frames + self.every_n - 1) // self.every_n,
                              self.max_frames)

@@ -326,18 +326,32 @@ def topk_per_group(ds: rd.Dataset, group_keys: list[str],
     …) <= k). Per-batch local prune first — only k rows per (batch, group)
     enter the shuffle — then an exact per-group top-k after the groupby."""
     ascending = [not d for d in descending]
+    order = [(c, "descending" if d else "ascending")
+             for c, d in zip(order_keys, descending)]
 
-    def local(df: pd.DataFrame) -> pd.DataFrame:
-        # dropna=False: SQL window semantics keep a NULL partition
-        return (df.sort_values(order_keys, ascending=ascending)
-                  .groupby(group_keys, sort=False, dropna=False).head(k))
+    def local(t: pa.Table) -> pa.Table:
+        # Arrow-native prune (no pandas round-trip): sort by the order keys,
+        # gather each group's row indices with a list aggregate, keep the
+        # first k per group (O(groups) slicing, not O(rows)), one take.
+        # NULL group keys form their own group (SQL window semantics).
+        if t.num_rows <= k:
+            return t
+        s = t.sort_by(order)
+        idx = s.select(group_keys).append_column(
+            "__i", pa.array(np.arange(s.num_rows), pa.int64()))
+        g = idx.group_by(group_keys, use_threads=False).aggregate([("__i", "list")])
+        lists = g["__i_list"]
+        take = np.concatenate([
+            np.asarray(lists[i].values[:k])
+            for i in range(len(lists))]) if len(lists) else np.array([], np.int64)
+        return s.take(pa.array(np.sort(take), pa.int64()))
 
-    pruned = ds.map_batches(local, batch_format="pandas")
+    pruned = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_keys, ascending=ascending).head(k)
+    def per_group(g: pa.Table) -> pa.Table:
+        return g.sort_by(order).slice(0, k)
 
-    return pruned.groupby(group_keys).map_groups(per_group, batch_format="pandas")
+    return pruned.groupby(group_keys).map_groups(per_group, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -96,9 +96,10 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
             columns=["doc_id", "text"])
         pairs = dedup.near_dup_pairs(
             surv_pruned, docs_tbl, "doc_id", "text",
-            threshold=near_dup_threshold).to_pandas()
+            threshold=near_dup_threshold, n_docs=n_filtered_exact).to_pandas()
     else:
-        cand = dedup.minhash_lsh_candidates(surv_pruned, "doc_id", "text")
+        cand = dedup.minhash_lsh_candidates(surv_pruned, "doc_id", "text",
+                                            n_docs=n_filtered_exact)
         pairs = dedup.verify_jaccard_pairs_join(
             cand, rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
             "doc_id", "text", threshold=near_dup_threshold).to_pandas()

@@ -544,22 +544,49 @@ FROM e GROUP BY user_id
 """)
 def events_sessionize(sf_dir: str):
     """Sessionization (30-min inactivity gap) — the hallmark log-pipeline
-    windowed-state operator. Distributed: events hash-partition by user_id
-    (groupby), each group sorts its own timestamps and counts gap breaks;
-    no global sort, state never leaves the group."""
+    windowed-state operator. Distributed: events hash-partition by a
+    BUCKET of user_ids (hash(user) % P), so each map_groups call receives a
+    whole partition of users and processes them in ONE vectorized pass —
+    sort by (user, ts), np.diff for gaps, np.add.reduceat over user segment
+    boundaries. (The earlier per-user map_groups emitted one single-row
+    pandas frame per user; per-group pandas overhead dominates at 10^9
+    users.) A user's rows never split across buckets, so state still never
+    leaves the group."""
+    from ..functions.hashing import hash64
+
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     gap = np.timedelta64(30 * 60 * 1_000_000, "us")
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        users = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy()
         if len(ts) == 0:
             return pd.DataFrame({"user_id": [], "n_events": [], "n_sessions": []})
-        breaks = 1 + int((np.diff(ts) > gap).sum())
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_events": [len(ts)], "n_sessions": [breaks]})
+        new_user = np.empty(len(users), dtype=bool)
+        new_user[0] = True
+        new_user[1:] = users[1:] != users[:-1]
+        gap_break = np.empty(len(ts), dtype=bool)
+        gap_break[0] = True
+        gap_break[1:] = np.diff(ts) > gap
+        new_session = (new_user | gap_break).astype(np.int64)
+        starts = np.flatnonzero(new_user)
+        return pd.DataFrame({
+            "user_id": users[starts],
+            "n_events": np.diff(np.append(starts, len(users))),
+            "n_sessions": np.add.reduceat(new_session, starts),
+        })
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    out = bucketed.groupby("__b").map_groups(sessions, batch_format="pandas")
+    return out
 
 
 @register("q12_shipmode", """
@@ -614,9 +641,12 @@ WHERE r_name = 'ASIA'
 GROUP BY n_name
 """)
 def q5_local_supplier_volume(sf_dir: str):
-    """Six-table plan: all dimension sides (customer keys per nation,
-    supplier→nation, nation⋈region) broadcast; the lineitem fact table
-    never shuffles — one broadcast join chain + bounded-key aggregate."""
+    """Six-table plan: true dimensions (nation⋈region, supplier→nation)
+    broadcast; customer is FACT-SIZED at TPC-H scale (1.5M rows/sf), so it
+    is first semi-joined down to the ASIA nations (5/25 keys — a broadcast
+    is_in filter, ~5× shrink) and then HASH-JOINED to the in-window orders —
+    never collected to the driver. lineitem hash-joins the result; both
+    fact⋈fact exchanges move only pruned key columns."""
     nation = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
     region = pq.read_table(str(Path(sf_dir) / "region.parquet"))
     dim = nation.join(region, keys="n_regionkey", right_keys="r_regionkey")
@@ -628,18 +658,20 @@ def q5_local_supplier_volume(sf_dir: str):
     sup = sup.join(asia_nations.rename_columns(["s_nationkey", "n_name"]),
                    keys="s_nationkey", join_type="inner")
 
-    cust = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
-                         columns=["c_custkey", "c_nationkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust = rel.semi_anti_join(
+        cust, asia_nations["n_nationkey"].to_pylist(), "c_nationkey")
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+        batch_format="pyarrow")
 
-    # orders in window joined (broadcast) to customer nation
     orders = read_table(sf_dir, "orders",
                         columns=["o_orderkey", "o_custkey", "o_orderdate"])
     lo, hi = _ts("1995-01-01"), _ts("1996-01-01")
     orders = rel.filter_batches(orders, lambda t: pc.and_(
         pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)))
-    orders = rel.broadcast_join(
-        orders, cust.rename_columns(["o_custkey", "c_nationkey"]),
-        on=["o_custkey"], join_type="inner")
+    orders = orders.select_columns(["o_orderkey", "o_custkey"])
+    orders = rel.hash_join(orders, cust, on=["o_custkey"], num_partitions=8)
     orders = orders.map_batches(
         lambda t: t.select(["o_orderkey", "c_nationkey"])
                    .rename_columns(["l_orderkey", "c_nationkey"]),

@@ -48,34 +48,57 @@ class TokenBucket:
 
 
 class SyslogSinkStage:
-    """Actor-pool map_batches stage: wire column → TCP lines.
+    """Actor-pool map_batches stage: wire column → TCP lines / UDP datagrams.
 
-    Lazy connect in first use, reconnect-per-batch on error (≙ reference
-    reconnect logic), optional TokenBucket ceiling. Emits one summary row
-    per batch: (n_sent,). Use ``concurrency=N`` for N parallel connections;
-    set ``max_per_second`` to rate-limit EACH connection (the reference's
-    MAX_MESSAGES_PER_SECOND is per process)."""
+    ``proto="tcp"`` (default): lazy connect on first use, reconnect-per-line
+    on error (≙ reference reconnect logic, app/log_processor.py:117-127).
+    ``proto="udp"``: one connectionless socket, one datagram per message, no
+    newline framing (≙ ``sendto``, app/log_processor.py:265-267).
+    Optional TokenBucket ceiling. Emits one summary row per batch:
+    (n_sent,). Use ``concurrency=N`` for N parallel connections; set
+    ``max_per_second`` to rate-limit EACH connection (the reference's
+    MAX_MESSAGES_PER_SECOND is per process).
+
+    Envelope parity note: the reference prepends a per-send syslog header
+    '<timestamp> <local-ip> <USER:NOTE> ' before each wire line
+    (app/log_processor.py:242-276). That header is wall-clock- and
+    host-dependent — non-deterministic by construction — so it is OFF by
+    default here (the wire column itself is the byte-identity surface);
+    pass ``envelope="..."`` (a prefix string, e.g. built from
+    time.strftime + local ip) to opt into reference-style framing."""
 
     def __init__(self, host: str, port: int, wire_col: str = "wire",
                  max_per_second: float | None = None,
-                 connect_timeout: float = 5.0):
+                 connect_timeout: float = 5.0, proto: str = "tcp",
+                 envelope: str | None = None):
+        if proto not in ("tcp", "udp"):
+            raise ValueError(f"proto must be 'tcp' or 'udp', got {proto!r}")
         self.addr = (host, port)
         self.wire_col = wire_col
         self.bucket = TokenBucket(max_per_second) if max_per_second else None
         self.connect_timeout = connect_timeout
+        self.proto = proto
+        self.envelope = (envelope or "").encode("utf-8")
         self.sock: socket.socket | None = None
 
     def _connect(self) -> socket.socket:
         if self.sock is None:
-            s = socket.create_connection(self.addr, timeout=self.connect_timeout)
-            s.settimeout(None)
-            self.sock = s
+            if self.proto == "udp":
+                self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            else:
+                s = socket.create_connection(self.addr,
+                                             timeout=self.connect_timeout)
+                s.settimeout(None)
+                self.sock = s
         return self.sock
 
     def _send_line(self, line: bytes, retries: int = 3) -> None:
         for attempt in range(retries):
             try:
-                self._connect().sendall(line)
+                if self.proto == "udp":
+                    self._connect().sendto(line, self.addr)
+                else:
+                    self._connect().sendall(line + b"\n")
                 return
             except OSError:
                 if self.sock is not None:
@@ -95,7 +118,7 @@ class SyslogSinkStage:
                 continue
             if self.bucket is not None:
                 self.bucket.consume()
-            self._send_line(wire.encode("utf-8") + b"\n")
+            self._send_line(self.envelope + wire.encode("utf-8"))
             n += 1
         return pa.table({"n_sent": pa.array([n], pa.int64())})
 
@@ -109,7 +132,8 @@ class SyslogSinkStage:
 
 def send_to_syslog(routed_ds, host: str, port: int, wire_col: str = "wire",
                    concurrency: int | tuple = 1,
-                   max_per_second: float | None = None) -> int:
+                   max_per_second: float | None = None,
+                   proto: str = "tcp", envelope: str | None = None) -> int:
     """Drive a routed dataset through the syslog sink; returns messages sent.
 
     The per-row send loop is inherent to the wire protocol (one framed line
@@ -119,7 +143,8 @@ def send_to_syslog(routed_ds, host: str, port: int, wire_col: str = "wire",
         SyslogSinkStage,
         fn_constructor_kwargs={"host": host, "port": port,
                                "wire_col": wire_col,
-                               "max_per_second": max_per_second},
+                               "max_per_second": max_per_second,
+                               "proto": proto, "envelope": envelope},
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

@@ -69,6 +69,111 @@ def test_multimodal_real_decode_raises():
         multimodal.DecodeImageStub(real=True)
 
 
+def test_multimodal_real_decode_branch_with_fake_pil(monkeypatch):
+    """The real=True branch is wired (not a stub raise): inject a fake PIL
+    and check the decoded dimensions flow through the columnar plumbing."""
+    class FakeImg:
+        def __init__(self, buf):
+            self.size = (len(buf), len(buf) * 2)  # "dimensions" from payload
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImage:
+        @staticmethod
+        def open(fp):
+            return FakeImg(fp.read())
+
+    monkeypatch.setattr(multimodal, "_resolve_pil", lambda: FakeImage)
+    stage = multimodal.DecodeImageStub(binary_col="payload", real=True)
+    out = stage(pa.table({"url": ["a", "b"],
+                          "payload": [b"\x01\x02\x03", b"\xff" * 10]}))
+    assert out["width"].to_pylist() == [3, 10]
+    assert out["height"].to_pylist() == [6, 20]
+    assert out["n_bytes"].to_pylist() == [3, 10]
+    assert "payload" not in out.column_names
+
+
+def _clustered_embeddings(n_clusters=40, per_cluster=3, dim=16, seed=11):
+    """Clusters of near-identical vectors (cosine ≥ ~0.99 within a
+    cluster) plus noise vectors — every within-cluster pair is a true
+    near-dup."""
+    rng = np.random.default_rng(seed)
+    vecs, ids = [], []
+    vid = 0
+    for _ in range(n_clusters):
+        base = rng.standard_normal(dim)
+        base /= np.linalg.norm(base)
+        for _ in range(per_cluster):
+            v = base + 0.01 * rng.standard_normal(dim)
+            vecs.append(v.astype(np.float32))
+            ids.append(vid)
+            vid += 1
+    for _ in range(n_clusters * 2):  # noise
+        vecs.append((rng.standard_normal(dim) * 3).astype(np.float32))
+        ids.append(vid)
+        vid += 1
+    return pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+
+def _brute_force_pairs(df, threshold):
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = m @ m.T
+    ids = df["vec_id"].to_numpy()
+    ai, bi = np.nonzero(sims >= threshold)
+    keep = ids[ai] < ids[bi]
+    return set(zip(ids[ai][keep], ids[bi][keep]))
+
+
+def test_exact_cosine_pairs_matches_brute_force_across_blocks():
+    """Distributed block-pair exact path == driver brute force, on a corpus
+    split over many blocks (no driver-side matrix materialization — each
+    task only pulls its two chunks)."""
+    df = _clustered_embeddings()
+    ds = rd.from_pandas(df).repartition(7)  # force multi-block grouping
+    got = dedup.exact_cosine_pairs(ds, "vec_id", "embedding",
+                                   threshold=0.95, max_groups=4).to_pandas()
+    want = _brute_force_pairs(df, 0.95)
+    assert set(zip(got.id_a, got.id_b)) == want
+    assert len(want) >= 40  # sanity: the clusters produced real pairs
+
+
+def test_lsh_cosine_pairs_matches_exact_at_high_threshold():
+    """Scale path (bucketed candidates → in-bucket verify) finds the same
+    pairs as the exact path at a true near-dup threshold; no corpus
+    broadcast, no all-pairs scan."""
+    df = _clustered_embeddings()
+    ds = rd.from_pandas(df)
+    got = dedup.lsh_cosine_pairs(ds, "vec_id", "embedding", threshold=0.95,
+                                 n_bits=8, n_tables=6).to_pandas()
+    want = _brute_force_pairs(df, 0.95)
+    got_pairs = set(zip(got.id_a, got.id_b))
+    assert got_pairs <= want  # verify step: no false positives, ever
+    recall = len(got_pairs & want) / len(want)
+    assert recall == 1.0, f"LSH near-dup recall {recall} (seeded, deterministic)"
+
+
+def test_minhash_empty_candidates_keep_string_id_dtype():
+    """No candidate pairs + string doc ids: the empty frame's id dtype must
+    match the input (not hardcoded int64)."""
+    df = pd.DataFrame({"doc_id": [f"d{i}" for i in range(5)],
+                       "text": [" ".join(f"w{i}{j}" for j in range(30))
+                                for i in range(5)]})
+    out = dedup.minhash_lsh_candidates(
+        rd.from_pandas(df), "doc_id", "text", n_docs=5)
+    assert out.count() == 0
+    # schema-level check (Ray's to_pandas drops columns on empty datasets):
+    # id columns keep the input's string type, not a hardcoded int64
+    sch = out.schema()
+    types = dict(zip(sch.names, sch.types))
+    assert pa.types.is_string(types["id_a"]) or pa.types.is_large_string(types["id_a"])
+    assert types["id_a"] == types["id_b"]
+
+
 def test_topk_matches_pandas():
     df = pd.DataFrame({"k": np.arange(100), "v": np.arange(100)[::-1] % 17})
     got = rel.topk(rd.from_pandas(df), ["v", "k"], 5,

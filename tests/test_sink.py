@@ -51,6 +51,29 @@ def test_syslog_sink_delivers_all_lines():
         srv.server_close()
 
 
+def test_syslog_sink_udp_datagrams_and_envelope():
+    """UDP variant (≙ reference sendto, app/log_processor.py:265-267): one
+    datagram per message, no newline framing; optional envelope prefix."""
+    import socket
+
+    import pyarrow as pa
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5)
+    port = rx.getsockname()[1]
+    try:
+        stage = SyslogSinkStage("127.0.0.1", port, proto="udp",
+                                envelope="Jan 01 00:00:00 10.0.0.1 USER:NOTE ")
+        out = stage(pa.table({"wire": ["m1", "m2", None]}))
+        assert out["n_sent"].to_pylist() == [2]
+        got = sorted(rx.recvfrom(65535)[0].decode() for _ in range(2))
+        assert got == ["Jan 01 00:00:00 10.0.0.1 USER:NOTE m1",
+                       "Jan 01 00:00:00 10.0.0.1 USER:NOTE m2"]
+    finally:
+        rx.close()
+
+
 def test_token_bucket_caps_rate():
     b = TokenBucket(rate=100, capacity=10)
     t0 = time.monotonic()

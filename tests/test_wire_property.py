@@ -8,7 +8,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import ray.data as rd
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from illumio_ray.pipelines.flagship import build_routed
 from illumio_ray.schema import PAGES_SCHEMA
@@ -70,7 +70,10 @@ def _mk_pages(rows) -> pa.Table:
     }, schema=PAGES_SCHEMA)
 
 
-@settings(max_examples=12, deadline=None)
+@settings(max_examples=12, deadline=None,
+          # the >2048-byte bodies are the point (wire truncation budget);
+          # hypothesis' data_too_large heuristic intermittently trips on them
+          suppress_health_check=[HealthCheck.data_too_large])
 @given(rows=st.lists(_row, min_size=1, max_size=8))
 def test_wire_matches_oracle_on_adversarial_rows(rows):
     import tempfile
