@@ -92,9 +92,17 @@ def run_flagship_once(num_cpus: int, sf: float) -> dict:
         from illumio_ray.synth import ensure_pages_for_sf
 
         info = ensure_pages_for_sf(sf, base=_synth_base())
+
         # Warm the worker pool (fresh-session worker process startup is
-        # cluster bring-up, not pipeline throughput).
-        rd.range(1000).map_batches(lambda b: b).count()
+        # cluster bring-up, not pipeline throughput) — and pre-import the
+        # per-worker native deps (polars-backed hashing) in every worker,
+        # so no timed run pays module-import cost in its first batches.
+        def _warm(b):
+            from illumio_ray.functions import hashing  # noqa: F401
+            return b
+
+        rd.range(4096, override_num_blocks=max(32, num_cpus * 2)).map_batches(
+            _warm).count()
         out_dir = _bench_out_dir(f"illumio_bench_{num_cpus}c_")
         try:
             t0 = time.perf_counter()

@@ -8,6 +8,13 @@ app/s3_manager.py:253-267), dedup keys, MinHash/SimHash sketches.
 
 from __future__ import annotations
 
+import os
+
+# Per-batch hash calls are small; polars' default Rust thread pool is one
+# thread per CPU per PROCESS, and 32 Ray workers x 32 threads oversubscribes
+# the box. Must be set before the first polars import in the process.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 import numpy as np
 import pandas as pd
 import polars as pl

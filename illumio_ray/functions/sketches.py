@@ -68,6 +68,89 @@ class HyperLogLog:
         return float(est)
 
 
+class MisraGries:
+    """Misra-Gries heavy-hitter summary: at most ``k`` (value, count)
+    counters; any value with true frequency > n/(k+1) is guaranteed to
+    survive, with undercount <= n/(k+1). Mergeable (Agarwal et al.,
+    "Mergeable Summaries"): sum counters, keep the top-k, subtract the
+    (k+1)-th largest count — the error bound is additive across merges.
+
+    Used as the candidate-generation half of the exact heavy-hitters
+    pattern: sketch per block (tiny), merge on the driver, then one exact
+    recount restricted to the candidate set."""
+
+    def __init__(self, k: int = 512):
+        self.k = k
+        self.counts: dict = {}
+
+    def _prune(self) -> None:
+        if len(self.counts) <= self.k:
+            return
+        cut = sorted(self.counts.values(), reverse=True)[self.k]
+        self.counts = {v: c - cut for v, c in self.counts.items() if c > cut}
+
+    def add_array(self, arr: np.ndarray) -> "MisraGries":
+        vals, cnts = np.unique(arr, return_counts=True)
+        for v, c in zip(vals.tolist(), cnts.tolist()):
+            self.counts[v] = self.counts.get(v, 0) + int(c)
+        self._prune()
+        return self
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        for v, c in other.counts.items():
+            self.counts[v] = self.counts.get(v, 0) + c
+        self._prune()
+        return self
+
+
+def heavy_hitters(ds, col: str, phi: float, total: int,
+                  k: int | None = None, out_col: str = "n_events"):
+    """EXACT heavy hitters (values with count >= phi * total) in two passes:
+
+      1. per-block Misra-Gries partials (<= k narrow rows each) merged on
+         the driver — candidate superset, guaranteed complete for
+         k >= 1/phi (we default to 4/phi so merged-prune undercount
+         cannot evict a true hitter);
+      2. one exact recount over the candidate set only (broadcast is_in
+         filter -> bounded-key grouped count) and the exact phi test.
+
+    Never shuffles the raw key column; the only exchange is O(blocks x k)
+    partial rows. Pass ``total`` (row count) from parquet metadata."""
+    import pyarrow as pa
+
+    from ..ops import relational as rel
+
+    if k is None:
+        k = max(512, int(4.0 / phi))
+
+    def partial(t: pa.Table) -> pa.Table:
+        mg = MisraGries(k).add_array(
+            t[col].drop_null().to_numpy(zero_copy_only=False))
+        return pa.table({
+            "__v": pa.array(list(mg.counts.keys())),
+            "__c": pa.array(list(mg.counts.values()), pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    acc = MisraGries(k)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        other = MisraGries(k)
+        other.counts = dict(zip(b["__v"].to_pylist(), b["__c"].to_pylist()))
+        acc.merge(other)
+    candidates = list(acc.counts.keys())
+    if not candidates:
+        return rel.grouped_agg(ds.limit(0), [col], [(col, "count", out_col)])
+
+    cand_ds = rel.semi_anti_join(ds, candidates, col)
+    counted = rel.grouped_agg(cand_ds, [col], [(col, "count", out_col)])
+    threshold = phi * total
+    return rel.filter_batches(
+        counted,
+        lambda t: pa.compute.greater_equal(
+            pa.compute.cast(t[out_col], pa.float64()), threshold))
+
+
 def hll_distinct(ds, col: str, p: int = 12) -> float:
     """Distributed distinct estimate: per-block register arrays (map),
     element-wise-max merge on the driver (registers are 2^p bytes, not

@@ -131,6 +131,35 @@ def add_fingerprint(ds: rd.Dataset, text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def add_repetition_signals(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset:
+    """Gopher-style repetition quality signals, per doc:
+
+      - ttr: type-token ratio (distinct words / words) — low values mean
+        boilerplate/keyword-stuffing;
+      - top_word_frac: most-frequent-word share of the doc — high values
+        mean degenerate repetition.
+
+    Row-local by construction (a doc's words never leave its row), so the
+    operator is a pure map stage — no shuffle at any scale. Tokenization is
+    a plain single-space split, shared verbatim with the DuckDB oracle
+    (string_split(text, ' '))."""
+    from ..functions.rounding import round_np
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("").str.split(" ")
+        n = s.str.len().to_numpy(dtype=np.float64)
+        ex = s.explode()
+        per_word = ex.groupby([ex.index, ex.to_numpy()], sort=False).size()
+        top = per_word.groupby(level=0).max().reindex(batch.index).to_numpy(np.float64)
+        uniq = per_word.groupby(level=0).size().reindex(batch.index).to_numpy(np.float64)
+        denom = np.maximum(n, 1.0)
+        batch["ttr"] = round_np(uniq / denom, 6)
+        batch["top_word_frac"] = round_np(top / denom, 6)
+        return batch
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
 BPEISH_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
              r"| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
 

@@ -1110,6 +1110,96 @@ def events_random_sample(sf_dir: str):
     return ds.random_sample(0.01, seed=42)
 
 
+@register("events_heavy_hitters", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+HAVING count(*) >= 0.007 * (SELECT count(*) FROM events)
+""")
+def events_heavy_hitters(sf_dir: str):
+    """EXACT heavy hitters via mergeable Misra-Gries candidates + one exact
+    recount — the raw key column never shuffles (the only exchange is
+    O(blocks × k) sketch rows). The SQL oracle is the full GROUP
+    BY/HAVING; results match exactly because pass 2 recounts candidates
+    exactly and the MG bound guarantees the candidate set is a superset."""
+    from ..functions.sketches import heavy_hitters
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    total = ds.count()  # bare parquet read → footer metadata, no scan
+    return heavy_hitters(ds, "user_id", phi=0.007, total=total)
+
+
+@register("events_error_view_range_join", """
+SELECT e.event_id, CAST(count(*) AS BIGINT) AS n_nearby
+FROM events e JOIN events p
+  ON e.event_type = 'error' AND p.event_type = 'view'
+ AND abs(epoch_us(p.ts) - epoch_us(e.ts)) <= 300000000
+GROUP BY e.event_id
+""")
+def events_error_view_range_join(sf_dir: str):
+    """Range join (±5 min band): for each error event, how many 'view'
+    events landed nearby. Distributed as a bucketed band join
+    (rel.range_join_count) — 3 probe rows per left row, equi-join on the
+    bucket, exact |dt| filter per batch; never a time cross-product."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    errors = rel.filter_batches(
+        ev, lambda t: pc.equal(t["event_type"], "error")).select_columns(
+        ["event_id", "ts"])
+    views = rel.filter_batches(
+        ev, lambda t: pc.equal(t["event_type"], "view")).select_columns(["ts"])
+    return rel.range_join_count(errors, views, "ts", "ts",
+                                window_sec=300, key_col="event_id")
+
+
+@register("doc_repetition", """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), c AS (
+  SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2
+)
+SELECT doc_id,
+       ROUND(count(*) / GREATEST(sum(cnt), 1), 6) AS ttr,
+       ROUND(max(cnt) / GREATEST(sum(cnt), 1), 6) AS top_word_frac
+FROM c GROUP BY doc_id
+""")
+def doc_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (type-token ratio +
+    top-word fraction) — row-local, shuffle-free map stage."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.add_repetition_signals(ds).select_columns(
+        ["doc_id", "ttr", "top_word_frac"])
+
+
+@register("embedding_near_dup_lsh", None)  # approximate (recall-tested) → rows-only
+def embedding_near_dup_lsh(sf_dir: str):
+    """The 10^12-scale near-dup path driver-exercised end-to-end: sign-LSH
+    bucketed candidates → in-bucket exact-cosine verify (no corpus
+    broadcast, no all-pairs scan).
+
+    The synthesized embeddings table has no true near-dups (max pairwise
+    cosine ≈ 0.51), so this query first injects a deterministic perturbed
+    copy of every vector (id + 10^7, tiny structured perturbation →
+    cosine ≈ 1) inside a map stage; the expected output is exactly those
+    injected pairs. Approximate by design — recall vs the exact path is
+    pinned by tests/test_ops.py."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def inject_dups(t: pa.Table) -> pa.Table:
+        m = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+        # deterministic, RNG-free perturbation; keeps cosine ~0.9999
+        pert = m + 0.005 * np.roll(m, 1, axis=1)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.concatenate([ids, ids + 10_000_000]),
+                               pa.int64()),
+            "embedding": pa.array(list(m) + list(pert)),
+        })
+
+    seeded = ds.map_batches(inject_dups, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return dedup.lsh_cosine_pairs(seeded, "vec_id", "embedding",
+                                  threshold=0.95, n_tables=6)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed decode — deterministic fake)
 # ---------------------------------------------------------------------------

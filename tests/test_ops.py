@@ -157,6 +157,61 @@ def test_lsh_cosine_pairs_matches_exact_at_high_threshold():
     assert recall == 1.0, f"LSH near-dup recall {recall} (seeded, deterministic)"
 
 
+def test_range_join_count_matches_pandas_cross_check():
+    """Bucketed band join == brute-force |dt| <= window cross check,
+    including matches that straddle bucket boundaries."""
+    rng = np.random.default_rng(5)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    l_ts = base + (rng.integers(0, 3600, 80) * 1_000_000).astype("timedelta64[us]")
+    r_ts = base + (rng.integers(0, 3600, 200) * 1_000_000).astype("timedelta64[us]")
+    left = pd.DataFrame({"eid": np.arange(80), "ts": l_ts})
+    right = pd.DataFrame({"ts": r_ts})
+    got = rel.range_join_count(rd.from_pandas(left), rd.from_pandas(right),
+                               "ts", "ts", window_sec=120,
+                               key_col="eid").to_pandas()
+    dt = np.abs(l_ts[:, None] - r_ts[None, :]) <= np.timedelta64(120, "s")
+    want = {i: int(n) for i, n in enumerate(dt.sum(axis=1)) if n > 0}
+    assert dict(zip(got.eid, got.n_nearby)) == want
+
+
+def test_misra_gries_superset_guarantee_and_exact_recount():
+    """A skewed stream through tiny per-block sketches: every value with
+    true count >= phi*n must survive, and the recount output is exact."""
+    from illumio_ray.functions.sketches import MisraGries, heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # zipf-ish: values 0..4 heavy, 5..500 light
+    heavy = np.repeat(np.arange(5), 400)
+    light = rng.integers(5, 500, 2000)
+    arr = np.concatenate([heavy, light])
+    rng.shuffle(arr)
+    # pure-sketch bound: merge 10 small-k partials
+    acc = MisraGries(64)
+    for chunk in np.array_split(arr, 10):
+        acc.merge(MisraGries(64).add_array(chunk))
+    for v in range(5):
+        assert v in acc.counts  # freq 400 >> n/(k+1) ≈ 62
+    # end-to-end exact recount
+    ds = rd.from_pandas(pd.DataFrame({"k": arr})).repartition(8)
+    phi = 0.05  # threshold 200 < 400
+    got = heavy_hitters(ds, "k", phi=phi, total=len(arr),
+                        out_col="n").to_pandas()
+    counts = pd.Series(arr).value_counts()
+    want = counts[counts >= phi * len(arr)]
+    assert dict(zip(got.k, got.n)) == want.to_dict()
+
+
+def test_repetition_signals_match_manual():
+    from illumio_ray.ops import textops
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a a a a", "a b c d", "x x y"]})
+    out = textops.add_repetition_signals(rd.from_pandas(df)).to_pandas() \
+        .sort_values("doc_id")
+    assert out.ttr.tolist() == [0.25, 1.0, round(2 / 3, 6)]
+    assert out.top_word_frac.tolist() == [1.0, 0.25, round(2 / 3, 6)]
+
+
 def test_minhash_empty_candidates_keep_string_id_dtype():
     """No candidate pairs + string doc ids: the empty frame's id dtype must
     match the input (not hardcoded int64)."""
