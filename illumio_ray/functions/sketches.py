@@ -68,6 +68,127 @@ class HyperLogLog:
         return float(est)
 
 
+class TDigest:
+    """Merging t-digest (Dunning): mergeable quantile sketch. Per-block
+    digests are O(delta) centroids; merge = concat + one deterministic
+    compress pass (sorted input → greedy accumulation under the k1 scale
+    function's size bound). Quantiles interpolate cumulative centroid
+    weights. Deterministic given the same multiset of inputs per block.
+
+    The scale path for percentiles over 10^12 rows: the exact
+    sort-based quantile (doc_chars_quantiles) shuffles the column; this
+    ships delta-sized digests instead."""
+
+    def __init__(self, delta: int = 128):
+        self.delta = delta
+        self.means = np.array([], dtype=np.float64)
+        self.weights = np.array([], dtype=np.float64)
+
+    def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        if len(means) == 0:
+            self.means = means
+            self.weights = weights
+            return
+        order = np.argsort(means, kind="stable")
+        means, weights = means[order], weights[order]
+        total = weights.sum()
+        out_m, out_w = [], []
+        cur_m, cur_w = means[0], weights[0]
+        w_so_far = 0.0
+        for m, w in zip(means[1:], weights[1:]):
+            q = (w_so_far + cur_w / 2) / total
+            limit = 4 * total * q * (1 - q) / self.delta  # k1 size bound
+            if cur_w + w <= max(limit, 1.0):
+                cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                out_m.append(cur_m)
+                out_w.append(cur_w)
+                w_so_far += cur_w
+                cur_m, cur_w = m, w
+        out_m.append(cur_m)
+        out_w.append(cur_w)
+        self.means = np.asarray(out_m)
+        self.weights = np.asarray(out_w)
+
+    def add_array(self, values: np.ndarray) -> "TDigest":
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v):
+            self._compress(np.concatenate([self.means, v]),
+                           np.concatenate([self.weights, np.ones(len(v))]))
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        if len(other.means):
+            self._compress(np.concatenate([self.means, other.means]),
+                           np.concatenate([self.weights, other.weights]))
+        return self
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        cum = np.cumsum(self.weights) - self.weights / 2
+        target = q * self.weights.sum()
+        return float(np.interp(target, cum, self.means))
+
+
+def tdigest_quantiles(ds, col: str, qs: list[float],
+                      delta: int = 128) -> dict[float, float]:
+    """Distributed approximate quantiles: per-block digests (map) merged on
+    the driver — the exchange is O(blocks × delta) centroid rows, never the
+    value column."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        d = TDigest(delta).add_array(
+            t[col].drop_null().to_numpy(zero_copy_only=False))
+        return pa.table({"means": pa.array([d.means.tobytes()], pa.binary()),
+                         "weights": pa.array([d.weights.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    acc = TDigest(delta)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for mb, wb in zip(b["means"].to_pylist(), b["weights"].to_pylist()):
+            other = TDigest(delta)
+            other.means = np.frombuffer(mb, dtype=np.float64).copy()
+            other.weights = np.frombuffer(wb, dtype=np.float64).copy()
+            acc.merge(other)
+    return {q: acc.quantile(q) for q in qs}
+
+
+class BloomFilter:
+    """Vectorized Bloom filter over hash64 values (double hashing:
+    idx_i = (h1 + i·h2) mod m). Sized from (n_items, fpp); bits ride the
+    object store as one numpy array. Used to pre-filter semi/anti joins:
+    a negative is DEFINITE, a positive needs exact verification."""
+
+    def __init__(self, n_items: int, fpp: float = 0.01):
+        n_items = max(n_items, 1)
+        self.m = int(max(8, -n_items * np.log(fpp) / (np.log(2) ** 2)))
+        self.k = max(1, int(round(self.m / n_items * np.log(2))))
+        self.bits = np.zeros(self.m, dtype=bool)
+
+    def _idx(self, values) -> np.ndarray:
+        h1 = hash64(values, seed=1)
+        h2 = hash64(values, seed=2)
+        i = np.arange(self.k, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :]) % np.uint64(self.m)).astype(np.int64)
+
+    def add_array(self, values) -> "BloomFilter":
+        if len(values):
+            self.bits[self._idx(values).ravel()] = True
+        return self
+
+    def contains_array(self, values) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=bool)
+        return self.bits[self._idx(values)].all(axis=0)
+
+
 class MisraGries:
     """Misra-Gries heavy-hitter summary: at most ``k`` (value, count)
     counters; any value with true frequency > n/(k+1) is guaranteed to

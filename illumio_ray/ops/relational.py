@@ -244,6 +244,68 @@ def semi_anti_join(ds: rd.Dataset, key_values, col: str, anti: bool = False) -> 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bloom_semi_anti_join(ds: rd.Dataset, key_values, col: str,
+                         anti: bool = False, fpp: float = 0.01) -> rd.Dataset:
+    """Semi/anti join with a Bloom pre-filter — EXACT results.
+
+    The broadcast payload is primarily the bit array (~10 bits/key at
+    fpp=0.01, vs 8+ bytes/key for the raw set): bloom-NEGATIVE rows are
+    resolved definitively (kept for anti, dropped for semi); only
+    bloom-POSITIVE rows (~match_rate + fpp of the input) consult the exact
+    key set. At 10^12-row scale the exact-verify leg becomes a
+    hash-partitioned join of just the positives against the key table —
+    the bloom cuts that shuffle to the matching fraction; here the key set
+    rides along for the verify since the sf key tables are small."""
+    from ..functions.sketches import BloomFilter
+
+    keys_arr = pa.array(key_values)
+    bloom = BloomFilter(len(keys_arr), fpp).add_array(keys_arr)
+    ref = ray.put((bloom, keys_arr))
+
+    def fn(t: pa.Table) -> pa.Table:
+        b, keys = _BROADCAST_CACHE.get(ref, (None, None))
+        if b is None:
+            b, keys = ray.get(ref)
+            _BROADCAST_CACHE.clear()
+            _BROADCAST_CACHE[ref] = (b, keys)
+        col_arr = t[col]
+        maybe = b.contains_array(col_arr.combine_chunks()
+                                 if isinstance(col_arr, pa.ChunkedArray)
+                                 else col_arr)
+        # exact verify only for bloom-positives
+        exact_in = pc.fill_null(pc.is_in(col_arr, value_set=keys), False) \
+            .to_numpy(zero_copy_only=False)
+        in_set = maybe & exact_in
+        return t.filter(pa.array(~in_set if anti else in_set))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def deterministic_sample_per_group(ds: rd.Dataset, group_keys: list[str],
+                                   id_col: str, n: int,
+                                   seed: int = 0) -> rd.Dataset:
+    """Stratified sample: n rows per group, selected by md5 rank of the row
+    id — deterministic, engine-independent (the DuckDB oracle computes the
+    identical md5 ordering), and resumable (re-runs pick the same rows).
+    Distributed as top-k-per-group over the rank column: per-batch local
+    prune, then the per-group exact head after one bounded shuffle."""
+    import hashlib
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        # crypto hash is inherently per-item; ~1µs/row, outside any regex
+        # or join hot path
+        rk = [hashlib.md5(f"{seed}:{v}".encode()).hexdigest()
+              for v in t[id_col].to_pylist()]
+        return t.append_column("__rk", pa.array(rk, pa.string()))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = topk_per_group(ranked, group_keys, ["__rk"], n,
+                         descending=[False])
+    return out.map_batches(lambda t: t.drop_columns(["__rk"]),
+                           batch_format="pyarrow", zero_copy_batch=True)
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
               join_type: str = "inner", num_partitions: int | None = None) -> rd.Dataset:
     """Large-large join: Ray Data's hash-partitioned Dataset.join (both

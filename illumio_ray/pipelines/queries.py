@@ -331,6 +331,79 @@ def customers_no_big_orders(sf_dir: str):
     return rel.semi_anti_join(cust, keys, "c_custkey", anti=True)
 
 
+@register("customers_no_big_orders_bloom", """
+SELECT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+""")
+def customers_no_big_orders_bloom(sf_dir: str):
+    """Same anti-join, Bloom-prefiltered scale path: the broadcast is a
+    ~10-bits/key bit array; bloom-negatives resolve definitively and only
+    positives consult the exact key set. EXACT — shares the plain
+    anti-join's oracle verbatim."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    big = rel.filter_batches(
+        orders, lambda t: pc.greater(t["o_totalprice"], pa.scalar(300000.0)))
+    keys = pc.unique(pa.concat_tables(
+        [pa.table(b) for b in big.iter_batches(batch_format="pyarrow")])["o_custkey"])
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    return rel.bloom_semi_anti_join(cust, keys, "c_custkey", anti=True)
+
+
+@register("events_stratified_sample", """
+SELECT event_id, event_type FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type
+  ORDER BY md5('0:' || CAST(event_id AS VARCHAR)), event_id) <= 5
+""")
+def events_stratified_sample(sf_dir: str):
+    """Deterministic stratified sampling: 5 events per type, ranked by md5
+    of the event id — engine-independent (identical md5 ordering in the
+    SQL oracle), reproducible across runs/resumes. Top-k-per-group shape:
+    local prune per batch, bounded shuffle."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type"])
+    return rel.deterministic_sample_per_group(
+        ds, ["event_type"], "event_id", 5).select_columns(
+        ["event_id", "event_type"])
+
+
+@register("doc_split_assign", """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+""")
+def doc_split_assign(sf_dir: str):
+    """Deterministic ~80/20 train/val split by md5(doc_id) prefix — the
+    reproducible-split primitive every training-data pipeline needs: pure
+    map, no state, identical assignment on any engine (DuckDB oracle
+    computes the same md5), stable under re-runs and resharding."""
+    import hashlib
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        split = ["train" if hashlib.md5(str(v).encode()).hexdigest()[:8] < "cccccccd"
+                 else "val" for v in t["doc_id"].to_pylist()]
+        return t.append_column("split", pa.array(split, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("events_value_quantiles_td", None)  # approximate sketch → rows-only
+def events_value_quantiles_td(sf_dir: str):
+    """Mergeable t-digest quantiles over events.value — the scale path for
+    percentiles (per-block digests, O(blocks × delta) centroid exchange;
+    the exact sort-based variant is doc_chars_quantiles). Accuracy pinned
+    by tests vs numpy exact quantiles."""
+    from ..functions.sketches import tdigest_quantiles
+
+    ds = read_table(sf_dir, "events", columns=["value"])
+    qs = tdigest_quantiles(ds, "value", [0.5, 0.9, 0.99])
+    return pa.table({"p50": pa.array([round(qs[0.5], 4)]),
+                     "p90": pa.array([round(qs[0.9], 4)]),
+                     "p99": pa.array([round(qs[0.99], 4)])})
+
+
 @register("max_order_per_customer", """
 SELECT o_custkey, MAX(o_totalprice) AS max_price, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY o_custkey

@@ -201,6 +201,76 @@ def test_misra_gries_superset_guarantee_and_exact_recount():
     assert dict(zip(got.k, got.n)) == want.to_dict()
 
 
+def test_tdigest_accuracy_and_merge():
+    from illumio_ray.functions.sketches import TDigest
+
+    rng = np.random.default_rng(21)
+    data = rng.lognormal(0, 1, 50_000)
+    # merged per-block digests == the distributed shape
+    acc = TDigest()
+    for chunk in np.array_split(data, 16):
+        acc.merge(TDigest().add_array(chunk))
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(data, q)
+        approx = acc.quantile(q)
+        assert abs(approx - exact) / exact < 0.05, (q, approx, exact)
+
+
+def test_tdigest_distributed_matches_local():
+    from illumio_ray.functions.sketches import TDigest, tdigest_quantiles
+
+    rng = np.random.default_rng(4)
+    vals = rng.normal(100, 15, 20_000)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(8)
+    got = tdigest_quantiles(ds, "v", [0.5, 0.9])
+    for q in (0.5, 0.9):
+        exact = np.quantile(vals, q)
+        assert abs(got[q] - exact) / exact < 0.02
+
+
+def test_bloom_filter_no_false_negatives_and_low_fpr():
+    from illumio_ray.functions.sketches import BloomFilter
+
+    rng = np.random.default_rng(2)
+    members = rng.integers(0, 1 << 40, 5_000)
+    others = rng.integers(1 << 41, 1 << 42, 20_000)
+    bf = BloomFilter(len(members), fpp=0.01).add_array(members)
+    assert bf.contains_array(members).all()  # zero false negatives, always
+    fpr = bf.contains_array(others).mean()
+    assert fpr < 0.03, fpr
+
+
+def test_bloom_anti_join_equals_plain_anti_join():
+    df = pd.DataFrame({"k": np.arange(2_000)})
+    keys = np.arange(0, 2_000, 3)
+    ds = rd.from_pandas(df)
+    plain = set(rel.semi_anti_join(ds, keys, "k", anti=True)
+                .to_pandas()["k"])
+    bloom = set(rel.bloom_semi_anti_join(ds, keys, "k", anti=True)
+                .to_pandas()["k"])
+    assert bloom == plain
+    semi = set(rel.bloom_semi_anti_join(ds, keys, "k", anti=False)
+               .to_pandas()["k"])
+    assert semi == set(keys.tolist())
+
+
+def test_deterministic_sample_per_group_stable_and_sized():
+    import hashlib
+
+    df = pd.DataFrame({"g": np.repeat(["a", "b", "c"], 50),
+                       "id": np.arange(150)})
+    ds = rd.from_pandas(df)
+    s1 = rel.deterministic_sample_per_group(ds, ["g"], "id", 4).to_pandas()
+    s2 = rel.deterministic_sample_per_group(ds, ["g"], "id", 4).to_pandas()
+    assert sorted(s1["id"]) == sorted(s2["id"])  # reproducible
+    assert s1.groupby("g").size().tolist() == [4, 4, 4]
+    # matches the md5-rank definition exactly
+    want = (df.assign(rk=[hashlib.md5(f"0:{v}".encode()).hexdigest()
+                          for v in df["id"]])
+              .sort_values("rk").groupby("g").head(4))
+    assert sorted(s1["id"]) == sorted(want["id"])
+
+
 def test_repetition_signals_match_manual():
     from illumio_ray.ops import textops
 
