@@ -470,3 +470,34 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, left_ts: str,
 def time_bucket(ds: rd.Dataset, ts_col: str, unit: str = "hour",
                 out_col: str = "bucket") -> rd.Dataset:
     return with_columns(ds, {out_col: lambda t: pc.floor_temporal(t[ts_col], unit=unit)})
+
+
+def sliding_window_counts(ds: rd.Dataset, ts_col: str, window_sec: int,
+                          hop_sec: int, out_ts: str = "win_us",
+                          out_n: str = "n_events") -> rd.Dataset:
+    """Hopping/sliding window counts: windows of ``window_sec`` starting
+    every ``hop_sec`` (window_sec must be a multiple of hop_sec). Each
+    event belongs to window_sec/hop_sec windows; the explode happens on a
+    NARROW (window-index) column after per-batch partial counting, so the
+    exchange is O(windows × blocks) rows, not O(events × overlap).
+    Window start is emitted as int64 epoch-µs (tz-unambiguous on every
+    engine)."""
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    overlap = window_sec // hop_sec
+    hop_us = hop_sec * 1_000_000
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False) // hop_us
+        # count per hop-bucket first (dense within a batch), THEN explode
+        # the bucket counts to their `overlap` covering windows
+        buckets, counts = np.unique(idx, return_counts=True)
+        offs = np.arange(overlap, dtype=np.int64)
+        win = (buckets[:, None] - offs[None, :]).ravel()
+        n = np.repeat(counts, overlap)
+        return pa.table({out_ts: pa.array(win * hop_us, pa.int64()),
+                         "__n": pa.array(n, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return grouped_agg(partials, [out_ts], [("__n", "sum", out_n)])

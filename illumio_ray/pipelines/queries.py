@@ -404,6 +404,108 @@ def events_value_quantiles_td(sf_dir: str):
                      "p99": pa.array([round(qs[0.99], 4)])})
 
 
+@register("corpus_top_words", """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM w GROUP BY word ORDER BY n DESC, word LIMIT 20
+""")
+def corpus_top_words(sf_dir: str):
+    """Corpus-level word counts (the classic wordcount shape) — per-batch
+    explode + local value_counts combine FIRST, so the exchange moves
+    O(batch-vocabulary) partial rows, never the exploded word stream; then
+    a bounded-vocab reduce and top-k."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch["text"].fillna("").str.split(" ").explode().value_counts()
+        return pd.DataFrame({"word": vc.index, "n_p": vc.to_numpy()})
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+    counts = rel.grouped_agg(parts, ["word"], [("n_p", "sum", "n")])
+    return rel.topk(counts, ["n", "word"], 20, descending=[True, False])
+
+
+@register("customers_order_counts_outer", """
+SELECT c_custkey, CAST(coalesce(o.cnt, 0) AS BIGINT) AS n_orders
+FROM customer LEFT JOIN (
+  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY 1
+) o ON c_custkey = o_custkey
+""")
+def customers_order_counts_outer(sf_dir: str):
+    """LEFT OUTER hash join: every customer keeps a row, no-order customers
+    get 0. Pre-aggregating orders BEFORE the join shrinks the build side to
+    one row per customer key."""
+    orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+    counts = rel.grouped_agg(orders, ["o_custkey"],
+                             [("o_custkey", "count", "cnt")], mode="shuffle")
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "cnt"]),
+        batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    joined = rel.hash_join(cust, counts, on=["c_custkey"],
+                           join_type="left_outer", num_partitions=8)
+    return joined.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["c_custkey"],
+            "n_orders": pc.cast(pc.fill_null(t["cnt"], 0), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("events_running_total", """
+SELECT event_id,
+       CAST(row_number() OVER w AS BIGINT) AS seq,
+       ROUND(max(value) OVER w, 6) AS running_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
+""")
+def events_running_total(sf_dir: str):
+    """Ordered window functions per user (running row_number + running
+    max) — same user-bucket partition shape as sessionize: each map_groups
+    call gets a whole bucket of users and computes the window vectorized
+    (pandas groupby cumcount/cummax in C). running_max picks an input
+    value, so cross-engine float equality is exact."""
+    from ..functions.hashing import hash64
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    num_buckets = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (hash64(t["user_id"]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "seq": (grp.cumcount() + 1).to_numpy(),
+            "running_max": round_np(grp["value"].cummax().to_numpy(), 6),
+        })
+
+    return bucketed.groupby("__b").map_groups(window, batch_format="pandas")
+
+
+@register("events_sliding_window", """
+WITH k AS (SELECT unnest([0, 1, 2, 3]) AS i),
+e AS (SELECT (epoch_us(ts) // 900000000 - k.i) * 900000000 AS win_us
+      FROM events, k)
+SELECT win_us, CAST(count(*) AS BIGINT) AS n_events
+FROM e GROUP BY win_us
+""")
+def events_sliding_window(sf_dir: str):
+    """Hopping windows (1 h window, 15 min hop): each event counts toward 4
+    windows. The overlap explode happens on per-batch BUCKET COUNTS, not on
+    events (rel.sliding_window_counts), so the exchange is O(windows)."""
+    ds = read_table(sf_dir, "events", columns=["ts"])
+    return rel.sliding_window_counts(ds, "ts", window_sec=3600, hop_sec=900)
+
+
 @register("max_order_per_customer", """
 SELECT o_custkey, MAX(o_totalprice) AS max_price, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders GROUP BY o_custkey

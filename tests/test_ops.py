@@ -271,6 +271,24 @@ def test_deterministic_sample_per_group_stable_and_sized():
     assert sorted(s1["id"]) == sorted(want["id"])
 
 
+def test_sliding_window_counts_match_brute_force():
+    rng = np.random.default_rng(8)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + (rng.integers(0, 6 * 3600, 500) * 1_000_000).astype("timedelta64[us]")
+    ds = rd.from_pandas(pd.DataFrame({"ts": ts})).repartition(4)
+    got = rel.sliding_window_counts(ds, "ts", window_sec=3600,
+                                    hop_sec=900).to_pandas()
+    # brute force: event in window [w, w+3600) for 4 hop-aligned starts
+    us = ts.astype("datetime64[us]").astype(np.int64)
+    want: dict[int, int] = {}
+    for t in us:
+        b = t // 900_000_000
+        for i in range(4):
+            w = (b - i) * 900_000_000
+            want[w] = want.get(w, 0) + 1
+    assert dict(zip(got.win_us, got.n_events)) == want
+
+
 def test_repetition_signals_match_manual():
     from illumio_ray.ops import textops
 
