@@ -108,12 +108,16 @@ def run_flagship_once(num_cpus: int, sf: float) -> dict:
             t0 = time.perf_counter()
             # Same shard plan at every cluster size (16 shards — the job's
             # partitioning is a property of the data, not the cluster);
-            # in-flight shard concurrency follows cluster resources.
+            # in-flight shard concurrency follows cluster resources: one
+            # wave of concurrent shard pipelines (= CPUs, capped at the
+            # shard count). With k < num_shards threads the last wave's
+            # straggler idles the whole cluster — measured 56 s (2 waves
+            # of 8) vs 39 s (1 wave of 16) back-to-back at 16 CPUs, sf4.
             metrics = run_flagship(
                 info["pages_dir"], out_dir, info["lookup_lang"],
                 info["lookup_host"],
                 num_shards=16, resume=False,
-                max_concurrent_shards=min(8, max(1, num_cpus // 2)))
+                max_concurrent_shards=min(16, max(1, num_cpus)))
             elapsed = time.perf_counter() - t0
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
@@ -145,7 +149,7 @@ def bench_main(sf_dir: str, num_cpus: int) -> dict:
                 info["pages_dir"], out_dir, info["lookup_lang"],
                 info["lookup_host"],
                 num_shards=16, resume=False,
-                max_concurrent_shards=min(8, max(1, num_cpus // 2)))
+                max_concurrent_shards=min(16, max(1, num_cpus)))
             flagship_sec = time.perf_counter() - t0
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)

@@ -57,8 +57,11 @@ def extract_page_fields(batch: pa.Table) -> pa.Table:
     html_kept = out["html_str"]
     title = safe_get_normalize(_group(html_kept, TITLE_RE, "title"))
     page_event = _group(html_kept, EVENT_RE, "page_event")
-    url_host = _group(out["url"], HOST_RE, "url_host")
-    url_path = _group(out["url"], HOST_RE, "url_path")
+    # one RE2 pass over url yields BOTH named groups (extract_regex returns
+    # the full struct; running it per-field doubled the scan)
+    url_struct = pc.extract_regex(out["url"], HOST_RE)
+    url_host = pc.struct_field(url_struct, "url_host")
+    url_path = pc.struct_field(url_struct, "url_path")
     n_tokens = pc.cast(
         pc.count_substring_regex(out["extracted_text"], TOKEN_RE), pa.int64()
     )
