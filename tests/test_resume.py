@@ -55,6 +55,32 @@ def test_mid_run_kill_then_resume(tmp_path):
     assert len(frags) == len(set(frags))
 
 
+def test_corrupt_manifest_reprocessed_exactly_once(tmp_path):
+    """A torn/corrupted manifest (crash mid-write, disk corruption) must be
+    treated as uncommitted: its shard is swept and re-run on resume, and the
+    union of committed shards still covers every row exactly once."""
+    info = synth_pages(tmp_path / "in", rows=800, num_files=4)
+    out = tmp_path / "out"
+    run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                 info["lookup_host"], num_shards=4)
+    baseline = sorted(_routed_urls(out))
+
+    # corrupt one committed manifest: truncated JSON
+    victim = lineage.manifest_dir(out) / "shard-00002.json"
+    victim.write_text(victim.read_text()[: 17])
+
+    assert len(lineage.load_manifests(out)) == 3  # torn → uncommitted
+
+    metrics = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                           info["lookup_host"], num_shards=4)
+    assert metrics["shards_run_this_invocation"] == 1  # only the torn shard
+    assert len(lineage.load_manifests(out)) == 4
+
+    urls = _routed_urls(out)
+    assert len(urls) == len(set(urls)), "duplicates after corrupt-manifest recovery"
+    assert sorted(urls) == baseline, "row set changed after recovery"
+
+
 def test_uncommitted_partial_output_is_discarded(tmp_path):
     info = synth_pages(tmp_path / "in", rows=600, num_files=4)
     out = tmp_path / "out"
