@@ -120,6 +120,7 @@ def cmd_stats(args) -> int:
     report = {
         "shards_committed": len(manifests),
         "rows_routed": total,
+        "rows_dropped": sum(m.get("rows_dropped", 0) for m in manifests.values()),
         "per_shard": {sid: m["row_count"] for sid, m in sorted(manifests.items())},
     }
     agg_dir = out / "aggregates"

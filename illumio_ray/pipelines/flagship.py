@@ -302,10 +302,23 @@ def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
     # routed data.
     rows_out, content_hash, partial = _reduce_summaries(batch_summaries)
     lineage.write_partial(out_dir, shard_id, partial)
+    # Dead-letter accounting (≙ the reference logging its drop-invalid
+    # path, app/log_processor.py:344-356): rows_in from parquet footers
+    # (no scan); dropped = parse failures (no <body>) plus, in windowed
+    # incremental runs, rows outside the look-back window.
+    import pyarrow.parquet as _pq
+    rows_in = 0
+    for f in fragments:
+        try:
+            rows_in += _pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            pass
     manifest = {
         "shard_id": shard_id,
         "input_fragments": fragments,
         "row_count": rows_out,
+        "rows_in": rows_in,
+        "rows_dropped": max(0, rows_in - rows_out),
         "content_hash": content_hash,
     }
     lineage.write_manifest(out_dir, shard_id, manifest)
@@ -472,6 +485,7 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
         "shards_total": len(shards),
         "shards_run_this_invocation": done,
         "rows_routed": total_rows,
+        "rows_dropped": sum(m.get("rows_dropped", 0) for m in manifests.values()),
         "elapsed_sec": time.perf_counter() - t0,
         "aggregates_path": str(agg_path),
     }

@@ -12,7 +12,7 @@ from illumio_ray.pipelines.flagship import aggregate_routed, build_routed
 from illumio_ray.stages.enrich import broadcast_lookups
 from illumio_ray.synth import synth_pages
 
-from .oracle import run_oracle
+from .oracle import BODY, run_oracle
 
 
 @pytest.fixture(scope="module")
@@ -70,6 +70,25 @@ def test_wire_byte_identity(small_run):
 def test_dropped_rows_are_truncated_only(small_run, tmp_path):
     routed, oracle = small_run
     assert len(routed) == len(oracle)  # oracle drops exactly the truncated rows
+
+
+def test_dead_letter_counts_in_manifest_and_metrics(tmp_path):
+    """Dead-letter accounting (≙ reference drop-invalid logging): the
+    manifest and run metrics report exactly the parse-dropped row count."""
+    from illumio_ray.pipelines.flagship import run_flagship
+    from illumio_ray.state import lineage
+
+    info = synth_pages(tmp_path / "in", rows=900, num_files=4)
+    out = tmp_path / "out"
+    m = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                     info["lookup_host"], num_shards=3)
+    pages = pads.dataset(info["pages_dir"]).to_table(columns=["html"])
+    n_bad = sum(1 for h in pages["html"].to_pylist()
+                if not BODY.search(h.decode()))
+    assert m["rows_dropped"] == n_bad
+    manifests = lineage.load_manifests(out)
+    assert sum(x["rows_dropped"] for x in manifests.values()) == n_bad
+    assert sum(x["rows_in"] for x in manifests.values()) == 900
 
 
 def test_aggregate_counts(small_run):
