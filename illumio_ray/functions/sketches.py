@@ -272,6 +272,44 @@ def heavy_hitters(ds, col: str, phi: float, total: int,
             pa.compute.cast(t[out_col], pa.float64()), threshold))
 
 
+def hll_distinct_by(ds, key_col: str, col: str, p: int = 12) -> dict:
+    """Per-group distinct estimate: one HLL register array per (block,
+    group), merged per key on the driver. The exchange is
+    O(blocks × groups × 2^p bytes) — never the raw key column. Right for
+    bounded group keys (event types, langs); unbounded keys would use the
+    same partial shape through a groupby reduce."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, regs = [], []
+        tbl = t.select([key_col, col]).filter(
+            pa.compute.is_valid(t[col]))
+        for key_val in pa.compute.unique(tbl[key_col]).to_pylist():
+            sub = tbl.filter(pa.compute.equal(tbl[key_col], key_val))
+            h = HyperLogLog(p).add_hashes(hash64(sub[col]))
+            keys.append(key_val)
+            regs.append(h.registers.tobytes())
+        return pa.table({"__k": pa.array(keys),
+                         "__regs": pa.array(regs, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    acc: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for k, buf in zip(b["__k"].to_pylist(), b["__regs"].to_pylist()):
+            other = np.frombuffer(buf, dtype=np.uint8)
+            if k in acc:
+                np.maximum(acc[k], other, out=acc[k])
+            else:
+                acc[k] = other.copy()
+    out = {}
+    for k, regs in acc.items():
+        h = HyperLogLog(p)
+        h.registers = regs
+        out[k] = h.estimate()
+    return out
+
+
 def hll_distinct(ds, col: str, p: int = 12) -> float:
     """Distributed distinct estimate: per-block register arrays (map),
     element-wise-max merge on the driver (registers are 2^p bytes, not

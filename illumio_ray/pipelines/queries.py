@@ -1278,6 +1278,58 @@ def events_distinct_users_hll(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([float(est)])})
 
 
+@register("orders_per_segment_bucketed", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def orders_per_segment_bucketed(sf_dir: str):
+    """Co-located bucketed join (the 'pick ONE partitioning key and reuse
+    it' strategy): both tables are laid out once as hash(custkey) % K hive
+    buckets, then the join runs bucket-by-bucket in independent Ray tasks
+    with NO shuffle at join time. Exact — shares the plain join's SQL
+    oracle. At 100 TB the layout cost amortizes over every later join and
+    groupby on the same key."""
+    import shutil
+    import tempfile
+
+    from ..ops import bucketing
+
+    k = 8
+    base = Path(tempfile.mkdtemp(prefix="illumio_bucketed_"))
+    try:
+        orders = read_table(sf_dir, "orders", columns=["o_custkey"])
+        orders = orders.map_batches(
+            lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
+        cust = read_table(sf_dir, "customer",
+                          columns=["c_custkey", "c_mktsegment"])
+        bucketing.write_bucketed(orders, "c_custkey", k, base / "orders")
+        bucketing.write_bucketed(cust, "c_custkey", k, base / "customer")
+        joined = bucketing.bucketed_join(
+            base / "orders", base / "customer", on=["c_custkey"],
+            num_buckets=k)
+        return rel.grouped_agg(joined, ["c_mktsegment"],
+                               [("c_mktsegment", "count", "n_orders")]
+                               ).to_pandas()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@register("events_distinct_users_by_type_hll", None)  # approximate → rows-only
+def events_distinct_users_by_type_hll(sf_dir: str):
+    """Per-group HyperLogLog distinct estimate — grouped sketch shape: one
+    register array per (block, group) rides the exchange, never the raw
+    user_id column. Accuracy pinned by tests vs exact per-group counts."""
+    from ..functions.sketches import hll_distinct_by
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    est = hll_distinct_by(ds, "event_type", "user_id")
+    keys = sorted(est)
+    return pa.table({"event_type": pa.array(keys),
+                     "approx_distinct_users": pa.array(
+                         [float(est[k]) for k in keys])})
+
+
 @register("events_random_sample", None)  # sampling → rows-only
 def events_random_sample(sf_dir: str):
     """Random sample (≙ O5: ORDER BY RANDOM() LIMIT sampling)."""

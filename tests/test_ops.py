@@ -300,6 +300,41 @@ def test_repetition_signals_match_manual():
     assert out.top_word_frac.tolist() == [1.0, 0.25, round(2 / 3, 6)]
 
 
+def test_bucketed_join_matches_pandas_merge(tmp_path):
+    """Co-located bucketed join == pandas merge, including keys present on
+    only one side and empty buckets."""
+    from illumio_ray.ops import bucketing
+
+    rng = np.random.default_rng(13)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 300),
+                         "a": np.arange(300)})
+    right = pd.DataFrame({"k": np.arange(40, 90),  # partial overlap
+                          "b": np.arange(50) * 10})
+    k = 8
+    bucketing.write_bucketed(rd.from_pandas(left), "k", k, tmp_path / "l")
+    bucketing.write_bucketed(rd.from_pandas(right), "k", k, tmp_path / "r")
+    got = bucketing.bucketed_join(tmp_path / "l", tmp_path / "r",
+                                  on=["k"], num_buckets=k).to_pandas()
+    want = left.merge(right, on="k")
+    assert len(got) == len(want)
+    assert (got.sort_values(["k", "a"]).reset_index(drop=True)[["k", "a", "b"]]
+            .equals(want.sort_values(["k", "a"]).reset_index(drop=True)))
+
+
+def test_hll_distinct_by_accuracy():
+    from illumio_ray.functions.sketches import hll_distinct_by
+
+    rng = np.random.default_rng(6)
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z"], 30_000),
+        "u": rng.integers(0, 4000, 30_000),
+    })
+    est = hll_distinct_by(rd.from_pandas(df).repartition(6), "g", "u")
+    exact = df.groupby("g")["u"].nunique()
+    for g, e in est.items():
+        assert abs(e - exact[g]) / exact[g] < 0.05, (g, e, exact[g])
+
+
 def test_minhash_empty_candidates_keep_string_id_dtype():
     """No candidate pairs + string doc ids: the empty frame's id dtype must
     match the input (not hardcoded int64)."""
