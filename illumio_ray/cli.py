@@ -69,16 +69,34 @@ def cmd_run(args) -> int:
                 f"--siem expects HOST:PORT, got {siem!r}")
         siem_addr = (host, int(port))
 
+    import ray
+
+    owns_session = not ray.is_initialized()
     _ray_init()
     from .pipelines.flagship import run_flagship, run_incremental
 
     window = tuple(args.window.split("/")) if args.window else None
     if args.incremental:
-        metrics = run_incremental(
-            args.pages_dir, args.out, args.lang, args.host,
-            fragments_per_shard=frags,
-            max_concurrent_shards=max_conc,
-            enrich_mode=enrich_mode, time_window=window)
+        # --watch: the reference's poll-loop daemon (app/main.py:339-384 —
+        # list → anti-join vs processed keys → process new → sleep).
+        # Each iteration is itself an exactly-once incremental run, so a
+        # kill between (or during) polls loses nothing.
+        polls = max(1, args.max_polls) if args.watch else 1
+        interval = (args.poll_interval if args.poll_interval is not None
+                    else float(cfg.poll_interval))
+        metrics = None
+        for i in range(polls):
+            m = run_incremental(
+                args.pages_dir, args.out, args.lang, args.host,
+                fragments_per_shard=frags,
+                max_concurrent_shards=max_conc,
+                enrich_mode=enrich_mode, time_window=window)
+            m["poll"] = i
+            metrics = m
+            if args.watch and i < polls - 1:
+                import time as _time
+
+                _time.sleep(interval)
     else:
         metrics = run_flagship(
             args.pages_dir, args.out, args.lang, args.host,
@@ -99,9 +117,8 @@ def cmd_run(args) -> int:
             proto=cfg.siem_proto)
 
     print(json.dumps(metrics, indent=1))
-    import ray
-
-    ray.shutdown()
+    if owns_session:  # never tear down a session the caller owns
+        ray.shutdown()
     return 0
 
 
@@ -135,9 +152,36 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_invalidate(args) -> int:
+    """Invalidate committed shards for reprocessing (≙ editing the
+    reference's state.json to re-ingest files). Removal order is the
+    commit order reversed (manifest → sidecar → data), so a crash
+    mid-invalidate can leave orphan data (swept on next run) but never a
+    manifest claiming missing data. The next `run` reprocesses exactly the
+    invalidated shards; the next `run --incremental` re-covers their
+    fragments under fresh shard ids."""
+    from .state import lineage
+
+    out = Path(args.out)
+    before = lineage.load_manifests(out)
+    removed = []
+    for sid in args.shard:
+        if sid in before:
+            lineage.remove_shard(out, sid)
+            removed.append(sid)
+    print(json.dumps({
+        "removed_shards": removed,
+        "not_found": [s for s in args.shard if s not in before],
+        "shards_remaining": len(before) - len(removed),
+    }, indent=1))
+    return 0
+
+
 def cmd_curate(args) -> int:
-    _ray_init()
     import ray
+
+    owns_session = not ray.is_initialized()
+    _ray_init()
     import ray.data as rd
 
     from .pipelines.curation import curate
@@ -155,7 +199,8 @@ def cmd_curate(args) -> int:
 
     shutil.rmtree(out / "_spill", ignore_errors=True)
     print(json.dumps(report, indent=1))
-    ray.shutdown()
+    if owns_session:  # never tear down a session the caller owns
+        ray.shutdown()
     return 0
 
 
@@ -190,6 +235,16 @@ def main(argv=None) -> int:
     rp.add_argument("--window", default=None,
                     help="warc_ts look-back window 'ISO_LO/ISO_HI' "
                          "(incremental mode)")
+    rp.add_argument("--watch", action="store_true",
+                    help="incremental poll loop (reference daemon mode): "
+                         "re-plan and process new fragments every "
+                         "--poll-interval seconds")
+    rp.add_argument("--poll-interval", type=float, default=None,
+                    help="seconds between polls (default: config "
+                         "[Ingest] poll_interval)")
+    rp.add_argument("--max-polls", type=int, default=1_000_000,
+                    help="stop --watch after N polls (for bounded runs "
+                         "and tests)")
     rp.add_argument("--siem", default=None, metavar="HOST:PORT",
                     help="after committing, stream wire messages to this "
                          "TCP endpoint (reference send_to_siem)")
@@ -200,6 +255,12 @@ def main(argv=None) -> int:
     tp = sub.add_parser("stats", help="report over a finished run")
     tp.add_argument("--out", required=True)
     tp.set_defaults(fn=cmd_stats)
+
+    ip = sub.add_parser("invalidate", help="invalidate committed shards "
+                        "for reprocessing (reverse-order removal)")
+    ip.add_argument("--out", required=True)
+    ip.add_argument("--shard", type=int, nargs="+", required=True)
+    ip.set_defaults(fn=cmd_invalidate)
 
     cp = sub.add_parser("curate", help="training-data curation: quality "
                         "filter -> exact dedup -> near-dup removal")

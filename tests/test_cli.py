@@ -1,0 +1,55 @@
+"""CLI surface: invalidate→reprocess cycle and the --watch poll loop
+(≙ the reference's state.json re-ingest edits and its poll-loop daemon,
+app/main.py:339-384)."""
+
+import json
+
+import pyarrow.dataset as pads
+
+from illumio_ray.cli import main
+from illumio_ray.state import lineage
+from illumio_ray.synth import synth_pages
+
+
+def _routed_urls(out):
+    t = pads.dataset(str(out / "routed"), partitioning="hive").to_table(
+        columns=["url"])
+    return t["url"].to_pylist()
+
+
+def test_invalidate_then_run_reprocesses_exactly_once(tmp_path, capsys):
+    info = synth_pages(tmp_path / "in", rows=600, num_files=4)
+    out = tmp_path / "out"
+    args = ["run", "--pages-dir", str(info["pages_dir"]),
+            "--lang", info["lookup_lang"], "--host", info["lookup_host"],
+            "--out", str(out), "--num-shards", "4"]
+    assert main(args) == 0
+    capsys.readouterr()  # drain the first run's metrics JSON
+    baseline = sorted(_routed_urls(out))
+
+    assert main(["invalidate", "--out", str(out), "--shard", "1", "3"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["removed_shards"] == [1, 3]
+    assert len(lineage.load_manifests(out)) == 2
+
+    assert main(args) == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m["shards_run_this_invocation"] == 2  # only the invalidated two
+    urls = _routed_urls(out)
+    assert len(urls) == len(set(urls))
+    assert sorted(urls) == baseline
+
+
+def test_watch_poll_loop_second_poll_is_noop(tmp_path, capsys):
+    info = synth_pages(tmp_path / "in", rows=400, num_files=4)
+    out = tmp_path / "out"
+    args = ["run", "--incremental", "--watch", "--max-polls", "2",
+            "--poll-interval", "0.05",
+            "--pages-dir", str(info["pages_dir"]),
+            "--lang", info["lookup_lang"], "--host", info["lookup_host"],
+            "--out", str(out)]
+    assert main(args) == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m["poll"] == 1                       # second iteration reported
+    assert m["shards_run_this_invocation"] == 0  # no new fragments → no-op
+    assert m["rows_routed"] > 0                  # first poll's rows persist
