@@ -30,6 +30,11 @@ import tempfile
 import time
 from pathlib import Path
 
+# Before any ray.init in this process: local-mode workers inherit the
+# driver env, so this caps polars' per-worker Rust thread pool even when
+# Ray's own sort path imports polars before our UDFs do.
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 REPO = Path(__file__).resolve().parent
 
 HEADLINE_QUERIES = [

@@ -17,6 +17,16 @@ Layout:
     ops/          — general operator library (relational, dedup, similarity, text)
 """
 
+import os as _os
+
+# Cap polars' per-process Rust thread pool BEFORE anything imports polars:
+# hash64 is polars-backed, and 32 Ray workers each defaulting to one thread
+# per CPU oversubscribes the box. Set at package import (earliest our code
+# runs in drivers AND in Ray workers deserializing our UDFs); session
+# owners (bench, CLI, conftest) also set it before ray.init so local-mode
+# workers inherit it even when Ray's own sort path imports polars first.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"
 
 # Ray Data's path resolution probes `from fsspec.implementations.http import

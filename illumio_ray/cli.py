@@ -27,8 +27,13 @@ from pathlib import Path
 
 
 def _ray_init() -> None:
+    import os
+
     import ray
 
+    # before init: local-mode workers inherit the driver env (polars
+    # thread-pool cap must hold even when Ray imports polars first)
+    os.environ.setdefault("POLARS_MAX_THREADS", "1")
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
 
@@ -58,6 +63,11 @@ def cmd_run(args) -> int:
     max_mps = args.max_mps if args.max_mps is not None else (
         cfg.max_messages_per_second or None)
     siem = args.siem or (f"{cfg.sma_host}:{cfg.sma_port}" if cfg.sma_host else None)
+
+    if args.watch and not args.incremental:
+        raise SystemExit("--watch requires --incremental (the poll loop "
+                         "re-plans new fragments; a full run has no "
+                         "polling semantics)")
 
     # validate delivery endpoint BEFORE running the pipeline — a malformed
     # --siem must not discard a completed run's metrics
@@ -137,7 +147,7 @@ def cmd_stats(args) -> int:
     report = {
         "shards_committed": len(manifests),
         "rows_routed": total,
-        "rows_dropped": sum(m.get("rows_dropped", 0) for m in manifests.values()),
+        "rows_dropped": sum(m.get("rows_dropped") or 0 for m in manifests.values()),
         "per_shard": {sid: m["row_count"] for sid, m in sorted(manifests.items())},
     }
     agg_dir = out / "aggregates"

@@ -30,7 +30,7 @@ class Settings:
     # [Ingest] ≙ reference [S3]: look-back window, per-poll caps, poll cadence
     time_window_hours: float = 12.0
     max_files_per_folder: int = 1000
-    poll_interval: int = 30
+    poll_interval: float = 30.0  # float: sub-second polling is valid
     # [Processing] ≙ reference MIN/MAX_WORKERS + BATCH_SIZE, recast to the
     # Ray shard plan
     num_shards: int = 16
@@ -88,8 +88,16 @@ def load_settings(path: str | Path | None = None,
         section = _SECTION_OF[f.name]
         typ = type(getattr(s, f.name))
         env_key = f"ILLUMIO_RAY_{section.upper()}_{f.name.upper()}"
+        raw, origin = None, None
         if env_key in env:
-            setattr(s, f.name, _coerce(env[env_key], typ))
+            raw, origin = env[env_key], env_key
         elif cp.has_option(section, f.name):
-            setattr(s, f.name, _coerce(cp.get(section, f.name), typ))
+            raw, origin = cp.get(section, f.name), f"[{section}] {f.name}"
+        if raw is not None:
+            try:
+                setattr(s, f.name, _coerce(raw, typ))
+            except (TypeError, ValueError) as e:
+                raise ValueError(
+                    f"invalid value for {origin}: {raw!r} "
+                    f"(expected {typ.__name__})") from e
     return s

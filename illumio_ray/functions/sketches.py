@@ -247,8 +247,11 @@ def heavy_hitters(ds, col: str, phi: float, total: int,
     def partial(t: pa.Table) -> pa.Table:
         mg = MisraGries(k).add_array(
             t[col].drop_null().to_numpy(zero_copy_only=False))
+        # typed explicitly: an empty/all-null block would otherwise emit a
+        # null-typed __v column and a schema-mismatched partial block
         return pa.table({
-            "__v": pa.array(list(mg.counts.keys())),
+            "__v": pa.array(list(mg.counts.keys()),
+                            type=t.schema.field(col).type),
             "__c": pa.array(list(mg.counts.values()), pa.int64()),
         })
 
@@ -289,7 +292,9 @@ def hll_distinct_by(ds, key_col: str, col: str, p: int = 12) -> dict:
             h = HyperLogLog(p).add_hashes(hash64(sub[col]))
             keys.append(key_val)
             regs.append(h.registers.tobytes())
-        return pa.table({"__k": pa.array(keys),
+        # typed key column (empty/all-null blocks must not infer null type)
+        return pa.table({"__k": pa.array(keys,
+                                         type=t.schema.field(key_col).type),
                          "__regs": pa.array(regs, pa.binary())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow",

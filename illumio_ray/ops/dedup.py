@@ -334,6 +334,24 @@ def simhash_dup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+def _empty_pairs(ds: rd.Dataset, id_col: str) -> rd.Dataset:
+    """Empty pair result whose id columns keep the INPUT id type (a
+    hardcoded int64 would diverge from the non-empty case for string ids)."""
+    id_type = pa.int64()
+    try:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None)
+        if base is not None and hasattr(base, "field"):
+            id_type = base.field(id_col).type
+        else:
+            id_type = dict(zip(sch.names, sch.types))[id_col]
+    except Exception:
+        pass
+    return rd.from_arrow(pa.table({
+        "id_a": pa.array([], id_type), "id_b": pa.array([], id_type),
+        "cosine": pa.array([], pa.float64())}))
+
+
 def _ids_and_matrix(tbl: pa.Table, id_col: str, vec_col: str):
     ids = np.asarray(tbl[id_col].to_pylist())
     m = np.stack(tbl[vec_col].to_pylist()).astype(np.float64)
@@ -360,11 +378,21 @@ def _block_pair_task(blocks_a: list, blocks_b: list, id_col: str,
     # block refs arrive nested in lists (Ray resolves only top-level args),
     # so each task pulls exactly its two chunks from the object store
     a = pa.concat_tables(ray.get(list(blocks_a)))
+
+    def _empty(id_type) -> pa.Table:
+        return pa.table({"id_a": pa.array([], id_type),
+                         "id_b": pa.array([], id_type),
+                         "cosine": pa.array([], pa.float64())})
+
+    if a.num_rows == 0:  # np.stack chokes on zero rows
+        return _empty(a.schema.field(id_col).type)
     ids_a, m_a = _ids_and_matrix(a, id_col, vec_col)
     if same:
         ids_b, m_b = ids_a, m_a
     else:
         b = pa.concat_tables(ray.get(list(blocks_b)))
+        if b.num_rows == 0:
+            return _empty(a.schema.field(id_col).type)
         ids_b, m_b = _ids_and_matrix(b, id_col, vec_col)
     out = _cosine_pairs(ids_a, m_a, ids_b, m_b, threshold)
     if not same:
@@ -387,9 +415,7 @@ def exact_cosine_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
     thresholds."""
     refs = ds.select_columns([id_col, vec_col]).to_arrow_refs()
     if not refs:
-        return rd.from_arrow(pa.table({
-            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64())}))
+        return _empty_pairs(ds, id_col)
     g = min(max_groups, len(refs))
     groups = [refs[i::g] for i in range(g)]
     out_refs = []
@@ -416,6 +442,8 @@ def lsh_cosine_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
     from .similarity import SignLSHIndex, _normalize
 
     sample = ds.take(1)
+    if not sample:  # empty corpus → empty pairs, same schema as non-empty
+        return _empty_pairs(ds, id_col)
     dim = len(sample[0][vec_col])
     indexes = [SignLSHIndex(dim, n_bits, seed + 101 * t) for t in range(n_tables)]
     ref = ray.put(indexes)

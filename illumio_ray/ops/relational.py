@@ -272,10 +272,16 @@ def bloom_semi_anti_join(ds: rd.Dataset, key_values, col: str,
         maybe = b.contains_array(col_arr.combine_chunks()
                                  if isinstance(col_arr, pa.ChunkedArray)
                                  else col_arr)
-        # exact verify only for bloom-positives
-        exact_in = pc.fill_null(pc.is_in(col_arr, value_set=keys), False) \
-            .to_numpy(zero_copy_only=False)
-        in_set = maybe & exact_in
+        in_set = np.zeros(t.num_rows, dtype=bool)
+        pos = np.flatnonzero(maybe)
+        if len(pos):
+            # exact verify ONLY the bloom-positive subset — the point of
+            # the pre-filter (a full-column is_in would make the bloom
+            # pure overhead)
+            subset = pc.take(col_arr, pa.array(pos, pa.int64()))
+            hit = pc.fill_null(pc.is_in(subset, value_set=keys), False) \
+                .to_numpy(zero_copy_only=False)
+            in_set[pos[hit]] = True
         return t.filter(pa.array(~in_set if anti else in_set))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -433,15 +439,23 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, left_ts: str,
     buckets (flash crowds) can be salted like any other hot key."""
     w_us = int(window_sec * 1_000_000)
 
+    def _as_us(col) -> pa.ChunkedArray:
+        # normalize to µs BEFORE the int cast: a raw int64 cast yields the
+        # column's native unit (ns/ms/s), which would silently misscale
+        # both the bucket ids and the |dt| filter
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
+        return pc.cast(col, pa.int64())
+
     def probes(t: pa.Table) -> pa.Table:
-        b = pc.cast(t[left_ts], pa.int64()).to_numpy(zero_copy_only=False) // w_us
+        b = _as_us(t[left_ts]).to_numpy(zero_copy_only=False) // w_us
         idx = np.repeat(np.arange(t.num_rows), 3)
         off = np.tile(np.array([-1, 0, 1], dtype=np.int64), t.num_rows)
         out = t.take(pa.array(idx, pa.int64()))
         return out.append_column("__bkt", pa.array(b[idx] + off, pa.int64()))
 
     def bucket_right(t: pa.Table) -> pa.Table:
-        ts_us = pc.cast(t[right_ts], pa.int64())
+        ts_us = _as_us(t[right_ts])
         b = ts_us.to_numpy(zero_copy_only=False) // w_us
         return pa.table({"__bkt": pa.array(b, pa.int64()), "__rts": ts_us})
 
@@ -453,7 +467,7 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, left_ts: str,
                        num_partitions=num_partitions)
 
     def in_window(t: pa.Table) -> pa.Table:
-        dt = pc.abs(pc.subtract(t["__rts"], pc.cast(t[left_ts], pa.int64())))
+        dt = pc.abs(pc.subtract(t["__rts"], _as_us(t[left_ts])))
         return t.filter(pc.less_equal(dt, pa.scalar(w_us, pa.int64())))
 
     filtered = joined.map_batches(in_window, batch_format="pyarrow",

@@ -308,17 +308,23 @@ def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
     # incremental runs, rows outside the look-back window.
     import pyarrow.parquet as _pq
     rows_in = 0
+    footer_errors = 0
     for f in fragments:
         try:
             rows_in += _pq.ParquetFile(f).metadata.num_rows
         except Exception:
-            pass
+            footer_errors += 1
+    # An unreadable footer must surface as UNKNOWN, not as "no drops" —
+    # silently skipping it would zero the dead-letter metric exactly when
+    # input data went missing.
     manifest = {
         "shard_id": shard_id,
         "input_fragments": fragments,
         "row_count": rows_out,
-        "rows_in": rows_in,
-        "rows_dropped": max(0, rows_in - rows_out),
+        "rows_in": rows_in if footer_errors == 0 else None,
+        "rows_dropped": (max(0, rows_in - rows_out)
+                         if footer_errors == 0 else None),
+        "footer_errors": footer_errors,
         "content_hash": content_hash,
     }
     lineage.write_manifest(out_dir, shard_id, manifest)
@@ -485,7 +491,7 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
         "shards_total": len(shards),
         "shards_run_this_invocation": done,
         "rows_routed": total_rows,
-        "rows_dropped": sum(m.get("rows_dropped", 0) for m in manifests.values()),
+        "rows_dropped": sum(m.get("rows_dropped") or 0 for m in manifests.values()),
         "elapsed_sec": time.perf_counter() - t0,
         "aggregates_path": str(agg_path),
     }

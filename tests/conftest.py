@@ -1,3 +1,7 @@
+import os
+
+os.environ.setdefault("POLARS_MAX_THREADS", "1")  # before ray.init: workers inherit
+
 import pytest
 import ray
 

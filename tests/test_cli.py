@@ -40,6 +40,36 @@ def test_invalidate_then_run_reprocesses_exactly_once(tmp_path, capsys):
     assert sorted(urls) == baseline
 
 
+def test_cli_flag_beats_config_file(tmp_path, capsys):
+    """Real precedence check through cmd_run: explicit --num-shards beats
+    the config file's value; without the flag the config value applies."""
+    info = synth_pages(tmp_path / "in", rows=300, num_files=8)
+    cfgp = tmp_path / "settings.ini"
+    cfgp.write_text("[Processing]\nnum_shards = 8\n")
+    common = ["run", "--pages-dir", str(info["pages_dir"]),
+              "--lang", info["lookup_lang"], "--host", info["lookup_host"],
+              "--config", str(cfgp)]
+
+    assert main(common + ["--out", str(tmp_path / "o1"),
+                          "--num-shards", "2"]) == 0
+    m1 = json.loads(capsys.readouterr().out)
+    assert m1["shards_total"] == 2  # flag wins
+
+    assert main(common + ["--out", str(tmp_path / "o2")]) == 0
+    m2 = json.loads(capsys.readouterr().out)
+    assert m2["shards_total"] == 8  # config applies when flag absent
+
+
+def test_watch_requires_incremental(tmp_path):
+    import pytest
+
+    info = synth_pages(tmp_path / "in", rows=100, num_files=1)
+    with pytest.raises(SystemExit, match="watch requires"):
+        main(["run", "--watch", "--pages-dir", str(info["pages_dir"]),
+              "--lang", info["lookup_lang"], "--host", info["lookup_host"],
+              "--out", str(tmp_path / "out")])
+
+
 def test_watch_poll_loop_second_poll_is_noop(tmp_path, capsys):
     info = synth_pages(tmp_path / "in", rows=400, num_files=4)
     out = tmp_path / "out"

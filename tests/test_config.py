@@ -55,13 +55,14 @@ def test_missing_named_file_raises(tmp_path):
         load_settings(tmp_path / "nope.ini", env={})
 
 
-def test_cli_flag_beats_config(tmp_path, capsys):
-    """CLI precedence: explicit flag > config value (checked via the arg
-    resolution in cmd_run by loading settings directly — the full run is
-    covered by the flagship e2e tests)."""
+def test_invalid_typed_value_raises_with_key_name(tmp_path):
     p = tmp_path / "settings.ini"
-    p.write_text(INI)
-    s = load_settings(p, env={})
-    arg_value = 4  # explicit --num-shards
-    resolved = arg_value if arg_value is not None else s.num_shards
-    assert resolved == 4
+    p.write_text("[Processing]\nnum_shards = not-a-number\n")
+    with pytest.raises(ValueError, match=r"\[Processing\] num_shards"):
+        load_settings(p, env={})
+
+
+def test_fractional_poll_interval_accepted(tmp_path):
+    p = tmp_path / "settings.ini"
+    p.write_text("[Ingest]\npoll_interval = 0.5\n")
+    assert load_settings(p, env={}).poll_interval == 0.5

@@ -335,6 +335,20 @@ def test_hll_distinct_by_accuracy():
         assert abs(e - exact[g]) / exact[g] < 0.05, (g, e, exact[g])
 
 
+def test_cosine_pair_paths_handle_empty_corpus():
+    """Both embedding near-dup paths return an empty, correctly-typed pair
+    dataset on an empty corpus (no IndexError from take(1), no np.stack on
+    zero rows)."""
+    empty = rd.from_arrow(pa.table({
+        "vec_id": pa.array([], pa.int64()),
+        "embedding": pa.array([], pa.list_(pa.float32()))}))
+    for fn in (dedup.lsh_cosine_pairs, dedup.exact_cosine_pairs):
+        out = fn(empty, "vec_id", "embedding", 0.9)
+        assert out.count() == 0
+        types = dict(zip(out.schema().names, out.schema().types))
+        assert pa.types.is_int64(types["id_a"]), (fn.__name__, types)
+
+
 def test_minhash_empty_candidates_keep_string_id_dtype():
     """No candidate pairs + string doc ids: the empty frame's id dtype must
     match the input (not hardcoded int64)."""
