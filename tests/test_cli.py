@@ -70,6 +70,40 @@ def test_watch_requires_incremental(tmp_path):
               "--out", str(tmp_path / "out")])
 
 
+def test_cli_subprocess_job_submit_surface(tmp_path):
+    """The `ray job submit -- python -m illumio_ray run …` surface, driven
+    for real: a FRESH process (own Ray session, no pytest fixtures) runs
+    synth → run → stats end-to-end and the reports agree."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "run1"
+    r = subprocess.run(
+        [sys.executable, "-m", "illumio_ray", "synth",
+         "--out", str(tmp_path / "d"), "--rows", "500", "--num-files", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "illumio_ray", "run",
+         "--pages-dir", info["pages_dir"],
+         "--lang", info["lookup_lang"], "--host", info["lookup_host"],
+         "--out", str(out), "--num-shards", "2"],
+        capture_output=True, text=True, cwd="/root/repo", timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    metrics = json.loads(r.stdout[r.stdout.index("{"):])
+    assert metrics["rows_routed"] > 0
+
+    r = subprocess.run(
+        [sys.executable, "-m", "illumio_ray", "stats", "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120)
+    assert r.returncode == 0, r.stderr[-2000:]
+    report = json.loads(r.stdout)
+    assert report["rows_routed"] == metrics["rows_routed"]
+    assert report["shards_committed"] == 2
+
+
 def test_watch_poll_loop_second_poll_is_noop(tmp_path, capsys):
     info = synth_pages(tmp_path / "in", rows=400, num_files=4)
     out = tmp_path / "out"
