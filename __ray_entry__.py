@@ -39,18 +39,21 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from illumio_ray.pipelines.queries import REGISTRY
+    from illumio_ray.pipelines.queries import ordered_registry
     from illumio_ray.synth import ensure_pages_for_sf
 
     # The pages-backed queries read synthesized parquet; materialize the
     # sf0.01 copy now so the DuckDB oracle (static path) always finds it.
+    # ordered_registry puts oracle-backed queries first so every driver
+    # CORRECTNESS slot carries a value-hash check.
     ensure_pages_for_sf(0.01)
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    return {name: spec.fn for name, spec in ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from illumio_ray.pipelines.queries import REGISTRY
+    from illumio_ray.pipelines.queries import ordered_registry
     from illumio_ray.synth import ensure_pages_for_sf
 
     ensure_pages_for_sf(0.01)
-    return {name: spec.sql for name, spec in REGISTRY.items() if spec.sql}
+    return {name: spec.sql
+            for name, spec in ordered_registry().items() if spec.sql}

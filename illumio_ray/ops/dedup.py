@@ -184,6 +184,12 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
     )
 
 
+# Broadcast-verify is only valid while every worker can pin the corpus's
+# shingle sets in heap; above this row count callers must switch to
+# verify_jaccard_pairs_join (reduce-side, no corpus broadcast).
+BROADCAST_VERIFY_MAX_DOCS = 200_000
+
+
 def verify_jaccard_pairs(cand: rd.Dataset, docs: pa.Table, id_col: str,
                          text_col: str, threshold: float = 0.8,
                          shingle_n: int = 3) -> rd.Dataset:

@@ -438,14 +438,7 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, left_ts: str,
     volume O(3·|L| + |R|) — never a time-cross-product. Skewed time
     buckets (flash crowds) can be salted like any other hot key."""
     w_us = int(window_sec * 1_000_000)
-
-    def _as_us(col) -> pa.ChunkedArray:
-        # normalize to µs BEFORE the int cast: a raw int64 cast yields the
-        # column's native unit (ns/ms/s), which would silently misscale
-        # both the bucket ids and the |dt| filter
-        if pa.types.is_timestamp(col.type):
-            col = pc.cast(col, pa.timestamp("us"))
-        return pc.cast(col, pa.int64())
+    _as_us = ts_as_us
 
     def probes(t: pa.Table) -> pa.Table:
         b = _as_us(t[left_ts]).to_numpy(zero_copy_only=False) // w_us
@@ -481,6 +474,15 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, left_ts: str,
 # time bucketing (≙ s3_analyzer window stats / db_stats rate windows)
 # ---------------------------------------------------------------------------
 
+def ts_as_us(col) -> pa.ChunkedArray:
+    """Timestamp column → int64 epoch-µs. Normalizes to µs BEFORE the int
+    cast: a raw int64 cast yields the column's native unit (ns/ms/s), which
+    would silently misscale bucket ids / window arithmetic downstream."""
+    if pa.types.is_timestamp(col.type):
+        col = pc.cast(col, pa.timestamp("us"))
+    return pc.cast(col, pa.int64())
+
+
 def time_bucket(ds: rd.Dataset, ts_col: str, unit: str = "hour",
                 out_col: str = "bucket") -> rd.Dataset:
     return with_columns(ds, {out_col: lambda t: pc.floor_temporal(t[ts_col], unit=unit)})
@@ -502,7 +504,7 @@ def sliding_window_counts(ds: rd.Dataset, ts_col: str, window_sec: int,
     hop_us = hop_sec * 1_000_000
 
     def partial(t: pa.Table) -> pa.Table:
-        idx = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False) // hop_us
+        idx = ts_as_us(t[ts_col]).to_numpy(zero_copy_only=False) // hop_us
         # count per hop-bucket first (dense within a batch), THEN explode
         # the bucket counts to their `overlap` covering windows
         buckets, counts = np.unique(idx, return_counts=True)

@@ -142,11 +142,18 @@ def add_repetition_signals(ds: rd.Dataset, text_col: str = "text") -> rd.Dataset
     Row-local by construction (a doc's words never leave its row), so the
     operator is a pure map stage — no shuffle at any scale. Tokenization is
     a plain single-space split, shared verbatim with the DuckDB oracle
-    (string_split(text, ' '))."""
+    (string_split(text, ' ')). NULL-text docs are DROPPED, matching SQL
+    unnest semantics (string_split(NULL) unnests to zero rows, so the doc
+    never reaches the per-doc aggregate)."""
     from ..functions.rounding import round_np
 
     def fn(batch: pd.DataFrame) -> pd.DataFrame:
-        s = batch[text_col].fillna("").str.split(" ")
+        batch = batch[batch[text_col].notna()].reset_index(drop=True)
+        if not len(batch):
+            batch["ttr"] = np.zeros(0)
+            batch["top_word_frac"] = np.zeros(0)
+            return batch
+        s = batch[text_col].str.split(" ")
         n = s.str.len().to_numpy(dtype=np.float64)
         ex = s.explode()
         per_word = ex.groupby([ex.index, ex.to_numpy()], sort=False).size()

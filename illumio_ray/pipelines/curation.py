@@ -87,7 +87,7 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
     n_filtered_exact = survivors.count()  # parquet metadata, no scan
 
     surv_pruned = rd.read_parquet(str(surv_dir), columns=["doc_id", "text"])
-    if n_filtered_exact <= 200_000:
+    if n_filtered_exact <= dedup.BROADCAST_VERIFY_MAX_DOCS:
         # small survivor set: broadcast verify (fewer shuffles); above the
         # threshold, the reduce-side join keeps text off the driver
         import pyarrow.dataset as pads

@@ -95,3 +95,20 @@ def test_entry_smoke():
     assert len(df) > 0
     assert list(df.columns) == ["sink", "lang", "hour", "n_docs", "sum_tokens"]
     assert df.n_docs.sum() > 0
+
+
+def test_driver_window_is_all_oracle_backed():
+    """The driver records CORRECTNESS rows for only the first 50 queries()
+    entries; every one of those slots must carry a SQL oracle (rows-only
+    queries ride beyond the window and are covered by contract_check)."""
+    from illumio_ray.pipelines.queries import REGISTRY, ordered_registry
+
+    ordered = ordered_registry()
+    assert set(ordered) == set(REGISTRY)  # a reordering, never a filter
+    names = list(ordered)
+    in_window = names[:50]
+    assert all(ordered[n].sql for n in in_window), [
+        n for n in in_window if not ordered[n].sql]
+    # rows-only entries are all after every oracle-backed entry
+    kinds = [bool(ordered[n].sql) for n in names]
+    assert kinds == sorted(kinds, reverse=True)

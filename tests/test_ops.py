@@ -621,3 +621,66 @@ def test_hll_distinct_accuracy_and_merge():
     df = pd.DataFrame({"k": vals})
     est2 = hll_distinct(rd.from_pandas(df), "k")
     assert abs(est2 - 20_000) / 20_000 < 0.05, est2
+
+
+def test_null_text_matches_sql_unnest_semantics(tmp_path):
+    """string_split(NULL) unnests to zero rows in SQL; the Ray side must
+    drop null-text docs, not mint an empty-string token (ADVICE r2)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from illumio_ray.pipelines.queries import REGISTRY
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a b a", None, "b b b", None], pa.string()),
+    })
+    pq.write_table(tbl, tmp_path / "documents.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')")
+
+    for name in ("doc_repetition", "corpus_top_words"):
+        spec = REGISTRY[name]
+        got = spec.fn(str(tmp_path))
+        got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+        want = con.execute(spec.sql).df()
+        key = [c for c in ("doc_id", "word") if c in want.columns]
+        got = got.sort_values(key).reset_index(drop=True)[sorted(got.columns)]
+        want = want.sort_values(key).reset_index(drop=True)[sorted(want.columns)]
+        pd.testing.assert_frame_equal(got, want, check_dtype=False), name
+
+
+def test_sliding_window_counts_unit_invariant():
+    """timestamp[ns] input must produce the same windows as timestamp[us]
+    (ADVICE r2: raw int64 cast would misscale non-µs units 1000×)."""
+    ts = pd.to_datetime(["2024-01-01 00:00:01", "2024-01-01 00:00:31",
+                         "2024-01-01 00:01:05", "2024-01-01 00:02:59"])
+    out = {}
+    for unit in ("us", "ns", "ms"):
+        t = pa.table({"ts": pa.array(ts).cast(pa.timestamp(unit))})
+        ds = rd.from_arrow(t)
+        res = rel.sliding_window_counts(ds, "ts", window_sec=60, hop_sec=30)
+        out[unit] = res.to_pandas().sort_values("win_us").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out["us"], out["ns"])
+    pd.testing.assert_frame_equal(out["us"], out["ms"])
+
+
+def test_near_dup_query_join_branch_matches_broadcast(monkeypatch):
+    """Force the scale path (reduce-side join verify) through the query
+    entry point itself and check it yields the same pairs as the
+    broadcast-verify branch (VERDICT r2 item 3)."""
+    from illumio_ray.pipelines.queries import REGISTRY
+
+    sf_dir = "/root/testdata/sf0.001"
+    fn = REGISTRY["near_dup_docs"].fn
+
+    def run():
+        out = fn(sf_dir)
+        df = out.to_pandas() if hasattr(out, "to_pandas") else out
+        return (df[["id_a", "id_b", "jaccard"]]
+                .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+
+    broadcast = run()
+    monkeypatch.setattr(dedup, "BROADCAST_VERIFY_MAX_DOCS", 0)
+    joined = run()
+    pd.testing.assert_frame_equal(broadcast, joined)
