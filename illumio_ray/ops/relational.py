@@ -474,6 +474,53 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, left_ts: str,
 # time bucketing (≙ s3_analyzer window stats / db_stats rate windows)
 # ---------------------------------------------------------------------------
 
+def adaptive_bucket_count(n_rows: int | None, floor: int = 64,
+                          target_rows: int = 1_000_000) -> int:
+    """Bucket count for keyed-window partitioning, sized from data AND
+    cluster instead of a constant: a fixed count caps reduce parallelism
+    on big clusters and makes each bucket materialize rows/constant rows
+    (an OOM at 10^9+ events). Rule, pinned by test:
+
+        max(floor, 4 x cluster CPUs, ceil(n_rows / target_rows))
+
+    so every bucket stays under ~target_rows rows and there are always
+    enough buckets to feed every core. The bucket id is only a
+    partitioning artifact — any count yields identical results."""
+    cpus = int(ray.cluster_resources().get("CPU", 1)) if ray.is_initialized() else 1
+    n = max(floor, 4 * cpus)
+    if n_rows:
+        n = max(n, -(-int(n_rows) // target_rows))
+    return n
+
+
+def keyed_window(ds: rd.Dataset, key_col: str,
+                 window_fn: Callable[[pd.DataFrame], pd.DataFrame],
+                 num_buckets: int | None = None,
+                 n_rows: int | None = None) -> rd.Dataset:
+    """Run an ordered/stateful per-key window function distributed: rows
+    hash-partition by a BUCKET of keys (hash(key) % P) so each map_groups
+    call receives whole keys and can compute the window vectorized over
+    the bucket. A key's rows never split across buckets, so per-key state
+    never leaves its group. P comes from adaptive_bucket_count unless
+    pinned by the caller."""
+    from ..functions.hashing import hash64
+
+    if num_buckets is None:
+        # n_rows=None → Dataset.count(); on a fresh parquet read that is
+        # footer metadata only (no scan) — callers mid-pipeline should
+        # pass an estimate instead
+        num_buckets = adaptive_bucket_count(
+            n_rows if n_rows is not None else ds.count())
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return bucketed.groupby("__b").map_groups(window_fn, batch_format="pandas")
+
+
 def ts_as_us(col) -> pa.ChunkedArray:
     """Timestamp column → int64 epoch-µs. Normalizes to µs BEFORE the int
     cast: a raw int64 cast yields the column's native unit (ns/ms/s), which

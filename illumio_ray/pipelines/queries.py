@@ -463,23 +463,14 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
 """)
 def events_running_total(sf_dir: str):
     """Ordered window functions per user (running row_number + running
-    max) — same user-bucket partition shape as sessionize: each map_groups
-    call gets a whole bucket of users and computes the window vectorized
-    (pandas groupby cumcount/cummax in C). running_max picks an input
-    value, so cross-engine float equality is exact."""
-    from ..functions.hashing import hash64
+    max) — same user-bucket partition shape as sessionize (shared
+    rel.keyed_window helper; bucket count sized from data + cluster by
+    rel.adaptive_bucket_count). running_max picks an input value, so
+    cross-engine float equality is exact."""
     from ..functions.rounding import round_np
 
     ds = read_table(sf_dir, "events",
                     columns=["event_id", "user_id", "ts", "value"])
-    num_buckets = 64
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = (hash64(t["user_id"]) % np.uint64(num_buckets)).astype(np.int32)
-        return t.append_column("__b", pa.array(b, pa.int32()))
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
 
     def window(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -490,7 +481,7 @@ def events_running_total(sf_dir: str):
             "running_max": round_np(grp["value"].cummax().to_numpy(), 6),
         })
 
-    return bucketed.groupby("__b").map_groups(window, batch_format="pandas")
+    return rel.keyed_window(ds, "user_id", window)
 
 
 @register("events_sliding_window", """
@@ -728,19 +719,10 @@ def events_sessionize(sf_dir: str):
     boundaries. (The earlier per-user map_groups emitted one single-row
     pandas frame per user; per-group pandas overhead dominates at 10^9
     users.) A user's rows never split across buckets, so state still never
-    leaves the group."""
-    from ..functions.hashing import hash64
-
+    leaves the group. Bucket count comes from rel.adaptive_bucket_count
+    (data + cluster sized) via the shared rel.keyed_window helper."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     gap = np.timedelta64(30 * 60 * 1_000_000, "us")
-    num_buckets = 64
-
-    def add_bucket(t: pa.Table) -> pa.Table:
-        b = (hash64(t["user_id"]) % np.uint64(num_buckets)).astype(np.int32)
-        return t.append_column("__b", pa.array(b, pa.int32()))
-
-    bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",
-                              zero_copy_batch=True)
 
     def sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"])
@@ -762,8 +744,7 @@ def events_sessionize(sf_dir: str):
             "n_sessions": np.add.reduceat(new_session, starts),
         })
 
-    out = bucketed.groupby("__b").map_groups(sessions, batch_format="pandas")
-    return out
+    return rel.keyed_window(ds, "user_id", sessions)
 
 
 @register("q12_shipmode", """

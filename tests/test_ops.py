@@ -684,3 +684,41 @@ def test_near_dup_query_join_branch_matches_broadcast(monkeypatch):
     monkeypatch.setattr(dedup, "BROADCAST_VERIFY_MAX_DOCS", 0)
     joined = run()
     pd.testing.assert_frame_equal(broadcast, joined)
+
+
+def test_adaptive_bucket_count_rule():
+    """Pins the sizing rule: max(floor, 4*CPUs, ceil(rows/target))."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 1))
+    assert rel.adaptive_bucket_count(None) == max(64, 4 * cpus)
+    assert rel.adaptive_bucket_count(10) == max(64, 4 * cpus)
+    big = 10_000_000_000
+    assert rel.adaptive_bucket_count(big) == max(64, 4 * cpus, big // 1_000_000)
+    assert rel.adaptive_bucket_count(1_000_001) >= 2 or max(64, 4 * cpus) >= 2
+
+
+def test_keyed_window_bucket_count_invariant():
+    """The bucket id is a partitioning artifact: any bucket count must give
+    identical window results (pins the keyed_window refactor)."""
+    rng = np.random.default_rng(9)
+    n = 500
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.to_datetime("2024-01-01") + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+        "event_id": np.arange(n),
+    })
+
+    def counts(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id", sort=False)
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "seq": (grp.cumcount() + 1).to_numpy()})
+
+    outs = []
+    for p in (1, 5, 64):
+        ds = rd.from_pandas(df)
+        out = rel.keyed_window(ds, "user_id", counts, num_buckets=p)
+        outs.append(out.to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
