@@ -93,3 +93,75 @@ def simhash64(token_sets: list[np.ndarray], weights: list[np.ndarray] | None = N
         agg = (signs * w[:, None]).sum(axis=0)
         out[i] = np.bitwise_or.reduce(bits[agg > 0], initial=np.uint64(0)) if (agg > 0).any() else np.uint64(0)
     return out
+
+
+# ---------------------------------------------------------------------------
+# version-stable hashing for PERSISTED artifacts
+# ---------------------------------------------------------------------------
+# polars documents Series.hash as stable only within a polars version, so
+# hash64 must never decide anything that outlives the current process tree
+# (a bucketed layout written under one polars and joined under another
+# would silently drop join rows). stable_hash64 is pinned by THIS code:
+# a polynomial rolling hash over the raw bytes (natural uint64 wraparound)
+# with a splitmix64 finalizer, vectorized via Arrow buffers + cumsum.
+
+_FNV_PRIME = np.uint64(0x100000001B3)
+_POW_CACHE = np.array([1], dtype=np.uint64)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & _MASK64
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & _MASK64
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & _MASK64
+    return x ^ (x >> np.uint64(31))
+
+
+def _powers(n: int) -> np.ndarray:
+    global _POW_CACHE
+    if len(_POW_CACHE) < n:
+        m = max(n, 2 * len(_POW_CACHE))
+        _POW_CACHE = np.concatenate(
+            [np.array([1], np.uint64),
+             np.cumprod(np.full(m - 1, _FNV_PRIME, np.uint64))])  # wraps mod 2^64
+    return _POW_CACHE
+
+
+def stable_hash64(values, seed: int = 0) -> np.ndarray:
+    """Version-stable 64-bit hash → uint64 ndarray. Same contract as
+    hash64 but with values guaranteed stable across library upgrades —
+    REQUIRED for anything persisted and re-read later (bucketed layouts:
+    same key must land in the same bucket in any run of any build).
+    ~3-5x slower than the polars path; use hash64 for within-run keys."""
+    if isinstance(values, pd.Series):
+        values = pa.Array.from_pandas(values)
+    if not isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = pa.array(values)
+    if isinstance(values, pa.ChunkedArray):
+        values = values.combine_chunks()
+    if len(values) == 0:
+        return np.array([], dtype=np.uint64)
+    sd = _splitmix64(np.array([seed], np.uint64))[0]
+    if pa.types.is_integer(values.type) or pa.types.is_floating(values.type):
+        v = values.cast(pa.int64(), safe=False) if pa.types.is_integer(values.type) else values
+        raw = np.ascontiguousarray(
+            v.to_numpy(zero_copy_only=False)).view(np.uint64) \
+            if pa.types.is_floating(values.type) else \
+            v.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        return _splitmix64(raw ^ sd)
+    b = values.cast(pa.large_binary()) if not pa.types.is_large_binary(values.type) else values
+    offsets = np.frombuffer(b.buffers()[1], dtype=np.int64,
+                            count=b.offset + len(b) + 1)[b.offset:]
+    lens = np.diff(offsets)
+    flat = np.frombuffer(b.buffers()[2], dtype=np.uint8,
+                         count=int(offsets[-1]))[offsets[0]:].astype(np.uint64)
+    starts = (offsets[:-1] - offsets[0]).astype(np.int64)
+    n_bytes = len(flat)
+    if n_bytes:
+        pos = np.arange(n_bytes, dtype=np.int64) - np.repeat(starts, lens)
+        exp = np.repeat(lens, lens) - 1 - pos
+        terms = flat * _powers(int(lens.max()))[exp]     # wraps mod 2^64
+        c = np.concatenate([np.zeros(1, np.uint64), np.cumsum(terms)])
+        h = c[starts + lens] - c[starts]                 # modular segment sums
+    else:
+        h = np.zeros(len(lens), dtype=np.uint64)
+    return _splitmix64(h ^ _splitmix64(lens.astype(np.uint64) ^ sd))

@@ -85,6 +85,10 @@ class TDigest:
         self.weights = np.array([], dtype=np.float64)
 
     def _compress(self, means: np.ndarray, weights: np.ndarray) -> None:
+        """Greedy merge under the k1 variance size bound. Runs over
+        CENTROID arrays only (O(delta)-sized after _cluster_unit
+        pre-reduction), so the Python loop is O(delta) per call, never
+        O(rows) (ADVICE r2)."""
         if len(means) == 0:
             self.means = means
             self.weights = weights
@@ -111,12 +115,40 @@ class TDigest:
         self.means = np.asarray(out_m)
         self.weights = np.asarray(out_w)
 
+    def _cluster_unit(self, v: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Pre-reduce SORTED unit-weight values to O(delta) clusters under
+        the same k1 size bound, with the per-cluster size solved in closed
+        form (the bound c+1 <= 4Tq(1-q)/delta with q=(a+c/2)/T is a
+        quadratic in c), so the Python loop runs O(#clusters) iterations
+        instead of one per raw value."""
+        import math
+
+        n = len(v)
+        total = float(n)
+        cum = np.cumsum(v)
+        out_m, out_w = [], []
+        i = 0
+        while i < n:
+            a = float(i)
+            # c^2 + c(dT - 2T + 4a) + (dT - 4aT + 4a^2) <= 0
+            b = self.delta * total - 2 * total + 4 * a
+            cc = self.delta * total - 4 * a * total + 4 * a * a
+            disc = b * b - 4 * cc
+            c = int((-b + math.sqrt(disc)) / 2) if disc > 0 else 1
+            j = min(i + max(c, 1), n)
+            w = j - i
+            out_m.append((cum[j - 1] - (cum[i - 1] if i else 0.0)) / w)
+            out_w.append(float(w))
+            i = j
+        return np.asarray(out_m), np.asarray(out_w)
+
     def add_array(self, values: np.ndarray) -> "TDigest":
         v = np.asarray(values, dtype=np.float64)
         v = v[~np.isnan(v)]
         if len(v):
-            self._compress(np.concatenate([self.means, v]),
-                           np.concatenate([self.weights, np.ones(len(v))]))
+            m, w = self._cluster_unit(np.sort(v))
+            self._compress(np.concatenate([self.means, m]),
+                           np.concatenate([self.weights, w]))
         return self
 
     def merge(self, other: "TDigest") -> "TDigest":

@@ -20,16 +20,20 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..functions.hashing import hash64
+from ..functions.hashing import stable_hash64
 
 
 def write_bucketed(ds: rd.Dataset, key_col: str, num_buckets: int,
                    out_dir: str | Path) -> str:
     """Write ``ds`` hash-bucketed by ``key_col`` into hive dirs
     ``out_dir/__bucket=i/``. Deterministic: same key → same bucket in any
-    run or table, which is what makes later bucket-wise joins correct."""
+    run of ANY build — the layout outlives the process, so the bucket
+    function must be stable_hash64 (pinned in our code), never a library
+    hash that may change across upgrades (polars documents Series.hash as
+    stable only within one polars version; a layout written under one
+    version and joined under another would silently drop join rows)."""
     def add_bucket(t: pa.Table) -> pa.Table:
-        b = (hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int32)
+        b = (stable_hash64(t[key_col]) % np.uint64(num_buckets)).astype(np.int32)
         return t.append_column("__bucket", pa.array(b, pa.int32()))
 
     bucketed = ds.map_batches(add_bucket, batch_format="pyarrow",

@@ -134,15 +134,10 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
     # pandas pass (two Ray sort-shuffles cost seconds of fixed overhead
     # each); above — or when the size is unknown — the same logic runs as
     # distributed groupbys.
-    if n_docs is None:
-        # cheap signal only: a bare read op answers count() from parquet
-        # footers; anything with transform stages would re-execute, so skip
-        try:
-            from ray.data._internal.logical.operators.read_operator import Read
-            if isinstance(ds._plan._logical_plan.dag, Read):
-                n_docs = ds.count()
-        except Exception:
-            n_docs = None
+    # The small-corpus fast path fires only on an EXPLICIT n_docs from the
+    # caller (parquet footers, survivor counters) — no plan introspection:
+    # unknown size takes the distributed path, which is correct at any
+    # scale and merely pays two sort-shuffles of fixed overhead.
     if n_docs is not None and n_docs <= 2_000_000:
         tbl = pa.concat_tables(
             pa.table(b) for b in band_rows.iter_batches(batch_format="pyarrow"))

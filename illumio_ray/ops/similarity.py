@@ -6,12 +6,15 @@
   queries probe their own bucket plus hamming-1 neighbors, so each query
   touches a small fraction of the corpus. Approximate by design; tests
   measure recall against brute force.
+
+All per-batch kernels run in Arrow batch format: the list<float> column's
+flat values buffer is reshaped to an (n, dim) matrix directly (no
+per-row Python objects, no pandas object-dtype np.stack).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -23,6 +26,36 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def vecs_from_arrow(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """list<float> / fixed_size_list<float> column → (n, dim) float64
+    matrix via the flat child buffer (zero-copy up to the final dtype
+    cast). Requires rectangular, null-free lists — the embedding-table
+    contract."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), np.float64)
+    if isinstance(arr, pa.ExtensionArray):
+        # Ray's ArrowTensorArray (fixed-shape tensor extension): already a
+        # contiguous (n, dim) block
+        m = np.asarray(arr.to_numpy(zero_copy_only=False))
+        if m.dtype == object:
+            m = np.stack(m)
+        return m.astype(np.float64, copy=False)
+    if arr.null_count:
+        raise ValueError("embedding column contains nulls")
+    if pa.types.is_fixed_size_list(arr.type):
+        dim = arr.type.list_size
+    else:
+        offsets = arr.offsets.to_numpy(zero_copy_only=False)
+        lens = np.diff(offsets)
+        dim = int(lens[0])
+        if not np.all(lens == dim):
+            raise ValueError("embedding lists are ragged")
+    flat = arr.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(n, dim).astype(np.float64, copy=False)
+
+
 def brute_force_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
                      id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
     """Exact top-k by cosine similarity to one query vector."""
@@ -30,15 +63,21 @@ def brute_force_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
     q = q / max(np.linalg.norm(q), 1e-12)
     ref = ray.put(q)
 
-    def score(batch: pd.DataFrame) -> pd.DataFrame:
-        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-        sims = v @ ray.get(ref)
-        out = pd.DataFrame({id_col: batch[id_col], "score": round_np(sims, 6)})
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col],
+                             "score": pa.array([], pa.float64())})
+        v = _normalize(vecs_from_arrow(t[vec_col]))
+        sims = round_np(v @ ray.get(ref), 6)
+        ids = t[id_col].combine_chunks()
         # local top-k: only k rows per batch survive to the global sort;
         # tie-break must match the global order (score desc, id asc)
-        return out.sort_values(["score", id_col], ascending=[False, True]).head(k)
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False), -sims))[:k]
+        idx = pa.array(order, pa.int64())
+        return pa.table({id_col: ids.take(idx),
+                         "score": pa.array(sims[order], pa.float64())})
 
-    scored = ds.map_batches(score, batch_format="pandas")
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)
 
 
@@ -65,13 +104,14 @@ def add_lsh_bucket(ds: rd.Dataset, index: SignLSHIndex,
                    vec_col: str = "embedding", out_col: str = "lsh_bucket") -> rd.Dataset:
     ref = ray.put(index)
 
-    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
         idx = ray.get(ref)
-        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-        batch[out_col] = idx.buckets(v)
-        return batch
+        v = _normalize(vecs_from_arrow(t[vec_col]))
+        return t.append_column(out_col, pa.array(idx.buckets(v), pa.int64()))
 
-    return ds.map_batches(fn, batch_format="pandas")
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def lsh_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
@@ -83,11 +123,16 @@ def lsh_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
     q = np.asarray(query_vec, dtype=np.float64)
     if index is None:
         index = SignLSHIndex(dim=len(q))
-    probes = set(index.probe_set(q / max(np.linalg.norm(q), 1e-12)).tolist())
+    probes = pa.array(
+        index.probe_set(q / max(np.linalg.norm(q), 1e-12)), pa.int64())
     bucketed = add_lsh_bucket(ds, index, vec_col)
-    cand = bucketed.map_batches(
-        lambda b: b[b["lsh_bucket"].isin(probes)], batch_format="pandas"
-    )
+
+    def probe_filter(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.is_in(t["lsh_bucket"], value_set=probes))
+
+    cand = bucketed.map_batches(probe_filter, batch_format="pyarrow",
+                                zero_copy_batch=True)
     return brute_force_topk(cand, q, k, id_col, vec_col)
 
 
@@ -127,22 +172,26 @@ def ivf_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
              n_cells: int = 16, nprobe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
              train_sample_rows: int = 4096) -> rd.Dataset:
-    """Approximate top-k via IVF: train centroids on a driver-side sample,
-    score only vectors whose cell is among the query's ``nprobe`` nearest
-    cells. Recall is tested against brute force."""
+    """Approximate top-k via IVF: train centroids on a driver-side sample
+    (bounded rows), score only vectors whose cell is among the query's
+    ``nprobe`` nearest cells. Recall is tested against brute force."""
     q = np.asarray(query_vec, dtype=np.float64)
     q = q / max(np.linalg.norm(q), 1e-12)
 
-    sample = ds.limit(train_sample_rows).to_pandas()
-    index = IVFIndex(np.stack(sample[vec_col].to_numpy()), n_cells=n_cells)
-    probes = set(index.probe_cells(q, nprobe).tolist())
+    sample = ds.limit(train_sample_rows).take_batch(
+        train_sample_rows, batch_format="pyarrow")
+    index = IVFIndex(vecs_from_arrow(sample[vec_col]), n_cells=n_cells)
+    probes = index.probe_cells(q, nprobe)
     ref = ray.put(index)
 
-    def cell_filter(batch: pd.DataFrame) -> pd.DataFrame:
+    def cell_filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
         idx = ray.get(ref)
-        v = _normalize(np.stack(batch[vec_col].to_numpy()).astype(np.float64))
-        cells = idx.assign(v)
-        return batch[np.isin(cells, list(probes))]
+        v = _normalize(vecs_from_arrow(t[vec_col]))
+        mask = np.isin(idx.assign(v), probes)
+        return t.filter(pa.array(mask))
 
-    cand = ds.map_batches(cell_filter, batch_format="pandas")
+    cand = ds.map_batches(cell_filter, batch_format="pyarrow",
+                          zero_copy_batch=True)
     return brute_force_topk(cand, q, k, id_col, vec_col)

@@ -722,3 +722,21 @@ def test_keyed_window_bucket_count_invariant():
         outs.append(out.to_pandas().sort_values("event_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(outs[0], outs[1])
     pd.testing.assert_frame_equal(outs[0], outs[2])
+
+
+def test_stable_hash64_pinned_values():
+    """stable_hash64 decides PERSISTED bucket layouts, so its values are
+    pinned forever: if this test fails, bucketed layouts written by older
+    builds would silently join wrong. Never update these constants —
+    fix the regression instead (ADVICE r2 on cross-version hashing)."""
+    from illumio_ray.functions.hashing import stable_hash64
+
+    got = [int(x) for x in stable_hash64(["", "a", "illumio"])]
+    assert got == [0x238275BC38FCBE91, 0xED673BABE737FE57, 0x21ECFB269529550D]
+    ints = [int(x) for x in stable_hash64(np.array([0, 1, -1], np.int64))]
+    assert len(set(ints)) == 3
+    again = [int(x) for x in stable_hash64(np.array([0, 1, -1], np.int64))]
+    assert ints == again
+    # arrow slice (nonzero offset) must hash like the equivalent copy
+    full = pa.array(["aaa", "bbb", "ccc"])
+    assert (stable_hash64(full.slice(1, 2)) == stable_hash64(["bbb", "ccc"])).all()
