@@ -1272,6 +1272,42 @@ def events_distinct_users_hll(sf_dir: str):
     return pa.table({"approx_distinct_users": pa.array([float(est)])})
 
 
+_BUCKETED_LAYOUT_K = 8
+
+
+def _ensure_custkey_layout(sf_dir: str) -> Path:
+    """ONE persisted hash(custkey) % K layout per sf dir (marker-keyed,
+    written once), shared by every bucketed query — the amortization the
+    layout exists for: pay the layout shuffle once, then every later
+    join/groupby on the key runs co-located with no exchange. Buckets are
+    stable_hash64-addressed, so any build can read a layout any other
+    build wrote."""
+    import shutil
+    import tempfile
+
+    from ..ops import bucketing
+
+    base = (Path(tempfile.gettempdir()) / "illumio_ray_bucketed"
+            / f"{Path(sf_dir).name}-k{_BUCKETED_LAYOUT_K}-v1")
+    marker = base / "_DONE"
+    if not marker.exists():
+        shutil.rmtree(base, ignore_errors=True)
+        base.mkdir(parents=True, exist_ok=True)
+        orders = read_table(sf_dir, "orders",
+                            columns=["o_custkey", "o_orderkey"])
+        orders = orders.map_batches(
+            lambda t: t.rename_columns(["c_custkey", "o_orderkey"]),
+            batch_format="pyarrow")
+        cust = read_table(sf_dir, "customer",
+                          columns=["c_custkey", "c_mktsegment"])
+        bucketing.write_bucketed(orders, "c_custkey", _BUCKETED_LAYOUT_K,
+                                 base / "orders")
+        bucketing.write_bucketed(cust, "c_custkey", _BUCKETED_LAYOUT_K,
+                                 base / "customer")
+        marker.write_text(f"k={_BUCKETED_LAYOUT_K} v=1")
+    return base
+
+
 @register("orders_per_segment_bucketed", """
 SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
@@ -1280,33 +1316,42 @@ GROUP BY c_mktsegment
 def orders_per_segment_bucketed(sf_dir: str):
     """Co-located bucketed join (the 'pick ONE partitioning key and reuse
     it' strategy): both tables are laid out once as hash(custkey) % K hive
-    buckets, then the join runs bucket-by-bucket in independent Ray tasks
-    with NO shuffle at join time. Exact — shares the plain join's SQL
-    oracle. At 100 TB the layout cost amortizes over every later join and
-    groupby on the same key."""
-    import shutil
-    import tempfile
-
+    buckets (shared, persisted — see _ensure_custkey_layout), then the
+    join runs bucket-by-bucket in independent Ray tasks with NO shuffle at
+    join time. Exact — shares the plain join's SQL oracle."""
     from ..ops import bucketing
 
-    k = 8
-    base = Path(tempfile.mkdtemp(prefix="illumio_bucketed_"))
-    try:
-        orders = read_table(sf_dir, "orders", columns=["o_custkey"])
-        orders = orders.map_batches(
-            lambda t: t.rename_columns(["c_custkey"]), batch_format="pyarrow")
-        cust = read_table(sf_dir, "customer",
-                          columns=["c_custkey", "c_mktsegment"])
-        bucketing.write_bucketed(orders, "c_custkey", k, base / "orders")
-        bucketing.write_bucketed(cust, "c_custkey", k, base / "customer")
-        joined = bucketing.bucketed_join(
-            base / "orders", base / "customer", on=["c_custkey"],
-            num_buckets=k)
-        return rel.grouped_agg(joined, ["c_mktsegment"],
-                               [("c_mktsegment", "count", "n_orders")]
-                               ).to_pandas()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
+    base = _ensure_custkey_layout(sf_dir)
+    joined = bucketing.bucketed_join(
+        base / "orders", base / "customer", on=["c_custkey"],
+        num_buckets=_BUCKETED_LAYOUT_K,
+        cols_a=["c_custkey"], cols_b=["c_custkey", "c_mktsegment"])
+    return rel.grouped_agg(joined, ["c_mktsegment"],
+                           [("c_mktsegment", "count", "n_orders")]
+                           ).to_pandas()
+
+
+@register("customer_order_counts_bucketed", """
+SELECT c_custkey, CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+""")
+def customer_order_counts_bucketed(sf_dir: str):
+    """SECOND query over the SAME persisted custkey layout — different
+    join projection and a different (unbounded) group key, with no
+    re-layout: the read is the bucket directories orders_per_segment
+    already paid for. Demonstrates the layout-amortization claim in
+    ops/bucketing.py. Unbounded key space → shuffle-mode aggregate."""
+    from ..ops import bucketing
+
+    base = _ensure_custkey_layout(sf_dir)
+    joined = bucketing.bucketed_join(
+        base / "orders", base / "customer", on=["c_custkey"],
+        num_buckets=_BUCKETED_LAYOUT_K,
+        cols_a=["c_custkey", "o_orderkey"], cols_b=["c_custkey"])
+    return rel.grouped_agg(joined, ["c_custkey"],
+                           [("o_orderkey", "count", "n_orders")],
+                           mode="shuffle")
 
 
 @register("events_distinct_users_by_type_hll", None)  # approximate → rows-only
@@ -1527,7 +1572,8 @@ def doc_bpeish_tokens(sf_dir: str):
 _DRIVER_FIRST = [
     "top3_lineitems_per_flag", "events_asof_view", "events_daily_rate",
     "orders_union_priority", "pages_ts_roundtrip", "top2_pages_per_host",
-    "orders_per_segment_bucketed", "events_heavy_hitters",
+    "orders_per_segment_bucketed", "customer_order_counts_bucketed",
+    "events_heavy_hitters",
     "events_error_view_range_join", "doc_repetition", "pages_label_flatten",
     "events_daily_delta", "doc_bpeish_tokens",
 ]
