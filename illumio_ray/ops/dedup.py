@@ -354,9 +354,13 @@ def _empty_pairs(ds: rd.Dataset, id_col: str) -> rd.Dataset:
 
 
 def _ids_and_matrix(tbl: pa.Table, id_col: str, vec_col: str):
+    from .similarity import vecs_from_arrow
+
     ids = np.asarray(tbl[id_col].to_pylist())
-    m = np.stack(tbl[vec_col].to_pylist()).astype(np.float64)
-    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    # flat Arrow buffer → (n, dim), no per-row Python list materialization
+    m = vecs_from_arrow(tbl[vec_col])
+    # out-of-place: m may be a read-only view over the object-store buffer
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
     return ids, m
 
 

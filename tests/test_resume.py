@@ -184,3 +184,54 @@ def test_replan_with_fewer_shards_removes_stale_dirs(tmp_path):
     # no stale shard dirs from the 4-shard plan → no duplicate urls
     assert routed.num_rows == m2["rows_routed"]
     assert len(set(routed["url"].to_pylist())) == routed.num_rows
+
+
+def test_watch_late_data_invalidate_consistency(tmp_path):
+    """One scenario chaining the daemon-mode realities (VERDICT r2
+    stretch): a look-back window predicate, late-arriving fragments
+    between polls, and an upstream correction (shard invalidation) —
+    after the next poll the aggregate must equal a from-scratch run over
+    the same final input, and routed output must stay exactly-once."""
+    import pandas as pd
+    import pyarrow.dataset as pads
+
+    from illumio_ray.pipelines.flagship import run_incremental
+    from illumio_ray.state import lineage
+    from illumio_ray.synth import _write_fragment, synth_pages
+
+    window = ("2024-10-01T06:00:00", "2024-10-02T12:00:00")
+    info = synth_pages(tmp_path / "in", rows=1500, num_files=4)
+    out = tmp_path / "out"
+    kw = dict(fragments_per_shard=2, time_window=window)
+
+    m1 = run_incremental(info["pages_dir"], out, info["lookup_lang"],
+                         info["lookup_host"], **kw)
+    assert m1["shards_run_this_invocation"] == 2
+
+    # late data arrives between polls
+    _write_fragment((200, 400, 20_000, 7, info["pages_dir"]))
+    _write_fragment((201, 400, 20_400, 7, info["pages_dir"]))
+    m2 = run_incremental(info["pages_dir"], out, info["lookup_lang"],
+                         info["lookup_host"], **kw)
+    assert m2["shards_run_this_invocation"] == 1
+
+    # upstream correction: drop one committed shard, next poll re-ingests
+    victim = min(lineage.load_manifests(out))
+    lineage.remove_shard(out, victim)
+    m3 = run_incremental(info["pages_dir"], out, info["lookup_lang"],
+                         info["lookup_host"], **kw)
+    assert m3["shards_run_this_invocation"] >= 1
+
+    def _load(d):
+        agg = pads.dataset(str(d / "aggregates")).to_table().to_pandas()
+        return agg.sort_values(["sink", "lang", "hour"]).reset_index(drop=True)
+
+    # from-scratch run over the same final fragment set
+    out2 = tmp_path / "out_scratch"
+    run_incremental(info["pages_dir"], out2, info["lookup_lang"],
+                    info["lookup_host"], **kw)
+    pd.testing.assert_frame_equal(_load(out), _load(out2))
+
+    routed = pads.dataset(str(out / "routed"), partitioning="hive").to_table(
+        columns=["url"])
+    assert len(set(routed["url"].to_pylist())) == routed.num_rows == m3["rows_routed"]
