@@ -305,6 +305,116 @@ def near_dup_pairs(ds: rd.Dataset, docs: pa.Table, id_col: str, text_col: str,
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted-index join — no LSH approximation)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str, text_col: str, *,
+                        n: int = 3, threshold: float = 0.8,
+                        max_df: int | None = None,
+                        n_rows: int | None = None,
+                        num_buckets: int | None = None) -> rd.Dataset:
+    """EXACT word-n-gram Jaccard pairs ≥ threshold via an inverted-index
+    join — the non-approximate sibling of MinHash-LSH (same shingles, no
+    signature error). ≙ the dedup family list in SURVEY §2.7.
+
+    Scale shape (three shuffle-free map stages + two exchanges):
+      1. explode each doc to (shingle_hash, doc_id, set_size) rows — set
+         semantics (per-doc shingles deduped), sizes carried inline so the
+         final step never joins back to a per-doc table;
+      2. hash-partition by shingle bucket (adaptive count) and self-merge
+         within the bucket → co-occurrence pair rows. A shingle's rows all
+         land in one bucket, so local df == global df and singleton
+         shingles prune locally before the merge;
+      3. groupby (id_a, id_b) count → intersection; |A∪B| = sz_a+sz_b−inter.
+
+    Only shingle hashes and ids ever shuffle — text stays in stage 1.
+    ``max_df`` (optional) drops shingles shared by more than max_df docs
+    before pair emission: standard stop-shingle pruning that bounds the
+    k²-pair blowup of ultra-common shingles at corpus scale. It is a
+    documented approximation (pairs whose ONLY shared shingles are
+    ultra-common are missed); the default None is exact and oracle-matched.
+    """
+    from .relational import adaptive_bucket_count
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        sh = _shingle_hashes(texts, n)
+        counts = np.array([len(a) for a in sh], np.int64)
+        flat = (np.concatenate(sh) if len(sh) else np.array([], np.uint64))
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), counts)
+        sizes = np.repeat(counts, counts)
+        return pa.table({
+            "shingle": pa.array(flat.astype(np.int64), pa.int64()),
+            "doc": pa.array(ids),
+            "sz": pa.array(sizes.astype(np.int32), pa.int32()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    if num_buckets is None:
+        num_buckets = adaptive_bucket_count(n_rows)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (t["shingle"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__b", pa.array(b, pa.int32()))
+
+    bucketed = exploded.map_batches(add_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+    def _empty(g: pd.DataFrame) -> pd.DataFrame:
+        # schema-stable empty frame with the id/size dtypes of THIS input
+        return pd.DataFrame({"id_a": g["doc"].iloc[:0],
+                             "id_b": g["doc"].iloc[:0],
+                             "sz_a": g["sz"].iloc[:0],
+                             "sz_b": g["sz"].iloc[:0]})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a shingle are in this bucket → local df is
+        # global df; singletons can never contribute to an intersection
+        g = g[g.duplicated("shingle", keep=False)]
+        if max_df is not None and len(g):
+            df_per = g.groupby("shingle")["doc"].transform("size")
+            g = g[df_per <= max_df]
+        if not len(g):
+            return _empty(g)
+        m = g[["shingle", "doc", "sz"]].merge(
+            g[["shingle", "doc", "sz"]], on="shingle", suffixes=("_a", "_b"))
+        m = m[m["doc_a"] < m["doc_b"]]
+        if not len(m):
+            return _empty(g)
+        return (m[["doc_a", "doc_b", "sz_a", "sz_b"]]
+                .rename(columns={"doc_a": "id_a", "doc_b": "id_b"}))
+
+    pairs = bucketed.groupby("__b").map_groups(emit_pairs,
+                                               batch_format="pandas")
+
+    from .relational import grouped_agg
+    agg = grouped_agg(pairs, ["id_a", "id_b"],
+                      [("sz_a", "count", "inter"),
+                       ("sz_a", "max", "sz_a"),
+                       ("sz_b", "max", "sz_b")],
+                      mode="shuffle")
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (t["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+                 + t["sz_b"].to_numpy(zero_copy_only=False) - inter)
+        j = np.divide(inter, union, out=np.zeros_like(inter),
+                      where=union > 0)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": t["id_a"].filter(pa.array(keep)),
+            "id_b": t["id_b"].filter(pa.array(keep)),
+            "jaccard": pa.array(round_np(j[keep], 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

@@ -1466,6 +1466,49 @@ def embedding_near_dup_lsh(sf_dir: str):
                                   threshold=0.95, n_tables=6)
 
 
+@register("ngram_jaccard_pairs", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+""")
+def ngram_jaccard_pairs_q(sf_dir: str):
+    """EXACT n-gram Jaccard near-dup pairs (inverted-index join) — the
+    brief's 6th dedup family, non-approximate sibling of `near_dup_docs`.
+    Only shingle hashes + ids shuffle; the oracle is the literal relational
+    statement of the same inverted-index algebra."""
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    # n_rows estimate for bucket sizing = exploded shingle rows ≈ docs ×
+    # tokens/doc (synth docs average a few hundred tokens)
+    return dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8,
+                                     n_rows=n_docs * 256)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed decode — deterministic fake)
 # ---------------------------------------------------------------------------

@@ -762,3 +762,43 @@ def test_bucketed_layout_written_once_reused_twice():
 
     after = {str(p): p.stat().st_mtime_ns for p in base.rglob("*.parquet")}
     assert after == files  # no re-layout, no rewrite
+
+
+def test_ngram_jaccard_exact_pairs_and_max_df():
+    # 3 docs: 0 and 1 share most 3-gram shingles; 2 is unrelated.
+    base = " ".join(f"w{j}" for j in range(12))
+    texts = [base, base + " tail", "completely different words here now ok"]
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": texts})
+    out = dedup.ngram_jaccard_pairs(rd.from_pandas(df), "doc_id", "text",
+                                    threshold=0.5,
+                                    num_buckets=8).to_pandas()
+    assert list(out.itertuples(index=False, name=None))[0][:2] == (0, 1)
+    assert len(out) == 1
+    # exact value: doc0 has 10 shingles, doc1 has 11, all 10 shared
+    assert out.iloc[0].jaccard == round(10 / 11, 6)
+
+    # max_df=1 drops every shared shingle → candidate pruning removes the pair
+    pruned = dedup.ngram_jaccard_pairs(rd.from_pandas(df), "doc_id", "text",
+                                       threshold=0.5, max_df=1,
+                                       num_buckets=8).to_pandas()
+    assert len(pruned) == 0
+
+
+def test_ngram_jaccard_superset_of_minhash_lsh():
+    """Exactness: every pair the approximate MinHash-LSH path reports at a
+    threshold must also be found by the inverted-index exact path."""
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(50)]
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    texts += [t + " extra" for t in texts[:5]]  # 5 near-dup pairs
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    docs = pa.Table.from_pandas(df)
+    approx = dedup.near_dup_pairs(rd.from_pandas(df), docs, "doc_id", "text",
+                                  threshold=0.8).to_pandas()
+    exact = dedup.ngram_jaccard_pairs(rd.from_pandas(df), "doc_id", "text",
+                                      threshold=0.8,
+                                      num_buckets=8).to_pandas()
+    approx_pairs = set(zip(approx.id_a, approx.id_b))
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    assert approx_pairs <= exact_pairs
+    assert len(exact_pairs) >= 5
