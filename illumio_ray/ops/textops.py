@@ -179,3 +179,96 @@ def add_bpeish_token_counts(ds: rd.Dataset, text_col: str = "text",
         n = pc.cast(pc.count_substring_regex(t[text_col], BPEISH_RE), pa.int64())
         return t.append_column(out_col, n)
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF (fully distributed two-shuffle plan)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_term(ds: rd.Dataset, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   n_docs: int | None = None) -> rd.Dataset:
+    """Most-distinctive term per doc by TF-IDF (tf × ln(N/df)).
+
+    Scale shape — NO vocabulary broadcast (the corpus DF table grows with
+    the data, so it shuffles like any fact table):
+      1. explode (doc, word) per batch;
+      2. shuffle groupby (doc, word) → tf;
+      3. shuffle groupby (word) over the tf table → df (rows per word ==
+         docs containing it, no count-distinct needed);
+      4. hash join tf ⋈ df on word, score vectorized;
+      5. top-1 per doc (local prune + per-group reduce).
+    Scores round half-away at 6 digits BEFORE the per-doc argmax, with a
+    lexicographic word tie-break, so the winner is engine-independent."""
+    from ..functions.rounding import round_np
+    from . import relational as rel
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def explode(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[[id_col, text_col]].dropna(subset=[text_col])
+        out = (s.assign(word=s[text_col].str.split(" "))
+                .explode("word")[[id_col, "word"]])
+        return out[out["word"].notna()]
+
+    words = ds.map_batches(explode, batch_format="pandas")
+    tf = rel.grouped_agg(words, [id_col, "word"],
+                         [("word", "count", "tf")], mode="shuffle")
+
+    # DF + score in ONE word-bucketed pass over the tf table: every row of
+    # a word lands in the same bucket, so the in-bucket group size IS the
+    # global document frequency — no tf ⋈ df join (also sidesteps Ray
+    # 2.49's chained-hash-join empty-partition schema bug)
+    def score(g: pd.DataFrame) -> pd.DataFrame:
+        dfv = g.groupby("word", sort=False)["tf"].transform("size")
+        tfidf = round_np(g["tf"].to_numpy(np.float64)
+                         * np.log(n_docs / dfv.to_numpy(np.float64)), 6)
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "word": g["word"].to_numpy(),
+                             "tfidf": tfidf})
+
+    scored = rel.keyed_window(tf, "word", score, n_rows=n_docs * 64)
+    return rel.topk_per_group(scored, [id_col], ["tfidf", "word"], 1,
+                              descending=[True, False])
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs a held-out set)
+# ---------------------------------------------------------------------------
+
+def decontaminate_flags(ds: rd.Dataset, bench_texts: list[str],
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 5) -> rd.Dataset:
+    """Flag training docs sharing ANY word-n-gram with a benchmark set
+    (test-set contamination screening, the standard 13-gram check scaled
+    to short synth docs). The benchmark shingle set is small by definition
+    (eval suites are thousands of docs), so it broadcasts once via
+    ray.put; the corpus streams through a stateless map — no shuffle at
+    all. Membership is a sorted-array binary search per doc's shingles."""
+    import ray as _ray
+
+    from .dedup import _shingle_hashes
+
+    bench = np.unique(np.concatenate(
+        [a for a in _shingle_hashes(bench_texts, n)] or
+        [np.array([], np.uint64)]))
+    ref = _ray.put(bench)
+
+    def flag(t: pa.Table) -> pa.Table:
+        b = _BENCH_CACHE.get(ref)
+        if b is None:
+            b = _ray.get(ref)
+            _BENCH_CACHE.clear()
+            _BENCH_CACHE[ref] = b
+        sh = _shingle_hashes(t[text_col].to_pylist(), n)
+        hit = np.fromiter(
+            (int(np.isin(s, b, assume_unique=True).any()) for s in sh),
+            dtype=np.int64, count=len(sh))
+        return pa.table({id_col: t[id_col],
+                         "contaminated": pa.array(hit, pa.int64())})
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_BENCH_CACHE: dict = {}

@@ -1509,6 +1509,405 @@ def ngram_jaccard_pairs_q(sf_dir: str):
                                      n_rows=n_docs * 256)
 
 
+@register("events_lag_delta", """
+SELECT event_id,
+       ROUND(value - lag(value) OVER w, 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lag(value) OVER w IS NOT NULL
+""")
+def events_lag_delta(sf_dir: str):
+    """lag()-window delta per user (the third ordered-window primitive
+    after running_* and sessionize): same keyed-bucket partition shape,
+    first-in-partition rows dropped on both sides (QUALIFY) so NULL/NaN
+    encodings never enter the hash compare."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        prev = g.groupby("user_id", sort=False)["value"].shift(1)
+        keep = prev.notna().to_numpy()
+        delta = (g["value"].to_numpy() - prev.to_numpy())[keep]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[keep],
+                             "delta": round_np(delta, 6)})
+
+    return rel.keyed_window(ds, "user_id", window)
+
+
+@register("orders_rollup", """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+""")
+def orders_rollup(sf_dir: str):
+    """GROUP BY ROLLUP: subtotals at (priority, status), (priority) and
+    grand-total levels. ONE distributed pass computes the finest level
+    (bounded key space → grouped_agg driver combine); the coarser levels
+    re-aggregate from those ≤|priorities×statuses| partial rows on the
+    driver — the textbook rollup-from-finest optimization, no second
+    data scan."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+    fine = rel.grouped_agg(
+        ds, ["o_orderpriority", "o_orderstatus"],
+        [("o_totalprice", "count", "n_orders"),
+         ("o_totalprice", "sum", "ssum")]).to_pandas()
+    mid = (fine.groupby("o_orderpriority", as_index=False)
+               .agg(n_orders=("n_orders", "sum"), ssum=("ssum", "sum")))
+    mid["o_orderstatus"] = None
+    top = pd.DataFrame({"o_orderpriority": [None], "o_orderstatus": [None],
+                        "n_orders": [fine["n_orders"].sum()],
+                        "ssum": [fine["ssum"].sum()]})
+    out = pd.concat([fine, mid, top], ignore_index=True)
+    out["total_price"] = round_np(out.pop("ssum").to_numpy(), 2)
+    return out[["o_orderpriority", "o_orderstatus", "n_orders",
+                "total_price"]]
+
+
+@register("q4_order_priority", """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+""")
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (correlated EXISTS → distributed semi-join): orders
+    with at least one lineitem shipped >60 days after order date. Plan:
+    date-pruned orders hash-join lineitem keys, correlated predicate per
+    batch, distinct order keys (first-wins groupby), bounded group count."""
+    import datetime as _dt
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate",
+                                 "o_orderpriority"])
+    orders = rel.filter_batches(
+        orders, lambda t: pc.and_(
+            pc.greater_equal(t["o_orderdate"], _ts("1995-01-01")),
+            pc.less(t["o_orderdate"], _ts("1995-07-01"))))
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"])
+    joined = rel.hash_join(
+        li, orders.map_batches(
+            lambda t: t.rename_columns(
+                ["l_orderkey", "o_orderdate", "o_orderpriority"]),
+            batch_format="pyarrow"),
+        on=["l_orderkey"])
+    late = rel.filter_batches(
+        joined, lambda t: pc.greater(
+            t["l_shipdate"],
+            pc.add(t["o_orderdate"],
+                   pa.scalar(_dt.timedelta(days=60),
+                             pa.duration("us")))))
+    # semi-join finalization: one row per qualifying order
+    dist = rel.distinct(late, ["l_orderkey", "o_orderpriority"])
+    return rel.grouped_agg(dist, ["o_orderpriority"],
+                           [("l_orderkey", "count", "order_count")])
+
+
+@register("q7_nation_volume", """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+          OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+        AND l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                           AND TIMESTAMP '1996-12-31') shipping
+GROUP BY supp_nation, cust_nation, l_year
+""")
+def q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 shape (bi-national trade volume by year): the longest join
+    chain in the registry — lineitem ⋈ orders ⋈ customer are all
+    hash-partitioned (every side grows with SF; the round-1 lesson: never
+    broadcast customer), nation rides broadcast into the supplier and
+    customer dimensions before their joins, and the nation-pair filter
+    prunes each side BEFORE its shuffle."""
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    nat = nat.filter(pc.is_in(nat["n_name"],
+                              pa.array(["NATION_13", "NATION_19"])))
+
+    sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.join(nat.rename_columns(["s_nationkey", "supp_nation"]),
+                   keys="s_nationkey").select(["s_suppkey", "supp_nation"])
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    cust = rel.broadcast_join(
+        cust, nat.rename_columns(["c_nationkey", "cust_nation"]),
+        on=["c_nationkey"], join_type="inner")
+    cust = cust.map_batches(
+        lambda t: t.select(["c_custkey", "cust_nation"])
+                   .rename_columns(["o_custkey", "cust_nation"]),
+        batch_format="pyarrow")
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                             "l_discount", "l_shipdate"])
+    li = rel.filter_batches(
+        li, lambda t: pc.and_(
+            pc.greater_equal(t["l_shipdate"], _ts("1995-01-01")),
+            pc.less_equal(t["l_shipdate"], _ts("1996-12-31"))))
+    li = rel.broadcast_join(li, sup.rename_columns(
+        ["l_suppkey", "supp_nation"]), on=["l_suppkey"], join_type="inner")
+    li = rel.with_columns(li, {
+        "volume": lambda t: pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        "l_year": lambda t: pc.cast(pc.year(t["l_shipdate"]), pa.int64()),
+    }, keep=["l_orderkey", "supp_nation", "volume", "l_year"])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    orders = rel.hash_join(
+        orders.map_batches(lambda t: t.rename_columns(
+            ["l_orderkey", "o_custkey"]), batch_format="pyarrow"),
+        cust, on=["o_custkey"])
+    joined = rel.hash_join(li, orders.select_columns(
+        ["l_orderkey", "cust_nation"]), on=["l_orderkey"])
+    # keep only opposing-nation pairs (the filter above kept both nations
+    # on each side; same-nation trade is excluded by Q7)
+    joined = rel.filter_batches(
+        joined, lambda t: pc.not_equal(t["supp_nation"], t["cust_nation"]))
+    agg = rel.grouped_agg(joined, ["supp_nation", "cust_nation", "l_year"],
+                          [("volume", "sum", "vsum")])
+    return agg.map_batches(lambda t: pa.table({
+        "supp_nation": t["supp_nation"], "cust_nation": t["cust_nation"],
+        "l_year": t["l_year"], "revenue": round_col(t["vsum"], 2)}),
+        batch_format="pyarrow")
+
+
+@register("q10_returned_revenue", """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1995-07-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q10_returned_revenue(sf_dir: str):
+    """TPC-H Q10 shape (top returners): aggregate FIRST on the join key
+    (custkey), attach customer/nation attributes AFTER the reduce — the
+    post-agg join touches |customers-with-returns| rows instead of every
+    lineitem, and custkey→(name, nation) is functional so the result is
+    identical to SQL's wider GROUP BY."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_extendedprice", "l_discount",
+                             "l_returnflag"])
+    li = rel.filter_batches(li, lambda t: pc.equal(t["l_returnflag"], "R"))
+    li = rel.with_columns(li, {
+        "rev": lambda t: pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))},
+        keep=["l_orderkey", "rev"])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    orders = rel.filter_batches(
+        orders, lambda t: pc.and_(
+            pc.greater_equal(t["o_orderdate"], _ts("1995-01-01")),
+            pc.less(t["o_orderdate"], _ts("1995-07-01"))))
+    orders = orders.map_batches(
+        lambda t: t.select(["o_orderkey", "o_custkey"]).rename_columns(
+            ["l_orderkey", "c_custkey"]), batch_format="pyarrow")
+
+    joined = rel.hash_join(li, orders, on=["l_orderkey"])
+    agg = rel.grouped_agg(joined, ["c_custkey"],
+                          [("rev", "sum", "rev_raw")], mode="shuffle")
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_name", "c_nationkey"])
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    cust = rel.broadcast_join(
+        cust, nat.rename_columns(["c_nationkey", "n_name"]),
+        on=["c_nationkey"], join_type="inner").select_columns(
+        ["c_custkey", "c_name", "n_name"])
+    out = rel.hash_join(agg, cust, on=["c_custkey"])
+    out = out.map_batches(lambda t: pa.table({
+        "c_custkey": t["c_custkey"], "c_name": t["c_name"],
+        "n_name": t["n_name"], "revenue": round_col(t["rev_raw"], 2)}),
+        batch_format="pyarrow")
+    return rel.topk(out, ["revenue", "c_custkey"], 20,
+                    descending=[True, False])
+
+
+@register("q18_large_orders", """
+SELECT o_custkey AS c_custkey, o_orderkey,
+       ROUND(sum_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 220) big
+JOIN orders ON o_orderkey = l_orderkey
+""")
+def q18_large_orders(sf_dir: str):
+    """TPC-H Q18 shape (HAVING on an aggregate, then join back): shuffle
+    groupby on the unbounded order key, post-aggregate filter, hash join
+    to attach the order's customer. The HAVING prunes before the join, so
+    the second shuffle moves only the ~top-few-% qualifying orders."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_quantity"])
+    sums = rel.grouped_agg(li, ["l_orderkey"],
+                           [("l_quantity", "sum", "sum_qty")],
+                           mode="shuffle")
+    big = rel.filter_batches(
+        sums, lambda t: pc.greater(t["sum_qty"], pa.scalar(220.0)))
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey"])
+    orders = orders.map_batches(
+        lambda t: t.rename_columns(["l_orderkey", "c_custkey"]),
+        batch_format="pyarrow")
+    out = rel.hash_join(big, orders, on=["l_orderkey"])
+    return out.map_batches(lambda t: pa.table({
+        "c_custkey": t["c_custkey"],
+        "o_orderkey": t["l_orderkey"],
+        "total_qty": round_col(t["sum_qty"], 2)}), batch_format="pyarrow")
+
+
+@register("q19_bracket_revenue", """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 40)
+""")
+def q19_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 shape (OR-of-ANDs bracket predicate): part is the classic
+    broadcast side (fixed catalog, orders of magnitude smaller than
+    lineitem at every SF); the compound predicate evaluates vectorized
+    per batch AFTER the broadcast join, one scalar-sum reduce at the end."""
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice",
+                             "l_discount"])
+    li = rel.broadcast_join(
+        li, part.rename_columns(["l_partkey", "p_brand", "p_size"]),
+        on=["l_partkey"], join_type="inner")
+
+    def bracket(t: pa.Table):
+        def leg(brand, smax, qlo, qhi):
+            return pc.and_(pc.and_(
+                pc.equal(t["p_brand"], brand),
+                pc.and_(pc.greater_equal(t["p_size"], 1),
+                        pc.less_equal(t["p_size"], smax))),
+                pc.and_(pc.greater_equal(t["l_quantity"], float(qlo)),
+                        pc.less_equal(t["l_quantity"], float(qhi))))
+        return pc.or_(pc.or_(leg("Brand#12", 15, 1, 20),
+                             leg("Brand#23", 25, 10, 30)),
+                      leg("Brand#3", 35, 20, 40))
+
+    li = rel.filter_batches(li, bracket)
+    li = rel.with_columns(li, {
+        "rev": lambda t: pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))}, keep=["rev"])
+    total = li.sum("rev")
+    return pd.DataFrame({"revenue": [float(np.sign(total) *
+                                           np.floor(abs(total) * 100 + 0.5)
+                                           / 100)]})
+
+
+@register("doc_tfidf_top_term", """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM w GROUP BY 1, 2),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, word, ROUND(tf * ln(n * 1.0 / df), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY ROUND(tf * ln(n * 1.0 / df), 6) DESC, word) = 1
+""")
+def doc_tfidf_top_term(sf_dir: str):
+    """Most-distinctive term per doc (TF-IDF): fully distributed — DF is a
+    second shuffle over the tf table, never a vocabulary broadcast
+    (corpus vocabulary grows with the data). Scores round before the
+    per-doc argmax with a word tie-break so both engines pick the same
+    winner."""
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.tfidf_top_term(ds, "doc_id", "text", n_docs=n_docs)
+
+
+@register("doc_decontaminate", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 5 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] || ' '
+                   || L[i+3] || ' ' || L[i+4] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 5 THEN range(1, len(L) - 3)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+bench AS (SELECT DISTINCT g FROM sh WHERE doc_id % 50 = 0)
+SELECT d.doc_id,
+       CAST(CASE WHEN EXISTS (SELECT 1 FROM sh s JOIN bench b ON s.g = b.g
+                              WHERE s.doc_id = d.doc_id)
+                 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+FROM documents d WHERE d.doc_id % 50 <> 0
+""")
+def doc_decontaminate(sf_dir: str):
+    """Benchmark decontamination (the train/test contamination screen every
+    LLM data pipeline needs): flag training docs sharing any word-5-gram
+    with a held-out benchmark set (docs with doc_id % 50 == 0 stand in for
+    the eval suite — deterministic, no external data). The benchmark
+    shingle set broadcasts once; the corpus streams shuffle-free."""
+    import pyarrow.dataset as pads
+
+    # in production the benchmark is its own small table; here it's carved
+    # from documents with a scanner-level filter — the driver only ever
+    # holds the matching rows, never the corpus
+    path = str(Path(sf_dir) / "documents.parquet")
+    bench_texts: list[str] = []
+    for b in pads.dataset(path).to_batches(columns=["doc_id", "text"]):
+        m = pa.array(b.column(0).to_numpy() % 50 == 0)
+        bench_texts.extend(b.column(1).filter(m).to_pylist())
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    train = rel.filter_batches(
+        ds, lambda t: pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 50 != 0))
+    return textops.decontaminate_flags(train, bench_texts,
+                                       "doc_id", "text", n=5)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed decode — deterministic fake)
 # ---------------------------------------------------------------------------

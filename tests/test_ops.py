@@ -802,3 +802,27 @@ def test_ngram_jaccard_superset_of_minhash_lsh():
     exact_pairs = set(zip(exact.id_a, exact.id_b))
     assert approx_pairs <= exact_pairs
     assert len(exact_pairs) >= 5
+
+
+def test_tfidf_top_term_picks_distinctive_word():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["x x y", "x x z"]})
+    out = (textops.tfidf_top_term(rd.from_pandas(df), n_docs=2)
+           .to_pandas().sort_values("doc_id"))
+    # 'x' appears in both docs → idf 0; the df=1 word wins in each doc
+    assert list(out.word) == ["y", "z"]
+    assert (out.tfidf > 0).all()
+
+
+def test_decontaminate_flags_ngram_overlap():
+    from illumio_ray.ops import textops
+    bench = ["the quick brown fox jumps over the lazy dog"]
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "prefix the quick brown fox jumps suffix words",   # shares a 5-gram
+        "completely unrelated words with no shared grams at all",
+        "",                                                # empty → clean
+    ]})
+    out = (textops.decontaminate_flags(rd.from_pandas(df), bench)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out.contaminated) == [1, 0, 0]
