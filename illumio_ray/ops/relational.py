@@ -232,7 +232,12 @@ _BROADCAST_CACHE: dict = {}
 def semi_anti_join(ds: rd.Dataset, key_values, col: str, anti: bool = False) -> rd.Dataset:
     """Semi/anti join against a broadcast key set (≙ the reference's
     processed-keys anti-join, app/s3_manager.py:208-211)."""
-    keys_arr = pa.array(key_values)
+    if isinstance(key_values, pa.ChunkedArray):
+        keys_arr = key_values.combine_chunks()
+    elif isinstance(key_values, pa.Array):
+        keys_arr = key_values
+    else:
+        keys_arr = pa.array(key_values)
     ref = ray.put(keys_arr)
 
     def fn(t: pa.Table) -> pa.Table:

@@ -272,3 +272,85 @@ def decontaminate_flags(ds: rd.Dataset, bench_texts: list[str],
 
 
 _BENCH_CACHE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# stopword-filtered token counts + Gopher-style quality bounds
+# ---------------------------------------------------------------------------
+
+def _string_array(col) -> pa.Array:
+    """Table column → single contiguous StringArray (zero-copy when the
+    column already has one chunk)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+        if isinstance(col, pa.ChunkedArray):  # pyarrow<13 returns CA
+            col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    return col
+
+
+def _word_counts(text: pa.Array) -> tuple[np.ndarray, "pa.ListArray"]:
+    """Per-row count of non-empty space-separated words (matches SQL
+    len(list_filter(string_split(text,' '), x -> x <> ''))) plus the split
+    ListArray for callers that need the tokens. Fully vectorized:
+    split → flatten → bincount over repeated row indices."""
+    lists = pc.split_pattern(text, " ")
+    offs = lists.offsets.to_numpy()
+    row_idx = np.repeat(np.arange(len(lists)), np.diff(offs))
+    nonempty = pc.not_equal(lists.flatten(), "").to_numpy(zero_copy_only=False)
+    n_words = np.bincount(row_idx[nonempty], minlength=len(lists))
+    return n_words.astype(np.int64), lists
+
+
+def add_content_token_counts(ds: rd.Dataset, text_col: str = "text",
+                             out_col: str = "n_content",
+                             stopwords: tuple[str, ...] = STOPWORDS) -> rd.Dataset:
+    """Count of non-stopword, non-empty tokens per doc (the 'content token'
+    signal used for vocabulary pruning). Shuffle-free; the stop set is a
+    constant baked into the task closure."""
+    stopset = pa.array(stopwords, pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        lists = pc.split_pattern(text, " ")
+        offs = lists.offsets.to_numpy()
+        row_idx = np.repeat(np.arange(len(lists)), np.diff(offs))
+        flat = lists.flatten()
+        keep = pc.and_(pc.not_equal(flat, ""),
+                       pc.invert(pc.is_in(flat, value_set=stopset)))
+        n = np.bincount(row_idx[keep.to_numpy(zero_copy_only=False)],
+                        minlength=len(lists)).astype(np.int64)
+        return t.append_column(out_col, pa.array(n, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def gopher_bounds(ds: rd.Dataset, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  min_words: int = 10, max_words: int = 5000,
+                  min_wl: float = 2.0, max_wl: float = 12.0) -> rd.Dataset:
+    """Gopher-style document bounds filter (Rae et al. 2021 §A1.1 shape):
+    word-count range + mean-word-length range, emitted as per-rule signals
+    plus the combined keep flag so downstream curation can audit which rule
+    fired. Row-local, shuffle-free. Docs with zero words are dropped (no
+    defined mean word length)."""
+    from ..functions.rounding import round_np
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        n_words, _ = _word_counts(text)
+        n_chars = pc.utf8_length(
+            pc.replace_substring(text, " ", "")).to_numpy(
+                zero_copy_only=False).astype(np.float64)
+        nz = n_words >= 1
+        n_words_nz = n_words[nz]
+        mean_wl = n_chars[nz] / n_words_nz
+        keep = ((n_words_nz >= min_words) & (n_words_nz <= max_words)
+                & (mean_wl >= min_wl) & (mean_wl <= max_wl))
+        return pa.table({
+            id_col: _string_array(t[id_col]).filter(pa.array(nz)),
+            "n_words": pa.array(n_words_nz, pa.int64()),
+            "mean_word_len": pa.array(round_np(mean_wl, 4), pa.float64()),
+            "keep": pa.array(keep.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

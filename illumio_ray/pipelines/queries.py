@@ -1908,6 +1908,280 @@ def doc_decontaminate(sf_dir: str):
                                        "doc_id", "text", n=5)
 
 
+@register("user_active_days", """
+SELECT user_id, CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+FROM events GROUP BY user_id
+""")
+def user_active_days(sf_dir: str):
+    """Grouped COUNT(DISTINCT) over an unbounded key (user retention's
+    active-days metric): day-truncate, distinct (user, day) — per-batch
+    dedup before the exchange so at most one row per (user, day) per block
+    shuffles — then a shuffle count per user."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    ds = rel.time_bucket(ds, "ts", "day", out_col="day")
+    days = rel.distinct(ds.select_columns(["user_id", "day"]),
+                        ["user_id", "day"])
+    return rel.grouped_agg(days, ["user_id"],
+                           [("day", "count", "n_days")], mode="shuffle")
+
+
+@register("supplier_solo_orders", """
+WITH po AS (SELECT l_orderkey, min(l_suppkey) AS s_suppkey,
+                   count(DISTINCT l_suppkey) AS ns
+            FROM lineitem GROUP BY l_orderkey)
+SELECT s_suppkey, CAST(count(*) AS BIGINT) AS solo_orders
+FROM po WHERE ns = 1 GROUP BY s_suppkey
+""")
+def supplier_solo_orders(sf_dir: str):
+    """TPC-H Q21's core sub-shape: orders served by exactly ONE supplier,
+    counted per supplier. distinct (order, supp) → per-order distinct count
+    + min (the only supplier when ns=1) in one shuffle groupby → filter →
+    re-group by supplier. Both groupbys run on unbounded keys → shuffle
+    mode."""
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    pairs = rel.distinct(li, ["l_orderkey", "l_suppkey"])
+    po = rel.grouped_agg(pairs, ["l_orderkey"],
+                         [("l_suppkey", "count", "ns"),
+                          ("l_suppkey", "min", "s_suppkey")], mode="shuffle")
+    solo = rel.filter_batches(po, lambda t: pc.equal(t["ns"], 1))
+    return rel.grouped_agg(solo, ["s_suppkey"],
+                           [("ns", "count", "solo_orders")], mode="shuffle")
+
+
+@register("q17_small_quantity_revenue", """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+""")
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated scalar aggregate → self-join): revenue
+    from small-quantity orders of one brand. The brand predicate prunes
+    lineitem BEFORE any shuffle (broadcast semi-join on the brand's part
+    keys); the per-part avg is a shuffle groupby over only that pruned
+    subset, joined back hash-partitioned. One scalar out."""
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    brand_keys = part.filter(
+        pc.equal(part["p_brand"], "Brand#12"))["p_partkey"]
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_quantity", "l_extendedprice"])
+    li = rel.semi_anti_join(li, brand_keys, "l_partkey")
+    avg = rel.grouped_agg(li, ["l_partkey"],
+                          [("l_quantity", "mean", "avg_qty")],
+                          mode="shuffle")
+    joined = rel.hash_join(li, avg, on=["l_partkey"])
+    small = rel.filter_batches(
+        joined, lambda t: pc.less(
+            t["l_quantity"], pc.multiply(pa.scalar(0.5), t["avg_qty"])))
+    total = small.sum("l_extendedprice") or 0.0
+    v = total / 7.0
+    return pd.DataFrame({"avg_yearly": [float(
+        np.sign(v) * np.floor(abs(v) * 100 + 0.5) / 100)]})
+
+
+@register("q11_top_value_suppliers", """
+WITH sv AS (SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS v
+            FROM lineitem GROUP BY l_suppkey)
+SELECT l_suppkey AS s_suppkey, ROUND(v, 2) AS value
+FROM sv WHERE v > 1.1 * (SELECT avg(v) FROM sv)
+""")
+def q11_top_value_suppliers(sf_dir: str):
+    """TPC-H Q11 shape (HAVING vs a global scalar subquery): suppliers
+    whose lineitem value exceeds 1.1× the average supplier's. The supplier
+    value table (one shuffle groupby) is materialized once and consumed
+    twice — scalar mean, then filter — instead of re-scanning lineitem."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    li = rel.with_columns(li, {
+        "v": lambda t: pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))},
+        keep=["l_suppkey", "v"])
+    sv = rel.grouped_agg(li, ["l_suppkey"], [("v", "sum", "vsum")],
+                         mode="shuffle").materialize()
+    thresh = 1.1 * sv.mean("vsum")
+    out = rel.filter_batches(sv, lambda t: pc.greater(t["vsum"], thresh))
+    out = out.map_batches(lambda t: pa.table({
+        "s_suppkey": t["l_suppkey"], "value": round_col(t["vsum"], 2)}),
+        batch_format="pyarrow")
+    if out.count() == 0:  # empty Ray datasets lose their schema → pin it
+        return pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                             "value": pd.Series(dtype="float64")})
+    return out
+
+
+@register("q22_idle_customers", """
+WITH a AS (SELECT ROUND(avg(c_acctbal), 2) AS ab
+           FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       ROUND(sum(c_acctbal), 2) AS total_bal
+FROM customer, a
+WHERE c_acctbal > ab
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c_custkey
+                    AND o.o_orderstatus = 'F')
+GROUP BY c_nationkey
+""")
+def q22_idle_customers(sf_dir: str):
+    """TPC-H Q22 shape (scalar subquery + NOT EXISTS anti-join): rich
+    customers with no finalized order, grouped by nation. The anti-join is
+    fully distributed — a LEFT OUTER hash join against the distinct
+    'F'-status customer keys with a marker column, keeping marker-null rows
+    — because the key side grows with the data (never a driver collect).
+    The balance threshold is one broadcast scalar."""
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    pos = rel.filter_batches(
+        cust, lambda t: pc.greater(t["c_acctbal"], 0.0))
+    # threshold rounded to cents on BOTH sides: balances are 2-decimal
+    # values, so comparing against the rounded mean removes any chance of
+    # an engine-ulp divergence flipping a boundary row
+    from ..functions.rounding import round_np
+    ab = float(round_np(np.array([pos.mean("c_acctbal")]), 2)[0])
+    rich = rel.filter_batches(
+        cust, lambda t: pc.greater(t["c_acctbal"], ab))
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderstatus"])
+    fkeys = rel.filter_batches(
+        orders, lambda t: pc.equal(t["o_orderstatus"], "F"))
+    fkeys = rel.distinct(fkeys.select_columns(["o_custkey"]), ["o_custkey"])
+    fkeys = fkeys.map_batches(
+        lambda t: pa.table({
+            "c_custkey": t["o_custkey"],
+            "__hit": pa.array(np.ones(t.num_rows, np.int8), pa.int8())}),
+        batch_format="pyarrow")
+
+    marked = rel.hash_join(rich, fkeys, on=["c_custkey"],
+                           join_type="left_outer")
+    idle = rel.filter_batches(marked, lambda t: pc.is_null(t["__hit"]))
+    return rel.grouped_agg(idle, ["c_nationkey"],
+                           [("c_acctbal", "count", "n_cust"),
+                            ("c_acctbal", "sum", "bsum")]) \
+        .map_batches(lambda t: pa.table({
+            "c_nationkey": t["c_nationkey"], "n_cust": t["n_cust"],
+            "total_bal": round_col(t["bsum"], 2)}), batch_format="pyarrow")
+
+
+@register("events_pivot_daily", """
+SELECT date_trunc('day', ts) AS day,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_view,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+       CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS n_signup,
+       CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_error
+FROM events GROUP BY day
+""")
+def events_pivot_daily(sf_dir: str):
+    """PIVOT as conditional aggregation (the distributed-safe encoding —
+    a real PIVOT is just SUM(flag) per spread value): one flag column per
+    event type, then a single bounded-key groupby. Flags vectorize per
+    batch; no extra pass per spread column."""
+    types = ["click", "view", "purchase", "signup", "error"]
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    ds = rel.time_bucket(ds, "ts", "day", out_col="day")
+    ds = rel.with_columns(ds, {
+        f"__f_{ty}": (lambda ty: lambda t: pc.cast(
+            pc.equal(t["event_type"], ty), pa.int64()))(ty)
+        for ty in types}, keep=["day"] + [f"__f_{ty}" for ty in types])
+    agg = rel.grouped_agg(ds, ["day"],
+                          [(f"__f_{ty}", "sum", f"n_{ty}") for ty in types])
+    return agg
+
+
+@register("events_value_ntile", """
+SELECT event_id,
+       CAST(ntile(4) OVER (PARTITION BY event_type
+                           ORDER BY value, event_id) AS BIGINT) AS quartile
+FROM events
+""")
+def events_value_ntile(sf_dir: str):
+    """ntile(4) ordered window: SQL tile semantics (sizes differ by ≤1,
+    larger tiles first) computed vectorized across every key in a bucket —
+    cumcount rank + transform('size'), then the closed-form tile index."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["event_type", "value", "event_id"])
+        grp = g.groupby("event_type", sort=False)
+        r = grp.cumcount().to_numpy(np.int64)
+        n = grp["value"].transform("size").to_numpy(np.int64)
+        small, rem = n // 4, n % 4
+        boundary = rem * (small + 1)
+        in_big = r < boundary
+        tile = np.where(
+            in_big, r // np.maximum(small + 1, 1),
+            rem + (r - boundary) // np.maximum(small, 1)) + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "quartile": tile.astype(np.int64)})
+
+    return rel.keyed_window(ds, "event_type", window)
+
+
+@register("events_value_rank", """
+SELECT event_id,
+       CAST(rank() OVER (PARTITION BY event_type
+                         ORDER BY value DESC) AS BIGINT) AS rnk
+FROM events
+""")
+def events_value_rank(sf_dir: str):
+    """rank() with gaps (SQL method='min') per event type — the ordered
+    window primitive distinct from top-k: every row keeps its rank, ties
+    share the minimum. Vectorized pandas rank over each key bucket."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        rnk = (g.groupby("event_type", sort=False)["value"]
+                .rank(method="min", ascending=False))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "rnk": rnk.to_numpy(np.int64)})
+
+    return rel.keyed_window(ds, "event_type", window)
+
+
+@register("doc_content_tokens", """
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '),
+                x -> x <> '' AND x NOT IN
+                     ('the','a','of','to','and','in','is','for')))
+            AS BIGINT) AS n_content
+FROM documents
+""")
+def doc_content_tokens(sf_dir: str):
+    """Stopword-filtered token counts (content-token signal for vocabulary
+    pruning): split → flatten → membership mask → bincount per row, all
+    Arrow/numpy kernels, shuffle-free."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = textops.add_content_token_counts(ds)
+    return out.select_columns(["doc_id", "n_content"])
+
+
+@register("doc_gopher_filter", """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_words,
+         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_chars
+  FROM documents)
+SELECT doc_id, n_words,
+       ROUND(n_chars * 1.0 / n_words, 4) AS mean_word_len,
+       CAST(n_words BETWEEN 10 AND 5000
+            AND (n_chars * 1.0 / n_words) BETWEEN 2.0 AND 12.0
+            AS BIGINT) AS keep
+FROM t WHERE n_words >= 1
+""")
+def doc_gopher_filter(sf_dir: str):
+    """Gopher-style bounds filter (word-count + mean-word-length ranges)
+    with per-rule audit columns; row-local, shuffle-free."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.gopher_bounds(ds)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed decode — deterministic fake)
 # ---------------------------------------------------------------------------

@@ -826,3 +826,61 @@ def test_decontaminate_flags_ngram_overlap():
     out = (textops.decontaminate_flags(rd.from_pandas(df), bench)
            .to_pandas().sort_values("doc_id"))
     assert list(out.contaminated) == [1, 0, 0]
+
+
+def test_content_token_counts_filters_stopwords_and_empties():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "the cat and the hat",      # 2 content words (cat, hat)
+        "a of to and in is for the",  # all stopwords → 0
+        "",                          # empty split → one '' token → 0
+    ]})
+    out = (textops.add_content_token_counts(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id"))
+    assert list(out.n_content) == [2, 0, 0]
+
+
+def test_gopher_bounds_flags_and_drops_empty():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        " ".join(["word"] * 20),          # 20 words, mean len 4 → keep
+        "aa bb",                          # 2 words → below min_words
+        "",                               # zero words → dropped
+    ]})
+    out = (textops.gopher_bounds(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id"))
+    assert list(out.doc_id) == [1, 2]
+    assert list(out.keep) == [1, 0]
+    assert list(out.n_words) == [20, 2]
+    assert out.mean_word_len.tolist() == [4.0, 2.0]
+
+
+def test_ntile_matches_sql_semantics():
+    # n=6, ntile(4) → tile sizes 2,2,1,1 (larger tiles first)
+    import duckdb
+    df = pd.DataFrame({"event_id": range(6),
+                       "event_type": ["a"] * 6,
+                       "value": [10.0, 20, 30, 40, 50, 60]})
+    from illumio_ray.pipelines.queries import REGISTRY
+    # reuse the registered window fn through keyed_window directly
+    ds = rd.from_pandas(df)
+
+    def window(g):
+        g = g.sort_values(["event_type", "value", "event_id"])
+        grp = g.groupby("event_type", sort=False)
+        r = grp.cumcount().to_numpy(np.int64)
+        n = grp["value"].transform("size").to_numpy(np.int64)
+        small, rem = n // 4, n % 4
+        boundary = rem * (small + 1)
+        tile = np.where(r < boundary, r // np.maximum(small + 1, 1),
+                        rem + (r - boundary) // np.maximum(small, 1)) + 1
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "quartile": tile.astype(np.int64)})
+
+    mine = (rel.keyed_window(ds, "event_type", window, num_buckets=2)
+            .to_pandas().sort_values("event_id"))
+    want = duckdb.connect().execute(
+        "SELECT event_id, ntile(4) OVER (PARTITION BY event_type "
+        "ORDER BY value, event_id) q FROM df ORDER BY event_id"
+    ).df()
+    assert list(mine.quartile) == list(want.q)
