@@ -1,0 +1,236 @@
+"""Distributed clustering / decomposition over an embedding column.
+
+- kmeans_fit: Lloyd's iterations where each pass is ONE ``map_batches``
+  emitting per-batch partials (k×d sums + k counts + scalar SSE); the
+  driver combines partials and holds ONLY the k×d centroid matrix between
+  passes. Nothing per-row ever reaches the driver, so the fit scales to
+  any corpus size — the bounded-state pattern, same as the flagship's
+  partial aggregates.
+- kmeans_assign: broadcast centroids (``ray.put`` once), per-batch argmax
+  assignment — shuffle-free.
+- semdedup: SemDeDup shape (Abbas et al. 2023, arXiv:2303.09540): cluster
+  first, then cosine near-dup only WITHIN each cluster, shrinking the
+  all-pairs matmul from O(N²) to O(Σ|cluster|²) and making each cluster a
+  shuffle partition (``groupby(cluster)``). Partitioning assumption: a
+  single cluster's members fit in one task's heap — size k so that
+  N/k × d floats is comfortably sub-block (the fit's SSE output lets the
+  caller grow k when clusters get fat).
+- pca_fit / pca_project: distributed PCA via per-batch second-moment
+  partials (d×d Gram + d sum + count → driver eigh on the d×d covariance);
+  projection is a broadcast matmul. Driver state is O(d²), never O(N).
+
+No reference counterpart (the reference has no vector ops); these are the
+brief's training-data-pipeline extensions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data as rd
+
+from .similarity import vecs_from_arrow
+
+__all__ = ["kmeans_fit", "kmeans_assign", "semdedup", "pca_fit",
+           "pca_project"]
+
+
+def _init_centroids(ds: rd.Dataset, k: int, vec_col: str,
+                    sample_rows: int, seed: int) -> np.ndarray:
+    """Deterministic seeded init from a bounded head sample (same bounded
+    pattern as IVFIndex training, ops/similarity.py)."""
+    sample = ds.limit(sample_rows).take_batch(sample_rows,
+                                              batch_format="pyarrow")
+    m = vecs_from_arrow(sample[vec_col])
+    if len(m) < k:
+        raise ValueError(f"k={k} exceeds sample of {len(m)} rows")
+    rng = np.random.default_rng(seed)
+    return m[rng.choice(len(m), k, replace=False)].astype(np.float64)
+
+
+def kmeans_fit(ds: rd.Dataset, k: int, iters: int = 10,
+               vec_col: str = "embedding", sample_rows: int = 4096,
+               seed: int = 47, tol: float = 1e-7) -> tuple[np.ndarray, dict]:
+    """Distributed Lloyd's k-means. Returns ``(centroids, info)`` where
+    ``info`` has per-iteration SSE and final cluster counts.
+
+    One data pass per iteration; per-batch output is a single row of
+    flattened partials (k×d + k + 1 floats), so the driver combine is
+    O(batches × k × d) regardless of corpus size. Empty clusters are
+    re-seeded deterministically from the init sample."""
+    cents = _init_centroids(ds, k, vec_col, sample_rows, seed)
+    reseed_pool = _init_centroids(ds, min(4 * k, sample_rows), vec_col,
+                                  sample_rows, seed + 1)
+    d = cents.shape[1]
+    sse_hist: list[float] = []
+    counts = np.zeros(k, np.int64)
+
+    for it in range(iters):
+        ref = ray.put(cents)
+
+        def partials(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            out_sums = np.zeros((k, d), np.float64)
+            out_cnt = np.zeros(k, np.int64)
+            sse = 0.0
+            if t.num_rows:
+                x = vecs_from_arrow(t[vec_col])
+                # argmin ||x-c||² == argmax x·c − ½||c||²
+                scores = x @ c.T - 0.5 * (c * c).sum(axis=1)
+                a = scores.argmax(axis=1)
+                # scatter-add via one matmul per batch (k×n indicator)
+                ind = np.zeros((k, len(x)), np.float64)
+                ind[a, np.arange(len(x))] = 1.0
+                out_sums = ind @ x
+                out_cnt = np.bincount(a, minlength=k).astype(np.int64)
+                # ||x−c_a||² = ||x||² − 2·max_score (the ½||c||² terms cancel)
+                sse = float((x * x).sum() - 2 * scores.max(axis=1).sum())
+            return pa.table({
+                "sums": pa.array([out_sums.ravel()],
+                                 pa.list_(pa.float64())),
+                "counts": pa.array([out_cnt], pa.list_(pa.int64())),
+                "sse": pa.array([sse], pa.float64()),
+            })
+
+        part = ds.map_batches(partials, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        sums = np.zeros((k, d), np.float64)
+        counts = np.zeros(k, np.int64)
+        sse = 0.0
+        for row in part:
+            sums += np.asarray(row["sums"], np.float64).reshape(k, d)
+            counts += np.asarray(row["counts"], np.int64)
+            sse += row["sse"]
+        sse_hist.append(sse)
+
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz, None]
+        for i in np.flatnonzero(~nz):  # deterministic empty-cluster reseed
+            new[i] = reseed_pool[i % len(reseed_pool)]
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift <= tol:
+            break
+
+    return cents, {"sse": sse_hist, "counts": counts}
+
+
+def kmeans_assign(ds: rd.Dataset, centroids: np.ndarray,
+                  vec_col: str = "embedding",
+                  out_col: str = "cluster") -> rd.Dataset:
+    """Nearest-centroid assignment; centroids broadcast once via ray.put,
+    per-batch argmax — shuffle-free."""
+    c = np.asarray(centroids, np.float64)
+    ref = ray.put(c)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        cc = ray.get(ref)
+        x = vecs_from_arrow(t[vec_col])
+        a = (x @ cc.T - 0.5 * (cc * cc).sum(axis=1)).argmax(axis=1)
+        return t.append_column(out_col, pa.array(a.astype(np.int64)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semdedup(ds: rd.Dataset, k: int = 16, threshold: float = 0.97,
+             iters: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> rd.Dataset:
+    """Semantic dedup: k-means partition, then within-cluster cosine
+    near-dup; of each near-dup pair the LARGER id drops (deterministic —
+    keeps the earliest row, matching exact-dedup's keep-first rule).
+    Returns the kept ``(id_col, cluster)`` rows.
+
+    Scale shape: the expensive matmul runs per cluster inside
+    ``groupby(cluster).map_groups`` — each group is one shuffle partition
+    of ~N/k rows, never the whole corpus."""
+    from .dedup import _ids_and_matrix
+
+    cents, _ = kmeans_fit(ds, k, iters=iters, vec_col=vec_col)
+    assigned = kmeans_assign(ds, cents, vec_col=vec_col)
+
+    def in_cluster(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "cluster": pa.array([], pa.int64())})
+        order = pa.compute.sort_indices(g[id_col])
+        g = g.take(order)
+        ids, x = _ids_and_matrix(g, id_col, vec_col)  # already normalized
+        sims = x @ x.T
+        iu = np.triu_indices(len(ids), k=1)
+        dup_j = np.unique(iu[1][sims[iu] >= threshold])
+        keep = np.ones(len(ids), bool)
+        keep[dup_j] = False
+        mask = pa.array(keep)
+        return pa.table({id_col: g[id_col].filter(mask),
+                         "cluster": g["cluster"].filter(mask)})
+
+    return (assigned.groupby("cluster")
+            .map_groups(in_cluster, batch_format="pyarrow"))
+
+
+def pca_fit(ds: rd.Dataset, n_components: int,
+            vec_col: str = "embedding") -> tuple[np.ndarray, np.ndarray]:
+    """Distributed PCA: one pass of per-batch (Gram d×d, sum d, count)
+    partials → driver covariance + eigh. Returns ``(mean, components)``
+    with components as rows, sorted by descending eigenvalue. Driver
+    state is O(d²); sign fixed so each component's largest-|.| entry is
+    positive (deterministic across BLAS builds)."""
+    def partials(t: pa.Table) -> pa.Table:
+        x = vecs_from_arrow(t[vec_col]) if t.num_rows else None
+        if x is None or len(x) == 0:
+            return pa.table({"gram": pa.array([], pa.list_(pa.float64())),
+                             "vsum": pa.array([], pa.list_(pa.float64())),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "gram": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64())),
+            "vsum": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+            "n": pa.array([len(x)], pa.int64()),
+        })
+
+    rows = ds.map_batches(partials, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    if not rows:
+        raise ValueError("pca_fit on empty dataset")
+    d = int(np.sqrt(len(rows[0]["gram"])))
+    gram = np.zeros((d, d), np.float64)
+    vsum = np.zeros(d, np.float64)
+    n = 0
+    for r in rows:
+        gram += np.asarray(r["gram"], np.float64).reshape(d, d)
+        vsum += np.asarray(r["vsum"], np.float64)
+        n += int(r["n"])
+    mean = vsum / n
+    cov = gram / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)  # ascending
+    comps = v[:, ::-1][:, :n_components].T.copy()
+    flip = np.abs(comps).argmax(axis=1)
+    signs = np.sign(comps[np.arange(len(comps)), flip])
+    comps *= np.where(signs == 0, 1.0, signs)[:, None]
+    return mean, comps
+
+
+def pca_project(ds: rd.Dataset, mean: np.ndarray, components: np.ndarray,
+                vec_col: str = "embedding",
+                out_col: str = "pca") -> rd.Dataset:
+    """Project onto fitted components — broadcast (mean, components) once,
+    per-batch matmul; output is a fixed_size_list column."""
+    ref = ray.put((np.asarray(mean, np.float64),
+                   np.asarray(components, np.float64)))
+    p = components.shape[0]
+
+    def fn(t: pa.Table) -> pa.Table:
+        mu, comp = ray.get(ref)
+        if t.num_rows == 0:
+            return t.append_column(
+                out_col, pa.array([], pa.list_(pa.float64(), p)))
+        x = vecs_from_arrow(t[vec_col])
+        proj = (x - mu) @ comp.T
+        col = pa.FixedSizeListArray.from_arrays(
+            pa.array(proj.ravel(), pa.float64()), p)
+        return t.append_column(out_col, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -29,7 +29,8 @@ from ..functions.rounding import round_col
 
 def _ts(iso: str) -> pa.Scalar:
     return pa.scalar(np.datetime64(iso, "us"), pa.timestamp("us"))
-from ..ops import dedup, multimodal, relational as rel, similarity, textops
+from ..ops import (clustering, dedup, multimodal, relational as rel,
+                   similarity, textops)
 from ..sources import read_table
 from ..stages.enrich import broadcast_lookups
 from ..synth import ensure_pages_for_sf, sf_from_dir
@@ -2180,6 +2181,37 @@ def doc_gopher_filter(sf_dir: str):
     with per-rule audit columns; row-local, shuffle-free."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return textops.gopher_bounds(ds)
+
+
+@register("embedding_kmeans_sizes", None)  # iterative fit → rows-only
+def embedding_kmeans_sizes(sf_dir: str):
+    """Distributed Lloyd's k-means (bounded k×d driver state, one
+    map_batches pass per iteration) → cluster sizes. Deterministic seed and
+    iteration count, but the fit itself is not SQL-expressible."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = clustering.kmeans_fit(ds, k=8, iters=8)
+    asg = clustering.kmeans_assign(ds, cents)
+    return rel.grouped_agg(asg.select_columns(["vec_id", "cluster"]),
+                           ["cluster"], [("vec_id", "count", "n")])
+
+
+@register("embedding_semdedup", None)  # iterative fit → rows-only
+def embedding_semdedup(sf_dir: str):
+    """SemDeDup: k-means partition then within-cluster cosine near-dup
+    (drop the larger id of each pair). The matmul runs per cluster inside
+    groupby().map_groups — never all-pairs over the corpus."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return clustering.semdedup(ds, k=8, threshold=0.95)
+
+
+@register("embedding_pca_project", None)  # eigh fit → rows-only
+def embedding_pca_project(sf_dir: str):
+    """Distributed PCA (per-batch d×d Gram partials → driver eigh, O(d²)
+    driver state) and broadcast projection to 8 components."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mean, comps = clustering.pca_fit(ds, n_components=8)
+    out = clustering.pca_project(ds, mean, comps)
+    return out.select_columns(["vec_id", "pca"])
 
 
 # ---------------------------------------------------------------------------
