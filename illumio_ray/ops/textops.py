@@ -354,3 +354,182 @@ def gopher_bounds(ds: rd.Dataset, text_col: str = "text",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# PII / pattern redaction
+# ---------------------------------------------------------------------------
+
+# Standard PII shapes plus a caller-supplied blocklist; both Arrow's
+# replace_substring_regex and DuckDB's regexp_replace are RE2, so the oracle
+# runs the IDENTICAL pattern text.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+)
+
+
+def redact_patterns(ds: rd.Dataset,
+                    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+                    text_col: str = "text",
+                    out_col: str = "text_redacted",
+                    count_col: str = "n_redacted") -> rd.Dataset:
+    """Sequential RE2 redaction with a per-doc match count. Counts are
+    taken per pattern against the ORIGINAL text (matches SQL
+    ``len(regexp_extract_all(text, p))`` summed per pattern); replacements
+    apply sequentially, which equals nested SQL ``regexp_replace`` as long
+    as replacement tokens don't create later-pattern matches (the
+    ``<EMAIL>``-style tokens don't). Row-local, shuffle-free; patterns are
+    RE2-compiled once per task by Arrow."""
+    def fn(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        total = np.zeros(len(text), np.int64)
+        red = text
+        for pat, repl in patterns:
+            total += pc.cast(pc.count_substring_regex(text, pat),
+                             pa.int64()).to_numpy(zero_copy_only=False)
+            red = pc.replace_substring_regex(red, pat, repl)
+        return t.append_column(out_col, red).append_column(
+            count_col, pa.array(total, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+def bm25_scores(ds: rd.Dataset, terms: tuple[str, ...],
+                k1: float = 1.2, b: float = 0.75,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> rd.Dataset:
+    """BM25 (Robertson/Lucene form) of each document against a fixed term
+    set: score = Σ_t idf_t · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), with
+    idf = ln((N−df+0.5)/(df+0.5)+1).
+
+    Scale shape: pass 1 tokenizes once and keeps ONLY (id, dl, tf_j…) —
+    integers, materialized so the corpus text is never re-read; corpus
+    stats (N, Σdl, df_j) are per-batch partials combined on the driver
+    (O(batches × terms), bounded); pass 2 is a broadcast-constant row-local
+    score. The float expression is written in the same operation order as
+    the SQL oracle so doubles agree bit-for-bit before rounding."""
+    from ..functions.rounding import round_np
+
+    m = len(terms)
+    terms = tuple(terms)
+
+    def tf_fn(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        n_words, lists = _word_counts(text)
+        offs = lists.offsets.to_numpy()
+        row_idx = np.repeat(np.arange(len(lists)), np.diff(offs))
+        flat = lists.flatten()
+        cols = {id_col: t[id_col],
+                "dl": pa.array(n_words, pa.int64())}
+        for j, term in enumerate(terms):
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            cols[f"tf_{j}"] = pa.array(
+                np.bincount(row_idx[eq], minlength=len(lists))
+                .astype(np.int64))
+        return pa.table(cols)
+
+    tf = ds.map_batches(tf_fn, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def stat_fn(t: pa.Table) -> pa.Table:
+        out = {"n": pa.array([t.num_rows], pa.int64()),
+               "dl_sum": pa.array([pc.sum(t["dl"]).as_py() or 0],
+                                  pa.int64())}
+        for j in range(m):
+            out[f"df_{j}"] = pa.array(
+                [pc.sum(pc.cast(pc.greater(t[f"tf_{j}"], 0),
+                                pa.int64())).as_py() or 0], pa.int64())
+        return pa.table(out)
+
+    rows = tf.map_batches(stat_fn, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in rows)
+    dl_sum = sum(r["dl_sum"] for r in rows)
+    df = np.array([sum(r[f"df_{j}"] for r in rows) for j in range(m)],
+                  np.float64)
+    avgdl = dl_sum / n_docs
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom_base = k1 * (1 - b + b * dl / avgdl)
+        s = np.zeros(len(dl), np.float64)
+        for j in range(m):
+            tfj = t[f"tf_{j}"].to_numpy(zero_copy_only=False) \
+                              .astype(np.float64)
+            s += idf[j] * (tfj * (k1 + 1)) / (tfj + denom_base)
+        return pa.table({id_col: t[id_col],
+                         "bm25": pa.array(round_np(s, 6), pa.float64())})
+
+    return tf.map_batches(score_fn, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-n-gram fraction (within-doc repetition, Gopher §A1.1 family)
+# ---------------------------------------------------------------------------
+
+def add_dup_ngram_fraction(ds: rd.Dataset, n: int = 2,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> rd.Dataset:
+    """Per-doc fraction of word n-gram occurrences that are repeats:
+    1 − distinct_ngrams/total_ngrams. Docs with < n words are dropped.
+
+    Vectorized across the whole batch: tokens hash once (xxhash via
+    hash64), n-gram keys are a rolling polynomial combine of n token
+    hashes, and per-row distinct counts come from one lexsort + diff —
+    no per-row Python. 64-bit keys make a false merge (hash collision
+    inside one doc) ~2⁻⁶⁴·pairs — negligible, and the DuckDB oracle
+    compares true strings, so the gate would catch one."""
+    from ..functions.rounding import round_np
+
+    C = np.uint64(0x9E3779B97F4A7C15)  # odd multiplier (golden-ratio mix)
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        lists = pc.split_pattern(text, " ")
+        offs = lists.offsets.to_numpy()
+        row_idx = np.repeat(np.arange(len(lists)), np.diff(offs))
+        flat = lists.flatten()
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_idx = row_idx[ok]
+        toks = flat.filter(pa.array(ok))
+        h = hash64(toks)
+
+        # n-gram key at position i covers tokens i..i+n-1 (same row only)
+        if len(h) >= n:
+            key = h[: len(h) - n + 1].copy()
+            for j in range(1, n):
+                key = key * C + h[j: len(h) - n + 1 + j]
+            valid = row_idx[: len(h) - n + 1] == row_idx[n - 1:]
+            g_row = row_idx[: len(h) - n + 1][valid]
+            g_key = key[valid]
+        else:
+            g_row = np.array([], np.int64)
+            g_key = np.array([], np.uint64)
+
+        n_rows = len(lists)
+        total = np.bincount(g_row, minlength=n_rows)
+        if len(g_key):
+            order = np.lexsort((g_key, g_row))
+            sr, sk = g_row[order], g_key[order]
+            first = np.ones(len(sk), bool)
+            first[1:] = (sr[1:] != sr[:-1]) | (sk[1:] != sk[:-1])
+            distinct = np.bincount(sr[first], minlength=n_rows)
+        else:
+            distinct = np.zeros(n_rows, np.int64)
+
+        has = total >= 1
+        frac = 1.0 - distinct[has] / total[has]
+        return pa.table({
+            id_col: _string_array(t[id_col]).filter(pa.array(has)),
+            "n_ngrams": pa.array(total[has].astype(np.int64)),
+            "dup_frac": pa.array(round_np(frac, 6), pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

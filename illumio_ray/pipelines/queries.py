@@ -2308,6 +2308,122 @@ def doc_bpeish_tokens(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# PII redaction, BM25 scoring, duplicate-n-gram fraction
+# ---------------------------------------------------------------------------
+
+# The synth documents table has no real PII, so the query builds a
+# deterministic PII-bearing input from table columns IDENTICALLY on both
+# sides (text || ' contact <id>@example.com from 10.0.<n>.7 tel ...'), then
+# redacts it — every pattern fires on every row, so the oracle checks real
+# replacements, not a vacuous no-op.
+_PII_INPUT_SQL = ("text || ' contact ' || CAST(doc_id AS VARCHAR)"
+                  " || '@example.com from 10.0.' || CAST(n_chars % 200 AS VARCHAR)"
+                  " || '.7 tel 555-123-4567'")
+_PII_REPLACE_SQL = "inp"
+for _pat, _repl in textops.PII_PATTERNS:
+    _PII_REPLACE_SQL = f"regexp_replace({_PII_REPLACE_SQL}, '{_pat}', '{_repl}', 'g')"
+_PII_COUNT_SQL = " + ".join(
+    f"len(regexp_extract_all(inp, '{_pat}'))" for _pat, _repl in textops.PII_PATTERNS)
+
+
+@register("doc_pii_redact", f"""
+WITH w AS (
+  SELECT doc_id, {_PII_INPUT_SQL} AS inp FROM documents
+)
+SELECT doc_id, {_PII_REPLACE_SQL} AS text_redacted,
+       CAST({_PII_COUNT_SQL} AS BIGINT) AS n_redacted
+FROM w
+""")
+def doc_pii_redact(sf_dir: str):
+    """PII/pattern redaction (email, IPv4, phone → placeholder tokens) with
+    a per-doc match count. Row-local, shuffle-free; Arrow
+    replace_substring_regex and DuckDB regexp_replace are both RE2, so the
+    oracle runs the IDENTICAL pattern strings."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "n_chars"])
+
+    def build_input(t: pa.Table) -> pa.Table:
+        inp = pc.binary_join_element_wise(
+            t["text"], " contact ", pc.cast(t["doc_id"], pa.string()),
+            "@example.com from 10.0.",
+            pc.cast(pc.subtract(t["n_chars"],
+                                pc.multiply(pc.divide(t["n_chars"], 200),
+                                            pa.scalar(200, pa.int64()))),
+                    pa.string()),
+            ".7 tel 555-123-4567", "")
+        return pa.table({"doc_id": t["doc_id"], "text": inp})
+
+    ds = ds.map_batches(build_input, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    out = textops.redact_patterns(ds)
+    return out.select_columns(["doc_id", "text_redacted", "n_redacted"])
+
+
+_BM25_TERMS = ("table", "value", "spark", "merge")
+_BM25_TF_SQL = ",\n         ".join(
+    f"CAST(len(list_filter(w, x -> x = '{t}')) AS BIGINT) AS tf_{j}"
+    for j, t in enumerate(_BM25_TERMS))
+_BM25_DF_SQL = ",\n         ".join(
+    f"CAST(sum(CASE WHEN tf_{j} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{j}"
+    for j in range(len(_BM25_TERMS)))
+# Same operation order as the numpy kernel (textops.bm25_scores) so the
+# doubles agree bit-for-bit before ROUND; 0.75e0-style literals force
+# DOUBLE (a bare 0.75 is DECIMAL in DuckDB and takes a different code path).
+_BM25_SCORE_SQL = "\n  + ".join(
+    f"ln((n - df_{j} + 0.5e0) / (df_{j} + 0.5e0) + 1.0e0)"
+    f" * (tf_{j} * (1.2e0 + 1)) / (tf_{j} + 1.2e0 * (1 - 0.75e0 + 0.75e0 * dl / avgdl))"
+    for j in range(len(_BM25_TERMS)))
+
+
+@register("doc_bm25_scores", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         {_BM25_TF_SQL}
+  FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {_BM25_DF_SQL}
+  FROM tf
+)
+SELECT doc_id, ROUND({_BM25_SCORE_SQL}, 6) AS bm25
+FROM tf, stats
+""")
+def doc_bm25_scores(sf_dir: str):
+    """BM25 relevance of every document against a fixed query-term set
+    (retrieval-based data selection). Two passes: tokenize once keeping
+    only (id, dl, tf_j) integers; per-batch corpus-stat partials combine on
+    the driver (O(batches × terms)); then a broadcast-constant row-local
+    score — the corpus text is read exactly once."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.bm25_scores(ds, _BM25_TERMS)
+
+
+@register("doc_dup_ngram_frac", """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, [w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))] AS gs
+  FROM toks WHERE len(w) >= 2
+)
+SELECT doc_id, CAST(len(gs) AS BIGINT) AS n_ngrams,
+       ROUND(1.0e0 - len(list_distinct(gs)) * 1.0e0 / len(gs), 6) AS dup_frac
+FROM grams
+""")
+def doc_dup_ngram_frac(sf_dir: str):
+    """Within-doc duplicate-bigram fraction (Gopher §A1.1 repetition
+    family): 1 − distinct/total word bigrams. Batch-vectorized via token
+    hashing + one lexsort; the DuckDB oracle compares true strings, so a
+    64-bit in-doc hash collision would surface as a gate mismatch."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.add_dup_ngram_fraction(ds, n=2)
+
+
+# ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
 

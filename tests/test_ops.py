@@ -884,3 +884,52 @@ def test_ntile_matches_sql_semantics():
         "ORDER BY value, event_id) q FROM df ORDER BY event_id"
     ).df()
     assert list(mine.quartile) == list(want.q)
+
+
+def test_redact_patterns_replaces_and_counts_on_original():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "mail me at bob@example.com or alice@test.org now",   # 2 emails
+        "server 10.0.0.1 and 192.168.1.255 tel 555-123-4567",  # 2 IP + 1 phone
+        "nothing to hide here",                                # 0 matches
+    ]})
+    out = (textops.redact_patterns(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id"))
+    assert list(out.n_redacted) == [2, 3, 0]
+    assert out.text_redacted.iloc[0] == "mail me at <EMAIL> or <EMAIL> now"
+    assert out.text_redacted.iloc[1] == "server <IP> and <IP> tel <PHONE>"
+    assert out.text_redacted.iloc[2] == "nothing to hide here"
+
+
+def test_bm25_scores_match_hand_computation():
+    import math
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [
+        "cat cat dog", "dog bird", "fish fish fish fish"]})
+    out = (textops.bm25_scores(rd.from_pandas(df), ("cat", "dog"))
+           .to_pandas().sort_values("doc_id"))
+    # hand BM25: N=3, avgdl=(3+2+4)/3=3; term cat df=1, dog df=2
+    k1, b = 1.2, 0.75
+    def score(tf, df_, dl):
+        idf = math.log((3 - df_ + 0.5) / (df_ + 0.5) + 1.0)
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / 3.0))
+    want = [score(2, 1, 3) + score(1, 2, 3),   # doc 1
+            score(0, 1, 2) + score(1, 2, 2),   # doc 2
+            0.0]                               # doc 3: neither term
+    assert np.allclose(out.bm25.to_numpy(), np.round(want, 6), atol=1e-6)
+
+
+def test_dup_ngram_fraction_counts_repeats_and_drops_short():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4], "text": [
+        "a b a b a",        # bigrams: ab ba ab ba → 4 total, 2 distinct
+        "x y z",            # 2 distinct bigrams, no repeats
+        "solo",             # <2 words → dropped
+        "w w w w",          # ww ww ww → 3 total 1 distinct
+    ]})
+    out = (textops.add_dup_ngram_fraction(rd.from_pandas(df), n=2)
+           .to_pandas().sort_values("doc_id"))
+    assert list(out.doc_id) == [1, 2, 4]
+    assert list(out.n_ngrams) == [4, 2, 3]
+    assert np.allclose(out.dup_frac.to_numpy(), [0.5, 0.0, 2.0 / 3.0],
+                       atol=1e-6)
