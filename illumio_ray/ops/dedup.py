@@ -619,3 +619,86 @@ def embedding_near_dup_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
     if method == "exact":
         return exact_cosine_pairs(ds, id_col, vec_col, threshold)
     return lsh_cosine_pairs(ds, id_col, vec_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# duplicate-group connected components
+# ---------------------------------------------------------------------------
+
+def dup_components(pairs: rd.Dataset, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iters: int = 50) -> rd.Dataset:
+    """Connected components over a near-dup pair table → (id, component)
+    with component = the MIN id reachable through any chain of pairs. This
+    is the step that turns pairwise near-dup evidence (MinHash/Jaccard/
+    cosine pairs) into duplicate GROUPS so a curation pass can keep one
+    representative per group even when A~B and B~C but A!~C.
+
+    Distributed min-label propagation: labels start as own-id; each round
+    every vertex takes the min of its label and its neighbors' labels
+    (edges ⋈ labels on src, then a min-groupby on dst). Rounds needed =
+    graph diameter — small for dup clusters (near-cliques); the
+    large-star/small-star variant (Kiveris et al., "Connected Components
+    in MapReduce") is the published accelerator if ever needed. Only the
+    dup-graph vertices participate (pairs table ≪ corpus), labels are
+    2-int rows, and each round is one hash join + one shuffle groupby —
+    no payload data moves. Convergence is detected exactly: the old label
+    rides through the min-groupby as a second aggregate, so "changed this
+    round" is a count on the new label table (no extra join)."""
+    from .relational import drop_empty_blocks, grouped_agg, hash_join
+
+    def symmetric(t: pa.Table) -> pa.Table:
+        a = t[id_a].combine_chunks()
+        b = t[id_b].combine_chunks()
+        return pa.table({
+            "src": pa.chunked_array([a, b]).combine_chunks(),
+            "dst": pa.chunked_array([b, a]).combine_chunks(),
+        })
+
+    edges = pairs.map_batches(symmetric, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+    if edges.count() == 0:
+        empty = pa.table({"id": pa.array([], pa.int64()),
+                          "component": pa.array([], pa.int64())})
+        return rd.from_arrow(empty)
+
+    # drop_empty_blocks after every shuffle agg: its empty-SCHEMA blocks
+    # poison the next round's join (see relational.drop_empty_blocks).
+    labels = grouped_agg(edges.select_columns(["src"]), ["src"],
+                         [("src", "min", "component")],
+                         mode="shuffle").rename_columns({"src": "id"})
+    labels = drop_empty_blocks(labels)
+
+    for _ in range(max_iters):
+        # neighbor candidates: (dst, neighbor_label)
+        nbr = hash_join(edges,
+                        labels.rename_columns({"id": "src",
+                                               "component": "nbr_comp"}),
+                        on=["src"])
+        nbr = nbr.select_columns(["dst", "nbr_comp"]).rename_columns(
+            {"dst": "id", "nbr_comp": "comp"})
+
+        def tag_old(t: pa.Table) -> pa.Table:
+            return pa.table({"id": t["id"], "comp": t["component"],
+                             "old": t["component"]})
+
+        def tag_new(t: pa.Table) -> pa.Table:
+            null_old = pa.nulls(t.num_rows, t["comp"].type)
+            return pa.table({"id": t["id"], "comp": t["comp"],
+                             "old": null_old})
+
+        cand = labels.map_batches(tag_old, batch_format="pyarrow").union(
+            nbr.map_batches(tag_new, batch_format="pyarrow"))
+        # min(old) is the previous label (each id has exactly one old row;
+        # nulls are ignored by min) — rides along to detect changes without
+        # a second join.
+        new = drop_empty_blocks(grouped_agg(cand, ["id"],
+                                            [("comp", "min", "component"),
+                                             ("old", "min", "old")],
+                                            mode="shuffle"))
+        changed = new.filter(
+            lambda r: r["component"] != r["old"]).count()
+        labels = drop_empty_blocks(new.select_columns(["id", "component"]))
+        if changed == 0:
+            break
+
+    return labels

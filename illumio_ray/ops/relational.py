@@ -317,6 +317,62 @@ def deterministic_sample_per_group(ds: rd.Dataset, group_keys: list[str],
                            batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_mixture_sample(ds: rd.Dataset, rates: dict[str, float],
+                        group_col: str, id_col: str,
+                        default_rate: float = 0.0,
+                        seed: int = 7) -> rd.Dataset:
+    """Deterministic per-group Bernoulli sampling by hash threshold — the
+    training-data MIXTURE primitive (source-weighted subsampling to a
+    target composition). A row is kept iff the first 8 hex digits of
+    md5('{seed}:{id}') sort below floor(rate_g · 16^8) in hex (rate ≥ 1
+    keeps everything). Row-local and shuffle-free: no per-group counting
+    pass, and the keep-set is identical under any engine or partitioning
+    (resumable, and the DuckDB oracle states the same predicate).
+    Expected-fraction semantics, not exact counts — use
+    deterministic_sample_per_group for an exact n per group."""
+    import hashlib
+
+    thresh = {g: mixture_threshold_hex(r) for g, r in rates.items()}
+    default_thresh = mixture_threshold_hex(default_rate)
+
+    def fn(t: pa.Table) -> pa.Table:
+        groups = t[group_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        keep = []
+        for g, v in zip(groups, ids):
+            th = thresh.get(g, default_thresh)
+            keep.append(th is None or
+                        hashlib.md5(f"{seed}:{v}".encode())
+                               .hexdigest()[:8] < th)
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mixture_threshold_hex(rate: float) -> str | None:
+    """8-hex-digit keep threshold for hash_mixture_sample; None = keep all
+    (a rate of exactly 1.0 has no 8-digit upper bound)."""
+    if rate >= 1.0:
+        return None
+    return format(max(int(rate * 16**8), 0), "08x")
+
+
+def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
+    """Ray's hash-shuffle aggregate can emit 0-row blocks with an EMPTY
+    schema (no columns at all). Most downstream ops skip empty blocks, but
+    a Dataset.join crashes when one reaches a join partition (pyarrow
+    can't resolve the key FieldRef against a column-less table). Rebuild
+    the dataset from the non-empty blocks only. Forces materialization —
+    use on SMALL shuffle outputs (label tables, aggregates) that feed a
+    join, not on payload data."""
+    mat = ds.materialize()
+    refs = [ref for bundle in mat.iter_internal_ref_bundles()
+            for ref, meta in bundle.blocks if meta.num_rows]
+    if not refs:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
 def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
               join_type: str = "inner", num_partitions: int | None = None) -> rd.Dataset:
     """Large-large join: Ray Data's hash-partitioned Dataset.join (both

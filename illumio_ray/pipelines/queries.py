@@ -2423,6 +2423,306 @@ def doc_dup_ngram_frac(sf_dir: str):
     return textops.add_dup_ngram_fraction(ds, n=2)
 
 
+@register("near_dup_components", r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+)
+SELECT id AS doc_id, CAST(MIN(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+""")
+def near_dup_components(sf_dir: str):
+    """Duplicate GROUPS, not just pairs: connected components over the
+    exact n-gram Jaccard near-dup pair table (distributed min-label
+    propagation, `dedup.dup_components`), so a curation pass can keep one
+    representative per group even when A~B~C but A!~C. component = min
+    doc_id reachable through any chain of pairs. The oracle states the
+    same closure as a recursive CTE over the same pair algebra."""
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8,
+                                      n_rows=n_docs * 256)
+    comps = dedup.dup_components(pairs)
+    return comps.rename_columns({"id": "doc_id"})
+
+
+@register("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, ROUND(total_revenue, 2) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (view consumed twice: argmax against its own max):
+    the quarterly revenue-per-supplier table (one shuffle groupby over
+    pruned lineitem) is materialized ONCE, the scalar max comes from a
+    tiny aggregate over it, and the filter re-reads the same blocks — no
+    second lineitem scan. Supplier names ride a broadcast join at the
+    end (supplier keys only, after the max filter)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_suppkey", "l_extendedprice", "l_discount",
+                             "l_shipdate"])
+    lo, hi = _ts("1996-01-01"), _ts("1996-04-01")
+    li = rel.filter_batches(li, lambda t: pc.and_(
+        pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)))
+    li = rel.with_columns(li, {
+        "volume": lambda t: pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"]))},
+        keep=["l_suppkey", "volume"])
+    rev = rel.grouped_agg(li, ["l_suppkey"],
+                          [("volume", "sum", "total_revenue")],
+                          mode="shuffle")
+    rev = rel.drop_empty_blocks(rev)  # consumed twice below
+    mx = rev.max("total_revenue")
+    top = rel.filter_batches(rev, lambda t: pc.equal(
+        t["total_revenue"], pa.scalar(mx, pa.float64())))
+    sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"])
+    out = rel.broadcast_join(
+        top.rename_columns({"l_suppkey": "s_suppkey"}),
+        sup, on=["s_suppkey"], join_type="inner")
+    return out.map_batches(lambda t: pa.table({
+        "s_suppkey": t["s_suppkey"], "s_name": t["s_name"],
+        "total_revenue": round_col(t["total_revenue"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("q21_waiting_suppliers", """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS BIGINT) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+),
+sup_order AS (
+  SELECT l_orderkey, l_suppkey, MAX(late) AS late_any
+  FROM li GROUP BY l_orderkey, l_suppkey
+),
+per_order AS (
+  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+         CAST(SUM(late_any) AS BIGINT) AS n_late_supp
+  FROM sup_order GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM sup_order JOIN per_order USING (l_orderkey)
+JOIN supplier ON s_suppkey = l_suppkey
+WHERE late_any = 1 AND n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name
+""")
+def q21_waiting_suppliers(sf_dir: str):
+    """TPC-H Q21 shape (EXISTS / NOT-EXISTS over sibling lines of the same
+    order), adapted to this schema: 'late' = shipped >90 days after the
+    order date (no commit/receipt dates here). A supplier kept a finished
+    order waiting when it shipped late, the order had OTHER suppliers
+    (exists), and no other supplier was late (not exists ⇔ exactly one
+    late supplier). The correlated EXISTS pair becomes two grouped
+    aggregates over (order, supplier) — no self-join of lineitem — then a
+    key-only hash join back; supplier names broadcast at the end."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderstatus",
+                                 "o_orderdate"])
+    orders = rel.filter_batches(
+        orders, lambda t: pc.equal(t["o_orderstatus"], "F"))
+    orders = orders.map_batches(
+        lambda t: pa.table({"l_orderkey": t["o_orderkey"],
+                            "o_orderdate": t["o_orderdate"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey", "l_shipdate"])
+    li = rel.hash_join(li, orders, on=["l_orderkey"])
+    ninety_days = pa.scalar(90 * 86400 * 10**6, pa.duration("us"))
+    li = rel.with_columns(li, {
+        "late": lambda t: pc.cast(
+            pc.greater(t["l_shipdate"],
+                       pc.add(t["o_orderdate"], ninety_days)),
+            pa.int64())},
+        keep=["l_orderkey", "l_suppkey", "late"])
+    sup_order = rel.drop_empty_blocks(rel.grouped_agg(
+        li, ["l_orderkey", "l_suppkey"], [("late", "max", "late_any")],
+        mode="shuffle"))
+    per_order = rel.drop_empty_blocks(rel.grouped_agg(
+        sup_order, ["l_orderkey"],
+        [("l_suppkey", "count", "n_supp"), ("late_any", "sum", "n_late_supp")],
+        mode="shuffle"))
+    cand = rel.filter_batches(
+        sup_order, lambda t: pc.equal(t["late_any"], 1))
+    j = rel.hash_join(cand, per_order, on=["l_orderkey"])
+    j = rel.filter_batches(j, lambda t: pc.and_(
+        pc.greater(t["n_supp"], 1), pc.equal(t["n_late_supp"], 1)))
+    sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                        columns=["s_suppkey", "s_name"])
+    j = rel.broadcast_join(
+        j.rename_columns({"l_suppkey": "s_suppkey"}),
+        sup, on=["s_suppkey"], join_type="inner")
+    return rel.grouped_agg(j.select_columns(["s_name"]), ["s_name"],
+                           [("s_name", "count", "numwait")])
+
+
+@register("q8_market_share", """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0 END)
+             / SUM(volume), 6) AS mkt_share
+FROM (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                        AND TIMESTAMP '1997-12-31') t
+GROUP BY o_year
+""")
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 shape (national market share: conditional share of revenue
+    by year): the 8-table join collapses to two hash-partitioned joins
+    (lineitem⋈orders, orders⋈customer — the SF-growing sides) with every
+    dimension pre-reduced and broadcast: nation⋈region prunes customers
+    to the ASIA market BEFORE their shuffle, part (ECONOMY) and
+    supplier→nation ride broadcast joins into lineitem. Both sums
+    aggregate in one pass (conditional numerator via the nation flag)."""
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
+    reg = pq.read_table(str(Path(sf_dir) / "region.parquet"))
+    # pa.Table.join defaults to LEFT OUTER — inner is required here or
+    # every nation survives with a null region and the market is unpruned
+    asia_keys = nat.join(
+        reg.filter(pc.equal(reg["r_name"], "ASIA")),
+        keys="n_regionkey", right_keys="r_regionkey",
+        join_type="inner")["n_nationkey"]
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_nationkey"])
+    cust = rel.filter_batches(cust, lambda t: pc.is_in(
+        t["c_nationkey"], asia_keys.combine_chunks()))
+    cust = cust.map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    lo, hi = _ts("1996-01-01"), _ts("1997-12-31")
+    orders = rel.filter_batches(orders, lambda t: pc.and_(
+        pc.greater_equal(t["o_orderdate"], lo),
+        pc.less_equal(t["o_orderdate"], hi)))
+    orders = rel.hash_join(orders, cust, on=["o_custkey"])
+    orders = rel.with_columns(orders, {
+        "o_year": lambda t: pc.cast(pc.year(t["o_orderdate"]), pa.int64())},
+        keep=["o_orderkey", "o_year"])
+    orders = orders.rename_columns({"o_orderkey": "l_orderkey"})
+
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    part = part.filter(pc.equal(part["p_type"], "ECONOMY"))
+    part = pa.table({"l_partkey": part["p_partkey"]})
+    sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.join(nat.select(["n_nationkey", "n_name"]).rename_columns(
+        ["s_nationkey", "nation"]), keys="s_nationkey")
+    sup = pa.table({"l_suppkey": sup["s_suppkey"], "nation": sup["nation"]})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_extendedprice", "l_discount"])
+    li = rel.broadcast_join(li, part, on=["l_partkey"], join_type="inner")
+    li = rel.broadcast_join(li, sup, on=["l_suppkey"], join_type="inner")
+    li = rel.with_columns(li, {
+        "volume": lambda t: pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        "num": lambda t: pc.if_else(
+            pc.equal(t["nation"], "NATION_5"),
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(0.0))},
+        keep=["l_orderkey", "volume", "num"])
+    joined = rel.hash_join(li, orders, on=["l_orderkey"])
+    agg = rel.grouped_agg(joined, ["o_year"],
+                          [("num", "sum", "num"), ("volume", "sum", "den")])
+    return agg.map_batches(lambda t: pa.table({
+        "o_year": t["o_year"],
+        "mkt_share": round_col(pc.divide(t["num"], t["den"]), 6)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Mixture weights: upsample-to-full, three downsampled tiers, default rest.
+# The SQL predicate is generated from the SAME dict so both sides agree on
+# every threshold by construction.
+_MIX_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.1}
+_MIX_DEFAULT = 0.25
+_MIX_SEED = 7
+
+
+def _mixture_sql_predicate() -> str:
+    md5_expr = f"substr(md5('{_MIX_SEED}:' || CAST(doc_id AS VARCHAR)), 1, 8)"
+    arms = []
+    for g, r in _MIX_RATES.items():
+        th = rel.mixture_threshold_hex(r)
+        arms.append(f"WHEN source = '{g}' THEN "
+                    + ("TRUE" if th is None else f"{md5_expr} < '{th}'"))
+    default_th = rel.mixture_threshold_hex(_MIX_DEFAULT)
+    return ("CASE " + " ".join(arms) + " ELSE "
+            + ("TRUE" if default_th is None else f"{md5_expr} < '{default_th}'")
+            + " END")
+
+
+@register("doc_mixture_sample", f"""
+SELECT doc_id, source FROM documents
+WHERE {_mixture_sql_predicate()}
+""")
+def doc_mixture_sample(sf_dir: str):
+    """Source-weighted mixture sampling (compose a training set as X% web,
+    Y% wiki, ...): deterministic per-source Bernoulli keep by md5-hash
+    threshold — row-local, shuffle-free, no per-group counting pass, and
+    the keep-set is partitioning-independent so an incremental re-run
+    selects the same rows."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    return rel.hash_mixture_sample(ds, _MIX_RATES, "source", "doc_id",
+                                   default_rate=_MIX_DEFAULT,
+                                   seed=_MIX_SEED)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

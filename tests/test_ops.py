@@ -933,3 +933,52 @@ def test_dup_ngram_fraction_counts_repeats_and_drops_short():
     assert list(out.n_ngrams) == [4, 2, 3]
     assert np.allclose(out.dup_frac.to_numpy(), [0.5, 0.0, 2.0 / 3.0],
                        atol=1e-6)
+
+
+def test_dup_components_path_graph_and_empty():
+    from illumio_ray.ops import dedup
+    # path 1-2-3-4-5 needs multiple propagation rounds; (10,11) is separate
+    pairs = pd.DataFrame({"id_a": [1, 2, 3, 4, 10], "id_b": [2, 3, 4, 5, 11]})
+    out = (dedup.dup_components(rd.from_pandas(pairs))
+           .to_pandas().sort_values("id"))
+    assert list(out.id) == [1, 2, 3, 4, 5, 10, 11]
+    assert list(out.component) == [1, 1, 1, 1, 1, 10, 10]
+    empty = dedup.dup_components(rd.from_pandas(pd.DataFrame(
+        {"id_a": pd.Series([], dtype="int64"),
+         "id_b": pd.Series([], dtype="int64")})))
+    assert empty.count() == 0
+
+
+def test_drop_empty_blocks_enables_join_after_shuffle_agg():
+    # shuffle grouped_agg can emit 0-row EMPTY-SCHEMA blocks that crash a
+    # downstream Dataset.join; drop_empty_blocks must remove them.
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "x": [10, 20, 30]}))
+    agg_in = rd.from_pandas(pd.DataFrame({"k": [1, 1, 2, 3], "v": [5, 6, 7, 8]}))
+    agg = rel.grouped_agg(agg_in, ["k"], [("v", "min", "m")], mode="shuffle")
+    clean = rel.drop_empty_blocks(agg)
+    for bundle in clean.iter_internal_ref_bundles():
+        for _ref, meta in bundle.blocks:
+            assert meta.num_rows != 0
+    out = rel.hash_join(left, clean, on=["k"]).to_pandas().sort_values("k")
+    assert list(out.m) == [5, 7, 8]
+
+
+def test_hash_mixture_sample_rates_and_determinism():
+    df = pd.DataFrame({"id": range(4000),
+                       "src": ["a", "b", "c", "d"] * 1000})
+    rates = {"a": 1.0, "b": 0.5, "c": 0.0}
+    out1 = rel.hash_mixture_sample(rd.from_pandas(df), rates, "src", "id",
+                                   default_rate=0.25).to_pandas()
+    out2 = rel.hash_mixture_sample(rd.from_pandas(df), rates, "src", "id",
+                                   default_rate=0.25).to_pandas()
+    counts = out1.groupby("src")["id"].count()
+    assert counts.get("a", 0) == 1000          # rate 1.0 keeps all
+    assert "c" not in counts.index             # rate 0.0 drops all
+    assert 400 <= counts["b"] <= 600           # ~0.5 Bernoulli
+    assert 150 <= counts["d"] <= 350           # default 0.25
+    # deterministic + partitioning-independent keep-set
+    assert sorted(out1.id) == sorted(out2.id)
+    out3 = rel.hash_mixture_sample(
+        rd.from_pandas(df).repartition(7), rates, "src", "id",
+        default_rate=0.25).to_pandas()
+    assert sorted(out3.id) == sorted(out1.id)
