@@ -533,3 +533,54 @@ def add_dup_ngram_fraction(ds: rd.Dataset, n: int = 2,
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (token-budget bin assignment)
+# ---------------------------------------------------------------------------
+
+def pack_sequences(ds: rd.Dataset, budget: int,
+                   token_col: str = "n_tokens",
+                   id_col: str = "doc_id") -> rd.Dataset:
+    """Assign documents to training-sequence bins of at most ``budget``
+    tokens (first-fit-decreasing): output (id, bin_id, n_tokens) with
+    Σ tokens ≤ budget per bin; a single document longer than the budget
+    gets a bin of its own.
+
+    Scale shape: packing is PARTITION-LOCAL — bins never span blocks, so
+    the stage is embarrassingly parallel with zero shuffle and each task
+    holds only its block's bin loads. That trades a little packing
+    efficiency at block boundaries for linear scaling (the standard
+    sharded-packing compromise). Bin ids are content-derived
+    (min-id-in-bin), so re-running a partition reproduces its bins.
+    The FFD loop is per-row Python by nature (each placement depends on
+    every earlier one) — it is a packing algorithm, not a row transform;
+    cost is O(n·open_bins) per block on integer arrays."""
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        toks = t[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((np.asarray(ids, dtype=object), -toks))
+        bins: list[list[int]] = []   # row indexes per bin
+        loads: list[int] = []
+        for i in order:
+            need = int(toks[i])
+            for b, load in enumerate(loads):
+                if load + need <= budget:
+                    bins[b].append(i)
+                    loads[b] += need
+                    break
+            else:
+                bins.append([i])
+                loads.append(need)
+        out_id, out_bin, out_tok = [], [], []
+        for rows in bins:
+            tag = str(min(ids[i] for i in rows))
+            for i in rows:
+                out_id.append(ids[i])
+                out_bin.append(tag)
+                out_tok.append(int(toks[i]))
+        return pa.table({id_col: pa.array(out_id, t[id_col].type),
+                         "bin_id": pa.array(out_bin, pa.string()),
+                         "n_tokens": pa.array(out_tok, pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -2723,6 +2723,118 @@ def doc_mixture_sample(sf_dir: str):
                                    seed=_MIX_SEED)
 
 
+@register("events_value_zscore", """
+SELECT event_id,
+       ROUND((value - avg(value) OVER w) / stddev_samp(value) OVER w,
+             6) AS zscore
+FROM events
+WINDOW w AS (PARTITION BY event_type)
+QUALIFY stddev_samp(value) OVER w > 0
+""")
+def events_value_zscore(sf_dir: str):
+    """Per-group z-score normalization (feature scaling within a
+    partition): same keyed-bucket window shape as rank/ntile; mean and
+    sample stddev are whole-partition aggregates broadcast back to every
+    row of the group. Degenerate (zero-variance) groups drop on both
+    sides."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("event_type", sort=False)["value"]
+        mu = grp.transform("mean").to_numpy()
+        sd = grp.transform("std").to_numpy()  # ddof=1 == stddev_samp
+        keep = sd > 0
+        z = (g["value"].to_numpy() - mu)[keep] / sd[keep]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[keep],
+                             "zscore": round_np(z, 6)})
+
+    return rel.keyed_window(ds, "event_type", window)
+
+
+@register("q9_product_profit", """
+SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%gear%') t
+GROUP BY nation, o_year
+""")
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (product-line profit by supplier nation and year),
+    adapted to this schema: no partsupp table, so part cost =
+    p_retailprice × quantity. One hash-partitioned join (lineitem⋈orders
+    for the order year — both grow with SF); part (name-filtered) and
+    supplier→nation ride broadcast joins into lineitem BEFORE the
+    shuffle, so only matching rows pay the exchange."""
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_name", "p_retailprice"])
+    part = part.filter(pc.match_substring(part["p_name"], "gear"))
+    part = pa.table({"l_partkey": part["p_partkey"],
+                     "p_retailprice": part["p_retailprice"]})
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                        columns=["s_suppkey", "s_nationkey"])
+    sup = sup.join(nat.rename_columns(["s_nationkey", "nation"]),
+                   keys="s_nationkey", join_type="inner")
+    sup = pa.table({"l_suppkey": sup["s_suppkey"], "nation": sup["nation"]})
+
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey", "l_suppkey",
+                             "l_quantity", "l_extendedprice", "l_discount"])
+    li = rel.broadcast_join(li, part, on=["l_partkey"], join_type="inner")
+    li = rel.broadcast_join(li, sup, on=["l_suppkey"], join_type="inner")
+    li = rel.with_columns(li, {
+        "amount": lambda t: pc.subtract(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pc.multiply(t["p_retailprice"], t["l_quantity"]))},
+        keep=["l_orderkey", "nation", "amount"])
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_orderdate"])
+    orders = rel.with_columns(orders, {
+        "o_year": lambda t: pc.cast(pc.year(t["o_orderdate"]), pa.int64())},
+        keep=["o_orderkey", "o_year"])
+    orders = orders.rename_columns({"o_orderkey": "l_orderkey"})
+    joined = rel.hash_join(li, orders, on=["l_orderkey"])
+    agg = rel.grouped_agg(joined, ["nation", "o_year"],
+                          [("amount", "sum", "s")], mode="shuffle")
+    return agg.map_batches(lambda t: pa.table({
+        "nation": t["nation"], "o_year": t["o_year"],
+        "sum_profit": round_col(t["s"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("doc_pack_sequences", None)  # partition-local bin packing → rows-only
+def doc_pack_sequences(sf_dir: str):
+    """Token-budget sequence packing (training-batch assembly): word-count
+    each doc, then first-fit-decreasing into ≤512-token bins,
+    partition-local so the stage shuffles nothing. Invariants (every doc
+    exactly once, no bin over budget except oversized singletons) are
+    pinned by tests/test_ops.py; bin composition is not SQL-expressible."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count_words(t: pa.Table) -> pa.Table:
+        from ..ops.textops import _string_array, _word_counts
+        n, _ = _word_counts(_string_array(t["text"]))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    ds = ds.map_batches(count_words, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    return textops.pack_sequences(ds, budget=512)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

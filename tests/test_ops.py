@@ -982,3 +982,26 @@ def test_hash_mixture_sample_rates_and_determinism():
         rd.from_pandas(df).repartition(7), rates, "src", "id",
         default_rate=0.25).to_pandas()
     assert sorted(out3.id) == sorted(out1.id)
+
+
+def test_pack_sequences_respects_budget_and_covers_all():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": range(30),
+                       "n_tokens": [37, 512, 100, 900, 1500] * 6})
+    out = (textops.pack_sequences(rd.from_pandas(df), budget=1024,
+                                  token_col="n_tokens")
+           .to_pandas())
+    # every doc assigned exactly once
+    assert sorted(out.doc_id) == list(range(30))
+    loads = out.groupby("bin_id").agg(total=("n_tokens", "sum"),
+                                      n=("n_tokens", "count"))
+    # over-budget only allowed for single oversized docs (1500 > 1024)
+    over = loads[loads.total > 1024]
+    assert (over.n == 1).all()
+    # the 1500-token docs are isolated; everything else fits
+    assert set(out[out.n_tokens == 1500].groupby("doc_id").size()) == {1}
+    # deterministic
+    out2 = (textops.pack_sequences(rd.from_pandas(df), budget=1024,
+                                   token_col="n_tokens").to_pandas())
+    assert out.sort_values("doc_id").bin_id.tolist() == \
+        out2.sort_values("doc_id").bin_id.tolist()
