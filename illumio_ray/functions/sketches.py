@@ -369,3 +369,73 @@ def hll_distinct(ds, col: str, p: int = 12) -> float:
             other.registers = np.frombuffer(buf, dtype=np.uint8).copy()
             acc.merge(other)
     return acc.estimate()
+
+
+class CountMinSketch:
+    """Count-min frequency sketch (Cormode & Muthukrishnan): depth×width
+    counter matrix, h_i(x) = (h1 + i·h2) mod width (double hashing over
+    hash64). Estimates OVERCOUNT only: est(x) ≥ true(x), and
+    est(x) ≤ true(x) + εN with probability 1−δ for width = ⌈e/ε⌉,
+    depth = ⌈ln 1/δ⌉. Mergeable by elementwise ADDITION, so per-block
+    partials combine associatively — the natural per-key-frequency
+    companion to HyperLogLog (distinct) and Misra-Gries (top-k): use CMS
+    when you need point lookups over a keyspace too large to count
+    exactly."""
+
+    def __init__(self, width: int = 2048, depth: int = 5):
+        self.width = width
+        self.depth = depth
+        self.counts = np.zeros((depth, width), dtype=np.int64)
+
+    def _idx(self, values) -> np.ndarray:
+        h1 = hash64(values, seed=11)
+        h2 = hash64(values, seed=12)
+        i = np.arange(self.depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + i * h2[None, :])
+                % np.uint64(self.width)).astype(np.int64)
+
+    def add_array(self, values) -> "CountMinSketch":
+        if len(values):
+            idx = self._idx(values)
+            for d in range(self.depth):
+                np.add.at(self.counts[d], idx[d], 1)
+        return self
+
+    def estimate_array(self, values) -> np.ndarray:
+        if len(values) == 0:
+            return np.zeros(0, dtype=np.int64)
+        idx = self._idx(values)
+        return np.min(
+            np.stack([self.counts[d][idx[d]] for d in range(self.depth)]),
+            axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        assert self.counts.shape == other.counts.shape
+        self.counts += other.counts
+        return self
+
+
+def cms_counts(ds, col: str, query_values,
+               width: int = 2048, depth: int = 5):
+    """Distributed count-min frequency estimates for ``query_values``:
+    per-block CMS partials (a depth×width int64 matrix each — the raw key
+    column never leaves its block) sum on the driver (merge = matrix
+    addition), then one vectorized point lookup. Exchange volume is
+    O(blocks × depth × width) regardless of row count or key
+    cardinality."""
+    import pyarrow as pa
+
+    def partial(t: pa.Table) -> pa.Table:
+        cms = CountMinSketch(width, depth).add_array(
+            t[col].drop_null().to_numpy(zero_copy_only=False))
+        return pa.table({"__cms": pa.array([cms.counts.ravel()])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    acc = CountMinSketch(width, depth)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for row in b["__cms"].to_pylist():
+            acc.counts += np.asarray(row, dtype=np.int64).reshape(
+                depth, width)
+    vals = np.asarray(query_values)
+    return dict(zip(query_values, acc.estimate_array(vals).tolist()))

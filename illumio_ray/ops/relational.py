@@ -357,6 +357,40 @@ def mixture_threshold_hex(rate: float) -> str | None:
     return format(max(int(rate * 16**8), 0), "08x")
 
 
+def global_percent_rank(ds: rd.Dataset, value_col: str,
+                        out_col: str = "pr",
+                        ndigits: int = 6) -> rd.Dataset:
+    """Exact global ``percent_rank() OVER (ORDER BY value)`` (ties share a
+    rank) for a BOUNDED-cardinality value column (lengths, scores, counts).
+
+    Scale shape: row count is unbounded but only DISTINCT VALUES ever
+    reach the driver — per-block value histograms combine via grouped_agg
+    (O(distinct) driver state), the cumulative below-count map broadcasts
+    back, and each row is one searchsorted lookup:
+    pr = #{rows with smaller value} / (N − 1). No sort, no shuffle of row
+    data. For unbounded/continuous values use the t-digest quantile path
+    instead (approximate)."""
+    hist = grouped_agg(ds.select_columns([value_col]), [value_col],
+                       [(value_col, "count", "__n")]).take_all()
+    vals = np.array(sorted(h[value_col] for h in hist))
+    cnts = np.array([h["__n"] for h in
+                     sorted(hist, key=lambda h: h[value_col])],
+                    dtype=np.int64)
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+    total = int(cnts.sum())
+    denom = float(max(total - 1, 1))
+
+    def fn(t: pa.Table) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, v)
+        pr = below[idx] / denom
+        from ..functions.rounding import round_np
+        return t.append_column(out_col,
+                               pa.array(round_np(pr, ndigits), pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Ray's hash-shuffle aggregate can emit 0-row blocks with an EMPTY
     schema (no columns at all). Most downstream ops skip empty blocks, but

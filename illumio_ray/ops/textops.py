@@ -584,3 +584,42 @@ def pack_sequences(ds: rd.Dataset, budget: int,
                          "n_tokens": pa.array(out_tok, pa.int64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# text normalization (preprocessing canonical form)
+# ---------------------------------------------------------------------------
+
+def normalize_text(ds: rd.Dataset, text_col: str = "text",
+                   out_col: str = "text_norm") -> rd.Dataset:
+    """Canonical preprocessing form: unicode NFC → lowercase → collapse
+    runs of whitespace to one space → trim. DuckDB states the identical
+    chain (nfc_normalize → lower → regexp_replace '\\s+' → trim), so the
+    normalized bytes hash-match across engines — the property exact-dedup
+    and fingerprinting stages depend on.
+
+    Lower/collapse/trim are Arrow kernels. NFC is NOT: pyarrow 16's
+    utf8_normalize reorders but never composes (e+U+0301 stays two
+    codepoints, unlike every SQL engine's nfc_normalize), so composition
+    falls back to unicodedata.normalize — gated behind a vectorized
+    string_is_ascii check so pure-ASCII batches (the common web-text case)
+    never touch Python strings, and non-ASCII batches pay one C-level call
+    per affected row only."""
+    import unicodedata
+
+    def fn(t: pa.Table) -> pa.Table:
+        x = _string_array(t[text_col])
+        ascii_mask = pc.string_is_ascii(x)
+        if not pc.all(ascii_mask).as_py():
+            vals = x.to_pylist()
+            flags = ascii_mask.to_numpy(zero_copy_only=False)
+            vals = [v if (a or v is None)
+                    else unicodedata.normalize("NFC", v)
+                    for v, a in zip(vals, flags)]
+            x = pa.array(vals, x.type)
+        x = pc.utf8_lower(x)
+        x = pc.replace_substring_regex(x, r"\s+", " ")
+        x = pc.utf8_trim_whitespace(x)
+        return t.append_column(out_col, x)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -2835,6 +2835,118 @@ def doc_pack_sequences(sf_dir: str):
     return textops.pack_sequences(ds, budget=512)
 
 
+@register("doc_chars_percent_rank", """
+SELECT doc_id, n_chars,
+       ROUND(percent_rank() OVER (ORDER BY n_chars), 6) AS pr
+FROM documents
+""")
+def doc_chars_percent_rank(sf_dir: str):
+    """Exact global percent_rank over an unbounded row count: only the
+    DISTINCT length values reach the driver (per-block histograms →
+    cumulative below-count map broadcast back) — no global sort. The
+    quantile-band filters a curation pass needs ('drop the bottom 5% by
+    length/quality') read straight off this column."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return rel.global_percent_rank(ds, "n_chars")
+
+
+@register("near_dup_keep_docs", r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.id
+WHERE c.id IS NULL OR c.component = d.doc_id
+""")
+def near_dup_keep_docs(sf_dir: str):
+    """The dedup ACTION on duplicate groups: keep every doc that is either
+    untouched by near-dup evidence or the representative (min id) of its
+    connected component. Ray side: the non-representative ids become a
+    marker table, documents LEFT-OUTER hash-join against it, and null
+    markers survive — the corpus never broadcasts and the drop-set never
+    sits on the driver."""
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8,
+                                      n_rows=n_docs * 256)
+    comps = dedup.dup_components(pairs)
+    drops = rel.filter_batches(
+        comps, lambda t: pc.not_equal(t["id"], t["component"]))
+    drops = drops.map_batches(
+        lambda t: pa.table({"doc_id": t["id"],
+                            "__dup": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    joined = rel.hash_join(docs, rel.drop_empty_blocks(drops),
+                           on=["doc_id"], join_type="left_outer")
+    kept = rel.filter_batches(joined, lambda t: pc.is_null(t["__dup"]))
+    return kept.select_columns(["doc_id"])
+
+
+@register("doc_normalize_text", r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+         AS text_norm
+FROM documents
+""")
+def doc_normalize_text(sf_dir: str):
+    """Canonical text normalization (NFC → lower → whitespace collapse →
+    trim), the preprocessing step exact-dedup and fingerprints hash over.
+    Byte-identity with the SQL chain is the contract being checked."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    out = textops.normalize_text(ds)
+    return out.select_columns(["doc_id", "text_norm"])
+
+
+@register("events_user_counts_cms", None)  # approximate sketch → rows-only
+def events_user_counts_cms(sf_dir: str):
+    """Count-min point-frequency estimates for a fixed user probe set —
+    the per-key-frequency sketch alongside HLL (distinct), Misra-Gries
+    (top-k) and t-digest (quantiles). Per-block matrices merge by
+    addition; the user-id column never shuffles. Overcount-only bound
+    pinned by tests/test_ops.py."""
+    from ..functions.sketches import cms_counts
+
+    ds = read_table(sf_dir, "events", columns=["user_id"])
+    probe = list(range(8))
+    est = cms_counts(ds, "user_id", probe)
+    return pa.table({"user_id": pa.array(probe, pa.int64()),
+                     "est_events": pa.array([est[p] for p in probe],
+                                            pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -1005,3 +1005,48 @@ def test_pack_sequences_respects_budget_and_covers_all():
                                    token_col="n_tokens").to_pandas())
     assert out.sort_values("doc_id").bin_id.tolist() == \
         out2.sort_values("doc_id").bin_id.tolist()
+
+
+def test_global_percent_rank_matches_duckdb():
+    import duckdb
+    df = pd.DataFrame({"id": range(9),
+                       "v": [5, 3, 3, 8, 1, 5, 5, 2, 8]})
+    out = (rel.global_percent_rank(rd.from_pandas(df), "v")
+           .to_pandas().sort_values("id"))
+    want = duckdb.connect().execute(
+        "SELECT id, ROUND(percent_rank() OVER (ORDER BY v), 6) AS pr "
+        "FROM df ORDER BY id").df()
+    assert out.pr.tolist() == want.pr.tolist()
+
+
+def test_normalize_text_canonical_form():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": [1, 2], "text": [
+        "  Hello\t\tWorld \n new LINE  ",
+        "Cafe\u0301 MIXED",   # e + combining acute → NFC é
+    ]})
+    out = (textops.normalize_text(rd.from_pandas(df))
+           .to_pandas().sort_values("doc_id"))
+    assert out.text_norm.iloc[0] == "hello world new line"
+    assert out.text_norm.iloc[1] == "caf\u00e9 mixed"
+
+
+def test_count_min_overestimates_within_bound_and_merges():
+    from illumio_ray.functions.sketches import CountMinSketch
+    rng = np.random.default_rng(5)
+    # zipf-ish: heavy keys + long tail
+    keys = np.concatenate([np.repeat([f"k{i}" for i in range(10)],
+                                     [2000 - 180 * i for i in range(10)]),
+                           rng.integers(0, 50000, 30000).astype(str)])
+    true = pd.Series(keys).value_counts()
+    whole = CountMinSketch().add_array(keys)
+    # split-merge equals whole
+    a, b = CountMinSketch().add_array(keys[:9000]), \
+        CountMinSketch().add_array(keys[9000:])
+    assert (a.merge(b).counts == whole.counts).all()
+    probe = np.array([f"k{i}" for i in range(10)])
+    est = whole.estimate_array(probe)
+    for i, e in enumerate(est):
+        t = true[f"k{i}"]
+        assert e >= t                       # never undercounts
+        assert e <= t + 0.01 * len(keys)    # eps*N slack at width 2048
