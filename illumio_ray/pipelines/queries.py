@@ -2947,6 +2947,104 @@ def events_user_counts_cms(sf_dir: str):
                                             pa.int64())})
 
 
+@register("q16_brand_supplier_counts", """
+SELECT p_brand, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+GROUP BY p_brand
+""")
+def q16_brand_supplier_counts(sf_dir: str):
+    """TPC-H Q16 shape (distinct supplier count per part attribute),
+    adapted: no partsupp, so the part↔supplier relation comes through
+    lineitem. Distinct-count distributes as dedup-then-count: broadcast
+    the brand dimension into lineitem, one shuffle distinct on the narrow
+    (brand, suppkey) pair table, then a bounded-key grouped count — the
+    raw fact rows never shuffle."""
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_brand"])
+    part = pa.table({"l_partkey": part["p_partkey"],
+                     "p_brand": part["p_brand"]})
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey"])
+    li = rel.broadcast_join(li, part, on=["l_partkey"], join_type="inner")
+    pairs = rel.distinct(li.select_columns(["p_brand", "l_suppkey"]),
+                         ["p_brand", "l_suppkey"])
+    return rel.grouped_agg(pairs, ["p_brand"],
+                           [("l_suppkey", "count", "supplier_cnt")])
+
+
+@register("doc_median_chars_by_lang", """
+SELECT lang, ROUND(median(n_chars), 6) AS med
+FROM documents GROUP BY lang
+""")
+def doc_median_chars_by_lang(sf_dir: str):
+    """Exact per-group median over unbounded rows: the (lang, n_chars)
+    VALUE HISTOGRAM is the only thing that leaves the map stage (bounded:
+    langs × distinct lengths), and quantile_cont(0.5) interpolation runs
+    on the cumulative counts driver-side — same trick as
+    global_percent_rank, grouped."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+    hist = rel.grouped_agg(ds, ["lang", "n_chars"],
+                           [("n_chars", "count", "cnt")]).take_all()
+    out_lang, out_med = [], []
+    by_lang: dict[str, list] = {}
+    for h in hist:
+        by_lang.setdefault(h["lang"], []).append((h["n_chars"], h["cnt"]))
+    for lang, vc in sorted(by_lang.items()):
+        vc.sort()
+        vals = np.array([v for v, _ in vc], dtype=np.float64)
+        cnts = np.array([c for _, c in vc], dtype=np.int64)
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        pos = (n - 1) * 0.5          # quantile_cont positioning
+        lo_i = int(np.searchsorted(cum, np.floor(pos) + 1))
+        hi_i = int(np.searchsorted(cum, np.ceil(pos) + 1))
+        frac = pos - np.floor(pos)
+        med = vals[lo_i] * (1 - frac) + vals[hi_i] * frac
+        out_lang.append(lang)
+        out_med.append(med)
+    return pa.table({"lang": pa.array(out_lang, pa.string()),
+                     "med": pa.array(round_np(np.array(out_med), 6))})
+
+
+@register("lineitem_qty_price_corr", """
+SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS r
+FROM lineitem GROUP BY l_returnflag
+""")
+def lineitem_qty_price_corr(sf_dir: str):
+    """Per-group Pearson correlation as a PARTIALIZABLE aggregate: each
+    batch contributes (n, Σx, Σy, Σxy, Σx², Σy²) per group — six numbers,
+    combined driver-side — and r comes from the closed form. No shuffle,
+    no second pass over the facts."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    ds = rel.with_columns(ds, {
+        "xy": lambda t: pc.multiply(t["l_quantity"], t["l_extendedprice"]),
+        "xx": lambda t: pc.multiply(t["l_quantity"], t["l_quantity"]),
+        "yy": lambda t: pc.multiply(t["l_extendedprice"],
+                                    t["l_extendedprice"])},
+        keep=["l_returnflag", "l_quantity", "l_extendedprice",
+              "xy", "xx", "yy"])
+    agg = rel.grouped_agg(ds, ["l_returnflag"], [
+        ("l_quantity", "count", "n"), ("l_quantity", "sum", "sx"),
+        ("l_extendedprice", "sum", "sy"), ("xy", "sum", "sxy"),
+        ("xx", "sum", "sxx"), ("yy", "sum", "syy")]).take_all()
+    flags, rs = [], []
+    for a in sorted(agg, key=lambda a: a["l_returnflag"]):
+        n = float(a["n"])
+        cov = a["sxy"] - a["sx"] * a["sy"] / n
+        vx = a["sxx"] - a["sx"] * a["sx"] / n
+        vy = a["syy"] - a["sy"] * a["sy"] / n
+        flags.append(a["l_returnflag"])
+        rs.append(cov / np.sqrt(vx * vy))
+    return pa.table({"l_returnflag": pa.array(flags, pa.string()),
+                     "r": pa.array(round_np(np.array(rs), 6))})
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
