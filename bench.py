@@ -46,6 +46,7 @@ HEADLINE_QUERIES = [
     "doc_token_counts",
     "dedup_exact",
     "near_dup_docs",
+    "near_dup_components",
     "curation_kept_docs",
     "embedding_topk",
 ]

@@ -23,7 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from ..functions.hashing import hash64, minhash_signatures, simhash64
+from ..functions.hashing import (hash64, minhash_signatures, simhash64,
+                                 stable_hash64)
 from ..functions.rounding import round_np
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
@@ -59,10 +60,15 @@ def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
 # tokenization / shingling helpers (per-batch, numpy-vectorized core)
 # ---------------------------------------------------------------------------
 
-def _shingle_hashes(texts: list[str], n: int = 3) -> list[np.ndarray]:
+def _shingle_hashes(texts: list[str], n: int = 3,
+                    hasher=None) -> list[np.ndarray]:
     """Per doc: hashed word-n-gram shingle set (uint64). All docs' shingles
     are hashed in ONE hash64 call (per-doc calls pay pandas hashing setup
-    per doc)."""
+    per doc). ``hasher`` defaults to hash64 (fast, within-run); pass
+    stable_hash64 for anything PERSISTED and re-read later (shingle
+    indexes), where the hash must survive library upgrades."""
+    if hasher is None:
+        hasher = hash64
     all_shingles: list[str] = []
     counts: list[int] = []
     for s in texts:
@@ -73,7 +79,7 @@ def _shingle_hashes(texts: list[str], n: int = 3) -> list[np.ndarray]:
             shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
         all_shingles.extend(shingles)
         counts.append(len(shingles))
-    flat = hash64(all_shingles) if all_shingles else np.array([], np.uint64)
+    flat = hasher(all_shingles) if all_shingles else np.array([], np.uint64)
     out = []
     pos = 0
     for c in counts:
@@ -702,3 +708,163 @@ def dup_components(pairs: rd.Dataset, id_a: str = "id_a",
             break
 
     return labels
+
+
+# ---------------------------------------------------------------------------
+# incremental n-gram Jaccard: persisted shingle index + new-docs-only pairs
+# ---------------------------------------------------------------------------
+
+_INDEX_META = "_index_meta.json"
+
+
+def _explode_shingle_rows(ds: rd.Dataset, id_col: str, text_col: str,
+                          n: int, num_buckets: int,
+                          stable: bool) -> rd.Dataset:
+    """(shingle, doc, sz, __b) rows — the inverted-index representation
+    shared by the batch and incremental Jaccard paths. ``stable=True``
+    hashes shingles with stable_hash64 (required when rows are persisted:
+    the index outlives the process and must merge with rows hashed by a
+    future build)."""
+    hasher = stable_hash64 if stable else hash64
+
+    def explode(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        sh = _shingle_hashes(texts, n, hasher)
+        counts = np.array([len(a) for a in sh], np.int64)
+        flat = (np.concatenate(sh) if len(sh) else np.array([], np.uint64))
+        ids = np.repeat(t[id_col].to_numpy(zero_copy_only=False), counts)
+        sizes = np.repeat(counts, counts)
+        b = (flat % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            "shingle": pa.array(flat.astype(np.int64), pa.int64()),
+            "doc": pa.array(ids),
+            "sz": pa.array(sizes.astype(np.int32), pa.int32()),
+            "__b": pa.array(b, pa.int32()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def build_shingle_index(ds: rd.Dataset, id_col: str, text_col: str,
+                        out_dir: str, *, n: int = 3,
+                        n_rows: int | None = None,
+                        num_buckets: int | None = None) -> dict:
+    """Persist the inverted shingle index of a committed corpus as
+    hive-partitioned parquet (``out_dir/__b=i/``) so later batches can
+    near-dup against it WITHOUT re-reading or re-shingling the corpus.
+    The bucket is ``stable_hash64(shingle) % num_buckets`` — pinned hash,
+    layout survives library upgrades (same contract as
+    bucketing.write_bucketed)."""
+    import json
+    from pathlib import Path
+
+    from .relational import adaptive_bucket_count
+
+    if num_buckets is None:
+        num_buckets = adaptive_bucket_count(n_rows)
+    rows = _explode_shingle_rows(ds, id_col, text_col, n, num_buckets,
+                                 stable=True)
+    rows.write_parquet(str(out_dir), partition_cols=["__b"])
+    meta = {"num_buckets": num_buckets, "n": n}
+    Path(out_dir, _INDEX_META).write_text(json.dumps(meta))
+    return meta
+
+
+def ngram_jaccard_pairs_incremental(new_ds: rd.Dataset, index_dir: str,
+                                    id_col: str, text_col: str, *,
+                                    threshold: float = 0.8) -> rd.Dataset:
+    """EXACT Jaccard near-dup pairs that involve AT LEAST ONE new doc:
+    new-vs-indexed and new-vs-new, without touching indexed-vs-indexed
+    pairs (already known) and without re-shingling the committed corpus.
+
+    This is the production incremental-curation shape: each arriving batch
+    shingles itself, then reads ONLY the index bucket directories its own
+    shingles hash into (partition pruning — untouched buckets cost
+    nothing), merges within buckets, and keeps pairs flagged with a new
+    side. New ids must be disjoint from indexed ids (same contract as any
+    append-only index). After acceptance, append the batch to the index
+    with build_shingle_index semantics (write the same exploded rows into
+    the same bucket dirs)."""
+    import json
+    from pathlib import Path
+
+    from .relational import grouped_agg
+
+    meta = json.loads(Path(index_dir, _INDEX_META).read_text())
+    num_buckets, n = meta["num_buckets"], meta["n"]
+
+    new_rows = _explode_shingle_rows(new_ds, id_col, text_col, n,
+                                     num_buckets, stable=True)
+    new_rows = new_rows.map_batches(
+        lambda t: t.append_column(
+            "is_new", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    touched = sorted(new_rows.unique("__b"))
+    # explicit file list: ONLY the touched bucket dirs are ever opened
+    files = [str(f) for b in touched
+             for f in sorted(Path(index_dir, f"__b={b}").glob("*.parquet"))
+             if Path(index_dir, f"__b={b}").exists()]
+
+    if files:
+        old = rd.read_parquet(files)
+
+        def tag_old(t: pa.Table) -> pa.Table:
+            # __b is encoded in the hive path, not the row files —
+            # re-derive it from the shingle (same pinned hash)
+            b = (t["shingle"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64) % np.uint64(num_buckets)).astype(np.int32)
+            return pa.table({
+                "shingle": t["shingle"], "doc": t["doc"], "sz": t["sz"],
+                "__b": pa.array(b, pa.int32()),
+                "is_new": pa.array(np.zeros(t.num_rows, np.int8)),
+            })
+
+        rows = old.map_batches(tag_old, batch_format="pyarrow",
+                               zero_copy_batch=True).union(new_rows)
+    else:
+        rows = new_rows
+
+    def _empty(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"id_a": g["doc"].iloc[:0],
+                             "id_b": g["doc"].iloc[:0],
+                             "sz_a": g["sz"].iloc[:0],
+                             "sz_b": g["sz"].iloc[:0]})
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("shingle", keep=False)]
+        if not len(g):
+            return _empty(g)
+        cols = ["shingle", "doc", "sz", "is_new"]
+        m = g[cols].merge(g[cols], on="shingle", suffixes=("_a", "_b"))
+        m = m[(m["doc_a"] < m["doc_b"])
+              & ((m["is_new_a"] == 1) | (m["is_new_b"] == 1))]
+        if not len(m):
+            return _empty(g)
+        return (m[["doc_a", "doc_b", "sz_a", "sz_b"]]
+                .rename(columns={"doc_a": "id_a", "doc_b": "id_b"}))
+
+    pairs = rows.groupby("__b").map_groups(emit_pairs,
+                                           batch_format="pandas")
+    agg = grouped_agg(pairs, ["id_a", "id_b"],
+                      [("sz_a", "count", "inter"),
+                       ("sz_a", "max", "sz_a"),
+                       ("sz_b", "max", "sz_b")],
+                      mode="shuffle")
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        union = (t["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+                 + t["sz_b"].to_numpy(zero_copy_only=False) - inter)
+        j = np.divide(inter, union, out=np.zeros_like(inter),
+                      where=union > 0)
+        keep = j >= threshold
+        return pa.table({
+            "id_a": t["id_a"].filter(pa.array(keep)),
+            "id_b": t["id_b"].filter(pa.array(keep)),
+            "jaccard": pa.array(round_np(j[keep], 6), pa.float64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)

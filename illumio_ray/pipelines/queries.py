@@ -3045,6 +3045,58 @@ def lineitem_qty_price_corr(sf_dir: str):
                      "r": pa.array(round_np(np.array(rs), 6))})
 
 
+@register("ngram_jaccard_pairs_incr", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / (sa.s + sb.s - i), 6) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8 AND id_b >= 400
+""")
+def ngram_jaccard_pairs_incr(sf_dir: str):
+    """INCREMENTAL exact near-dup: docs < 80% of the corpus play the
+    committed archive (their shingle inverted index persisted as
+    bucket-partitioned parquet, stable_hash64 bucketing), the rest arrive
+    as a new batch that reads ONLY the index buckets its own shingles
+    touch. Output = every ≥0.8-Jaccard pair with a new side — identical
+    to the batch answer restricted to new ids (the oracle states exactly
+    that restriction; id_a < id_b makes id_b ≥ K the complete
+    condition). tests/test_ops.py pins batch/incremental equivalence."""
+    import tempfile
+
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    k = int(0.8 * n_docs)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    old = rel.filter_batches(ds, lambda t: pc.less(t["doc_id"], k))
+    new = rel.filter_batches(ds, lambda t: pc.greater_equal(t["doc_id"], k))
+    idx = tempfile.mkdtemp(prefix="illumio_jidx_")
+    dedup.build_shingle_index(old, "doc_id", "text", idx,
+                              n_rows=n_docs * 256)
+    return dedup.ngram_jaccard_pairs_incremental(new, idx, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -1050,3 +1050,30 @@ def test_count_min_overestimates_within_bound_and_merges():
         t = true[f"k{i}"]
         assert e >= t                       # never undercounts
         assert e <= t + 0.01 * len(keys)    # eps*N slack at width 2048
+
+
+def test_incremental_jaccard_equals_batch_restricted(tmp_path):
+    from illumio_ray.ops import dedup
+    docs = pd.DataFrame({"doc_id": list(range(8)), "text": [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy dog today",   # old-old dup: excluded
+        "completely different text about ray data pipelines ok",
+        "another unrelated document with plain words here now",
+        "the quick brown fox jumps over the lazy dog today",   # new vs old 0,1
+        "completely different text about ray data pipelines ok",  # new vs old 2
+        "fresh new content never seen before in any corpus x",
+        "fresh new content never seen before in any corpus x",    # new-new pair
+    ]})
+    old, new = docs[docs.doc_id < 4], docs[docs.doc_id >= 4]
+    idx = str(tmp_path / "jidx")
+    dedup.build_shingle_index(rd.from_pandas(old), "doc_id", "text", idx,
+                              n_rows=4 * 64)
+    inc = (dedup.ngram_jaccard_pairs_incremental(
+        rd.from_pandas(new), idx, "doc_id", "text")
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    full = dedup.ngram_jaccard_pairs(rd.from_pandas(docs), "doc_id", "text",
+                                     n_rows=8 * 64).to_pandas()
+    expect = (full[(full.id_a >= 4) | (full.id_b >= 4)]
+              .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert inc.equals(expect)
+    assert set(zip(inc.id_a, inc.id_b)) == {(0, 4), (1, 4), (2, 5), (6, 7)}
