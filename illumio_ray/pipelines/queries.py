@@ -3097,6 +3097,174 @@ def ngram_jaccard_pairs_incr(sf_dir: str):
     return dedup.ngram_jaccard_pairs_incremental(new, idx, "doc_id", "text")
 
 
+@register("q2_min_cost_supplier", """
+WITH cost AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+eligible AS (
+  SELECT l_partkey, supplycost, s_name, s_acctbal, n_name
+  FROM cost
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'
+),
+mn AS (SELECT l_partkey, MIN(supplycost) AS min_cost FROM eligible GROUP BY 1)
+SELECT ROUND(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+       p_partkey, p_brand, ROUND(supplycost, 2) AS supplycost
+FROM eligible JOIN mn USING (l_partkey)
+JOIN part ON p_partkey = l_partkey
+WHERE supplycost = min_cost AND p_size <= 10 AND p_type = 'SMALL'
+""")
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (correlated MIN subquery: the cheapest supplier per
+    part within a region), adapted to this schema — no partsupp table, so
+    supply cost = MIN observed l_extendedprice per (part, supplier). The
+    correlated subquery becomes: one shuffle agg for per-(part,supplier)
+    cost, dims (supplier⋈nation⋈region) folded driver-side and broadcast,
+    a second tiny agg for per-part min, and an equality join back. The
+    argmin filter compares a value against the min SELECTED FROM the same
+    values, so cross-engine float equality is exact."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    cost = rel.drop_empty_blocks(rel.grouped_agg(
+        li, ["l_partkey", "l_suppkey"],
+        [("l_extendedprice", "min", "supplycost")], mode="shuffle"))
+
+    sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                        columns=["s_suppkey", "s_name", "s_nationkey",
+                                 "s_acctbal"])
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
+    reg = pq.read_table(str(Path(sf_dir) / "region.parquet"))
+    nat = nat.join(reg, keys=["n_regionkey"], right_keys=["r_regionkey"],
+                   join_type="inner")
+    nat = nat.filter(pc.equal(nat["r_name"], "EUROPE"))
+    dims = sup.join(nat.select(["n_nationkey", "n_name"]),
+                    keys=["s_nationkey"], right_keys=["n_nationkey"],
+                    join_type="inner").select(
+                        ["s_suppkey", "s_name", "s_acctbal", "n_name"])
+    eligible = rel.broadcast_join(
+        cost.rename_columns({"l_suppkey": "s_suppkey"}), dims,
+        on=["s_suppkey"], join_type="inner")
+
+    mn = rel.drop_empty_blocks(rel.grouped_agg(
+        eligible.select_columns(["l_partkey", "supplycost"]), ["l_partkey"],
+        [("supplycost", "min", "min_cost")], mode="shuffle"))
+    j = rel.hash_join(eligible, mn, on=["l_partkey"], num_partitions=8)
+    j = rel.filter_batches(
+        j, lambda t: pc.equal(t["supplycost"], t["min_cost"]))
+
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_size",
+                                  "p_type"])
+    part = part.filter(pc.and_(pc.less_equal(part["p_size"], 10),
+                               pc.equal(part["p_type"], "SMALL")))
+    j = rel.broadcast_join(
+        j.rename_columns({"l_partkey": "p_partkey"}),
+        part.select(["p_partkey", "p_brand"]),
+        on=["p_partkey"], join_type="inner")
+    return j.map_batches(lambda t: pa.table({
+        "s_acctbal": round_col(t["s_acctbal"], 2),
+        "s_name": t["s_name"], "n_name": t["n_name"],
+        "p_partkey": t["p_partkey"], "p_brand": t["p_brand"],
+        "supplycost": round_col(t["supplycost"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("q13_customer_distribution", """
+WITH per_cust AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM per_cust GROUP BY c_count
+""")
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape (customer order-count distribution; the LEFT JOIN's
+    extra predicate filters the fact side, never drops customers).
+    Filter orders → shuffle count per custkey → LEFT OUTER join against
+    customer keys (0-order customers surface as nulls → 0) → the
+    second-level GROUP BY runs in driver mode: its key space is bounded
+    by max orders-per-customer, a few dozen values at any scale."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderpriority"])
+    orders = rel.filter_batches(orders, lambda t: pc.not_equal(
+        t["o_orderpriority"], "1-URGENT"))
+    counts = rel.drop_empty_blocks(rel.grouped_agg(
+        orders.select_columns(["o_custkey"]), ["o_custkey"],
+        [("o_custkey", "count", "cnt")], mode="shuffle"))
+    counts = counts.map_batches(
+        lambda t: t.rename_columns(["c_custkey", "cnt"]),
+        batch_format="pyarrow")
+    cust = read_table(sf_dir, "customer", columns=["c_custkey"])
+    per_cust = rel.hash_join(cust, counts, on=["c_custkey"],
+                             join_type="left_outer", num_partitions=8)
+    per_cust = per_cust.map_batches(
+        lambda t: pa.table({"c_count": pc.cast(
+            pc.fill_null(t["cnt"], 0), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return rel.grouped_agg(per_cust, ["c_count"],
+                           [("c_count", "count", "custdist")])
+
+
+@register("q20_excess_stock_suppliers", """
+SELECT s_name, ROUND(s_acctbal, 2) AS s_acctbal
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+WHERE n_name = 'NATION_3' AND s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+  HAVING SUM(l_quantity) > 55)
+""")
+def q20_excess_stock_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (nested-IN chain: parts of a class → suppliers who
+    moved > threshold of such a part in a window → those in one nation),
+    adapted to this schema (no partsupp: 'excess stock' = shipped volume
+    per (supplier, part) above threshold). The inner IN is a broadcast
+    semi-filter (part keys via pc.is_in — never a shuffle); the HAVING is
+    a shuffle agg on (supplier, part); the outer IN dedups to distinct
+    supplier keys and broadcast-joins the nation-filtered supplier dim."""
+    part = pq.read_table(str(Path(sf_dir) / "part.parquet"),
+                         columns=["p_partkey", "p_type"])
+    keys = part.filter(pc.equal(part["p_type"], "SMALL"))["p_partkey"]
+    key_set = pa.array(keys.to_pylist(), keys.type)
+    lo, hi = _ts("1995-01-01"), _ts("1997-01-01")
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_suppkey", "l_quantity",
+                             "l_shipdate"])
+    li = rel.filter_batches(li, lambda t: pc.and_(
+        pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                pc.less(t["l_shipdate"], hi)),
+        pc.is_in(t["l_partkey"], value_set=key_set)))
+    qty = rel.drop_empty_blocks(rel.grouped_agg(
+        li, ["l_suppkey", "l_partkey"], [("l_quantity", "sum", "qty")],
+        mode="shuffle"))
+    qty = rel.filter_batches(qty, lambda t: pc.greater(t["qty"], 55.0))
+    supp_in = rel.drop_empty_blocks(rel.grouped_agg(
+        qty.select_columns(["l_suppkey"]), ["l_suppkey"],
+        [("l_suppkey", "count", "__n")], mode="shuffle"))
+
+    sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
+                        columns=["s_suppkey", "s_name", "s_nationkey",
+                                 "s_acctbal"])
+    nat = pq.read_table(str(Path(sf_dir) / "nation.parquet"))
+    nat = nat.filter(pc.equal(nat["n_name"], "NATION_3"))
+    sup = sup.join(nat.select(["n_nationkey"]), keys=["s_nationkey"],
+                   right_keys=["n_nationkey"], join_type="inner")
+    out = rel.broadcast_join(
+        supp_in.rename_columns({"l_suppkey": "s_suppkey"}),
+        sup.select(["s_suppkey", "s_name", "s_acctbal"]),
+        on=["s_suppkey"], join_type="inner")
+    return out.map_batches(lambda t: pa.table({
+        "s_name": t["s_name"],
+        "s_acctbal": round_col(t["s_acctbal"], 2)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
