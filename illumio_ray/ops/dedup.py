@@ -314,6 +314,57 @@ def near_dup_pairs(ds: rd.Dataset, docs: pa.Table, id_col: str, text_col: str,
 # exact n-gram Jaccard (inverted-index join — no LSH approximation)
 # ---------------------------------------------------------------------------
 
+def _reduce_pairs_to_jaccard(pairs: rd.Dataset, threshold: float,
+                             num_buckets: int) -> rd.Dataset:
+    """(id_a, id_b, sz_a, sz_b) co-occurrence rows → exact Jaccard pairs
+    ≥ threshold. The pair count is a groupby where #groups ≈ #rows (most
+    candidate pairs share exactly one shingle), the worst case for a
+    composite-key sort-aggregate — measured 21 s vs 3 s at sf0.1. Instead:
+    combine within each block (collapses the true near-dups, whose ~sz
+    shared shingles all count toward one pair), hash-partition by a
+    PAIR bucket (few distinct values — the same cheap exchange shape as
+    the shingle stage), and finish each bucket vectorized in pandas,
+    applying the threshold inside the reduce so sub-threshold pairs never
+    materialize downstream."""
+
+    def _pb(df: pd.DataFrame) -> np.ndarray:
+        ha = pd.util.hash_pandas_object(df["id_a"], index=False).to_numpy()
+        hb = pd.util.hash_pandas_object(df["id_b"], index=False).to_numpy()
+        return ((ha * np.uint64(0x9E3779B97F4A7C15) + hb)
+                % np.uint64(num_buckets)).astype(np.int32)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"id_a": df["id_a"], "id_b": df["id_b"],
+                                 "inter": pd.Series([], dtype=np.int64),
+                                 "sz_a": df["sz_a"], "sz_b": df["sz_b"],
+                                 "__pb": pd.Series([], dtype=np.int32)})
+        g = (df.groupby(["id_a", "id_b"], sort=False)
+               .agg(inter=("sz_a", "size"), sz_a=("sz_a", "first"),
+                    sz_b=("sz_b", "first")).reset_index())
+        g["inter"] = g["inter"].astype(np.int64)
+        g["__pb"] = _pb(g)
+        return g
+
+    partials = pairs.map_batches(partial, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        f = (g.groupby(["id_a", "id_b"], sort=False)
+               .agg(inter=("inter", "sum"), sz_a=("sz_a", "first"),
+                    sz_b=("sz_b", "first")).reset_index())
+        inter = f["inter"].to_numpy(np.float64)
+        union = f["sz_a"].to_numpy(np.float64) + f["sz_b"].to_numpy() - inter
+        j = np.divide(inter, union, out=np.zeros_like(inter),
+                      where=union > 0)
+        keep = j >= threshold
+        return pd.DataFrame({"id_a": f["id_a"][keep],
+                             "id_b": f["id_b"][keep],
+                             "jaccard": round_np(j[keep], 6)})
+
+    return partials.groupby("__pb").map_groups(finish,
+                                               batch_format="pandas")
+
+
 def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str, text_col: str, *,
                         n: int = 3, threshold: float = 0.8,
                         max_df: int | None = None,
@@ -395,29 +446,7 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str, text_col: str, *,
 
     pairs = bucketed.groupby("__b").map_groups(emit_pairs,
                                                batch_format="pandas")
-
-    from .relational import grouped_agg
-    agg = grouped_agg(pairs, ["id_a", "id_b"],
-                      [("sz_a", "count", "inter"),
-                       ("sz_a", "max", "sz_a"),
-                       ("sz_b", "max", "sz_b")],
-                      mode="shuffle")
-
-    def finish(t: pa.Table) -> pa.Table:
-        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        union = (t["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-                 + t["sz_b"].to_numpy(zero_copy_only=False) - inter)
-        j = np.divide(inter, union, out=np.zeros_like(inter),
-                      where=union > 0)
-        keep = j >= threshold
-        return pa.table({
-            "id_a": t["id_a"].filter(pa.array(keep)),
-            "id_b": t["id_b"].filter(pa.array(keep)),
-            "jaccard": pa.array(round_np(j[keep], 6), pa.float64()),
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return _reduce_pairs_to_jaccard(pairs, threshold, num_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -662,16 +691,35 @@ def dup_components(pairs: rd.Dataset, id_a: str = "id_a",
 
     edges = pairs.map_batches(symmetric, batch_format="pyarrow",
                               zero_copy_batch=True).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         empty = pa.table({"id": pa.array([], pa.int64()),
                           "component": pa.array([], pa.int64())})
         return rd.from_arrow(empty)
+    # join fan-out sized by the data, not the cluster: a 32-way exchange
+    # on a few hundred label rows is pure fixed cost per round
+    import ray as _ray
+    cpus = int(_ray.cluster_resources().get("CPU", 8))
+    n_parts = max(2, min(cpus, n_edges // 250_000 + 1))
 
     # drop_empty_blocks after every shuffle agg: its empty-SCHEMA blocks
     # poison the next round's join (see relational.drop_empty_blocks).
-    labels = grouped_agg(edges.select_columns(["src"]), ["src"],
-                         [("src", "min", "component")],
-                         mode="shuffle").rename_columns({"src": "id"})
+    # Initial labels fold round 1 in for free: min(own, neighbors) needs
+    # only the edge table itself (id=src with comp∈{src, dst}) — one
+    # exchange instead of a join+exchange, and pair-only components (the
+    # common near-dup case) converge before the loop's first iteration.
+    def init_cand(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        return pa.table({
+            "id": pa.chunked_array([s, s]).combine_chunks(),
+            "comp": pa.chunked_array([s, d]).combine_chunks(),
+        })
+
+    labels = grouped_agg(
+        edges.map_batches(init_cand, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["id"], [("comp", "min", "component")], mode="shuffle")
     labels = drop_empty_blocks(labels)
 
     for _ in range(max_iters):
@@ -679,7 +727,7 @@ def dup_components(pairs: rd.Dataset, id_a: str = "id_a",
         nbr = hash_join(edges,
                         labels.rename_columns({"id": "src",
                                                "component": "nbr_comp"}),
-                        on=["src"])
+                        on=["src"], num_partitions=n_parts)
         nbr = nbr.select_columns(["dst", "nbr_comp"]).rename_columns(
             {"dst": "id", "nbr_comp": "comp"})
 
@@ -697,12 +745,16 @@ def dup_components(pairs: rd.Dataset, id_a: str = "id_a",
         # min(old) is the previous label (each id has exactly one old row;
         # nulls are ignored by min) — rides along to detect changes without
         # a second join.
+        # materialize each round: the convergence count and the next
+        # round's join otherwise both re-execute the ENTIRE lineage back
+        # to round 1 (Ray Datasets are lazy — measured quadratic blowup)
         new = drop_empty_blocks(grouped_agg(cand, ["id"],
                                             [("comp", "min", "component"),
                                              ("old", "min", "old")],
-                                            mode="shuffle"))
-        changed = new.filter(
-            lambda r: r["component"] != r["old"]).count()
+                                            mode="shuffle")).materialize()
+        from .relational import filter_batches
+        changed = filter_batches(new, lambda t: pc.not_equal(
+            t["component"], t["old"])).count()
         labels = drop_empty_blocks(new.select_columns(["id", "component"]))
         if changed == 0:
             break
@@ -789,8 +841,6 @@ def ngram_jaccard_pairs_incremental(new_ds: rd.Dataset, index_dir: str,
     import json
     from pathlib import Path
 
-    from .relational import grouped_agg
-
     meta = json.loads(Path(index_dir, _INDEX_META).read_text())
     num_buckets, n = meta["num_buckets"], meta["n"]
 
@@ -847,24 +897,4 @@ def ngram_jaccard_pairs_incremental(new_ds: rd.Dataset, index_dir: str,
 
     pairs = rows.groupby("__b").map_groups(emit_pairs,
                                            batch_format="pandas")
-    agg = grouped_agg(pairs, ["id_a", "id_b"],
-                      [("sz_a", "count", "inter"),
-                       ("sz_a", "max", "sz_a"),
-                       ("sz_b", "max", "sz_b")],
-                      mode="shuffle")
-
-    def finish(t: pa.Table) -> pa.Table:
-        inter = t["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        union = (t["sz_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-                 + t["sz_b"].to_numpy(zero_copy_only=False) - inter)
-        j = np.divide(inter, union, out=np.zeros_like(inter),
-                      where=union > 0)
-        keep = j >= threshold
-        return pa.table({
-            "id_a": t["id_a"].filter(pa.array(keep)),
-            "id_b": t["id_b"].filter(pa.array(keep)),
-            "jaccard": pa.array(round_np(j[keep], 6), pa.float64()),
-        })
-
-    return agg.map_batches(finish, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return _reduce_pairs_to_jaccard(pairs, threshold, num_buckets)
