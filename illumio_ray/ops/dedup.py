@@ -657,6 +657,104 @@ def embedding_near_dup_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
 
 
 # ---------------------------------------------------------------------------
+# cross-document segment (paragraph/line) dedup — CCNet/RefinedWeb shape
+# ---------------------------------------------------------------------------
+
+def segment_dedup(ds: rd.Dataset, id_col: str, text_col: str, *,
+                  seg_words: int = 10, sep: str | None = None,
+                  n_rows: int | None = None,
+                  num_buckets: int | None = None) -> rd.Dataset:
+    """Sub-document dedup: remove every segment whose text appears
+    elsewhere in the CORPUS, keeping only the globally-first occurrence
+    (min (doc, seg_idx)), then reassemble each document from its kept
+    segments in order — the CCNet/RefinedWeb paragraph-dedup shape, which
+    strips boilerplate (headers, nav text, license blocks) that exact or
+    near dedup at document granularity can never see.
+
+    ``sep`` splits on a separator (production: newline paragraphs);
+    ``seg_words`` (default) uses fixed word windows — the deterministic
+    stand-in here because the synthetic corpus is newline-free.
+
+    Two exchanges, both on bucket keys with bounded distinct values:
+      1. by segment-hash bucket — every occurrence of a segment lands in
+         one bucket, so keep-first is decided locally with content
+         equality guarding 64-bit hash collisions;
+      2. by doc-hash bucket — each document's marked segments reassemble
+         vectorized inside the bucket (never one Ray group per doc).
+    Only segment text + ids shuffle; stats (n_kept / n_removed) ride out
+    with each rebuilt doc."""
+    from .relational import adaptive_bucket_count
+
+    if num_buckets is None:
+        num_buckets = adaptive_bucket_count(n_rows)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        texts = t[text_col].to_pylist()
+        out_ids: list = []
+        out_idx: list[int] = []
+        segs: list[str] = []
+        for d, s in zip(ids, texts):
+            if s is None:
+                continue
+            if sep is not None:
+                parts = s.split(sep)
+            else:
+                toks = s.split(" ")
+                parts = [" ".join(toks[i:i + seg_words])
+                         for i in range(0, len(toks), seg_words)]
+            segs.extend(parts)
+            out_ids.extend([d] * len(parts))
+            out_idx.extend(range(len(parts)))
+        h = hash64(segs) if segs else np.array([], np.uint64)
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        return pa.table({
+            id_col: pa.array(out_ids),
+            "seg_idx": pa.array(np.array(out_idx, np.int64), pa.int64()),
+            "seg": pa.array(segs, pa.string()),
+            "__sb": pa.array(b, pa.int32()),
+        })
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def mark(g: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a segment are in this bucket → sorting by
+        # (doc, position) makes duplicated() the GLOBAL keep-first;
+        # dedup on the segment text itself, not its hash (collisions)
+        g = g.sort_values([id_col, "seg_idx"], kind="mergesort")
+        g = g.assign(kept=~g.duplicated("seg", keep="first"))
+        return g.drop(columns="__sb")
+
+    marked = exploded.groupby("__sb").map_groups(mark,
+                                                 batch_format="pandas")
+
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        hb = pd.util.hash_pandas_object(df[id_col],
+                                        index=False).to_numpy()
+        return df.assign(
+            __db=(hb % np.uint64(num_buckets)).astype(np.int32))
+
+    rebucketed = marked.map_batches(add_doc_bucket, batch_format="pandas")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "seg_idx"], kind="mergesort")
+        g = g.assign(rem=~g["kept"])
+        stats = (g.groupby(id_col, sort=False)
+                   .agg(n_kept=("kept", "sum"), n_removed=("rem", "sum")))
+        text = (g[g["kept"]].groupby(id_col, sort=False)["seg"]
+                .agg(" ".join).rename("clean_text"))
+        out = stats.join(text).reset_index()
+        out["clean_text"] = out["clean_text"].fillna("")
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        out["n_removed"] = out["n_removed"].astype(np.int64)
+        return out[[id_col, "clean_text", "n_kept", "n_removed"]]
+
+    return rebucketed.groupby("__db").map_groups(rebuild,
+                                                 batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # duplicate-group connected components
 # ---------------------------------------------------------------------------
 

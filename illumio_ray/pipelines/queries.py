@@ -3097,6 +3097,46 @@ def ngram_jaccard_pairs_incr(sf_dir: str):
     return dedup.ngram_jaccard_pairs_incremental(new, idx, "doc_id", "text")
 
 
+@register("doc_segment_dedup", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS L FROM documents
+),
+words AS (
+  SELECT doc_id, L[i] AS w, i
+  FROM toks, UNNEST(range(1, len(L) + 1)) AS t(i)
+),
+segs AS (
+  SELECT doc_id, CAST((i-1) // 10 AS BIGINT) AS seg_idx,
+         string_agg(w, ' ' ORDER BY i) AS seg
+  FROM words GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY seg
+                               ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       coalesce(string_agg(seg, ' ' ORDER BY seg_idx) FILTER (rn = 1),
+                '') AS clean_text,
+       CAST(count(*) FILTER (rn = 1) AS BIGINT) AS n_kept,
+       CAST(count(*) FILTER (rn > 1) AS BIGINT) AS n_removed
+FROM ranked GROUP BY doc_id
+""")
+def doc_segment_dedup(sf_dir: str):
+    """CCNet/RefinedWeb-style cross-document SEGMENT dedup: every 10-word
+    segment that appears anywhere else in the corpus is removed except
+    its globally-first occurrence (min doc_id, seg_idx), and each doc is
+    reassembled from its kept segments — sub-document boilerplate removal
+    that whole-document dedup cannot see. Fixed word windows stand in for
+    newline paragraphs (the synthetic corpus is newline-free; the op's
+    ``sep`` mode is the production path, pinned by a unit test)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = pq.ParquetFile(str(Path(sf_dir) / "documents.parquet")
+                       ).metadata.num_rows
+    return dedup.segment_dedup(ds, "doc_id", "text", seg_words=10,
+                               n_rows=n * 64)
+
+
 @register("q2_min_cost_supplier", """
 WITH cost AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost

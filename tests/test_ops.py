@@ -1077,3 +1077,40 @@ def test_incremental_jaccard_equals_batch_restricted(tmp_path):
               .sort_values(["id_a", "id_b"]).reset_index(drop=True))
     assert inc.equals(expect)
     assert set(zip(inc.id_a, inc.id_b)) == {(0, 4), (1, 4), (2, 5), (6, 7)}
+
+
+def test_segment_dedup_keep_first_and_sep_mode():
+    from illumio_ray.ops import dedup
+    # doc 1 repeats doc 0's first 10-word segment (positions 0-9); doc 2
+    # repeats its own segment internally
+    seg_a = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9"
+    seg_b = "x0 x1 x2 x3 x4 x5 x6 x7 x8 x9"
+    docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        seg_a + " tail0 only",
+        seg_a + " " + seg_b,
+        seg_b + " " + seg_b,
+    ]})
+    out = (dedup.segment_dedup(rd.from_pandas(docs), "doc_id", "text",
+                               seg_words=10, n_rows=3 * 64)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc0 keeps seg_a (first occurrence) + its tail
+    assert out.loc[0, "clean_text"] == seg_a + " tail0 only"
+    assert (out.loc[0, "n_kept"], out.loc[0, "n_removed"]) == (2, 0)
+    # doc1 loses seg_a (dup of doc0's) but keeps seg_b (first occurrence)
+    assert out.loc[1, "clean_text"] == seg_b
+    assert (out.loc[1, "n_kept"], out.loc[1, "n_removed"]) == (1, 1)
+    # doc2 loses both copies of seg_b (doc1 owns the first occurrence)
+    assert out.loc[2, "clean_text"] == ""
+    assert (out.loc[2, "n_kept"], out.loc[2, "n_removed"]) == (0, 2)
+
+    # production separator mode: newline paragraphs
+    pdocs = pd.DataFrame({"doc_id": [0, 1], "text": [
+        "keep me\nshared boilerplate",
+        "shared boilerplate\nunique tail",
+    ]})
+    pout = (dedup.segment_dedup(rd.from_pandas(pdocs), "doc_id", "text",
+                                sep="\n", n_rows=2 * 64)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert pout.loc[0, "clean_text"] == "keep me shared boilerplate"
+    assert pout.loc[1, "clean_text"] == "unique tail"
+    assert pout.loc[1, "n_removed"] == 1
