@@ -471,6 +471,101 @@ def bm25_scores(ds: rd.Dataset, terms: tuple[str, ...],
 
 
 # ---------------------------------------------------------------------------
+# bigram-LM quality score (CCNet perplexity-bucket family)
+# ---------------------------------------------------------------------------
+
+def _bigram_parts(t: pa.Table, text_col: str):
+    """Per-batch consecutive word pairs, vectorized: split → flatten →
+    mask out each row's final word → (w1, w2, row_of_each_bigram).
+    Tokenization is string_split(text, ' ') verbatim (empties kept) so
+    the DuckDB oracle shares it exactly."""
+    text = _string_array(t[text_col])
+    lists = pc.split_pattern(text, " ")
+    offs = lists.offsets.to_numpy()
+    flat = lists.flatten()
+    row_idx = np.repeat(np.arange(len(lists)), np.diff(offs))
+    valid = np.ones(len(flat), bool)
+    starts, ends = offs[:-1], offs[1:]
+    nz = ends > starts
+    valid[ends[nz] - 1] = False  # last word of each non-empty row
+    idx = np.flatnonzero(valid)
+    take1 = pa.array(idx, pa.int64())
+    take2 = pa.array(idx + 1, pa.int64())
+    return flat.take(take1), flat.take(take2), row_idx[idx], lists
+
+
+_LM_CACHE: dict = {}
+
+
+def bigram_lm_nll(ds: rd.Dataset, id_col: str = "doc_id",
+                  text_col: str = "text") -> rd.Dataset:
+    """Language-model quality score (the CCNet perplexity-bucket family):
+    per-document mean negative log-likelihood under an add-one-smoothed
+    bigram LM, nll = avg(-ln((c12+1)/(c1+V))) over the doc's word
+    bigrams, where c12 = corpus bigram count, c1 = Σ_w2 c12 and V =
+    distinct corpus tokens. Documents with < 2 words emit no row (no
+    bigrams), matching the SQL join semantics.
+
+    Scale shape: training is tokenize passes whose per-batch partial
+    counts combine on the driver — legitimate because the finished model
+    must fit one machine regardless (it is broadcast to every scoring
+    task); at web scale train on a bounded reference sample and prune
+    rare bigrams, as CCNet trains KenLM on Wikipedia rather than the
+    crawl. Scoring is a broadcast ray.put of the model + a per-batch
+    vectorized merge and per-doc mean — row-local, no exchange."""
+    import ray
+
+    from ..functions.rounding import round_np
+    from .relational import grouped_agg
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        w1, w2, _, _ = _bigram_parts(t, text_col)
+        return pa.table({"w1": w1, "w2": w2})
+
+    cb = grouped_agg(ds.map_batches(bigram_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["w1", "w2"], [("w1", "count", "c12")],
+                     mode="driver").to_pandas()
+
+    def word_rows(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        return pa.table({"w": pc.split_pattern(text, " ").flatten()})
+
+    vocab = grouped_agg(ds.map_batches(word_rows, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        ["w"], [("w", "count", "c")], mode="driver")
+    v_size = float(vocab.count())
+
+    c1 = cb.groupby("w1", sort=False)["c12"].transform("sum")
+    model = cb[["w1", "w2"]].copy()
+    # same operation order as the oracle: -ln((c12 + 1.0) / (c1 + V))
+    model["lp"] = -np.log((cb["c12"].to_numpy(np.float64) + 1.0)
+                          / (c1.to_numpy(np.float64) + v_size))
+    ref = ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = _LM_CACHE.get(ref)
+        if m is None:
+            m = ray.get(ref)
+            _LM_CACHE.clear()  # one pinned model per worker
+            _LM_CACHE[ref] = m
+        w1, w2, rows, _ = _bigram_parts(t, text_col)
+        bg = pd.DataFrame({"w1": w1.to_pandas(), "w2": w2.to_pandas(),
+                           "__row": rows})
+        bg = bg.merge(m, on=["w1", "w2"], how="left")
+        per_doc = bg.groupby("__row", sort=True)["lp"].mean()
+        take = pa.array(per_doc.index.to_numpy(), pa.int64())
+        return pa.table({
+            id_col: pc.take(t[id_col], take),
+            "nll": pa.array(round_np(per_doc.to_numpy(np.float64), 6),
+                            pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # duplicate-n-gram fraction (within-doc repetition, Gopher §A1.1 family)
 # ---------------------------------------------------------------------------
 

@@ -3137,6 +3137,33 @@ def doc_segment_dedup(sf_dir: str):
                                n_rows=n * 64)
 
 
+@register("doc_lm_nll", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+big AS (
+  SELECT doc_id, L[i] AS w1, L[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(L))) AS t(i)
+),
+cb AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+cu AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT w) AS vsz FROM (
+    SELECT L[i] AS w FROM toks, UNNEST(range(1, len(L) + 1)) AS t(i))
+)
+SELECT b.doc_id, ROUND(avg(-ln((c12 + 1.0) / (c1 + vsz))), 6) AS nll
+FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+GROUP BY b.doc_id
+""")
+def doc_lm_nll(sf_dir: str):
+    """LM quality scoring (CCNet perplexity-bucket family): mean negative
+    log-likelihood per document under an add-one-smoothed bigram model
+    trained on the corpus — low nll ≈ fluent/common text, high nll ≈
+    noise, the signal CCNet buckets crawls by before sampling. Training
+    counts combine on the driver (the broadcast model must fit one
+    machine regardless); scoring is row-local."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.bigram_lm_nll(ds)
+
+
 @register("q2_min_cost_supplier", """
 WITH cost AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost

@@ -1114,3 +1114,22 @@ def test_segment_dedup_keep_first_and_sep_mode():
     assert pout.loc[0, "clean_text"] == "keep me shared boilerplate"
     assert pout.loc[1, "clean_text"] == "unique tail"
     assert pout.loc[1, "n_removed"] == 1
+
+
+def test_bigram_lm_nll_hand_computed():
+    import math
+    from illumio_ray.ops import textops
+    # corpus bigrams: (a,b)×3 (twice in doc0, once in doc1), (b,a), (b,c)
+    # c1(a)=3, c1(b)=2; V=4 distinct tokens {a,b,c,x}
+    docs = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "text": ["a b a b", "a b c", "x"]})
+    out = (textops.bigram_lm_nll(rd.from_pandas(docs))
+           .to_pandas().set_index("doc_id"))
+    p_ab = (3 + 1) / (3 + 4)
+    p_ba = (1 + 1) / (2 + 4)
+    p_bc = (1 + 1) / (2 + 4)
+    exp0 = -(math.log(p_ab) + math.log(p_ba) + math.log(p_ab)) / 3
+    exp1 = -(math.log(p_ab) + math.log(p_bc)) / 2
+    assert 2 not in out.index          # single-word doc: no bigrams
+    assert abs(out.loc[0, "nll"] - exp0) < 1e-6
+    assert abs(out.loc[1, "nll"] - exp1) < 1e-6
