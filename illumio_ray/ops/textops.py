@@ -497,6 +497,35 @@ def _bigram_parts(t: pa.Table, text_col: str):
 _LM_CACHE: dict = {}
 
 
+def _train_bigram_lm(ds: rd.Dataset, text_col: str):
+    """Add-one bigram model counts over a corpus: DataFrame
+    (w1, w2, c12, c1) for every observed bigram plus V = distinct token
+    count. Counting is one distributed tokenize pass with per-batch
+    partials combined on the driver — sound because the finished model
+    must fit one machine anyway (it broadcasts to every scoring task)."""
+    from .relational import grouped_agg
+
+    def bigram_rows(t: pa.Table) -> pa.Table:
+        w1, w2, _, _ = _bigram_parts(t, text_col)
+        return pa.table({"w1": w1, "w2": w2})
+
+    cb = grouped_agg(ds.map_batches(bigram_rows, batch_format="pyarrow",
+                                    zero_copy_batch=True),
+                     ["w1", "w2"], [("w1", "count", "c12")],
+                     mode="driver").to_pandas()
+
+    def word_rows(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        return pa.table({"w": pc.split_pattern(text, " ").flatten()})
+
+    vocab = grouped_agg(ds.map_batches(word_rows, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        ["w"], [("w", "count", "c")], mode="driver")
+    v_size = float(vocab.count())
+    cb["c1"] = cb.groupby("w1", sort=False)["c12"].transform("sum")
+    return cb, v_size
+
+
 def bigram_lm_nll(ds: rd.Dataset, id_col: str = "doc_id",
                   text_col: str = "text") -> rd.Dataset:
     """Language-model quality score (the CCNet perplexity-bucket family):
@@ -518,29 +547,11 @@ def bigram_lm_nll(ds: rd.Dataset, id_col: str = "doc_id",
     from ..functions.rounding import round_np
     from .relational import grouped_agg
 
-    def bigram_rows(t: pa.Table) -> pa.Table:
-        w1, w2, _, _ = _bigram_parts(t, text_col)
-        return pa.table({"w1": w1, "w2": w2})
-
-    cb = grouped_agg(ds.map_batches(bigram_rows, batch_format="pyarrow",
-                                    zero_copy_batch=True),
-                     ["w1", "w2"], [("w1", "count", "c12")],
-                     mode="driver").to_pandas()
-
-    def word_rows(t: pa.Table) -> pa.Table:
-        text = _string_array(t[text_col])
-        return pa.table({"w": pc.split_pattern(text, " ").flatten()})
-
-    vocab = grouped_agg(ds.map_batches(word_rows, batch_format="pyarrow",
-                                       zero_copy_batch=True),
-                        ["w"], [("w", "count", "c")], mode="driver")
-    v_size = float(vocab.count())
-
-    c1 = cb.groupby("w1", sort=False)["c12"].transform("sum")
+    cb, v_size = _train_bigram_lm(ds, text_col)
     model = cb[["w1", "w2"]].copy()
     # same operation order as the oracle: -ln((c12 + 1.0) / (c1 + V))
     model["lp"] = -np.log((cb["c12"].to_numpy(np.float64) + 1.0)
-                          / (c1.to_numpy(np.float64) + v_size))
+                          / (cb["c1"].to_numpy(np.float64) + v_size))
     ref = ray.put(model)
 
     def score(t: pa.Table) -> pa.Table:
@@ -559,6 +570,68 @@ def bigram_lm_nll(ds: rd.Dataset, id_col: str = "doc_id",
             id_col: pc.take(t[id_col], take),
             "nll": pa.array(round_np(per_doc.to_numpy(np.float64), 6),
                             pa.float64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def dsir_log_weights(ds: rd.Dataset, target_filter, id_col: str = "doc_id",
+                     text_col: str = "text") -> rd.Dataset:
+    """DSIR-style data-selection importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    log w(doc) = Σ_bigrams [ln p_target(bigram) − ln p_raw(bigram)], with
+    p_* add-one-smoothed bigram LMs — p_target trained on the rows
+    selected by ``target_filter`` (a pa.Table → boolean-mask callable),
+    p_raw on the whole corpus. High log_w = looks like the target
+    distribution; resample proportionally to curate toward it.
+
+    Unseen-in-target bigrams back off to ln(1/(c1_t+V_t)) with c1_t = 0
+    for unseen first words (the add-one model is total). Both trainings
+    are driver-combined counts (broadcast-model bound, see
+    _train_bigram_lm); scoring is one row-local pass."""
+    import ray
+
+    from ..functions.rounding import round_np
+    from .relational import filter_batches
+
+    raw_cb, v_raw = _train_bigram_lm(ds, text_col)
+    tgt_cb, v_tgt = _train_bigram_lm(filter_batches(ds, target_filter),
+                                     text_col)
+    raw = raw_cb[["w1", "w2"]].copy()
+    raw["c12_r"] = raw_cb["c12"].astype(np.float64)
+    raw["c1_r"] = raw_cb["c1"].astype(np.float64)
+    tgt_pairs = tgt_cb[["w1", "w2"]].copy()
+    tgt_pairs["c12_t"] = tgt_cb["c12"].astype(np.float64)
+    tgt_c1 = (tgt_cb.groupby("w1", sort=False)["c12"].sum()
+              .astype(np.float64).rename("c1_t").reset_index())
+    ref = ray.put((raw, tgt_pairs, tgt_c1, v_raw, v_tgt))
+
+    def score(t: pa.Table) -> pa.Table:
+        m = _LM_CACHE.get(ref)
+        if m is None:
+            m = ray.get(ref)
+            _LM_CACHE.clear()
+            _LM_CACHE[ref] = m
+        raw_m, tp, tc1, vr, vt = m
+        w1, w2, rows, _ = _bigram_parts(t, text_col)
+        bg = pd.DataFrame({"w1": w1.to_pandas(), "w2": w2.to_pandas(),
+                           "__row": rows})
+        bg = bg.merge(raw_m, on=["w1", "w2"], how="left")
+        bg = bg.merge(tp, on=["w1", "w2"], how="left")
+        bg = bg.merge(tc1, on="w1", how="left")
+        c12_t = bg["c12_t"].fillna(0.0).to_numpy()
+        c1_t = bg["c1_t"].fillna(0.0).to_numpy()
+        # same operation order as the oracle: ln(p_t) − ln(p_r), then SUM
+        lr = (np.log((c12_t + 1.0) / (c1_t + vt))
+              - np.log((bg["c12_r"].to_numpy() + 1.0)
+                       / (bg["c1_r"].to_numpy() + vr)))
+        per_doc = pd.Series(lr).groupby(bg["__row"], sort=True).sum()
+        take = pa.array(per_doc.index.to_numpy(), pa.int64())
+        return pa.table({
+            id_col: pc.take(t[id_col], take),
+            "log_w": pa.array(round_np(per_doc.to_numpy(np.float64), 6),
+                              pa.float64()),
         })
 
     return ds.map_batches(score, batch_format="pyarrow",

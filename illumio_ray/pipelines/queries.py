@@ -3164,6 +3164,53 @@ def doc_lm_nll(sf_dir: str):
     return textops.bigram_lm_nll(ds)
 
 
+@register("doc_dsir_weights", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+big AS (
+  SELECT doc_id, L[i] AS w1, L[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(L))) AS t(i)
+),
+tgt_ids AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+bigt AS (SELECT * FROM big WHERE doc_id IN (SELECT doc_id FROM tgt_ids)),
+cbr AS (SELECT w1, w2, count(*) AS c12_r FROM big GROUP BY 1, 2),
+cur AS (SELECT w1, SUM(c12_r) AS c1_r FROM cbr GROUP BY 1),
+vr AS (
+  SELECT count(DISTINCT w) AS vsz FROM (
+    SELECT L[i] AS w FROM toks, UNNEST(range(1, len(L) + 1)) AS t(i))
+),
+cbt AS (SELECT w1, w2, count(*) AS c12_t FROM bigt GROUP BY 1, 2),
+cut AS (SELECT w1, SUM(c12_t) AS c1_t FROM cbt GROUP BY 1),
+vt AS (
+  SELECT count(DISTINCT w) AS vsz FROM (
+    SELECT L[i] AS w
+    FROM toks JOIN tgt_ids USING (doc_id),
+         UNNEST(range(1, len(L) + 1)) AS t(i))
+),
+scored AS (
+  SELECT b.doc_id,
+         ln((coalesce(cbt.c12_t, 0) + 1.0)
+            / (coalesce(cut.c1_t, 0) + vt.vsz))
+         - ln((cbr.c12_r + 1.0) / (cur.c1_r + vr.vsz)) AS lr
+  FROM big b
+  JOIN cbr USING (w1, w2) JOIN cur USING (w1)
+  LEFT JOIN cbt USING (w1, w2) LEFT JOIN cut USING (w1)
+  CROSS JOIN vt CROSS JOIN vr
+)
+SELECT doc_id, ROUND(SUM(lr), 6) AS log_w FROM scored GROUP BY doc_id
+""")
+def doc_dsir_weights(sf_dir: str):
+    """DSIR importance weights toward English docs: log
+    p_target/p_raw under add-one bigram LMs (target = lang='en' subset,
+    raw = whole corpus). The curation move published in Xie et al. 2023 —
+    resample the crawl proportionally to exp(log_w) to shift it toward a
+    target domain without hand-written rules."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "text", "lang"])
+    out = textops.dsir_log_weights(
+        ds, lambda t: pc.equal(t["lang"], "en"))
+    return out
+
+
 @register("q2_min_cost_supplier", """
 WITH cost AS (
   SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS supplycost

@@ -1133,3 +1133,22 @@ def test_bigram_lm_nll_hand_computed():
     assert 2 not in out.index          # single-word doc: no bigrams
     assert abs(out.loc[0, "nll"] - exp0) < 1e-6
     assert abs(out.loc[1, "nll"] - exp1) < 1e-6
+
+
+def test_dsir_weights_favor_target_like_docs():
+    from illumio_ray.ops import textops
+    import pyarrow.compute as pc
+    # target docs speak "alpha beta"; the off-target doc speaks "x y"
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "lang": ["en", "en", "xx", "xx"],
+        "text": ["alpha beta alpha beta", "beta alpha beta alpha",
+                 "x y x y", "alpha beta x y"]})
+    out = (textops.dsir_log_weights(
+        rd.from_pandas(docs), lambda t: pc.equal(t["lang"], "en"))
+        .to_pandas().set_index("doc_id")["log_w"])
+    # target-like docs score above both off-target docs (the mixed doc
+    # pays extra for its unseen-in-target cross bigram "beta x")
+    assert min(out[0], out[1]) > max(out[2], out[3])
+    assert out[0] > 0 and out[1] > 0          # toward-target: positive
+    assert out[2] < 0 and out[3] < 0          # away-from-target: negative
