@@ -202,7 +202,9 @@ def cmd_curate(args) -> int:
     kept, report = curate(docs, min_tokens=args.min_tokens,
                           max_stop_ratio=args.max_stop_ratio, langs=langs,
                           near_dup_threshold=args.near_dup_threshold,
-                          spill_dir=str(out / "_spill"))
+                          spill_dir=str(out / "_spill"),
+                          max_lm_nll=args.max_lm_nll,
+                          segment_dedup=args.segment_dedup)
     kept.write_parquet(str(out / "kept"))
     (out / "report.json").write_text(json.dumps(report, indent=1))
     import shutil
@@ -280,6 +282,12 @@ def main(argv=None) -> int:
     cp.add_argument("--max-stop-ratio", type=float, default=0.6)
     cp.add_argument("--langs", default=None, help="comma-separated keep list")
     cp.add_argument("--near-dup-threshold", type=float, default=0.8)
+    cp.add_argument("--max-lm-nll", type=float, default=None,
+                    help="CCNet-style perplexity gate: drop docs whose "
+                    "bigram-LM mean NLL exceeds this")
+    cp.add_argument("--segment-dedup", action="store_true",
+                    help="cross-document paragraph/segment dedup on the "
+                    "kept docs (output becomes doc_id/clean_text)")
     cp.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)

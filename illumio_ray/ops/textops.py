@@ -542,14 +542,28 @@ def bigram_lm_nll(ds: rd.Dataset, id_col: str = "doc_id",
     rare bigrams, as CCNet trains KenLM on Wikipedia rather than the
     crawl. Scoring is a broadcast ray.put of the model + a per-batch
     vectorized merge and per-doc mean — row-local, no exchange."""
+    scored = add_bigram_lm_nll(ds, text_col)
+
+    def project(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t["nll"])
+        return pa.table({id_col: t[id_col].filter(ok),
+                         "nll": t["nll"].filter(ok)})
+
+    return scored.map_batches(project, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def add_bigram_lm_nll(ds: rd.Dataset, text_col: str = "text",
+                      out_col: str = "nll") -> rd.Dataset:
+    """bigram_lm_nll as an APPENDED column — keeps every input row and
+    column (docs with < 2 words get a null score), so a filter can follow
+    without any join. Same model, same score."""
     import ray
 
     from ..functions.rounding import round_np
-    from .relational import grouped_agg
 
     cb, v_size = _train_bigram_lm(ds, text_col)
     model = cb[["w1", "w2"]].copy()
-    # same operation order as the oracle: -ln((c12 + 1.0) / (c1 + V))
     model["lp"] = -np.log((cb["c12"].to_numpy(np.float64) + 1.0)
                           / (cb["c1"].to_numpy(np.float64) + v_size))
     ref = ray.put(model)
@@ -558,19 +572,18 @@ def bigram_lm_nll(ds: rd.Dataset, id_col: str = "doc_id",
         m = _LM_CACHE.get(ref)
         if m is None:
             m = ray.get(ref)
-            _LM_CACHE.clear()  # one pinned model per worker
+            _LM_CACHE.clear()
             _LM_CACHE[ref] = m
         w1, w2, rows, _ = _bigram_parts(t, text_col)
         bg = pd.DataFrame({"w1": w1.to_pandas(), "w2": w2.to_pandas(),
                            "__row": rows})
         bg = bg.merge(m, on=["w1", "w2"], how="left")
         per_doc = bg.groupby("__row", sort=True)["lp"].mean()
-        take = pa.array(per_doc.index.to_numpy(), pa.int64())
-        return pa.table({
-            id_col: pc.take(t[id_col], take),
-            "nll": pa.array(round_np(per_doc.to_numpy(np.float64), 6),
-                            pa.float64()),
-        })
+        nll = np.full(t.num_rows, np.nan)
+        nll[per_doc.index.to_numpy()] = round_np(
+            per_doc.to_numpy(np.float64), 6)
+        return t.append_column(
+            out_col, pa.array(nll, pa.float64(), from_pandas=True))
 
     return ds.map_batches(score, batch_format="pyarrow",
                           zero_copy_batch=True)

@@ -61,14 +61,27 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
            max_stop_ratio: float = DEFAULT_MAX_STOP_RATIO,
            langs: list[str] | None = None,
            near_dup_threshold: float = 0.8,
-           spill_dir: str | None = None) -> tuple[rd.Dataset, dict]:
+           spill_dir: str | None = None,
+           max_lm_nll: float | None = None,
+           segment_dedup: bool = False,
+           seg_words: int = 10) -> tuple[rd.Dataset, dict]:
     """Full curation; returns (kept dataset, funnel report).
 
     The near-dup stage needs the survivor corpus twice (signatures +
     verify), so the filtered/deduped slice is STREAMED to a spill dir and
     re-read — the driver never holds document text (the drop-id set and
     the funnel counters are the only driver-side state). Verify runs as a
-    reduce-side join (no corpus broadcast)."""
+    reduce-side join (no corpus broadcast).
+
+    Opt-in modern stages (both off by default, preserving the oracle-
+    checked default funnel):
+      - ``max_lm_nll``: CCNet-style perplexity gate — drop docs scoring
+        above the cutoff under a bigram LM trained on the near-dup
+        survivors (scored as an appended column, no join);
+      - ``segment_dedup``: CCNet/RefinedWeb cross-document paragraph
+        dedup over the kept docs (``seg_words``-word windows here; pass
+        newline-separated text in production). Output columns become
+        (doc_id, clean_text, n_kept, n_removed)."""
     import tempfile
 
     from pathlib import Path
@@ -116,4 +129,23 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
         "docs_kept": n_filtered_exact - len(drop_arr),
         "tokens_kept": int(kept_tokens),
     }
+
+    if max_lm_nll is not None:
+        scored = textops.add_bigram_lm_nll(kept)
+        gated = rel.filter_batches(scored, lambda t: pc.or_kleene(
+            pc.is_null(t["nll"]),  # < 2 words: no score, passed min_tokens
+            pc.less_equal(t["nll"], pa.scalar(float(max_lm_nll)))))
+        kept = gated.drop_columns(["nll"]).materialize()
+        n_lm = kept.count()
+        report["docs_dropped_lm"] = report["docs_kept"] - n_lm
+        report["docs_kept"] = n_lm
+
+    if segment_dedup:
+        from ..ops.dedup import segment_dedup as seg_dedup
+        kept = seg_dedup(kept.select_columns(["doc_id", "text"]),
+                         "doc_id", "text", seg_words=seg_words,
+                         n_rows=report["docs_kept"] * 64).materialize()
+        report["segments_removed"] = int(kept.sum("n_removed") or 0)
+        report["segments_kept"] = int(kept.sum("n_kept") or 0)
+
     return kept, report

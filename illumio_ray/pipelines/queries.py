@@ -984,6 +984,20 @@ def curation_kept_docs(sf_dir: str):
     return kept.select_columns(["doc_id", "lang", "n_tokens"])
 
 
+@register("curation_modern_kept", None)  # composite incl. LM gate → rows-only
+def curation_modern_kept(sf_dir: str):
+    """The full modern curation recipe in one pass: quality/lang gate →
+    exact dedup → MinHash near-dup removal → CCNet-style bigram-LM
+    perplexity gate → cross-document segment dedup. Output is the final
+    training-ready text (doc_id, clean_text, per-doc segment funnel)."""
+    from .curation import curate
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "text", "lang"])
+    kept, _report = curate(docs, max_lm_nll=3.45, segment_dedup=True)
+    return kept
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs

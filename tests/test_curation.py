@@ -41,3 +41,24 @@ def test_curate_funnel():
     assert 102 not in ids and 103 not in ids
     assert report["docs_kept"] == len(kept_df) == 20
     assert report["tokens_kept"] == int(kept_df.n_tokens.sum())
+
+
+def test_curate_modern_stages_funnel():
+    kept, report = curate(rd.from_pandas(_docs()), near_dup_threshold=0.7,
+                          max_lm_nll=50.0, segment_dedup=True)
+    kept_df = kept.to_pandas()
+    # a permissive LM cutoff drops nothing; the report still records it
+    assert report["docs_dropped_lm"] == 0
+    assert report["docs_kept"] == 20
+    # segment dedup reshapes the output and accounts every segment
+    assert set(kept_df.columns) == {"doc_id", "clean_text", "n_kept",
+                                    "n_removed"}
+    assert len(kept_df) == 20
+    assert report["segments_kept"] == int(kept_df.n_kept.sum())
+    assert report["segments_removed"] == int(kept_df.n_removed.sum())
+
+    # a brutal cutoff drops every scored doc
+    kept2, report2 = curate(rd.from_pandas(_docs()), near_dup_threshold=0.7,
+                            max_lm_nll=-1.0)
+    assert report2["docs_dropped_lm"] == 20   # every doc scores > -1
+    assert report2["docs_kept"] == 0
