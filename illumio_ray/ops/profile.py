@@ -1,0 +1,93 @@
+"""Dataset profiler: per-column stats in two bounded exchanges.
+
+The `stats` surface of a data engine (≙ the reference's db_stats.py
+reporting, generalized from queue counters to data profiling): for every
+column — row count, null count, exact distinct count, lexicographic
+min/max of the string form. Exact by design so the DuckDB oracle can
+check it value-for-value; `functions.sketches.hll_distinct` is the
+documented approximate path when an exact per-column distinct (a full
+exchange of (column, value) pairs) is too expensive at corpus scale.
+
+Shape: one map stage explodes each batch to (col_name, value-as-string)
+pairs, a shuffle groupby collapses them to the distinct-value table, and
+a driver-combined aggregate (keys = column names, bounded) folds that
+into one row per column. Values are compared as strings — exact for
+ints/strings/bools; float columns are excluded by default because float
+formatting differs across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from .relational import grouped_agg
+
+
+def profile_table(ds: rd.Dataset, columns: list[str] | None = None) -> rd.Dataset:
+    """→ one row per column: (col_name, n_rows, n_nulls, n_distinct,
+    min_val, max_val), min/max lexicographic over the string form."""
+    if columns is None:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        if hasattr(base, "field"):  # arrow schema
+            columns = [n for n in base.names
+                       if not pa.types.is_floating(base.field(n).type)]
+        else:  # PandasBlockSchema: names + numpy/arrow dtypes
+            def _is_float(t) -> bool:
+                if isinstance(t, pa.DataType):
+                    return pa.types.is_floating(t)
+                try:
+                    return np.issubdtype(t, np.floating)
+                except TypeError:
+                    return False
+            columns = [n for n, t in zip(base.names, base.types)
+                       if not _is_float(t)]
+    names = list(columns)
+
+    def explode(t: pa.Table) -> pa.Table:
+        parts = []
+        for n in names:
+            v = pc.cast(t[n], pa.string())
+            parts.append(pa.table({
+                "col_name": pa.array(np.repeat(n, t.num_rows)),
+                "v": v,
+            }))
+        return pa.concat_tables(parts)
+
+    rows = ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    # distinct-value table: count rows per (column, value) — count on
+    # col_name (never null) so the null-value group keeps its size
+    dv = grouped_agg(rows, ["col_name", "v"],
+                     [("col_name", "count", "cnt")], mode="shuffle")
+
+    def indicators(t: pa.Table) -> pa.Table:
+        valid = pc.is_valid(t["v"])
+        zero = pa.scalar(0, pa.int64())
+        return pa.table({
+            "col_name": t["col_name"],
+            "v": t["v"],
+            "cnt": t["cnt"],
+            "null_cnt": pc.if_else(valid, zero, t["cnt"]),
+            "distinct_ind": pc.cast(valid, pa.int64()),
+        })
+
+    dv = dv.map_batches(indicators, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    # keys = column names (bounded) → driver combine is the scale shape
+    out = grouped_agg(dv, ["col_name"],
+                      [("cnt", "sum", "n_rows"),
+                       ("null_cnt", "sum", "n_nulls"),
+                       ("distinct_ind", "sum", "n_distinct"),
+                       ("v", "min", "min_val"),
+                       ("v", "max", "max_val")], mode="driver")
+    return out.map_batches(lambda t: pa.table({
+        "col_name": t["col_name"],
+        "n_rows": pc.cast(t["n_rows"], pa.int64()),
+        "n_nulls": pc.cast(t["n_nulls"], pa.int64()),
+        "n_distinct": pc.cast(t["n_distinct"], pa.int64()),
+        "min_val": t["min_val"], "max_val": t["max_val"]}),
+        batch_format="pyarrow", zero_copy_batch=True)

@@ -998,6 +998,32 @@ def curation_modern_kept(sf_dir: str):
     return kept
 
 
+@register("documents_profile", """
+WITH cols AS (
+  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
+  UNION ALL SELECT 'text', text FROM documents
+  UNION ALL SELECT 'lang', lang FROM documents
+  UNION ALL SELECT 'source', source FROM documents
+  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) FROM documents
+)
+SELECT col_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       min(v) AS min_val, max(v) AS max_val
+FROM cols GROUP BY col_name
+""")
+def documents_profile(sf_dir: str):
+    """Dataset profiler (the engine's `stats` surface, ≙ app/db_stats.py
+    generalized): per-column row/null/exact-distinct counts and
+    lexicographic min/max over the string form — two bounded exchanges
+    (see ops/profile.py; HLL is the approximate path at corpus scale)."""
+    from ..ops.profile import profile_table
+
+    ds = read_table(sf_dir, "documents")
+    return profile_table(ds)
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs

@@ -1152,3 +1152,18 @@ def test_dsir_weights_favor_target_like_docs():
     assert min(out[0], out[1]) > max(out[2], out[3])
     assert out[0] > 0 and out[1] > 0          # toward-target: positive
     assert out[2] < 0 and out[3] < 0          # away-from-target: negative
+
+
+def test_profile_table_nulls_and_distinct():
+    from illumio_ray.ops.profile import profile_table
+    df = pd.DataFrame({
+        "a": [1, 2, 2, None],
+        "s": ["x", None, None, "y"],
+        "f": [1.5, 2.5, 3.5, 4.5],   # float: excluded by default
+    })
+    df["a"] = df["a"].astype("Int64")
+    out = (profile_table(rd.from_pandas(df))
+           .to_pandas().set_index("col_name"))
+    assert set(out.index) == {"a", "s"}        # float column excluded
+    assert out.loc["a"].tolist() == [4, 1, 2, "1", "2"]
+    assert out.loc["s"].tolist() == [4, 2, 2, "x", "y"]
