@@ -1024,6 +1024,65 @@ def documents_profile(sf_dir: str):
     return profile_table(ds)
 
 
+def _year_custkeys(sf_dir: str, lo: str, hi: str) -> rd.Dataset:
+    """Distinct o_custkey with ≥1 order in [lo, hi) — shuffle-distinct."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate"])
+    tlo, thi = _ts(lo), _ts(hi)
+    f = rel.filter_batches(orders, lambda t: pc.and_(
+        pc.greater_equal(t["o_orderdate"], tlo),
+        pc.less(t["o_orderdate"], thi)))
+    return rel.drop_empty_blocks(rel.grouped_agg(
+        f.select_columns(["o_custkey"]), ["o_custkey"],
+        [("o_custkey", "count", "__n")], mode="shuffle"))
+
+
+@register("customers_intersect_years", """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+INTERSECT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+""")
+def customers_intersect_years(sf_dir: str):
+    """Distinct-set INTERSECT as distributed algebra: shuffle-distinct
+    each side, then an inner hash join of the two key sets (both sides
+    large → no broadcast)."""
+    a = _year_custkeys(sf_dir, "1995-01-01", "1996-01-01")
+    b = _year_custkeys(sf_dir, "1996-01-01", "1997-01-01")
+    j = rel.hash_join(a.select_columns(["o_custkey"]),
+                      b.select_columns(["o_custkey"]),
+                      on=["o_custkey"], num_partitions=8)
+    return j.select_columns(["o_custkey"])
+
+
+@register("customers_except_years", """
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+EXCEPT
+SELECT o_custkey FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+""")
+def customers_except_years(sf_dir: str):
+    """Distinct-set EXCEPT: LEFT OUTER hash join of the two distinct key
+    sets, keep the rows with no right match (large-large anti-join; the
+    broadcast/Bloom anti-joins cover the small-right case)."""
+    a = _year_custkeys(sf_dir, "1995-01-01", "1996-01-01")
+    b = _year_custkeys(sf_dir, "1996-01-01", "1997-01-01")
+    b = b.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "__hit"]),
+        batch_format="pyarrow")
+    j = rel.hash_join(a.select_columns(["o_custkey"]), b,
+                      on=["o_custkey"], join_type="left_outer",
+                      num_partitions=8)
+    j = rel.filter_batches(j, lambda t: pc.is_null(t["__hit"]))
+    return j.select_columns(["o_custkey"])
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs
