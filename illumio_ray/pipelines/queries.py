@@ -1083,6 +1083,44 @@ def customers_except_years(sf_dir: str):
     return j.select_columns(["o_custkey"])
 
 
+@register("top_words_per_lang", """
+WITH words AS (
+  SELECT lang, w
+  FROM (SELECT lang, string_split(text, ' ') AS L FROM documents),
+       UNNEST(L) AS t(w)
+  WHERE w <> ''
+),
+counts AS (SELECT lang, w, count(*) AS n FROM words GROUP BY 1, 2)
+SELECT lang, w AS word, CAST(n AS BIGINT) AS n
+FROM counts
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, w) <= 5
+""")
+def top_words_per_lang(sf_dir: str):
+    """Grouped heavy hitters: 5 most frequent words per language —
+    per-batch (lang, word) value_counts combine BEFORE the exchange, a
+    shuffle groupby over the unbounded word space, then the local-prune
+    top-k-per-group (ties broken by word, deterministic)."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        w = df["text"].str.split(" ").explode()
+        out = (pd.DataFrame({"lang": df["lang"].reindex(w.index), "w": w})
+               .query("w != ''")
+               .groupby(["lang", "w"], sort=False).size()
+               .rename("n").reset_index())
+        return out
+
+    counts = ds.map_batches(partial, batch_format="pandas")
+    agg = rel.drop_empty_blocks(rel.grouped_agg(
+        counts, ["lang", "w"], [("n", "sum", "n")], mode="shuffle"))
+    top = rel.topk_per_group(agg, ["lang"], ["n", "w"], 5,
+                             descending=[True, False])
+    return top.map_batches(lambda t: pa.table({
+        "lang": t["lang"], "word": t["w"],
+        "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs
