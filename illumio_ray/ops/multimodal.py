@@ -164,6 +164,53 @@ class FrameSampleStub:
         )
 
 
+class AudioFeatureStub:
+    """Actor-pool stage: audio payload → fixed-length frame-energy vector
+    (list<float32>) + duration. The feature layout (N windows of RMS
+    energy — what a VAD / audio-quality gate consumes) is real; the
+    decode is a deterministic stand-in that treats the payload bytes as
+    the sample stream, since no audio codec ships in this container. A
+    real build decodes with ffmpeg/soundfile in ``__init__``-loaded
+    state, keeping this exact signature."""
+
+    def __init__(self, binary_col: str = "payload", n_windows: int = 16,
+                 sample_rate: int = 16_000):
+        self.binary_col = binary_col
+        self.n_windows = n_windows
+        self.sample_rate = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.binary_col].to_pylist()
+        nw = self.n_windows
+        feats = np.zeros((len(payloads), nw), np.float32)
+        durations = np.zeros(len(payloads), np.float64)
+        for i, p in enumerate(payloads):
+            b = np.frombuffer(p or b"", np.uint8).astype(np.float32)
+            durations[i] = len(b) / self.sample_rate
+            if not len(b):
+                continue
+            # RMS energy per window over the "sample" stream
+            splits = np.array_split(b - b.mean(), nw)
+            feats[i] = [np.sqrt(np.mean(s * s)) if len(s) else 0.0
+                        for s in splits]
+        energy = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1), pa.float32()), nw)
+        out = batch.drop_columns([self.binary_col])
+        return (out.append_column("duration_sec",
+                                  pa.array(durations, pa.float64()))
+                .append_column("frame_energy", energy))
+
+
+def audio_features(ds: rd.Dataset, binary_col: str, n_windows: int = 16,
+                   concurrency=(1, 4), batch_size: int = 128) -> rd.Dataset:
+    return ds.map_batches(
+        AudioFeatureStub,
+        fn_constructor_kwargs={"binary_col": binary_col,
+                               "n_windows": n_windows},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
 def resize_binary(ds: rd.Dataset, binary_col: str, max_w: int = 256,
                   max_h: int = 256, concurrency=(1, 4),
                   batch_size: int = 256) -> rd.Dataset:

@@ -1121,6 +1121,31 @@ def top_words_per_lang(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("events_hourly_distinct_users", """
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY 1
+""")
+def events_hourly_distinct_users(sf_dir: str):
+    """EXACT distinct-per-window: two-level exchange — shuffle-distinct on
+    (hour, user), then a bounded-key count per hour (driver combine).
+    `functions.sketches.hll_distinct_by` is the one-exchange approximate
+    path when per-window user sets stop fitting a reducer."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "user_id": t["user_id"]})
+
+    hu = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
+    distinct = rel.drop_empty_blocks(rel.grouped_agg(
+        hu, ["hour", "user_id"], [("user_id", "count", "__n")],
+        mode="shuffle"))
+    return rel.grouped_agg(distinct, ["hour"],
+                           [("user_id", "count", "n_users")])
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs
@@ -2374,6 +2399,16 @@ def multimodal_frames(sf_dir: str):
     info = _pages(sf_dir)
     ds = rd.read_parquet(info["pages_dir"], columns=["url", "html"])
     return multimodal.frame_sample(ds, "html")
+
+
+@register("multimodal_audio_energy", None)  # stub audio decode → rows-only
+def multimodal_audio_energy(sf_dir: str):
+    """Audio feature extraction plumbing: binary payload → fixed-length
+    frame-energy vector (list<float32>) + duration, on an actor pool —
+    the layout a VAD / audio-quality gate consumes."""
+    info = _pages(sf_dir)
+    ds = rd.read_parquet(info["pages_dir"], columns=["url", "html"])
+    return multimodal.audio_features(ds, "html")
 
 
 # ---------------------------------------------------------------------------

@@ -1167,3 +1167,21 @@ def test_profile_table_nulls_and_distinct():
     assert set(out.index) == {"a", "s"}        # float column excluded
     assert out.loc["a"].tolist() == [4, 1, 2, "1", "2"]
     assert out.loc["s"].tolist() == [4, 2, 2, "x", "y"]
+
+
+def test_audio_feature_stub_shape_and_determinism():
+    df = pd.DataFrame({"url": ["a", "b", "c"],
+                       "payload": [bytes(range(64)), b"\x00" * 32, b""]})
+    out1 = (multimodal.audio_features(rd.from_pandas(df), "payload",
+                                      n_windows=8).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    out2 = (multimodal.audio_features(rd.from_pandas(df), "payload",
+                                      n_windows=8).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    assert all(len(v) == 8 for v in out1.frame_energy)
+    assert out1.loc[0, "duration_sec"] == 64 / 16000
+    assert out1.loc[2, "duration_sec"] == 0.0        # empty payload
+    assert (np.asarray(out1.loc[2, "frame_energy"]) == 0).all()
+    for a, b in zip(out1.frame_energy, out2.frame_energy):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+    assert "payload" not in out1.columns
