@@ -921,6 +921,23 @@ def build_shingle_index(ds: rd.Dataset, id_col: str, text_col: str,
     return meta
 
 
+def append_to_shingle_index(new_ds: rd.Dataset, index_dir: str,
+                            id_col: str, text_col: str) -> dict:
+    """Commit an accepted batch into an existing shingle index: explode
+    with the index's own (n, num_buckets) from its meta and write into
+    the same bucket dirs (Ray names parquet files uniquely per job, so
+    appends never clobber). After this, the batch is 'old' for every
+    subsequent ngram_jaccard_pairs_incremental call."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(index_dir, _INDEX_META).read_text())
+    rows = _explode_shingle_rows(new_ds, id_col, text_col, meta["n"],
+                                 meta["num_buckets"], stable=True)
+    rows.write_parquet(str(index_dir), partition_cols=["__b"])
+    return meta
+
+
 def ngram_jaccard_pairs_incremental(new_ds: rd.Dataset, index_dir: str,
                                     id_col: str, text_col: str, *,
                                     threshold: float = 0.8) -> rd.Dataset:

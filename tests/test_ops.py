@@ -1185,3 +1185,100 @@ def test_audio_feature_stub_shape_and_determinism():
     for a, b in zip(out1.frame_energy, out2.frame_energy):
         assert np.allclose(np.asarray(a), np.asarray(b))
     assert "payload" not in out1.columns
+
+
+def test_incremental_index_append_round_trip(tmp_path):
+    from illumio_ray.ops import dedup
+    base = "the quick brown fox jumps over the lazy dog today"
+    other = "completely different text about ray data pipelines ok"
+    idx = str(tmp_path / "jidx2")
+    old = pd.DataFrame({"doc_id": [0, 1], "text": [base, other]})
+    dedup.build_shingle_index(rd.from_pandas(old), "doc_id", "text", idx,
+                              n_rows=2 * 64)
+    # batch A: doc 2 dups doc 0 → one new-side pair (0, 2)
+    a = pd.DataFrame({"doc_id": [2], "text": [base]})
+    pa_pairs = (dedup.ngram_jaccard_pairs_incremental(
+        rd.from_pandas(a), idx, "doc_id", "text").to_pandas())
+    assert set(zip(pa_pairs.id_a, pa_pairs.id_b)) == {(0, 2)}
+    # commit batch A, then batch B dups doc 2 (known only via the append)
+    dedup.append_to_shingle_index(rd.from_pandas(a), idx, "doc_id", "text")
+    b = pd.DataFrame({"doc_id": [3], "text": [base]})
+    pb_pairs = (dedup.ngram_jaccard_pairs_incremental(
+        rd.from_pandas(b), idx, "doc_id", "text").to_pandas())
+    # doc 3 pairs with BOTH indexed copies; indexed-indexed (0,2) excluded
+    assert set(zip(pb_pairs.id_a, pb_pairs.id_b)) == {(0, 3), (2, 3)}
+
+
+def _ref_segment_dedup(docs: pd.DataFrame, k: int):
+    """Pure-python keep-first segment dedup reference."""
+    segs = []  # (doc_id, seg_idx, seg)
+    for _, r in docs.sort_values("doc_id").iterrows():
+        toks = r["text"].split(" ")
+        for j, i in enumerate(range(0, len(toks), k)):
+            segs.append((r["doc_id"], j, " ".join(toks[i:i + k])))
+    seen, rows = set(), {}
+    for d, j, s in sorted(segs):
+        kept = s not in seen
+        seen.add(s)
+        rows.setdefault(d, []).append((j, s, kept))
+    out = []
+    for d, lst in rows.items():
+        lst.sort()
+        kept = [s for _, s, ok in lst if ok]
+        out.append((d, " ".join(kept), len(kept), len(lst) - len(kept)))
+    return (pd.DataFrame(out, columns=["doc_id", "clean_text", "n_kept",
+                                       "n_removed"])
+            .sort_values("doc_id").reset_index(drop=True))
+
+
+def test_segment_dedup_matches_reference_on_random_corpora():
+    from illumio_ray.ops import dedup
+    rng = np.random.default_rng(17)
+    vocab = [f"w{i}" for i in range(12)]  # tiny vocab → frequent collisions
+    for trial in range(3):
+        docs = pd.DataFrame({
+            "doc_id": range(20),
+            "text": [" ".join(rng.choice(vocab, rng.integers(1, 30)))
+                     for _ in range(20)]})
+        got = (dedup.segment_dedup(rd.from_pandas(docs), "doc_id", "text",
+                                   seg_words=4, n_rows=20 * 8)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        want = _ref_segment_dedup(docs, 4)
+        pd.testing.assert_frame_equal(
+            got.astype({"n_kept": np.int64, "n_removed": np.int64}), want)
+
+
+def _ref_jaccard_pairs(docs: pd.DataFrame, n: int, threshold: float):
+    sets = {}
+    for _, r in docs.iterrows():
+        toks = [t for t in r["text"].split() if t]
+        if len(toks) < n:
+            sh = {" ".join(toks)} if toks else set()
+        else:
+            sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        sets[r["doc_id"]] = sh
+    ids = sorted(sets)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            u = len(sets[a] | sets[b])
+            if u and len(sets[a] & sets[b]) / u >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_ngram_jaccard_pairs_matches_reference_on_random_corpora():
+    from illumio_ray.ops import dedup
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab → shared shingles
+    for trial in range(3):
+        texts = [" ".join(rng.choice(vocab, rng.integers(3, 12)))
+                 for _ in range(15)]
+        texts += [texts[0], texts[1]]  # guaranteed exact dups
+        docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (dedup.ngram_jaccard_pairs(rd.from_pandas(docs), "doc_id",
+                                         "text", threshold=0.6,
+                                         n_rows=len(texts) * 16)
+               .to_pandas())
+        assert set(zip(got.id_a, got.id_b)) == _ref_jaccard_pairs(
+            docs, 3, 0.6)
