@@ -651,6 +651,116 @@ def dsir_log_weights(ds: rd.Dataset, target_filter, id_col: str = "doc_id",
                           zero_copy_batch=True)
 
 
+def corpus_dup_ngram_coverage(ds: rd.Dataset, id_col: str = "doc_id",
+                              text_col: str = "text", n: int = 3) -> rd.Dataset:
+    """CROSS-corpus duplicated-span coverage: per document, the fraction
+    of its tokens lying inside at least one word n-gram that occurs more
+    than once anywhere in the corpus — the fixed-length stand-in for
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), where high coverage
+    flags documents that are mostly recycled text even when no whole-doc
+    near-dup exists. add_dup_ngram_fraction is the WITHIN-doc sibling.
+
+    Shape: explode n-gram occurrence rows once; shuffle-count per n-gram
+    (exact, on the n-gram string); hash-join occurrences against the
+    dup n-grams; expand each dup window to its n token positions and
+    count distinct covered positions per doc inside doc-hash buckets
+    (never one Ray group per doc); LEFT join back onto per-doc token
+    counts so zero-coverage docs keep a row."""
+    from .relational import (adaptive_bucket_count, drop_empty_blocks,
+                             filter_batches, grouped_agg, hash_join)
+    from ..functions.rounding import round_np
+
+    nb = adaptive_bucket_count(None)
+
+    def tri_rows(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        lists = pc.split_pattern(text, " ")
+        offs = lists.offsets.to_numpy()
+        flat = lists.flatten().to_pandas().to_numpy()
+        ids_np = t[id_col].to_numpy(zero_copy_only=False)
+        out_doc, out_i, out_g = [], [], []
+        for r in range(len(lists)):
+            s, e = offs[r], offs[r + 1]
+            m = e - s
+            if m < n:
+                continue
+            toks = flat[s:e]
+            grams = toks[:m - n + 1].astype(str)
+            for d in range(1, n):
+                grams = np.char.add(np.char.add(grams, " "),
+                                    toks[d:m - n + 1 + d].astype(str))
+            out_doc.append(np.repeat(ids_np[r], m - n + 1))
+            out_i.append(np.arange(m - n + 1, dtype=np.int64))
+            out_g.append(grams)
+        if not out_doc:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "i": pa.array([], pa.int64()),
+                             "g": pa.array([], pa.string())})
+        return pa.table({
+            id_col: pa.array(np.concatenate(out_doc)),
+            "i": pa.array(np.concatenate(out_i), pa.int64()),
+            "g": pa.array(np.concatenate(out_g).astype(object),
+                          pa.string()),
+        })
+
+    tri = ds.map_batches(tri_rows, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    df = drop_empty_blocks(grouped_agg(tri.select_columns(["g"]), ["g"],
+                                       [("g", "count", "c")],
+                                       mode="shuffle"))
+    dup_g = filter_batches(df, lambda t: pc.greater(t["c"], 1))
+    dupw = hash_join(tri, drop_empty_blocks(dup_g), on=["g"])
+
+    def cover_rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        i = t["i"].to_numpy(zero_copy_only=False)
+        doc = np.repeat(ids, n)
+        j = (np.repeat(i, n)
+             + np.tile(np.arange(n, dtype=np.int64), len(i)))
+        hb = pd.util.hash_pandas_object(pd.Series(doc),
+                                        index=False).to_numpy()
+        return pa.table({id_col: pa.array(doc),
+                         "j": pa.array(j, pa.int64()),
+                         "__db": pa.array(
+                             (hb % np.uint64(nb)).astype(np.int32))})
+
+    cov_rows = dupw.map_batches(cover_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def count_cov(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.drop_duplicates([id_col, "j"])
+                .groupby(id_col, sort=False).size().rename("k")
+                .reset_index())
+        out["k"] = out["k"].astype(np.int64)
+        return out[[id_col, "k"]]
+
+    cov = cov_rows.groupby("__db").map_groups(count_cov,
+                                              batch_format="pandas")
+
+    def n_tokens(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(_string_array(t[text_col]), " ")
+        offs = lists.offsets.to_numpy()
+        return pa.table({id_col: t[id_col],
+                         "n": pa.array(np.diff(offs), pa.int64())})
+
+    nn = ds.map_batches(n_tokens, batch_format="pyarrow",
+                        zero_copy_batch=True)
+    j = hash_join(nn, drop_empty_blocks(cov), on=[id_col],
+                  join_type="left_outer")
+
+    def finish(t: pa.Table) -> pa.Table:
+        k = pc.fill_null(t["k"], 0).to_numpy(zero_copy_only=False) \
+              .astype(np.float64)
+        den = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            id_col: t[id_col],
+            "dup_cov": pa.array(round_np(k / den, 6), pa.float64())})
+
+    return j.map_batches(finish, batch_format="pyarrow",
+                         zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # duplicate-n-gram fraction (within-doc repetition, Gopher §A1.1 family)
 # ---------------------------------------------------------------------------

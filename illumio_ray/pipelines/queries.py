@@ -1146,6 +1146,34 @@ def events_hourly_distinct_users(sf_dir: str):
                            [("user_id", "count", "n_users")])
 
 
+@register("doc_dup_coverage", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+tri AS (
+  SELECT doc_id, i, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS g
+  FROM toks, UNNEST(range(1, len(L) - 1)) AS t(i) WHERE len(L) >= 3
+),
+df AS (SELECT g FROM tri GROUP BY g HAVING count(*) > 1),
+covered AS (
+  SELECT DISTINCT doc_id, j
+  FROM (SELECT doc_id, i FROM tri JOIN df USING (g)),
+       UNNEST([i, i + 1, i + 2]) AS u(j)
+),
+cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS k
+        FROM covered GROUP BY doc_id),
+nn AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+SELECT nn.doc_id, ROUND(coalesce(k, 0) * 1.0 / n, 6) AS dup_cov
+FROM nn LEFT JOIN cov USING (doc_id)
+""")
+def doc_dup_coverage(sf_dir: str):
+    """Cross-corpus duplicated-span coverage per doc (the fixed-n stand-in
+    for Lee et al. 2022 suffix-array substring dedup): fraction of a
+    doc's tokens inside ≥1 word trigram that repeats anywhere in the
+    corpus. High coverage flags recycled text that whole-doc near-dup
+    never pairs up."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.corpus_dup_ngram_coverage(ds)
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs

@@ -1282,3 +1282,17 @@ def test_ngram_jaccard_pairs_matches_reference_on_random_corpora():
                .to_pandas())
         assert set(zip(got.id_a, got.id_b)) == _ref_jaccard_pairs(
             docs, 3, 0.6)
+
+
+def test_corpus_dup_coverage_hand_computed():
+    from illumio_ray.ops import textops
+    docs = pd.DataFrame({"doc_id": [0, 1, 2], "text": [
+        "a b c d e",        # trigram "a b c" repeats in doc1 → covers 0..2
+        "a b c x y",        # same → covers 0..2 of 5
+        "p q r s t",        # unique trigrams → coverage 0
+    ]})
+    out = (textops.corpus_dup_ngram_coverage(rd.from_pandas(docs))
+           .to_pandas().set_index("doc_id")["dup_cov"])
+    assert out[0] == round(3 / 5, 6)
+    assert out[1] == round(3 / 5, 6)
+    assert out[2] == 0.0
