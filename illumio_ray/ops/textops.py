@@ -661,15 +661,19 @@ def corpus_dup_ngram_coverage(ds: rd.Dataset, id_col: str = "doc_id",
     flags documents that are mostly recycled text even when no whole-doc
     near-dup exists. add_dup_ngram_fraction is the WITHIN-doc sibling.
 
-    Shape: explode n-gram occurrence rows once; shuffle-count per n-gram
-    (exact, on the n-gram string); hash-join occurrences against the
-    dup n-grams; expand each dup window to its n token positions and
-    count distinct covered positions per doc inside doc-hash buckets
-    (never one Ray group per doc); LEFT join back onto per-doc token
-    counts so zero-coverage docs keep a row."""
-    from .relational import (adaptive_bucket_count, drop_empty_blocks,
-                             filter_batches, grouped_agg, hash_join)
+    Shape: explode n-gram occurrence rows once; ONE exchange on the
+    n-gram-hash bucket, inside which duplicated() over the actual n-gram
+    string marks every occurrence of a corpus-repeated n-gram (all
+    occurrences of an n-gram share its bucket, and the string comparison
+    guards hash collisions — no count-shuffle, no join-back); expand each
+    dup window to its n token positions and count distinct covered
+    positions per doc inside doc-hash buckets (never one Ray group per
+    doc); LEFT join back onto per-doc token counts so zero-coverage docs
+    keep a row."""
+    from ..functions.hashing import hash64
     from ..functions.rounding import round_np
+    from .relational import (adaptive_bucket_count, drop_empty_blocks,
+                             hash_join)
 
     nb = adaptive_bucket_count(None)
 
@@ -696,21 +700,25 @@ def corpus_dup_ngram_coverage(ds: rd.Dataset, id_col: str = "doc_id",
         if not out_doc:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "i": pa.array([], pa.int64()),
-                             "g": pa.array([], pa.string())})
+                             "g": pa.array([], pa.string()),
+                             "__b": pa.array([], pa.int32())})
+        g_flat = np.concatenate(out_g).astype(object)
+        b = (hash64(list(g_flat)) % np.uint64(nb)).astype(np.int32)
         return pa.table({
             id_col: pa.array(np.concatenate(out_doc)),
             "i": pa.array(np.concatenate(out_i), pa.int64()),
-            "g": pa.array(np.concatenate(out_g).astype(object),
-                          pa.string()),
+            "g": pa.array(g_flat, pa.string()),
+            "__b": pa.array(b, pa.int32()),
         })
 
     tri = ds.map_batches(tri_rows, batch_format="pyarrow",
-                         zero_copy_batch=True).materialize()
-    df = drop_empty_blocks(grouped_agg(tri.select_columns(["g"]), ["g"],
-                                       [("g", "count", "c")],
-                                       mode="shuffle"))
-    dup_g = filter_batches(df, lambda t: pc.greater(t["c"], 1))
-    dupw = hash_join(tri, drop_empty_blocks(dup_g), on=["g"])
+                         zero_copy_batch=True)
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g.duplicated("g", keep=False)]
+        return d[[id_col, "i"]]
+
+    dupw = tri.groupby("__b").map_groups(mark_dups, batch_format="pandas")
 
     def cover_rows(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_numpy(zero_copy_only=False)
