@@ -736,6 +736,9 @@ def segment_dedup(ds: rd.Dataset, id_col: str, text_col: str, *,
             __db=(hb % np.uint64(num_buckets)).astype(np.int32))
 
     rebucketed = marked.map_batches(add_doc_bucket, batch_format="pandas")
+    # rejoin with the same delimiter the text was split on (word-window
+    # mode splits on spaces, so " " is also the faithful joiner there)
+    joiner = sep if sep is not None else " "
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "seg_idx"], kind="mergesort")
@@ -743,7 +746,7 @@ def segment_dedup(ds: rd.Dataset, id_col: str, text_col: str, *,
         stats = (g.groupby(id_col, sort=False)
                    .agg(n_kept=("kept", "sum"), n_removed=("rem", "sum")))
         text = (g[g["kept"]].groupby(id_col, sort=False)["seg"]
-                .agg(" ".join).rename("clean_text"))
+                .agg(joiner.join).rename("clean_text"))
         out = stats.join(text).reset_index()
         out["clean_text"] = out["clean_text"].fillna("")
         out["n_kept"] = out["n_kept"].astype(np.int64)

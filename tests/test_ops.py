@@ -1111,7 +1111,7 @@ def test_segment_dedup_keep_first_and_sep_mode():
     pout = (dedup.segment_dedup(rd.from_pandas(pdocs), "doc_id", "text",
                                 sep="\n", n_rows=2 * 64)
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    assert pout.loc[0, "clean_text"] == "keep me shared boilerplate"
+    assert pout.loc[0, "clean_text"] == "keep me\nshared boilerplate"
     assert pout.loc[1, "clean_text"] == "unique tail"
     assert pout.loc[1, "n_removed"] == 1
 
