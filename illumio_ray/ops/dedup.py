@@ -708,8 +708,12 @@ def segment_dedup(ds: rd.Dataset, id_col: str, text_col: str, *,
             out_idx.extend(range(len(parts)))
         h = hash64(segs) if segs else np.array([], np.uint64)
         b = (h % np.uint64(num_buckets)).astype(np.int32)
+        # explicit id type: an empty / all-null-text block must not emit a
+        # null-typed id column that clashes with other blocks' schema.
+        # Null-text docs emit no segments, hence no output row — the same
+        # semantics as the SQL oracle's join over exploded words.
         return pa.table({
-            id_col: pa.array(out_ids),
+            id_col: pa.array(out_ids, type=t[id_col].type),
             "seg_idx": pa.array(np.array(out_idx, np.int64), pa.int64()),
             "seg": pa.array(segs, pa.string()),
             "__sb": pa.array(b, pa.int32()),
@@ -972,8 +976,7 @@ def ngram_jaccard_pairs_incremental(new_ds: rd.Dataset, index_dir: str,
     touched = sorted(new_rows.unique("__b"))
     # explicit file list: ONLY the touched bucket dirs are ever opened
     files = [str(f) for b in touched
-             for f in sorted(Path(index_dir, f"__b={b}").glob("*.parquet"))
-             if Path(index_dir, f"__b={b}").exists()]
+             for f in sorted(Path(index_dir, f"__b={b}").glob("*.parquet"))]
 
     if files:
         old = rd.read_parquet(files)

@@ -616,8 +616,8 @@ def dsir_log_weights(ds: rd.Dataset, target_filter, id_col: str = "doc_id",
     raw["c1_r"] = raw_cb["c1"].astype(np.float64)
     tgt_pairs = tgt_cb[["w1", "w2"]].copy()
     tgt_pairs["c12_t"] = tgt_cb["c12"].astype(np.float64)
-    tgt_c1 = (tgt_cb.groupby("w1", sort=False)["c12"].sum()
-              .astype(np.float64).rename("c1_t").reset_index())
+    tgt_c1 = (tgt_cb[["w1", "c1"]].drop_duplicates("w1")
+              .rename(columns={"c1": "c1_t"}).astype({"c1_t": np.float64}))
     ref = ray.put((raw, tgt_pairs, tgt_c1, v_raw, v_tgt))
 
     def score(t: pa.Table) -> pa.Table:

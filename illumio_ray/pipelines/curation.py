@@ -131,6 +131,9 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
     }
 
     if max_lm_nll is not None:
+        # pin the survivors once: LM training makes two passes and scoring
+        # a third — unmaterialized, each would re-run the anti-join lineage
+        kept = kept.materialize()
         scored = textops.add_bigram_lm_nll(kept)
         gated = rel.filter_batches(scored, lambda t: pc.or_kleene(
             pc.is_null(t["nll"]),  # < 2 words: no score, passed min_tokens
