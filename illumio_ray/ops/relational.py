@@ -417,6 +417,44 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                      num_partitions=num_partitions)
 
 
+def salted_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                num_salts: int = 16,
+                num_partitions: int | None = None) -> rd.Dataset:
+    """Inner hash join under LEFT-side key skew (SURVEY.md §4): a hot key
+    sends all its left rows to one join partition in a plain hash join.
+    Salt the left side with a per-ROW salt (position-derived, so a hot
+    key's rows spread over ``num_salts`` partitions) and replicate every
+    right row once per salt, then join on (key, salt). Right rows grow
+    ×num_salts — use when the right side is too big to broadcast but far
+    smaller than the skewed left (the classic fact⋈dim-too-big-for-
+    broadcast case); result equals the plain join, row for row."""
+    import ray as _ray
+
+    if num_partitions is None:
+        num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        # row-position salt: spreads a hot key independent of its value
+        s = (np.arange(t.num_rows, dtype=np.uint64)
+             % np.uint64(num_salts)).astype(np.int32)
+        return t.append_column("__salt", pa.array(s, pa.int32()))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        idx = pa.array(np.repeat(np.arange(t.num_rows), num_salts),
+                       pa.int64())
+        s = (np.tile(np.arange(num_salts, dtype=np.int64), t.num_rows)
+             .astype(np.int32))
+        return t.take(idx).append_column("__salt", pa.array(s, pa.int32()))
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    rrep = right.map_batches(replicate_right, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    j = lsalted.join(rrep, join_type="inner", on=(on, "__salt"),
+                     num_partitions=num_partitions)
+    return j.drop_columns(["__salt"])
+
+
 def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
                         right_ts: str, value_map: dict[str, str]) -> rd.Dataset:
     """As-of join (backward): for each left row, the latest right row with

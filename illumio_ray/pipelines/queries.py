@@ -1175,6 +1175,35 @@ def doc_dup_coverage(sf_dir: str):
     return textops.corpus_dup_ngram_coverage(ds)
 
 
+@register("events_by_segment_salted", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1
+""")
+def events_by_segment_salted(sf_dir: str):
+    """Skew-defused fact⋈dim join: events.user_id is the classic hot-key
+    hazard (a few power users dominate), so the join runs through
+    rel.salted_join — per-row salts spread any hot key over num_salts
+    join partitions, the right side replicates once per salt. Oracle =
+    the plain SQL join: salting must not change a single row."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["user_id", "c_mktsegment"]),
+        batch_format="pyarrow")
+    j = rel.salted_join(ev, cust, on="user_id", num_salts=8)
+    agg = rel.grouped_agg(j, ["c_mktsegment"],
+                          [("value", "count", "n_events"),
+                           ("value", "sum", "sum_value")])
+    return agg.map_batches(lambda t: pa.table({
+        "c_mktsegment": t["c_mktsegment"],
+        "n_events": pc.cast(t["n_events"], pa.int64()),
+        "sum_value": round_col(t["sum_value"], 6)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs

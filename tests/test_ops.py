@@ -1296,3 +1296,19 @@ def test_corpus_dup_coverage_hand_computed():
     assert out[0] == round(3 / 5, 6)
     assert out[1] == round(3 / 5, 6)
     assert out[2] == 0.0
+
+
+def test_salted_join_equals_plain_join_under_skew():
+    rng = np.random.default_rng(31)
+    # 90% of left rows share ONE hot key
+    keys = np.where(rng.random(400) < 0.9, 7, rng.integers(0, 50, 400))
+    left = pd.DataFrame({"k": keys, "x": np.arange(400)})
+    right = pd.DataFrame({"k": np.arange(50), "label": [f"L{i}" for i in range(50)]})
+    got = (rel.salted_join(rd.from_pandas(left), rd.from_pandas(right),
+                           on="k", num_salts=4)
+           .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+    want = (left.merge(right, on="k").sort_values(["k", "x"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "x", "label"]], want[["k", "x", "label"]],
+        check_dtype=False)
