@@ -132,6 +132,48 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Run any registry query over an sf dir — the registry as a tool,
+    not just a driver contract."""
+    import ray
+
+    owns_session = not ray.is_initialized()
+    _ray_init()
+    from .pipelines.queries import REGISTRY
+
+    if args.list or not args.name:
+        for n, spec in REGISTRY.items():
+            kind = "oracle" if spec.sql else "rows-only"
+            print(f"{n}\t{kind}")
+        if owns_session:
+            ray.shutdown()
+        return 0
+    if args.name not in REGISTRY:
+        print(f"unknown query: {args.name}", file=sys.stderr)
+        return 2
+    res = REGISTRY[args.name].fn(args.sf_dir)
+    if hasattr(res, "to_pandas"):  # Dataset / pyarrow Table
+        if args.out and hasattr(res, "write_parquet"):
+            res.write_parquet(args.out)
+            n = res.count()
+        else:
+            df = res.to_pandas()
+            n = len(df)
+            print(df.head(args.head).to_string())
+            if args.out:
+                df.to_parquet(Path(args.out) / f"{args.name}.parquet"
+                              if Path(args.out).is_dir() else args.out)
+    else:  # pandas DataFrame
+        n = len(res)
+        print(res.head(args.head).to_string())
+        if args.out:
+            res.to_parquet(args.out)
+    print(json.dumps({"query": args.name, "rows": int(n)}))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def cmd_stats(args) -> int:
     """Per-sink / per-shard report over a finished run (≙ db_stats +
     health_reporter report surfaces)."""
@@ -273,6 +315,15 @@ def main(argv=None) -> int:
     ip.add_argument("--out", required=True)
     ip.add_argument("--shard", type=int, nargs="+", required=True)
     ip.set_defaults(fn=cmd_invalidate)
+
+    qp = sub.add_parser("query", help="run a named registry query over an "
+                        "sf dir (--list to enumerate)")
+    qp.add_argument("name", nargs="?", default=None)
+    qp.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    qp.add_argument("--out", default=None, help="write result parquet here")
+    qp.add_argument("--head", type=int, default=10)
+    qp.add_argument("--list", action="store_true")
+    qp.set_defaults(fn=cmd_query)
 
     cp = sub.add_parser("curate", help="training-data curation: quality "
                         "filter -> exact dedup -> near-dup removal")

@@ -3324,7 +3324,10 @@ def ngram_jaccard_pairs_incr(sf_dir: str):
     # marker-keyed reusable index dir: repeated bench/oracle runs reuse the
     # committed index (the production shape) instead of leaking a fresh
     # mkdtemp per call; rebuild only when the split parameters change
-    idx = Path(f"/tmp/illumio_ray_testdata/jidx_{n_docs}_{k}")
+    # keyed by the sf dir's NAME as well as the split: different sf tiers
+    # can share a row count (sf0.001 and sf0.01 both hold 500 docs)
+    idx = Path("/tmp/illumio_ray_testdata"
+               f"/jidx_{Path(sf_dir).name}_{n_docs}_{k}")
     marker = idx / "_complete.json"
     if not marker.exists():
         shutil.rmtree(idx, ignore_errors=True)

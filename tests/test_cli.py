@@ -117,3 +117,17 @@ def test_watch_poll_loop_second_poll_is_noop(tmp_path, capsys):
     assert m["poll"] == 1                       # second iteration reported
     assert m["shards_run_this_invocation"] == 0  # no new fragments → no-op
     assert m["rows_routed"] > 0                  # first poll's rows persist
+
+
+def test_cli_query_list_and_run(tmp_path, capsys):
+    assert main(["query", "--list"]) == 0
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert any(ln.startswith("q6_revenue\toracle") for ln in lines)
+    assert len(lines) > 100
+
+    assert main(["query", "q6_revenue",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    out = capsys.readouterr().out
+    assert '"rows": 1' in out
+
+    assert main(["query", "no_such_query"]) == 2
