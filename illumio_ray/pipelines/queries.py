@@ -1792,6 +1792,78 @@ def orders_rollup(sf_dir: str):
                 "total_price"]]
 
 
+@register("orders_cube", """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+""")
+def orders_cube(sf_dir: str):
+    """GROUP BY CUBE: every subset of the grouping keys. Same
+    from-finest plan as orders_rollup — one distributed pass for the
+    finest level, all 2^k coarser levels re-aggregated from those
+    bounded partial rows on the driver, no second scan."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+    fine = rel.grouped_agg(
+        ds, ["o_orderpriority", "o_orderstatus"],
+        [("o_totalprice", "count", "n_orders"),
+         ("o_totalprice", "sum", "ssum")]).to_pandas()
+    levels = [fine]
+    for keep in (["o_orderpriority"], ["o_orderstatus"], []):
+        g = (fine.groupby(keep, as_index=False)
+                 .agg(n_orders=("n_orders", "sum"), ssum=("ssum", "sum"))
+             if keep else
+             pd.DataFrame({"n_orders": [fine["n_orders"].sum()],
+                           "ssum": [fine["ssum"].sum()]}))
+        for c in ("o_orderpriority", "o_orderstatus"):
+            if c not in g.columns:
+                g[c] = None
+        levels.append(g)
+    out = pd.concat(levels, ignore_index=True)
+    out["total_price"] = round_np(out.pop("ssum").to_numpy(), 2)
+    return out[["o_orderpriority", "o_orderstatus", "n_orders",
+                "total_price"]]
+
+
+@register("events_hourly_gapfill", """
+WITH counts AS (
+  SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events WHERE event_type = 'error' GROUP BY 1
+),
+bounds AS (SELECT min(hour) AS lo, max(hour) AS hi FROM counts),
+spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM bounds)
+SELECT spine.hour, CAST(coalesce(n, 0) AS BIGINT) AS n_events
+FROM spine LEFT JOIN counts USING (hour)
+""")
+def events_hourly_gapfill(sf_dir: str):
+    """Time-series gap filling: hours with zero matching events surface
+    as explicit 0 rows (42 gap hours in the sf0.01 'error' series) —
+    what a rate monitor needs to alarm on silence, not just dips. The
+    hourly counts are bounded by the TIME RANGE, not the data, so the
+    spine join runs on the driver after one distributed count."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    ds = rel.filter_batches(ds, lambda t: pc.equal(t["event_type"],
+                                                   "error"))
+
+    def trunc(t: pa.Table) -> pa.Table:
+        return pa.table({"hour": pc.floor_temporal(t["ts"], unit="hour")})
+
+    hours = ds.map_batches(trunc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    counts = rel.grouped_agg(hours, ["hour"],
+                             [("hour", "count", "n")]).to_pandas()
+    spine = pd.DataFrame({"hour": pd.date_range(
+        counts["hour"].min(), counts["hour"].max(), freq="h")})
+    out = spine.merge(counts, on="hour", how="left")
+    out["n_events"] = out.pop("n").fillna(0).astype(np.int64)
+    return out
+
+
 @register("q4_order_priority", """
 SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
 FROM orders
