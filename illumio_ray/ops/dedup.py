@@ -824,7 +824,7 @@ def dup_components(pairs: rd.Dataset, id_a: str = "id_a",
     labels = grouped_agg(
         edges.map_batches(init_cand, batch_format="pyarrow",
                           zero_copy_batch=True),
-        ["id"], [("comp", "min", "component")], mode="shuffle")
+        ["id"], [("comp", "min", "component")], mode="bucket")
     labels = drop_empty_blocks(labels)
 
     for _ in range(max_iters):
@@ -856,7 +856,7 @@ def dup_components(pairs: rd.Dataset, id_a: str = "id_a",
         new = drop_empty_blocks(grouped_agg(cand, ["id"],
                                             [("comp", "min", "component"),
                                              ("old", "min", "old")],
-                                            mode="shuffle")).materialize()
+                                            mode="bucket")).materialize()
         from .relational import filter_batches
         changed = filter_batches(new, lambda t: pc.not_equal(
             t["component"], t["old"])).count()

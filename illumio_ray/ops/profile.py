@@ -62,7 +62,7 @@ def profile_table(ds: rd.Dataset, columns: list[str] | None = None) -> rd.Datase
     # distinct-value table: count rows per (column, value) — count on
     # col_name (never null) so the null-value group keeps its size
     dv = grouped_agg(rows, ["col_name", "v"],
-                     [("col_name", "count", "cnt")], mode="shuffle")
+                     [("col_name", "count", "cnt")], mode="bucket")
 
     def indicators(t: pa.Table) -> pa.Table:
         valid = pc.is_valid(t["v"])

@@ -214,7 +214,7 @@ def tfidf_top_term(ds: rd.Dataset, id_col: str = "doc_id",
 
     words = ds.map_batches(explode, batch_format="pandas")
     tf = rel.grouped_agg(words, [id_col, "word"],
-                         [("word", "count", "tf")], mode="shuffle")
+                         [("word", "count", "tf")], mode="bucket")
 
     # DF + score in ONE word-bucketed pass over the tf table: every row of
     # a word lands in the same bucket, so the in-bucket group size IS the

@@ -441,7 +441,7 @@ def customers_order_counts_outer(sf_dir: str):
     one row per customer key."""
     orders = read_table(sf_dir, "orders", columns=["o_custkey"])
     counts = rel.grouped_agg(orders, ["o_custkey"],
-                             [("o_custkey", "count", "cnt")], mode="shuffle")
+                             [("o_custkey", "count", "cnt")], mode="bucket")
     counts = counts.map_batches(
         lambda t: t.rename_columns(["c_custkey", "cnt"]),
         batch_format="pyarrow")
@@ -511,7 +511,7 @@ def max_order_per_customer(sf_dir: str):
     return rel.grouped_agg(ds, ["o_custkey"], [
         ("o_totalprice", "max", "max_price"),
         ("o_totalprice", "count", "n_orders"),
-    ], mode="shuffle")
+    ], mode="bucket")
 
 
 @register("q3_shipping_priority", """
@@ -559,7 +559,7 @@ def q3_shipping_priority(sf_dir: str):
 
     joined = rel.hash_join(li, orders, on=["l_orderkey"], num_partitions=8)
     agg = rel.grouped_agg(joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
-                          [("rev", "sum", "rev_raw")], mode="shuffle")
+                          [("rev", "sum", "rev_raw")], mode="bucket")
     agg = agg.map_batches(lambda t: pa.table({
         "l_orderkey": t["l_orderkey"], "o_orderdate": t["o_orderdate"],
         "o_orderpriority": t["o_orderpriority"],
@@ -1035,7 +1035,7 @@ def _year_custkeys(sf_dir: str, lo: str, hi: str) -> rd.Dataset:
         pc.less(t["o_orderdate"], thi)))
     return rel.drop_empty_blocks(rel.grouped_agg(
         f.select_columns(["o_custkey"]), ["o_custkey"],
-        [("o_custkey", "count", "__n")], mode="shuffle"))
+        [("o_custkey", "count", "__n")], mode="bucket"))
 
 
 @register("customers_intersect_years", """
@@ -1142,7 +1142,7 @@ def events_hourly_distinct_users(sf_dir: str):
     hu = ds.map_batches(trunc, batch_format="pyarrow", zero_copy_batch=True)
     distinct = rel.drop_empty_blocks(rel.grouped_agg(
         hu, ["hour", "user_id"], [("user_id", "count", "__n")],
-        mode="shuffle"))
+        mode="bucket"))
     return rel.grouped_agg(distinct, ["hour"],
                            [("user_id", "count", "n_users")])
 
@@ -1572,7 +1572,7 @@ def customer_order_counts_bucketed(sf_dir: str):
         cols_a=["c_custkey", "o_orderkey"], cols_b=["c_custkey"])
     return rel.grouped_agg(joined, ["c_custkey"],
                            [("o_orderkey", "count", "n_orders")],
-                           mode="shuffle")
+                           mode="bucket")
 
 
 @register("events_distinct_users_by_type_hll", None)  # approximate → rows-only
@@ -2065,7 +2065,7 @@ def q18_large_orders(sf_dir: str):
                     columns=["l_orderkey", "l_quantity"])
     sums = rel.grouped_agg(li, ["l_orderkey"],
                            [("l_quantity", "sum", "sum_qty")],
-                           mode="shuffle")
+                           mode="bucket")
     big = rel.filter_batches(
         sums, lambda t: pc.greater(t["sum_qty"], pa.scalar(220.0)))
     orders = read_table(sf_dir, "orders",
@@ -2215,7 +2215,7 @@ def user_active_days(sf_dir: str):
     days = rel.distinct(ds.select_columns(["user_id", "day"]),
                         ["user_id", "day"])
     return rel.grouped_agg(days, ["user_id"],
-                           [("day", "count", "n_days")], mode="shuffle")
+                           [("day", "count", "n_days")], mode="bucket")
 
 
 @register("supplier_solo_orders", """
@@ -2235,7 +2235,7 @@ def supplier_solo_orders(sf_dir: str):
     pairs = rel.distinct(li, ["l_orderkey", "l_suppkey"])
     po = rel.grouped_agg(pairs, ["l_orderkey"],
                          [("l_suppkey", "count", "ns"),
-                          ("l_suppkey", "min", "s_suppkey")], mode="shuffle")
+                          ("l_suppkey", "min", "s_suppkey")], mode="bucket")
     solo = rel.filter_batches(po, lambda t: pc.equal(t["ns"], 1))
     return rel.grouped_agg(solo, ["s_suppkey"],
                            [("ns", "count", "solo_orders")], mode="shuffle")
@@ -2264,7 +2264,7 @@ def q17_small_quantity_revenue(sf_dir: str):
     li = rel.semi_anti_join(li, brand_keys, "l_partkey")
     avg = rel.grouped_agg(li, ["l_partkey"],
                           [("l_quantity", "mean", "avg_qty")],
-                          mode="shuffle")
+                          mode="bucket")
     joined = rel.hash_join(li, avg, on=["l_partkey"])
     small = rel.filter_batches(
         joined, lambda t: pc.less(
@@ -2877,11 +2877,11 @@ def q21_waiting_suppliers(sf_dir: str):
         keep=["l_orderkey", "l_suppkey", "late"])
     sup_order = rel.drop_empty_blocks(rel.grouped_agg(
         li, ["l_orderkey", "l_suppkey"], [("late", "max", "late_any")],
-        mode="shuffle"))
+        mode="bucket"))
     per_order = rel.drop_empty_blocks(rel.grouped_agg(
         sup_order, ["l_orderkey"],
         [("l_suppkey", "count", "n_supp"), ("late_any", "sum", "n_late_supp")],
-        mode="shuffle"))
+        mode="bucket"))
     cand = rel.filter_batches(
         sup_order, lambda t: pc.equal(t["late_any"], 1))
     j = rel.hash_join(cand, per_order, on=["l_orderkey"])
@@ -3557,7 +3557,7 @@ def q2_min_cost_supplier(sf_dir: str):
                     columns=["l_partkey", "l_suppkey", "l_extendedprice"])
     cost = rel.drop_empty_blocks(rel.grouped_agg(
         li, ["l_partkey", "l_suppkey"],
-        [("l_extendedprice", "min", "supplycost")], mode="shuffle"))
+        [("l_extendedprice", "min", "supplycost")], mode="bucket"))
 
     sup = pq.read_table(str(Path(sf_dir) / "supplier.parquet"),
                         columns=["s_suppkey", "s_name", "s_nationkey",
@@ -3571,13 +3571,15 @@ def q2_min_cost_supplier(sf_dir: str):
                     keys=["s_nationkey"], right_keys=["n_nationkey"],
                     join_type="inner").select(
                         ["s_suppkey", "s_name", "s_acctbal", "n_name"])
+    # consumed twice (per-part min AND the equality join): materialize or
+    # the whole lineitem agg + dim join lineage executes twice
     eligible = rel.broadcast_join(
         cost.rename_columns({"l_suppkey": "s_suppkey"}), dims,
-        on=["s_suppkey"], join_type="inner")
+        on=["s_suppkey"], join_type="inner").materialize()
 
     mn = rel.drop_empty_blocks(rel.grouped_agg(
         eligible.select_columns(["l_partkey", "supplycost"]), ["l_partkey"],
-        [("supplycost", "min", "min_cost")], mode="shuffle"))
+        [("supplycost", "min", "min_cost")], mode="bucket"))
     j = rel.hash_join(eligible, mn, on=["l_partkey"], num_partitions=8)
     j = rel.filter_batches(
         j, lambda t: pc.equal(t["supplycost"], t["min_cost"]))
@@ -3621,7 +3623,7 @@ def q13_customer_distribution(sf_dir: str):
         t["o_orderpriority"], "1-URGENT"))
     counts = rel.drop_empty_blocks(rel.grouped_agg(
         orders.select_columns(["o_custkey"]), ["o_custkey"],
-        [("o_custkey", "count", "cnt")], mode="shuffle"))
+        [("o_custkey", "count", "cnt")], mode="bucket"))
     counts = counts.map_batches(
         lambda t: t.rename_columns(["c_custkey", "cnt"]),
         batch_format="pyarrow")
@@ -3669,7 +3671,7 @@ def q20_excess_stock_suppliers(sf_dir: str):
         pc.is_in(t["l_partkey"], value_set=key_set)))
     qty = rel.drop_empty_blocks(rel.grouped_agg(
         li, ["l_suppkey", "l_partkey"], [("l_quantity", "sum", "qty")],
-        mode="shuffle"))
+        mode="bucket"))
     qty = rel.filter_batches(qty, lambda t: pc.greater(t["qty"], 55.0))
     supp_in = rel.drop_empty_blocks(rel.grouped_agg(
         qty.select_columns(["l_suppkey"]), ["l_suppkey"],
