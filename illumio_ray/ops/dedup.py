@@ -37,23 +37,53 @@ TOKEN_RE = r"[A-Za-z0-9_]+"
 def exact_dedup(ds: rd.Dataset, content_col: str, id_col: str) -> rd.Dataset:
     """Keep one representative row (min id) per distinct content value.
 
-    hash-partition + per-group first (the groupby key is the 64-bit content
-    hash — constant width regardless of document size)."""
+    hash-partition + per-group first. The exchange key is
+    hash64(content) % adaptive_bucket_count — a BOUNDED bucket, never one
+    Ray group per distinct document (per-distinct-key map_groups is the
+    #groups ≈ #rows pathology); all copies of a content value share its
+    hash, so they meet in one bucket and keep-first is exact."""
+    from .relational import adaptive_bucket_count
+
+    nb = adaptive_bucket_count(None)
+
     def add_hash(t: pa.Table) -> pa.Table:
-        h = hash64(t[content_col]).astype(np.int64)
-        return t.append_column("__h", pa.array(h, pa.int64()))
+        b = (hash64(t[content_col]) % np.uint64(nb)).astype(np.int32)
+        return t.append_column("__hb", pa.array(b, pa.int32()))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
     def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        # confirm equality on the actual content within the hash bucket:
-        # at 10^12 docs, 64-bit collisions are expected (birthday bound),
-        # and keying on the hash alone would silently drop distinct docs
+        # dedup on the actual content, not its hash: at 10^12 docs, 64-bit
+        # collisions are expected (birthday bound), and keying on the hash
+        # alone would silently drop distinct docs
         return (g.sort_values(id_col)
                  .drop_duplicates(subset=[content_col], keep="first")
-                 .drop(columns="__h"))
+                 .drop(columns="__hb"))
 
-    return hashed.groupby("__h").map_groups(first_per_group, batch_format="pandas")
+    return hashed.groupby("__hb").map_groups(first_per_group, batch_format="pandas")
+
+
+def _distinct_rows_bucketed(ds: rd.Dataset, cols: list[str],
+                            num_buckets: int | None = None) -> rd.Dataset:
+    """Distinct rows by ``cols`` (keep first, extra columns ride along)
+    without one Ray group per distinct value: exchange on a hash bucket of
+    the key columns, drop_duplicates vectorized inside each bucket."""
+    from .relational import adaptive_bucket_count
+
+    nb = num_buckets or adaptive_bucket_count(None)
+
+    def add_b(df: pd.DataFrame) -> pd.DataFrame:
+        h = np.zeros(len(df), np.uint64)
+        for c in cols:
+            h = h * np.uint64(0x9E3779B97F4A7C15) + \
+                pd.util.hash_pandas_object(df[c], index=False).to_numpy()
+        return df.assign(__rb=(h % np.uint64(nb)).astype(np.int32))
+
+    def dd(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=cols).drop(columns="__rb")
+
+    return (ds.map_batches(add_b, batch_format="pandas")
+            .groupby("__rb").map_groups(dd, batch_format="pandas"))
 
 
 # ---------------------------------------------------------------------------
@@ -169,20 +199,41 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
         return rd.from_arrow(pa.table({"id_a": pa.array([], id_type),
                                        "id_b": pa.array([], id_type)}))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g[id_col].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    # distributed path: exchange on a BOUNDED bucket of (band_id,
+    # band_hash) — a band bucket's rows all share it — then emit pairs per
+    # band group vectorized inside the bucket (never one Ray group per
+    # distinct band hash: #bands × #docs groups is the #groups ≈ #rows
+    # pathology).
+    from .relational import adaptive_bucket_count
 
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas"
-    )
-    # Same pair can fire in multiple bands → dedup.
-    return cand.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    nb = adaptive_bucket_count(None)
+
+    def add_cb(df: pd.DataFrame) -> pd.DataFrame:
+        h = (df["band_hash"].to_numpy().astype(np.uint64)
+             * np.uint64(0x9E3779B97F4A7C15)
+             + df["band_id"].to_numpy().astype(np.uint64))
+        return df.assign(__cb=(h % np.uint64(nb)).astype(np.int32))
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, gg in g.groupby(["band_id", "band_hash"], sort=False):
+            if len(gg) < 2:
+                continue
+            ids = np.sort(gg[id_col].to_numpy())
+            a, b = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[a])
+            out_b.append(ids[b])
+        if not out_a:
+            return pd.DataFrame({"id_a": g[id_col].iloc[:0],
+                                 "id_b": g[id_col].iloc[:0]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
+
+    cand = (band_rows.map_batches(add_cb, batch_format="pandas")
+            .groupby("__cb").map_groups(pairs_in_bucket,
+                                        batch_format="pandas"))
+    # Same pair can fire in multiple bands → dedup (bucketed, same reason).
+    return _distinct_rows_bucketed(cand, ["id_a", "id_b"], nb)
 
 
 # Broadcast-verify is only valid while every worker can pin the corpus's
@@ -465,15 +516,25 @@ def add_simhash(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
 
 
 def simhash_dup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset:
-    """Exact-signature SimHash buckets with >1 member (near-dup clusters)."""
+    """Exact-signature SimHash buckets with >1 member (near-dup clusters).
+    Exchange on signature % adaptive_bucket_count (bounded), never one Ray
+    group per distinct signature; the >1-member test runs vectorized
+    inside the bucket on the full signature."""
+    from .relational import adaptive_bucket_count
+
+    nb = adaptive_bucket_count(None)
     sh = add_simhash(ds, id_col, text_col)
+    sh = sh.map_batches(
+        lambda t: t.append_column("__shb", pa.array(
+            (t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+             % np.uint64(nb)).astype(np.int32), pa.int32())),
+        batch_format="pyarrow", zero_copy_batch=True)
 
     def group(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return g.head(0)[[id_col, "simhash"]]
-        return g[[id_col, "simhash"]]
+        sizes = g.groupby("simhash")["simhash"].transform("size")
+        return g.loc[sizes > 1, [id_col, "simhash"]]
 
-    return sh.groupby("simhash").map_groups(group, batch_format="pandas")
+    return sh.groupby("__shb").map_groups(group, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -624,9 +685,9 @@ def lsh_cosine_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
 
     pairs = bucketed.groupby("__bucket").map_groups(
         in_bucket_pairs, batch_format="pyarrow")
-    # same pair can fire in multiple tables → collapse
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # same pair can fire in multiple tables → collapse (bucketed distinct,
+    # never one Ray group per pair)
+    return _distinct_rows_bucketed(pairs, ["id_a", "id_b"])
 
 
 def embedding_near_dup_pairs(ds: rd.Dataset, id_col: str, vec_col: str,
