@@ -294,19 +294,32 @@ def verify_jaccard_pairs_join(cand: rd.Dataset, docs: rd.Dataset, id_col: str,
     'no match for key field' in the chained join)."""
     del num_partitions  # groupby picks its own partitioning
 
+    from .relational import adaptive_bucket_count
+
+    nb = adaptive_bucket_count(None)
+
     def _attach(pairs_ds: rd.Dataset, key: str, pair_cols: list[str],
                 out_text: str) -> rd.Dataset:
         """Reduce-side join: union pair rows and doc rows into one
-        column-aligned dataset keyed by __k, then attach the group's doc
-        text to its pair rows."""
+        column-aligned dataset, exchange on a BOUNDED key-hash bucket
+        (never one Ray group per doc — the #groups ≈ #rows pathology),
+        then an in-bucket pyarrow join attaches each pair row's doc
+        text."""
         col_types = {"id_a": pa.int64(), "id_b": pa.int64(),
                      "__text_a": pa.string()}
-        union_cols = pair_cols + ["__k", "__doc_text"]
+        union_cols = pair_cols + ["__k", "__kb", "__doc_text"]
+
+        def _kb(k_arr) -> pa.Array:
+            k = k_arr.to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.array(
+                ((k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(nb))
+                .astype(np.int32), pa.int32())
 
         def pad_pairs(t: pa.Table, k=key) -> pa.Table:
             cols = {c: pc.cast(t[c], col_types.get(c, pa.string()))
                     for c in pair_cols}
             cols["__k"] = pc.cast(t[k], pa.int64())
+            cols["__kb"] = _kb(cols["__k"])
             cols["__doc_text"] = pa.nulls(t.num_rows, pa.string())
             return pa.table({c: cols[c] for c in union_cols})
 
@@ -314,6 +327,7 @@ def verify_jaccard_pairs_join(cand: rd.Dataset, docs: rd.Dataset, id_col: str,
             cols = {c: pa.nulls(t.num_rows, col_types.get(c, pa.string()))
                     for c in pair_cols}
             cols["__k"] = pc.cast(t[id_col], pa.int64())
+            cols["__kb"] = _kb(cols["__k"])
             cols["__doc_text"] = pc.cast(t[text_col], pa.string())
             return pa.table({c: cols[c] for c in union_cols})
 
@@ -323,24 +337,25 @@ def verify_jaccard_pairs_join(cand: rd.Dataset, docs: rd.Dataset, id_col: str,
                                        zero_copy_batch=True)
 
         def attach(g: pa.Table) -> pa.Table:
-            # pyarrow groups (not pandas): null-padded int64 id columns
-            # would be promoted to float64 by a pandas conversion,
-            # corrupting ids >= 2^53
+            # stays pyarrow end-to-end: a pandas conversion would promote
+            # the null-padded int64 id columns to float64 and corrupt
+            # ids >= 2^53
             has_text = pc.is_valid(g["__doc_text"])
-            doc_rows = g.filter(has_text)
-            pair_rows = g.filter(pc.invert(has_text))
+            doc_rows = (g.filter(has_text)
+                         .select(["__k", "__doc_text"]))
+            pair_rows = g.filter(pc.invert(has_text)) \
+                         .drop_columns(["__doc_text", "__kb"])
             if doc_rows.num_rows == 0 or pair_rows.num_rows == 0:
-                pair_rows = pair_rows.slice(0, 0)
-                text_col_out = pa.array([], pa.string())
-            else:
-                text_col_out = pa.array(
-                    [doc_rows["__doc_text"][0].as_py()] * pair_rows.num_rows,
-                    pa.string())
-            return (pair_rows.drop_columns(["__doc_text", "__k"])
-                             .append_column(out_text, text_col_out))
+                return (pair_rows.slice(0, 0).drop_columns(["__k"])
+                        .append_column(out_text,
+                                       pa.array([], pa.string())))
+            j = pair_rows.join(doc_rows, keys="__k", join_type="inner")
+            out = pa.table({c: j[c] for c in pair_cols})
+            return out.append_column(out_text, j["__doc_text"])
 
         merged = tagged_pairs.union(tagged_docs)
-        return merged.groupby("__k").map_groups(attach, batch_format="pyarrow")
+        return merged.groupby("__kb").map_groups(attach,
+                                                 batch_format="pyarrow")
 
     step1 = _attach(cand, "id_a", ["id_a", "id_b"], "__text_a")
     step2 = _attach(step1, "id_b", ["id_a", "id_b", "__text_a"], "__text_b")
