@@ -195,8 +195,12 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
                 [renames.get(c, c) for c in r.column_names]))
 
         bucketed = partials.map_batches(add_bucket, batch_format="pandas")
-        return bucketed.groupby("__gb").map_groups(combine_bucket,
-                                                   batch_format="pandas")
+        out = bucketed.groupby("__gb").map_groups(combine_bucket,
+                                                  batch_format="pandas")
+        # the groupby's sort stage can emit empty-SCHEMA blocks on sparse
+        # inputs (sf-small edge) which crash a downstream Dataset.join —
+        # sanitize here so every bucket-mode output is join-safe
+        return drop_empty_blocks(out)
 
     for col, fn in partial_specs:
         pname = f"__{col}_{fn}"

@@ -2229,8 +2229,8 @@ def supplier_solo_orders(sf_dir: str):
     """TPC-H Q21's core sub-shape: orders served by exactly ONE supplier,
     counted per supplier. distinct (order, supp) → per-order distinct count
     + min (the only supplier when ns=1) in one shuffle groupby → filter →
-    re-group by supplier. Both groupbys run on unbounded keys → shuffle
-    mode."""
+    re-group by supplier. The per-order groupby runs on #groups ≈ #rows
+    keys → bucket mode."""
     li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
     pairs = rel.distinct(li, ["l_orderkey", "l_suppkey"])
     po = rel.grouped_agg(pairs, ["l_orderkey"],
