@@ -498,9 +498,12 @@ def salted_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
 
 def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
-                        right_ts: str, value_map: dict[str, str]) -> rd.Dataset:
-    """As-of join (backward): for each left row, the latest right row with
-    ``right[right_ts] <= left[left_ts]``; no match → nulls.
+                        right_ts: str, value_map: dict[str, str],
+                        direction: str = "backward") -> rd.Dataset:
+    """As-of join: for each left row, the latest right row with
+    ``right[right_ts] <= left[left_ts]`` (direction="backward") or the
+    earliest with ``right[right_ts] >= left[left_ts]``
+    (direction="forward"); no match → nulls.
 
     Ray Data has no as-of join; this is the broadcast form — the right side
     is sorted once on the driver, shipped via ray.put, and each batch does a
@@ -521,9 +524,14 @@ def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
             _ASOF_CACHE[ref] = r
         r_ts = r[right_ts].to_numpy(zero_copy_only=False)
         l_ts = t[left_ts].to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
-        # null left ts sorts as NaT-largest in searchsorted → force no-match
-        ok = (idx >= 0) & ~pd.isna(l_ts)
+        if direction == "forward":
+            idx = np.searchsorted(r_ts, l_ts, side="left")
+            ok = (idx < len(r_ts)) & ~pd.isna(l_ts)
+            idx = np.where(ok, idx, 0)
+        else:
+            idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+            # null left ts sorts NaT-largest in searchsorted → no-match
+            ok = (idx >= 0) & ~pd.isna(l_ts)
         valid = pa.array(ok)
         take = pa.array(np.where(ok, idx, 0), pa.int64())
         out = t

@@ -1405,6 +1405,29 @@ def events_asof_view(sf_dir: str):
                                    {"prev_view_ts": "ts"})
 
 
+@register("events_asof_next_error", """
+SELECT l.event_id, l.ts, r.ts AS next_error_ts
+FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') r
+  ON l.ts <= r.ts
+""")
+def events_asof_next_error(sf_dir: str):
+    """FORWARD as-of join: each click matched to the earliest 'error'
+    event at or after it (time-to-next-failure view) — the forward
+    direction of the same broadcast-searchsorted operator."""
+    events = read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "event_type"])
+    clicks = rel.filter_batches(
+        events, lambda t: pc.equal(t["event_type"], "click")
+    ).select_columns(["event_id", "ts"])
+    errs = pq.read_table(str(Path(sf_dir) / "events.parquet"),
+                         columns=["ts", "event_type"])
+    errs = errs.filter(pc.equal(errs["event_type"], "error")).select(["ts"])
+    return rel.asof_broadcast_join(clicks, errs, "ts", "ts",
+                                   {"next_error_ts": "ts"},
+                                   direction="forward")
+
+
 @register("events_daily_rate", """
 SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events,
        ROUND(count(*) / 24.0, 6) AS events_per_hour
