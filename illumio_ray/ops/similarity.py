@@ -195,3 +195,69 @@ def ivf_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
     cand = ds.map_batches(cell_filter, batch_format="pyarrow",
                           zero_copy_batch=True)
     return brute_force_topk(cand, q, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index (build once, query with cell pruning)
+# ---------------------------------------------------------------------------
+
+_IVF_META = "_ivf_meta.json"
+_IVF_CENTROIDS = "_centroids.npy"
+
+
+def build_ivf_index(ds: rd.Dataset, id_col: str, vec_col: str,
+                    out_dir: str, *, n_cells: int = 16,
+                    train_sample_rows: int = 4096) -> dict:
+    """Persist an IVF layout for a vector corpus: centroids trained on a
+    bounded driver-side sample, every vector written into its nearest
+    cell's hive partition (``out_dir/__cell=i/``). Queries then open ONLY
+    their probed cells — index build amortizes across every later query,
+    the same persisted-layout contract as the shingle index and
+    write_bucketed."""
+    import json
+    from pathlib import Path
+
+    sample = ds.limit(train_sample_rows).take_batch(
+        train_sample_rows, batch_format="pyarrow")
+    index = IVFIndex(vecs_from_arrow(sample[vec_col]), n_cells=n_cells)
+    ref = ray.put(index)
+
+    def assign_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__cell", pa.array([], pa.int32()))
+        idx = ray.get(ref)
+        v = _normalize(vecs_from_arrow(t[vec_col]))
+        return t.append_column(
+            "__cell", pa.array(idx.assign(v).astype(np.int32), pa.int32()))
+
+    ds.map_batches(assign_cell, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(
+        str(out_dir), partition_cols=["__cell"])
+    out = Path(out_dir)
+    np.save(out / _IVF_CENTROIDS, index.centroids)
+    meta = {"n_cells": int(len(index.centroids))}
+    (out / _IVF_META).write_text(json.dumps(meta))
+    return meta
+
+
+def ivf_index_topk(index_dir: str, query_vec: np.ndarray, k: int,
+                   nprobe: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> rd.Dataset:
+    """Top-k against a PERSISTED IVF index: rank cells by centroid
+    similarity, read only the ``nprobe`` nearest cell directories
+    (partition pruning at the storage layer — untouched cells cost
+    nothing), exact cosine inside. nprobe == n_cells is an exhaustive,
+    EXACT search (oracle-checked); smaller nprobe trades recall for I/O."""
+    from pathlib import Path
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    centroids = np.load(Path(index_dir) / _IVF_CENTROIDS)
+    probes = np.argsort(-(centroids @ q))[:nprobe]
+    files = [str(f) for c in probes
+             for f in sorted(Path(index_dir, f"__cell={c}").glob("*.parquet"))]
+    if not files:
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64()),
+                                       "score": pa.array([], pa.float64())}))
+    cand = rd.read_parquet(files, columns=[id_col, vec_col])
+    return brute_force_topk(cand, q, k, id_col, vec_col)

@@ -1279,6 +1279,36 @@ def embedding_ann_ivf(sf_dir: str):
     return similarity.ivf_topk(ds, _query_vec(sf_dir), 10)
 
 
+@register("embedding_topk_ivf_index", """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 6) AS score
+FROM embeddings, q
+ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe), 6) DESC, vec_id
+LIMIT 10
+""")
+def embedding_topk_ivf_index(sf_dir: str):
+    """Top-k via a PERSISTED IVF index (built once per sf dir, reused
+    across runs — the amortized similarity-search shape): exhaustive
+    probe here (nprobe = n_cells) so the answer is exact and shares
+    embedding_topk's oracle; the partial-probe recall path is pinned by
+    tests."""
+    import shutil
+
+    n = pq.ParquetFile(str(Path(sf_dir) / "embeddings.parquet")
+                       ).metadata.num_rows
+    idx = Path(f"/tmp/illumio_ray_testdata/ivf_{Path(sf_dir).name}_{n}")
+    marker = idx / "_ivf_meta.json"
+    if not marker.exists():
+        shutil.rmtree(idx, ignore_errors=True)
+        ds = read_table(sf_dir, "embeddings",
+                        columns=["vec_id", "embedding"])
+        similarity.build_ivf_index(ds, "vec_id", "embedding", str(idx),
+                                   n_cells=16)
+    return similarity.ivf_index_topk(str(idx), _query_vec(sf_dir), 10,
+                                     nprobe=16)
+
+
 @register("embedding_near_dup", """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

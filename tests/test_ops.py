@@ -1312,3 +1312,20 @@ def test_salted_join_equals_plain_join_under_skew():
     pd.testing.assert_frame_equal(
         got[["k", "x", "label"]], want[["k", "x", "label"]],
         check_dtype=False)
+
+
+def test_persisted_ivf_index_recall_and_pruning(tmp_path):
+    df = _clustered_embeddings()
+    q = np.asarray(df.loc[0, "embedding"], np.float64)
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(rd.from_pandas(df), "vec_id", "embedding",
+                               idx, n_cells=8)
+    exact = similarity.brute_force_topk(
+        rd.from_pandas(df), q, 10).to_pandas()
+    # exhaustive probe reads every cell → exact
+    full = similarity.ivf_index_topk(idx, q, 10, nprobe=8).to_pandas()
+    assert list(full.vec_id) == list(exact.vec_id)
+    # partial probe: opens fewer cell dirs, still finds the true cluster
+    part = similarity.ivf_index_topk(idx, q, 10, nprobe=2).to_pandas()
+    recall = len(set(part.vec_id) & set(exact.vec_id)) / 10
+    assert recall >= 0.7, f"IVF index recall too low: {recall}"
