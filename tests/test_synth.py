@@ -35,3 +35,24 @@ def test_synth_has_malformed_and_missing_event(tmp_path):
     no_event = sum(1 for h in htmls if b"</body>" in h and b'name="event"' not in h)
     assert 0 < truncated < 200
     assert 0 < no_event < 200
+
+
+def test_compact_parquet_merges_small_files(tmp_path):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from illumio_ray.sources.parquet import compact_parquet
+
+    src = tmp_path / "many"
+    src.mkdir()
+    for i in range(20):  # 20 tiny files
+        pq.write_table(pa.table({"x": np.arange(100) + i * 100}),
+                       src / f"part-{i:03d}.parquet")
+    out = tmp_path / "compact"
+    rep = compact_parquet(src, out, target_mb=64)
+    assert rep["files_in"] == 20
+    assert rep["files_out"] == 1          # tiny input → one block
+    got = pq.read_table(out).to_pandas().sort_values("x")
+    assert len(got) == 2000 and got.x.is_unique
