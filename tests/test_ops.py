@@ -1329,3 +1329,28 @@ def test_persisted_ivf_index_recall_and_pruning(tmp_path):
     part = similarity.ivf_index_topk(idx, q, 10, nprobe=2).to_pandas()
     recall = len(set(part.vec_id) & set(exact.vec_id)) / 10
     assert recall >= 0.7, f"IVF index recall too low: {recall}"
+
+
+def test_grouped_agg_modes_agree_on_random_data():
+    rng = np.random.default_rng(41)
+    n = 5000
+    df = pd.DataFrame({
+        "k1": rng.integers(0, 900, n),           # ~900 groups ≈ high-card
+        "k2": rng.choice(["a", "b", "c"], n),
+        "v": rng.standard_normal(n) * 100,
+        "w": rng.integers(-50, 50, n).astype(np.int64),
+    })
+    specs = [("v", "sum", "vsum"), ("v", "min", "vmin"),
+             ("w", "max", "wmax"), ("w", "count", "n"),
+             ("v", "mean", "vmean")]
+    outs = {}
+    for mode in ("driver", "shuffle", "bucket"):
+        out = (rel.grouped_agg(rd.from_pandas(df), ["k1", "k2"], specs,
+                               mode=mode)
+               .to_pandas().sort_values(["k1", "k2"])
+               .reset_index(drop=True))
+        outs[mode] = out[["k1", "k2", "vsum", "vmin", "wmax", "n",
+                          "vmean"]]
+    for mode in ("shuffle", "bucket"):
+        pd.testing.assert_frame_equal(outs[mode], outs["driver"],
+                                      check_dtype=False, atol=1e-9)
