@@ -1095,3 +1095,109 @@ def ngram_jaccard_pairs_incremental(new_ds: rd.Dataset, index_dir: str,
     pairs = rows.groupby("__b").map_groups(emit_pairs,
                                            batch_format="pandas")
     return _reduce_pairs_to_jaccard(pairs, threshold, num_buckets)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance near-dup (deletion-neighborhood / SymSpell banding)
+# ---------------------------------------------------------------------------
+
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 in O(len) with no DP table: equal, one
+    substitution (same length, exactly one mismatched position), or one
+    indel (length diff 1, shorter is longer with one char dropped)."""
+    la, lb = len(a), len(b)
+    if a == b:
+        return True
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter by one: walk to first mismatch, then suffixes must match
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit_distance_pairs(ds: rd.Dataset, id_col: str, key_col: str,
+                        num_buckets: int | None = None) -> rd.Dataset:
+    """All unordered pairs whose SHORT key strings are within Levenshtein
+    distance 1, computed distributed with NO all-pairs comparison: the
+    deletion-neighborhood (SymSpell/FastSS) banding. Each key emits its
+    1-deletion variants plus itself as signatures; two keys at distance
+    <= 1 are guaranteed to share at least one signature (substitution:
+    delete the differing position in both; indel: the longer key's
+    deletion IS the shorter key; equality: the identity signature), so
+    candidate generation is exact, not probabilistic.
+
+    Scale shape (same family as MinHash-LSH banding, ≙ the reference's
+    content-hash dedup generalized to fuzzy keys):
+      - signatures are hashed to uint64 in one vectorized call and the
+        raw key rides only to the verify step — the exchange key is the
+        signature hash, O(rows x key_len) narrow rows;
+      - hash-bucket exchange (signature space ≈ rows x L distinct values
+        — NEVER one Ray group per signature);
+      - in-bucket self-merge emits candidates, verified with the O(len)
+        distance-1 check (bucket-local, vectorized merge + per-pair
+        constant work);
+      - a pair sharing several signatures can surface in several
+        buckets → global pair-level distinct via the bucketed
+        drop-duplicates used by every other pair pipeline here.
+    Keys are expected SHORT (a normalized title / prefix, <= ~64 chars);
+    signature fan-out is len+1 per row."""
+    from .relational import adaptive_bucket_count
+
+    nb = num_buckets or adaptive_bucket_count(None)
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        ids: list = []
+        sigs: list[str] = []
+        keys: list[str] = []
+        for i, k in zip(df[id_col].to_numpy(), df[key_col].to_numpy()):
+            k = k or ""
+            variants = [k] + [k[:j] + k[j + 1:] for j in range(len(k))]
+            ids.extend([i] * len(variants))
+            sigs.extend(variants)
+            keys.extend([k] * len(variants))
+        h = hash64(pd.Series(sigs, dtype=object))
+        return pd.DataFrame({
+            "__sig": h,
+            id_col: np.asarray(ids),
+            "__key": np.asarray(keys, dtype=object),
+            "__b": (h % np.uint64(nb)).astype(np.int32),
+        })
+
+    rows = ds.select_columns([id_col, key_col]).map_batches(
+        expand, batch_format="pandas")
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g.duplicated("__sig", keep=False)]
+        out = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                            "id_b": pd.Series([], dtype="int64")})
+        if not len(g):
+            return out
+        cols = ["__sig", id_col, "__key"]
+        m = g[cols].drop_duplicates([
+            "__sig", id_col]).merge(g[cols].drop_duplicates(["__sig", id_col]),
+                                    on="__sig", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return out
+        m = m.drop_duplicates([f"{id_col}_a", f"{id_col}_b"])
+        keep = [_lev_le1(a, b) for a, b in
+                zip(m["__key_a"].to_numpy(), m["__key_b"].to_numpy())]
+        m = m[np.asarray(keep, dtype=bool)]
+        return pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy(),
+                             "id_b": m[f"{id_col}_b"].to_numpy()})
+
+    pairs = rows.groupby("__b").map_groups(emit_pairs, batch_format="pandas")
+    return _distinct_rows_bucketed(pairs, ["id_a", "id_b"],
+                                   num_buckets=num_buckets)

@@ -3748,6 +3748,197 @@ def q20_excess_stock_suppliers(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions: full outer join, lead window, grouping sets,
+# partializable arg_min/arg_max, edit-distance near-dup
+# ---------------------------------------------------------------------------
+
+@register("customers_orders_full_outer", """
+WITH big AS (
+  SELECT o_custkey, count(*) AS n_big
+  FROM orders WHERE o_totalprice > 250000 GROUP BY 1
+),
+bld AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+SELECT COALESCE(bld.c_custkey, big.o_custkey) AS custkey,
+       CAST(bld.c_custkey IS NOT NULL AS BIGINT) AS is_building,
+       CAST(coalesce(big.n_big, 0) AS BIGINT) AS n_big_orders
+FROM bld FULL OUTER JOIN big ON bld.c_custkey = big.o_custkey
+""")
+def customers_orders_full_outer(sf_dir: str):
+    """FULL OUTER hash join (the one join type the registry lacked):
+    BUILDING customers vs per-customer big-order counts — unmatched rows
+    survive on BOTH sides (BUILDING customers with no big order; big-order
+    customers outside BUILDING). Pre-aggregating orders before the join
+    shrinks the build side to one row per customer key; the key columns
+    are coalesced post-join exactly like SQL's COALESCE(USING)."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    big = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 250000)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    counts = rel.drop_empty_blocks(rel.grouped_agg(
+        big.select_columns(["o_custkey"]), ["o_custkey"],
+        [("o_custkey", "count", "n_big")], mode="bucket"))
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    def bld_marker(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+        # Ray's full_outer coalesces the join key into the LEFT column
+        # name, so side-membership needs a left payload marker column.
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "__bld": pa.array([1] * len(t), pa.int64())})
+
+    bld = cust.map_batches(bld_marker, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    joined = bld.join(counts, join_type="full_outer", num_partitions=8,
+                      on=("c_custkey",), right_on=("o_custkey",))
+    return joined.map_batches(
+        lambda t: pa.table({
+            "custkey": pc.cast(t["c_custkey"], pa.int64()),
+            "is_building": pc.cast(pc.is_valid(t["__bld"]), pa.int64()),
+            "n_big_orders": pc.cast(pc.fill_null(t["n_big"], 0), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("events_lead_delta", """
+SELECT event_id,
+       ROUND(lead(value) OVER w - value, 6) AS delta_next
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+QUALIFY lead(value) OVER w IS NOT NULL
+""")
+def events_lead_delta(sf_dir: str):
+    """lead()-window (forward-looking twin of events_lag_delta): delta to
+    the NEXT value per user; last-in-partition rows dropped on both sides
+    (QUALIFY) so NULL/NaN encodings never enter the hash compare. Same
+    keyed-bucket partition shape as every ordered window here."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        nxt = g.groupby("user_id", sort=False)["value"].shift(-1)
+        keep = nxt.notna().to_numpy()
+        delta = (nxt.to_numpy() - g["value"].to_numpy())[keep]
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[keep],
+                             "delta_next": round_np(delta, 6)})
+
+    return rel.keyed_window(ds, "user_id", window)
+
+
+@register("orders_grouping_sets", """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus))
+""")
+def orders_grouping_sets(sf_dir: str):
+    """GROUP BY GROUPING SETS — the general form under ROLLUP/CUBE:
+    arbitrary subsets of the grouping keys, here ((priority, status),
+    (status)). Same from-finest plan as orders_rollup/orders_cube: ONE
+    distributed pass at the finest level, each requested coarser set
+    re-aggregated from those bounded partial rows on the driver."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+    fine = rel.grouped_agg(
+        ds, ["o_orderpriority", "o_orderstatus"],
+        [("o_totalprice", "count", "n_orders"),
+         ("o_totalprice", "sum", "ssum")]).to_pandas()
+    by_status = (fine.groupby("o_orderstatus", as_index=False)
+                     .agg(n_orders=("n_orders", "sum"), ssum=("ssum", "sum")))
+    by_status["o_orderpriority"] = None
+    out = pd.concat([fine, by_status], ignore_index=True)
+    out["total_price"] = round_np(out.pop("ssum").to_numpy(), 2)
+    return out[["o_orderpriority", "o_orderstatus", "n_orders",
+                "total_price"]]
+
+
+@register("events_user_first_last", """
+WITH w AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events)
+SELECT user_id,
+       max(CASE WHEN ra = 1 THEN event_type END) AS first_type,
+       ROUND(max(CASE WHEN rd = 1 THEN value END), 6) AS last_value
+FROM w GROUP BY user_id
+""")
+def events_user_first_last(sf_dir: str):
+    """arg_min/arg_max per group (first event_type, last value per user by
+    event time) as a PARTIALIZABLE aggregate: each batch reduces to at
+    most one candidate row per user present (its local first and last),
+    and only those narrow partials enter the keyed-bucket exchange — the
+    combiner-before-shuffle shape, not a full-data window sort. Ties on
+    ts break by event_id on both engines."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "event_type",
+                             "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        g = df.groupby("user_id", sort=False)
+        f = g.head(1).set_index("user_id")
+        l = g.tail(1).set_index("user_id")
+        return pd.DataFrame({
+            "user_id": f.index.to_numpy(),
+            "ts_f": f["ts"].to_numpy(), "eid_f": f["event_id"].to_numpy(),
+            "first_type": f["event_type"].to_numpy(),
+            "ts_l": l["ts"].to_numpy(), "eid_l": l["event_id"].to_numpy(),
+            "last_value": l["value"].to_numpy(),
+        })
+
+    partials = ds.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        first = (g.sort_values(["user_id", "ts_f", "eid_f"])
+                  .groupby("user_id", sort=False).head(1)
+                  .set_index("user_id")["first_type"])
+        last = (g.sort_values(["user_id", "ts_l", "eid_l"])
+                 .groupby("user_id", sort=False).tail(1)
+                 .set_index("user_id")["last_value"])
+        return pd.DataFrame({
+            "user_id": first.index.to_numpy(),
+            "first_type": first.to_numpy(),
+            "last_value": round_np(last.loc[first.index].to_numpy(), 6),
+        })
+
+    return rel.keyed_window(partials, "user_id", combine,
+                            n_rows=partials.count())
+
+
+@register("doc_prefix_edit_pairs", """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+WHERE levenshtein(lower(substr(a.text, 1, 24)),
+                  lower(substr(b.text, 1, 24))) <= 1
+""")
+def doc_prefix_edit_pairs(sf_dir: str):
+    """Edit-distance near-dup (6th dedup family): all document pairs whose
+    normalized 24-char prefixes are within Levenshtein distance 1,
+    via the exact deletion-neighborhood banding in
+    ops/dedup.py::edit_distance_pairs — no all-pairs compare anywhere;
+    the oracle IS the all-pairs definition DuckDB can afford at sf0.01."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    keyed = ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "__key": pc.utf8_lower(
+                pc.utf8_slice_codeunits(t["text"], 0, 24)),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    return dedup.edit_distance_pairs(keyed, "doc_id", "__key")
+
+
+# ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
 

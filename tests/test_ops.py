@@ -1354,3 +1354,54 @@ def test_grouped_agg_modes_agree_on_random_data():
     for mode in ("shuffle", "bucket"):
         pd.testing.assert_frame_equal(outs[mode], outs["driver"],
                                       check_dtype=False, atol=1e-9)
+
+
+def test_lev_le1_exhaustive_small_alphabet():
+    """_lev_le1 vs a real DP over every string pair of length <= 3 on a
+    2-letter alphabet (complete truth table for the fast path)."""
+    from itertools import product
+
+    from illumio_ray.ops.dedup import _lev_le1
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, y in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1,
+                                         prev + (x != y))
+        return dp[-1]
+
+    strs = [""] + ["".join(p) for n in (1, 2, 3)
+                   for p in product("ab", repeat=n)]
+    for a in strs:
+        for b in strs:
+            assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_edit_distance_pairs_matches_bruteforce():
+    """Deletion-neighborhood banding finds EXACTLY the distance<=1 pairs
+    on a random corpus with planted substitutions/indels/dups."""
+    from illumio_ray.ops.dedup import _lev_le1, edit_distance_pairs
+
+    rng = np.random.default_rng(7)
+    base = ["".join(rng.choice(list("abcdef"), 10)) for _ in range(40)]
+    keys = list(base)
+    for i, k in enumerate(base[:20]):
+        j = int(rng.integers(0, len(k)))
+        if i % 3 == 0:
+            keys.append(k[:j] + "z" + k[j + 1:])   # substitution
+        elif i % 3 == 1:
+            keys.append(k[:j] + k[j + 1:])         # deletion
+        else:
+            keys.append(k)                          # exact dup
+    df = pd.DataFrame({"doc_id": np.arange(len(keys), dtype=np.int64),
+                       "key": keys})
+    got = (edit_distance_pairs(rd.from_pandas(df), "doc_id", "key")
+           .to_pandas().sort_values(["id_a", "id_b"])
+           .reset_index(drop=True))
+    want = sorted((i, j) for i in range(len(keys))
+                  for j in range(i + 1, len(keys))
+                  if _lev_le1(keys[i], keys[j]))
+    assert list(map(tuple, got.to_numpy())) == want
+    assert len(want) >= 20  # the plant actually produced pairs
