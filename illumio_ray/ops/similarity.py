@@ -261,3 +261,47 @@ def ivf_index_topk(index_dir: str, query_vec: np.ndarray, k: int,
                                        "score": pa.array([], pa.float64())}))
     cand = rd.read_parquet(files, columns=[id_col, vec_col])
     return brute_force_topk(cand, q, k, id_col, vec_col)
+
+
+def brute_force_topk_multi(ds: rd.Dataset, query_ids, query_mat: np.ndarray,
+                           k: int, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> rd.Dataset:
+    """Batched retrieval: exact cosine top-k for EACH of M broadcast query
+    vectors in ONE pass over the corpus — the serving shape (a request
+    batch against the whole index), not M separate scans. Per batch the
+    kernel is a single (B×D)·(D×M) matmul; the local prune keeps k rows
+    per (query, batch) with the global tie order (score desc, id asc), so
+    only M×k narrow rows per batch reach the per-query top-k reduce
+    (rel.topk_per_group — combiner-before-shuffle). M is a request batch
+    (≲ thousands): the M×k×blocks reduce input stays tiny while the scan
+    cost is shared across all M queries."""
+    from .relational import topk_per_group
+
+    Q = _normalize(np.asarray(query_mat, np.float64))
+    qids = np.asarray(query_ids, np.int64)
+    ref = ray.put(Q.T)  # D×M, one object-store copy read by every task
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        v = _normalize(vecs_from_arrow(t[vec_col]))
+        s = round_np(v @ ray.get(ref), 6)            # B × M
+        ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        kk = min(k, len(ids))
+        out_q, out_i, out_s = [], [], []
+        for m in range(len(qids)):                   # M small by contract
+            order = np.lexsort((ids, -s[:, m]))[:kk]
+            out_q.append(np.full(kk, qids[m], np.int64))
+            out_i.append(ids[order])
+            out_s.append(s[order, m])
+        return pa.table({"qid": pa.array(np.concatenate(out_q)),
+                         id_col: pa.array(np.concatenate(out_i)),
+                         "score": pa.array(np.concatenate(out_s),
+                                           pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return topk_per_group(scored, ["qid"], ["score", id_col], k,
+                          descending=[True, False])

@@ -3938,6 +3938,55 @@ def doc_prefix_edit_pairs(sf_dir: str):
     return dedup.edit_distance_pairs(keyed, "doc_id", "__key")
 
 
+@register("embedding_topk_multi", """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id < 5)
+SELECT qid, vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+             6) AS score
+FROM embeddings e, q
+QUALIFY row_number() OVER (
+  PARTITION BY qid
+  ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                        q.qe), 6) DESC, vec_id) <= 10
+""")
+def embedding_topk_multi(sf_dir: str):
+    """Batched retrieval: exact top-10 per query for a 5-query broadcast
+    matrix in ONE corpus pass (similarity.brute_force_topk_multi) — the
+    serving shape; the oracle is the per-query window-rank definition."""
+    t = pq.read_table(str(Path(sf_dir) / "embeddings.parquet"))
+    t = t.filter(pc.less(t["vec_id"], 5))
+    qids = t["vec_id"].to_numpy()
+    qmat = similarity.vecs_from_arrow(t["embedding"])
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.brute_force_topk_multi(ds, qids, qmat, 10)
+
+
+@register("embedding_topk_filtered", """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+           WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe),
+             6) AS score
+FROM embeddings, q WHERE label = 1
+ORDER BY ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qe),
+               6) DESC, vec_id
+LIMIT 10
+""")
+def embedding_topk_filtered(sf_dir: str):
+    """Filtered vector search: metadata predicate (label = 1) applied
+    BEFORE the similarity kernel — the predicate prunes rows per batch
+    upstream of the matmul (pre-filter ANN), never post-filtering a
+    too-small top-k."""
+    ds = read_table(sf_dir, "embeddings",
+                    columns=["vec_id", "embedding", "label"])
+    flt = ds.map_batches(
+        lambda t: t.filter(pc.equal(t["label"], 1))
+                   .select(["vec_id", "embedding"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return similarity.brute_force_topk(flt, _query_vec(sf_dir), 10)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -1405,3 +1405,24 @@ def test_edit_distance_pairs_matches_bruteforce():
                   if _lev_le1(keys[i], keys[j]))
     assert list(map(tuple, got.to_numpy())) == want
     assert len(want) >= 20  # the plant actually produced pairs
+
+
+def test_brute_force_topk_multi_equals_per_query_single():
+    """One multi-query pass returns, for each query, exactly what the
+    single-query kernel returns (including the rounded-score, id-asc tie
+    order)."""
+    rng = np.random.default_rng(11)
+    n, d = 300, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    mat[50] = mat[10]  # planted exact tie
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(mat)})
+    ds = rd.from_pandas(df)
+    qids = np.array([3, 10, 77], dtype=np.int64)
+    multi = (similarity.brute_force_topk_multi(ds, qids, mat[qids], 7)
+             .to_pandas())
+    for q in qids:
+        got = (multi[multi.qid == q][["vec_id", "score"]]
+               .reset_index(drop=True))
+        want = (similarity.brute_force_topk(ds, mat[q], 7).to_pandas())
+        pd.testing.assert_frame_equal(got, want)
