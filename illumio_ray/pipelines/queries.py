@@ -2490,6 +2490,28 @@ def events_value_rank(sf_dir: str):
     return rel.keyed_window(ds, "event_type", window)
 
 
+@register("events_value_dense_rank", """
+SELECT event_id,
+       CAST(dense_rank() OVER (PARTITION BY event_type
+                               ORDER BY value DESC) AS BIGINT) AS drnk
+FROM events
+""")
+def events_value_dense_rank(sf_dir: str):
+    """dense_rank() — gap-free twin of events_value_rank (pandas
+    method='dense'); completes the rank-family window primitives
+    (rank / dense_rank / ntile / percent_rank / row_number)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        rnk = (g.groupby("event_type", sort=False)["value"]
+                .rank(method="dense", ascending=False))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "drnk": rnk.to_numpy(np.int64)})
+
+    return rel.keyed_window(ds, "event_type", window)
+
+
 @register("doc_content_tokens", """
 SELECT doc_id,
        CAST(len(list_filter(string_split(text, ' '),

@@ -1426,3 +1426,26 @@ def test_brute_force_topk_multi_equals_per_query_single():
                .reset_index(drop=True))
         want = (similarity.brute_force_topk(ds, mat[q], 7).to_pandas())
         pd.testing.assert_frame_equal(got, want)
+
+
+def test_read_events_csv_gz_matches_parquet(tmp_path):
+    """CSV.gz ingest with a pinned schema reproduces the parquet table
+    exactly (types included) — no inference, decompression inferred from
+    the extension, column pruning at parse time."""
+    import pyarrow.parquet as pq
+
+    from illumio_ray.sources.csv import read_events_csv
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    df = src.to_pandas()
+    df["ts"] = df["ts"].dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+    p = tmp_path / "events.csv.gz"
+    df.to_csv(p, index=False, compression="gzip")
+
+    got = (read_events_csv(str(p)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = (src.to_pandas().sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    pruned = read_events_csv(str(p), columns=["event_id", "value"])
+    assert pruned.schema().names == ["event_id", "value"]
