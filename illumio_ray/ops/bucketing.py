@@ -44,12 +44,19 @@ def write_bucketed(ds: rd.Dataset, key_col: str, num_buckets: int,
 
 def read_bucket(out_dir: str | Path, bucket: int,
                 columns: list[str] | None = None) -> pa.Table:
+    """Current contents of one bucket. Honors the _HEAD generation
+    pointer left by upsert_bucketed (dead generations are invisible even
+    before a vacuum); a plain write_bucketed layout has no _HEAD and
+    reads all its parquet files."""
     import pyarrow.dataset as pads
 
     d = Path(out_dir) / f"__bucket={bucket}"
     if not d.exists():
         return pa.table({})
-    return pads.dataset(str(d)).to_table(columns=columns)
+    files = _live_files(d)
+    if not files:
+        return pa.table({})
+    return pads.dataset([str(p) for p in files]).to_table(columns=columns)
 
 
 def _bucket_schema(out_dir: str | Path) -> pa.Schema:
@@ -94,3 +101,110 @@ def bucketed_join(dir_a: str | Path, dir_b: str | Path, on: list[str],
                                 schema_a, schema_b)
             for i in range(num_buckets)]
     return rd.from_arrow_refs(refs)
+
+
+# ---------------------------------------------------------------------------
+# keyed upsert (incremental maintenance of a bucketed layout)
+# ---------------------------------------------------------------------------
+#
+# Each bucket directory gains generation files (gen-K-<token>.parquet) plus
+# a _HEAD pointer naming the live file. _HEAD is replaced with os.replace —
+# the single atomic commit point per bucket (same philosophy as the
+# lineage manifests: files first, pointer last; ≙ app/state
+# write-temp-then-rename). A crash mid-upsert leaves inert tmp/gen files
+# and the previous _HEAD intact. Buckets never written by write_bucketed's
+# original layout have no _HEAD; readers then fall back to "all parquet
+# files in the dir" (the freshly-written layout is gen 0).
+
+def _bucket_dir(layout_dir: str | Path, bucket: int) -> Path:
+    return Path(layout_dir) / f"__bucket={bucket}"
+
+
+def _live_files(bdir: Path) -> list[Path]:
+    head = bdir / "_HEAD"
+    if head.exists():
+        name = head.read_text().strip()
+        return [bdir / name] if name else []
+    return sorted(p for p in bdir.glob("*.parquet"))
+
+
+# read_bucket honors _HEAD directly; the alias keeps the intent-revealing
+# name at upsert call sites.
+read_bucket_live = read_bucket
+
+
+@ray.remote
+def _upsert_bucket(layout_dir: str, incoming_dir: str, bucket: int,
+                   key_col: str, token: str) -> dict:
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    new = read_bucket(incoming_dir, bucket)
+    if new.num_rows == 0:
+        return {"bucket": bucket, "added": 0, "replaced": 0}
+    old = read_bucket_live(layout_dir, bucket)
+    if old.num_rows:
+        mask = pc.is_in(old[key_col], value_set=pc.unique(new[key_col]))
+        replaced = int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+        kept = old.filter(pc.invert(mask))
+        merged = pa.concat_tables([kept, new.select(old.column_names)],
+                                  promote_options="default")
+    else:
+        replaced = 0
+        merged = new
+    bdir = _bucket_dir(layout_dir, bucket)
+    bdir.mkdir(parents=True, exist_ok=True)
+    gen = f"gen-{token}.parquet"
+    tmp = bdir / (gen + ".tmp")
+    pq.write_table(merged, tmp)
+    os.replace(tmp, bdir / gen)            # file visible, not yet live
+    head_tmp = bdir / f"_HEAD.{token}.tmp"
+    head_tmp.write_text(gen)
+    os.replace(head_tmp, bdir / "_HEAD")   # commit point
+    return {"bucket": bucket, "added": new.num_rows, "replaced": replaced}
+
+
+def upsert_bucketed(layout_dir: str | Path, new_ds: rd.Dataset,
+                    key_col: str, num_buckets: int) -> dict:
+    """Replace-by-key upsert of ``new_ds`` into an existing bucketed
+    layout: a new row replaces EVERY live row sharing its key; keys only
+    in the layout survive untouched. Only the buckets the new batch
+    actually touches are rewritten (incremental cost ∝ changed keys ×
+    bucket size, never layout size), one Ray task per touched bucket, the
+    driver holding counters only."""
+    import shutil
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    incoming = Path(layout_dir) / f"_incoming-{token}"
+    write_bucketed(new_ds, key_col, num_buckets, incoming)
+    try:
+        touched = sorted(int(p.name.split("=", 1)[1])
+                         for p in incoming.glob("__bucket=*"))
+        refs = [_upsert_bucket.remote(str(layout_dir), str(incoming), b,
+                                      key_col, token)
+                for b in touched]
+        stats = ray.get(refs)
+    finally:
+        shutil.rmtree(incoming, ignore_errors=True)
+    return {"buckets_touched": len(stats),
+            "rows_added": sum(s["added"] for s in stats),
+            "rows_replaced": sum(s["replaced"] for s in stats)}
+
+
+def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
+    """Delete non-live generation files left by completed upserts.
+    Safe any time: _HEAD is the source of truth and is never removed."""
+    removed = 0
+    for b in range(num_buckets):
+        bdir = _bucket_dir(layout_dir, b)
+        if not bdir.exists() or not (bdir / "_HEAD").exists():
+            continue
+        live = {p.name for p in _live_files(bdir)}
+        for p in bdir.glob("*.parquet*"):
+            if p.name not in live:
+                p.unlink()
+                removed += 1
+    return removed

@@ -1449,3 +1449,47 @@ def test_read_events_csv_gz_matches_parquet(tmp_path):
 
     pruned = read_events_csv(str(p), columns=["event_id", "value"])
     assert pruned.schema().names == ["event_id", "value"]
+
+
+def test_upsert_bucketed_replace_by_key_and_vacuum(tmp_path):
+    """Keyed upsert rewrites only touched buckets, replaces by key,
+    commits via the _HEAD pointer, and vacuum drops dead generations;
+    bucketed_join keeps working over the upserted layout."""
+    from illumio_ray.ops import bucketing
+
+    layout = tmp_path / "layout"
+    nb = 8
+    base = pd.DataFrame({"k": np.arange(100, dtype=np.int64),
+                         "v": np.zeros(100, dtype=np.int64)})
+    bucketing.write_bucketed(rd.from_pandas(base), "k", nb, layout)
+
+    upd = pd.DataFrame({"k": np.arange(50, 150, dtype=np.int64),
+                        "v": np.ones(100, dtype=np.int64)})
+    stats = bucketing.upsert_bucketed(layout, rd.from_pandas(upd), "k", nb)
+    assert stats["rows_added"] == 100 and stats["rows_replaced"] == 50
+
+    got = pa.concat_tables(
+        [t for b in range(nb)
+         if (t := bucketing.read_bucket_live(layout, b)).num_rows]
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    got = got[["k", "v"]]
+    want = pd.DataFrame({"k": np.arange(150, dtype=np.int64),
+                         "v": np.concatenate([np.zeros(50, np.int64),
+                                              np.ones(100, np.int64)])})
+    pd.testing.assert_frame_equal(got, want)
+
+    # co-located join is exact over the upserted layout EVEN BEFORE a
+    # vacuum (dead generations are invisible through the _HEAD pointer)
+    dim = pd.DataFrame({"k": np.arange(150, dtype=np.int64),
+                        "name": [f"n{i}" for i in range(150)]})
+    dim_dir = tmp_path / "dim"
+    bucketing.write_bucketed(rd.from_pandas(dim), "k", nb, dim_dir)
+    joined = bucketing.bucketed_join(layout, dim_dir, ["k"], nb).to_pandas()
+    assert len(joined) == 150 and set(joined.columns) >= {"k", "v", "name"}
+
+    # dead generations exist until vacuum; live view unchanged after
+    assert bucketing.vacuum_bucketed(layout, nb) > 0
+    again = pa.concat_tables(
+        [t for b in range(nb)
+         if (t := bucketing.read_bucket_live(layout, b)).num_rows])
+    assert again.num_rows == 150
