@@ -192,6 +192,45 @@ def tdigest_quantiles(ds, col: str, qs: list[float],
     return {q: acc.quantile(q) for q in qs}
 
 
+def tdigest_quantiles_by(ds, key_col: str, col: str, qs: list[float],
+                         delta: int = 128) -> dict:
+    """Per-group approximate quantiles: one t-digest per (block, group),
+    merged per key on the driver — the exchange is
+    O(blocks × groups × delta) centroids, never the value column. Right
+    for bounded group keys (event types, langs); unbounded keys would run
+    the same partials through a groupby reduce (the hll_distinct_by
+    rule)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        tbl = t.select([key_col, col]).filter(pc.is_valid(t[col]))
+        keys, means, weights = [], [], []
+        for key_val in pc.unique(tbl[key_col]).to_pylist():
+            sub = tbl.filter(pc.equal(tbl[key_col], key_val))
+            d = TDigest(delta).add_array(
+                sub[col].to_numpy(zero_copy_only=False))
+            keys.append(key_val)
+            means.append(d.means.tobytes())
+            weights.append(d.weights.tobytes())
+        return pa.table({"__k": pa.array(keys,
+                                         type=t.schema.field(key_col).type),
+                         "__m": pa.array(means, pa.binary()),
+                         "__w": pa.array(weights, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    acc: dict = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for k, mb, wb in zip(b["__k"].to_pylist(), b["__m"].to_pylist(),
+                             b["__w"].to_pylist()):
+            other = TDigest(delta)
+            other.means = np.frombuffer(mb, dtype=np.float64).copy()
+            other.weights = np.frombuffer(wb, dtype=np.float64).copy()
+            acc.setdefault(k, TDigest(delta)).merge(other)
+    return {k: {q: d.quantile(q) for q in qs} for k, d in acc.items()}
+
+
 class BloomFilter:
     """Vectorized Bloom filter over hash64 values (double hashing:
     idx_i = (h1 + i·h2) mod m). Sized from (n_items, fpp); bits ride the

@@ -406,6 +406,56 @@ def events_value_quantiles_td(sf_dir: str):
                      "p99": pa.array([round(qs[0.99], 4)])})
 
 
+@register("events_value_quantiles_by_type_td", None)  # approximate → rows-only
+def events_value_quantiles_by_type_td(sf_dir: str):
+    """GROUPED mergeable quantiles (t-digest per event type): one digest
+    per (block, group), merged per key driver-side — O(blocks × groups ×
+    delta) centroid exchange, never the value column. Accuracy vs exact
+    per-group quantiles pinned by test."""
+    from ..functions.sketches import tdigest_quantiles_by
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    per = tdigest_quantiles_by(ds, "event_type", "value", [0.5, 0.9])
+    keys = sorted(per)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "p50": pa.array([round(per[k][0.5], 4) for k in keys]),
+        "p90": pa.array([round(per[k][0.9], 4) for k in keys]),
+    })
+
+
+@register("doc_word_explode", """
+SELECT doc_id, word, ord FROM (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS word,
+         CAST(generate_subscripts(string_split(text, ' '), 1)
+              AS BIGINT) AS ord
+  FROM documents)
+WHERE ord <= 20
+""")
+def doc_word_explode(sf_dir: str):
+    """Ordered row explosion (UNNEST ... WITH ORDINALITY): one output row
+    per token with its 1-based position, capped at the first 20 per doc —
+    the flat_map-with-ordinal primitive (sequence labeling / position
+    features). The cap is applied BEFORE the explode (list slice), so
+    output width is bounded per row regardless of document length."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["text"].notna()]
+        words = df["text"].str.split(" ").str[:20]
+        n = words.str.len().to_numpy()
+        return pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), n),
+            "word": np.concatenate(words.to_numpy()) if n.sum() else
+                    np.array([], dtype=object),
+            "ord": np.concatenate([np.arange(1, c + 1) for c in n])
+                   if n.sum() else np.array([], dtype=np.int64),
+        })
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
 @register("corpus_top_words", """
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
 SELECT word, CAST(count(*) AS BIGINT) AS n

@@ -1493,3 +1493,24 @@ def test_upsert_bucketed_replace_by_key_and_vacuum(tmp_path):
         [t for b in range(nb)
          if (t := bucketing.read_bucket_live(layout, b)).num_rows])
     assert again.num_rows == 150
+
+
+def test_tdigest_quantiles_by_accuracy():
+    """Grouped t-digest per-key quantiles land within ~2 percentile points
+    of exact per-group quantiles on skewed data."""
+    from illumio_ray.functions.sketches import tdigest_quantiles_by
+
+    rng = np.random.default_rng(5)
+    n = 40_000
+    key = rng.choice(["a", "b", "c"], n)
+    val = np.where(key == "a", rng.lognormal(0, 1, n),
+                   rng.standard_normal(n) * 10)
+    df = pd.DataFrame({"k": key, "v": val})
+    per = tdigest_quantiles_by(rd.from_pandas(df), "k", "v", [0.5, 0.9])
+    for k in ("a", "b", "c"):
+        sub = np.sort(df[df.k == k]["v"].to_numpy())
+        for q in (0.5, 0.9):
+            exact = float(np.quantile(sub, q))
+            # rank error tolerance: position of estimate within ±2% ranks
+            pos = np.searchsorted(sub, per[k][q]) / len(sub)
+            assert abs(pos - q) < 0.02, (k, q, per[k][q], exact, pos)
