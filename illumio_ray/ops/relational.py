@@ -653,6 +653,70 @@ def range_join_count(left: rd.Dataset, right: rd.Dataset, left_ts: str,
                        [(key_col, "count", out_col)], mode="bucket")
 
 
+def interval_overlap_join(left: rd.Dataset, right: rd.Dataset,
+                          l_id: str, l_start: str, l_end: str,
+                          r_id: str, r_start: str, r_end: str,
+                          cell_us: int,
+                          num_partitions: int = 8) -> rd.Dataset:
+    """Interval-overlap join: pairs (l_id, r_id) where
+    [l_start, l_end] ∩ [r_start, r_end] ≠ ∅ (closed-interval
+    ``s_a <= e_b AND s_b <= e_a`` semantics). Ray Data has no interval
+    join; the distributed form is grid-cell banding:
+
+      - each interval explodes to the cells floor(start/cell) ..
+        floor(end/cell) it touches (fan-out = span/cell + 1; pick
+        ``cell_us`` near the typical span so fan-out stays ~2);
+      - a hash-partitioned equi-join on the cell id replaces the
+        non-equi predicate — overlapping intervals MUST share a cell;
+      - the exact overlap predicate runs vectorized per joined batch;
+      - duplicates (a pair sharing several cells) are eliminated
+        shuffle-free by the REPORTING-CELL rule: a pair is emitted only
+        from the cell containing max(l_start, r_start) — exactly one
+        cell per pair qualifies, so no global pair distinct is needed.
+
+    Timestamps or int64 µs accepted; ts columns normalize through
+    ts_as_us first."""
+    cell = np.int64(cell_us)
+
+    def explode(id_col: str, s_col: str, e_col: str, tag: str):
+        def fn(t: pa.Table) -> pa.Table:
+            s = ts_as_us(t[s_col]).to_numpy(zero_copy_only=False)
+            e = ts_as_us(t[e_col]).to_numpy(zero_copy_only=False)
+            c0 = s // cell
+            n = (e // cell - c0 + 1).astype(np.int64)
+            idx = np.repeat(np.arange(len(s)), n)
+            offs = np.concatenate([np.arange(k) for k in n]) if len(n) \
+                else np.array([], dtype=np.int64)
+            ids = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({
+                f"id_{tag}": pa.array(ids[idx]),
+                f"s_{tag}": pa.array(s[idx], pa.int64()),
+                f"e_{tag}": pa.array(e[idx], pa.int64()),
+                "__cell": pa.array(c0[idx] + offs, pa.int64()),
+            })
+        return fn
+
+    la = left.map_batches(explode(l_id, l_start, l_end, "a"),
+                          batch_format="pyarrow", zero_copy_batch=True)
+    rb = right.map_batches(explode(r_id, r_start, r_end, "b"),
+                           batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(la, rb, on=["__cell"],
+                       num_partitions=num_partitions)
+
+    def overlap(t: pa.Table) -> pa.Table:
+        sa = t["s_a"].to_numpy(zero_copy_only=False)
+        ea = t["e_a"].to_numpy(zero_copy_only=False)
+        sb = t["s_b"].to_numpy(zero_copy_only=False)
+        eb = t["e_b"].to_numpy(zero_copy_only=False)
+        c = t["__cell"].to_numpy(zero_copy_only=False)
+        keep = (sa <= eb) & (sb <= ea) & (np.maximum(sa, sb) // cell == c)
+        return pa.table({"id_a": t["id_a"].filter(pa.array(keep)),
+                         "id_b": t["id_b"].filter(pa.array(keep))})
+
+    return joined.map_batches(overlap, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # time bucketing (≙ s3_analyzer window stats / db_stats rate windows)
 # ---------------------------------------------------------------------------

@@ -4010,6 +4010,42 @@ def doc_prefix_edit_pairs(sf_dir: str):
     return dedup.edit_distance_pairs(keyed, "doc_id", "__key")
 
 
+@register("events_interval_overlap", """
+WITH a AS (SELECT event_id AS id_a, ts AS s_a,
+                  ts + INTERVAL 5 MINUTE AS e_a
+           FROM events WHERE event_type = 'error'),
+     b AS (SELECT event_id AS id_b, ts AS s_b,
+                  ts + INTERVAL 5 MINUTE AS e_b
+           FROM events WHERE event_type = 'signup')
+SELECT id_a, id_b FROM a JOIN b ON s_a <= e_b AND s_b <= e_a
+""")
+def events_interval_overlap(sf_dir: str):
+    """Interval-overlap join (the non-equi join family beyond as-of and
+    band joins): error activity windows × signup activity windows, each
+    event opening a 5-minute interval. Distributed via
+    rel.interval_overlap_join — grid-cell banding + reporting-cell
+    dedup, never a time cross-product."""
+    five_min = np.timedelta64(5 * 60 * 1_000_000, "us")
+
+    def side(event_type: str):
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "event_type"])
+        return ds.map_batches(
+            lambda t, et=event_type: (
+                lambda f: pa.table({
+                    "event_id": f["event_id"],
+                    "s": f["ts"],
+                    "e": pc.add(pc.cast(f["ts"], pa.timestamp("us")),
+                                pa.scalar(five_min)),
+                }))(t.filter(pc.equal(t["event_type"], et))),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    return rel.interval_overlap_join(
+        side("error"), side("signup"),
+        "event_id", "s", "e", "event_id", "s", "e",
+        cell_us=5 * 60 * 1_000_000)
+
+
 @register("embedding_topk_multi", """
 WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
            FROM embeddings WHERE vec_id < 5)

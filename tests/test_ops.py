@@ -1514,3 +1514,35 @@ def test_tdigest_quantiles_by_accuracy():
             # rank error tolerance: position of estimate within ±2% ranks
             pos = np.searchsorted(sub, per[k][q]) / len(sub)
             assert abs(pos - q) < 0.02, (k, q, per[k][q], exact, pos)
+
+
+def test_interval_overlap_join_matches_bruteforce():
+    """Grid-cell banding + reporting-cell dedup returns EXACTLY the
+    closed-interval overlap pairs, including spans crossing many cells
+    (fan-out > 2) and touching endpoints."""
+    rng = np.random.default_rng(13)
+    n = 200
+    cell = 1000
+
+    def mk(seed_off):
+        s = rng.integers(0, 20_000, n).astype(np.int64)
+        # spans 0..5 cells wide; some zero-length intervals
+        e = s + rng.integers(0, 5 * cell, n).astype(np.int64)
+        return pd.DataFrame({"id": np.arange(seed_off, seed_off + n,
+                                             dtype=np.int64),
+                             "s": s, "e": e})
+
+    a, b = mk(0), mk(10_000)
+    got = (rel.interval_overlap_join(
+        rd.from_pandas(a), rd.from_pandas(b),
+        "id", "s", "e", "id", "s", "e", cell_us=cell)
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    sa, ea = a["s"].to_numpy()[:, None], a["e"].to_numpy()[:, None]
+    sb, eb = b["s"].to_numpy()[None, :], b["e"].to_numpy()[None, :]
+    m = (sa <= eb) & (sb <= ea)
+    ia, ib = np.nonzero(m)
+    want = pd.DataFrame({"id_a": a["id"].to_numpy()[ia],
+                         "id_b": b["id"].to_numpy()[ib]}).sort_values(
+        ["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert len(want) > 500  # non-trivial density
