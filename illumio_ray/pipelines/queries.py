@@ -4010,6 +4010,41 @@ def doc_prefix_edit_pairs(sf_dir: str):
     return dedup.edit_distance_pairs(keyed, "doc_id", "__key")
 
 
+@register("supplier_pagerank_top10", None)  # iterative → rows-only
+def supplier_pagerank_top10(sf_dir: str):
+    """Distributed PageRank (ops/graph.py) over the customer→supplier
+    purchase graph (orders ⋈ lineitem edges, suppliers offset into a
+    disjoint id space): top-10 suppliers by rank. The iterative-join
+    family — each round one hash join + one bucketed grouped sum over
+    (node, float) rows; exactness vs a dense power iteration is pinned
+    by test."""
+    from ..functions.rounding import round_col
+    from ..ops.graph import pagerank
+
+    OFF = 10_000_000
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    li = li.map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_suppkey"]),
+        batch_format="pyarrow")
+    edges = rel.hash_join(orders, li, on=["o_orderkey"]).map_batches(
+        lambda t: pa.table({
+            "src": pc.cast(t["o_custkey"], pa.int64()),
+            "dst": pc.add(pc.cast(t["l_suppkey"], pa.int64()),
+                          pa.scalar(OFF, pa.int64()))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ranks = pagerank(edges, iters=8)
+    sup = ranks.map_batches(
+        lambda t: (lambda f: pa.table({
+            "s_suppkey": pc.subtract(f["node"], pa.scalar(OFF, pa.int64())),
+            "rank": round_col(f["rank"], 9)}))(
+            t.filter(pc.greater_equal(t["node"],
+                                      pa.scalar(OFF, pa.int64())))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return sup.sort(["rank", "s_suppkey"],
+                    descending=[True, False]).limit(10)
+
+
 @register("events_interval_overlap", """
 WITH a AS (SELECT event_id AS id_a, ts AS s_a,
                   ts + INTERVAL 5 MINUTE AS e_a

@@ -1546,3 +1546,53 @@ def test_interval_overlap_join_matches_bruteforce():
         ["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
     assert len(want) > 500  # non-trivial density
+
+
+def test_pagerank_matches_dense_power_iteration():
+    """Distributed PageRank equals a dense numpy power iteration with the
+    same damping/iterations/dangling handling, on a random digraph with
+    dangling nodes and parallel edges."""
+    from illumio_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(3)
+    n = 60
+    m = 400
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    # make nodes 55..59 dangling: drop their out-edges
+    mask = src < 55
+    src, dst = src[mask], dst[mask]
+    edges = pd.DataFrame({"src": np.concatenate([src, src[:50]]),
+                          "dst": np.concatenate([dst, dst[:50]])})
+
+    got = (pagerank(rd.from_pandas(edges), iters=8)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+
+    # dense reference
+    uniq = set(zip(src.tolist(), dst.tolist()))
+    A = np.zeros((n, n))
+    for s, d in uniq:
+        A[s, d] = 1.0
+    out = A.sum(axis=1)
+    P = np.divide(A, out[:, None], out=np.zeros_like(A),
+                  where=out[:, None] > 0)
+    nodes_present = sorted({*src.tolist(), *dst.tolist()})
+    idx = np.array(nodes_present)
+    N = len(nodes_present)
+    r = np.full(n, 0.0); r[idx] = 1.0 / N
+    d = 0.85
+    dangling = (out == 0)
+    present = np.zeros(n, bool); present[idx] = True
+    for _ in range(8):
+        D = r[dangling & present].sum()
+        r_new = np.zeros(n)
+        r_new[idx] = (1 - d) / N + d * (P.T @ r)[idx] + d * D / N
+        r = r_new
+    want = pd.DataFrame({"node": idx.astype(np.int64), "rank": r[idx]})
+    merged = got.merge(want, on="node", suffixes=("_got", "_want"))
+    assert len(merged) == N
+    np.testing.assert_allclose(merged["rank_got"], merged["rank_want"],
+                               atol=1e-12)
+    assert abs(got["rank"].sum() - 1.0) < 1e-9
