@@ -1596,3 +1596,41 @@ def test_pagerank_matches_dense_power_iteration():
     np.testing.assert_allclose(merged["rank_got"], merged["rank_want"],
                                atol=1e-12)
     assert abs(got["rank"].sum() - 1.0) < 1e-9
+
+
+def test_zorder_layout_prunes_on_both_columns(tmp_path):
+    """A z-ordered layout skips most row groups for a narrow predicate on
+    EITHER interleaved column; a single-column sort only prunes its own
+    column. Correctness: the layout holds exactly the input rows."""
+    from illumio_ray.ops import zorder
+
+    rng = np.random.default_rng(17)
+    n = 200_000
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 1024, n).astype(np.int64),
+        "t": rng.integers(0, 1_000_000, n).astype(np.int64),
+        "v": rng.standard_normal(n),
+    })
+
+    zdir = tmp_path / "bycurve"
+    zorder.write_zordered(rd.from_pandas(df), ["user_id", "t"], zdir,
+                          num_files=32)
+    tdir = tmp_path / "bytime"
+    rd.from_pandas(df).sort("t").repartition(32).write_parquet(str(tdir))
+
+    # same rows either way
+    got = rd.read_parquet(str(zdir)).to_pandas()
+    assert len(got) == n and int(got["user_id"].sum()) == int(
+        df["user_id"].sum())
+
+    # ~1/64 slice of each dimension
+    z_user = zorder.fraction_scanned(zdir, "user_id", 512, 527)
+    z_time = zorder.fraction_scanned(zdir, "t", 500_000, 515_625)
+    t_user = zorder.fraction_scanned(tdir, "user_id", 512, 527)
+    t_time = zorder.fraction_scanned(tdir, "t", 500_000, 515_625)
+
+    assert t_time <= 0.10          # time-sorted prunes time...
+    assert t_user >= 0.90          # ...but scans everything for user
+    assert z_user <= 0.55          # z-order prunes BOTH dimensions
+    assert z_time <= 0.55
+    assert z_user < t_user / 2 and z_time < 0.9
