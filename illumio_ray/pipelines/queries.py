@@ -4010,6 +4010,51 @@ def doc_prefix_edit_pairs(sf_dir: str):
     return dedup.edit_distance_pairs(keyed, "doc_id", "__key")
 
 
+@register("events_zorder_range_count", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n
+FROM events
+WHERE user_id BETWEEN 100 AND 149
+  AND ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
+GROUP BY event_type
+""")
+def events_zorder_range_count(sf_dir: str):
+    """Rectangle predicate served from a PERSISTED Z-ORDER layout (built
+    once per sf dir, reused across runs): the (user_id, ts) Morton sort
+    lets the parquet read prune most row groups for a predicate on BOTH
+    dimensions (ops/zorder.py — skip-rate pinned by test); the filter
+    pushes down into the read, and the layout answer must equal the
+    straight-scan SQL oracle exactly."""
+    from ..ops import zorder
+
+    n = pq.ParquetFile(str(Path(sf_dir) / "events.parquet")
+                       ).metadata.num_rows
+    lay = Path(f"/tmp/illumio_ray_testdata/zorder_{Path(sf_dir).name}_{n}")
+    marker = lay / "_done"
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(lay, ignore_errors=True)
+        ds = read_table(sf_dir, "events",
+                        columns=["event_id", "user_id", "ts", "event_type"])
+        ds = rel.with_columns(ds, {"__ts_us": lambda t: pc.cast(
+            pc.cast(t["ts"], pa.timestamp("us")), pa.int64())},
+            keep=["event_id", "user_id", "ts", "event_type", "__ts_us"])
+        zorder.write_zordered(ds, ["user_id", "__ts_us"], lay,
+                              num_files=max(8, n // 250_000))
+        marker.write_text("ok")
+    import pyarrow.dataset as pads
+
+    lo = pa.scalar(np.datetime64("2024-01-10", "us"))
+    hi = pa.scalar(np.datetime64("2024-01-20", "us"))
+    # the rectangle pushes down into the read: row groups outside it are
+    # skipped from footer stats (the whole point of the layout)
+    expr = ((pads.field("user_id") >= 100) & (pads.field("user_id") <= 149)
+            & (pads.field("ts") >= lo) & (pads.field("ts") <= hi))
+    flt = rd.read_parquet(str(lay), filter=expr)
+    return rel.grouped_agg(flt.select_columns(["event_type"]),
+                           ["event_type"], [("event_type", "count", "n")])
+
+
 @register("supplier_pagerank_top10", None)  # iterative → rows-only
 def supplier_pagerank_top10(sf_dir: str):
     """Distributed PageRank (ops/graph.py) over the customer→supplier
