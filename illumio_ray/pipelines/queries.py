@@ -4013,7 +4013,7 @@ def doc_prefix_edit_pairs(sf_dir: str):
 @register("events_zorder_range_count", """
 SELECT event_type, CAST(count(*) AS BIGINT) AS n
 FROM events
-WHERE user_id BETWEEN 100 AND 149
+WHERE user_id BETWEEN 3 AND 7
   AND ts BETWEEN TIMESTAMP '2024-01-10' AND TIMESTAMP '2024-01-20'
 GROUP BY event_type
 """)
@@ -4048,7 +4048,11 @@ def events_zorder_range_count(sf_dir: str):
     hi = pa.scalar(np.datetime64("2024-01-20", "us"))
     # the rectangle pushes down into the read: row groups outside it are
     # skipped from footer stats (the whole point of the layout)
-    expr = ((pads.field("user_id") >= 100) & (pads.field("user_id") <= 149)
+    # bounds populated at EVERY sf tier (user_id cardinality grows with
+    # sf; 100+ does not exist at sf0.001). An all-pruned read yields an
+    # empty Dataset whose to_pandas() drops the schema in Ray 2.49 —
+    # oracle-backed queries must never return empty at gate scale.
+    expr = ((pads.field("user_id") >= 3) & (pads.field("user_id") <= 7)
             & (pads.field("ts") >= lo) & (pads.field("ts") <= hi))
     flt = rd.read_parquet(str(lay), filter=expr)
     return rel.grouped_agg(flt.select_columns(["event_type"]),
