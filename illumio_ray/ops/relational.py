@@ -811,3 +811,102 @@ def sliding_window_counts(ds: rd.Dataset, ts_col: str, window_sec: int,
     partials = ds.map_batches(partial, batch_format="pyarrow",
                               zero_copy_batch=True)
     return grouped_agg(partials, [out_ts], [("__n", "sum", out_n)])
+
+
+def snapshot_diff(old: rd.Dataset, new: rd.Dataset, keys: list[str],
+                  compare: list[str],
+                  num_partitions: int | None = None) -> rd.Dataset:
+    """Keyed change-data-capture between two snapshots of the same table
+    shape: FULL OUTER hash join on ``keys``, then per-row classification —
+    ``added`` (key only in new), ``removed`` (key only in old),
+    ``changed`` (key in both, any ``compare`` column differs, null-safe).
+    Unchanged rows are DROPPED: at scale the diff is the small output and
+    the snapshots are the big inputs, so nothing beyond the changed keys
+    ever reaches the driver (generalizes the reference's
+    processed-vs-listed reconciliation, app/s3_manager.py:208-211, from
+    set membership to value-level drift).
+
+    Output columns: keys…, ``status``, then ``old_<c>`` / ``new_<c>`` per
+    compare column (nulls on the absent side). Each side must be unique
+    per key (pre-aggregate first — same contract as SQL FULL OUTER diff).
+    """
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def mark(side: str):
+        def _m(t: pa.Table) -> pa.Table:
+            cols = {f"__{side}_{k}": t[k] for k in keys}
+            for c in compare:
+                cols[f"{side}_{c}"] = t[c]
+            cols[f"__{side}"] = pa.array(np.ones(len(t), np.int8))
+            return pa.table(cols)
+        return _m
+
+    lhs = drop_empty_blocks(old.map_batches(mark("old"),
+                            batch_format="pyarrow", zero_copy_batch=True))
+    rhs = drop_empty_blocks(new.map_batches(mark("new"),
+                            batch_format="pyarrow", zero_copy_batch=True))
+    joined = lhs.join(rhs, join_type="full_outer",
+                      num_partitions=num_partitions,
+                      on=tuple(f"__old_{k}" for k in keys),
+                      right_on=tuple(f"__new_{k}" for k in keys))
+
+    def classify(t: pa.Table) -> pa.Table:
+        in_old = pc.is_valid(t["__old"])
+        in_new = pc.is_valid(t["__new"])
+        # null-safe inequality on any compare column
+        diff = pa.array(np.zeros(len(t), np.bool_))
+        for c in compare:
+            a, b = t[f"old_{c}"], t[f"new_{c}"]
+            ne = pc.fill_null(pc.not_equal(a, b), False)
+            nullness = pc.xor(pc.is_valid(a), pc.is_valid(b))
+            diff = pc.or_(diff, pc.or_(ne, nullness))
+        status = pc.if_else(
+            pc.and_(in_old, in_new),
+            pc.if_else(diff, "changed", pa.scalar(None, pa.string())),
+            pc.if_else(in_new, "added", "removed"))
+        # Ray coalesces the key into the LEFT column name on full_outer
+        cols = {k: t[f"__old_{k}"] for k in keys}
+        cols["status"] = status
+        for c in compare:
+            cols[f"old_{c}"] = t[f"old_{c}"]
+            cols[f"new_{c}"] = t[f"new_{c}"]
+        return pa.table(cols).filter(pc.is_valid(status))
+
+    return joined.map_batches(classify, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def grouped_linreg(ds: rd.Dataset, keys: list[str], x: str, y: str,
+                   ndigits: int = 2) -> pa.Table:
+    """Per-group ordinary-least-squares fit of ``y = slope·x + intercept``
+    as a PARTIALIZABLE aggregate (same shape as Pearson corr): each batch
+    contributes (n, Σx, Σy, Σxy, Σx²) per group, combined driver-side,
+    and the closed form runs over one tiny table. One pass, no shuffle.
+    Rounded half-away-from-zero to ``ndigits`` (matches SQL
+    ROUND(regr_slope(y, x), n))."""
+    from ..functions.rounding import round_np
+
+    ds = with_columns(ds, {
+        "__xy": lambda t: pc.multiply(t[x], t[y]),
+        "__xx": lambda t: pc.multiply(t[x], t[x])},
+        keep=[*keys, x, y, "__xy", "__xx"])
+    agg = grouped_agg(ds, keys, [
+        (x, "count", "n"), (x, "sum", "sx"), (y, "sum", "sy"),
+        ("__xy", "sum", "sxy"), ("__xx", "sum", "sxx")]).take_all()
+    agg.sort(key=lambda a: tuple(a[k] for k in keys))
+    out: dict[str, list] = {k: [] for k in keys}
+    slopes, intercepts = [], []
+    for a in agg:
+        n = float(a["n"])
+        cov = a["sxy"] - a["sx"] * a["sy"] / n
+        vx = a["sxx"] - a["sx"] * a["sx"] / n
+        slope = cov / vx if vx else float("nan")
+        for k in keys:
+            out[k].append(a[k])
+        slopes.append(slope)
+        intercepts.append(a["sy"] / n - slope * a["sx"] / n)
+    cols: dict[str, pa.Array] = {k: pa.array(v) for k, v in out.items()}
+    cols["slope"] = pa.array(round_np(np.array(slopes), ndigits))
+    cols["intercept"] = pa.array(round_np(np.array(intercepts), ndigits))
+    return pa.table(cols)

@@ -922,3 +922,31 @@ def normalize_text(ds: rd.Dataset, text_col: str = "text",
         return t.append_column(out_col, x)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_compression_ratio(ds: rd.Dataset, text_col: str = "text",
+                          id_col: str = "doc_id") -> rd.Dataset:
+    """zlib compression ratio per document (compressed bytes / raw bytes,
+    UTF-8) — the classic cheap proxy for repetitive/boilerplate web text
+    used alongside the Gopher rules: degenerate pages compress far below
+    natural prose (< ~0.3 at level 6), while unique prose sits ~0.4–0.7.
+    Row-local map stage (zlib is stdlib and deterministic across runs for
+    a fixed level), no shuffle at any scale. NULL text → NULL ratio."""
+    import zlib
+
+    from ..functions.rounding import round_np
+
+    def fn(t: pa.Table) -> pa.Table:
+        txt = t[text_col].to_pylist()
+        ratios = np.full(len(txt), np.nan)
+        for i, s in enumerate(txt):
+            if s is None:
+                continue
+            raw = s.encode("utf-8")
+            if raw:
+                ratios[i] = len(zlib.compress(raw, 6)) / len(raw)
+        return pa.table({id_col: t[id_col],
+                         "compression_ratio": pa.array(
+                             round_np(ratios, 6), pa.float64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -4179,6 +4179,83 @@ def embedding_topk_filtered(sf_dir: str):
     return similarity.brute_force_topk(flt, _query_vec(sf_dir), 10)
 
 
+@register("events_user_day_diff", """
+WITH a AS (
+  SELECT user_id, count(*) AS n FROM events
+  WHERE ts >= TIMESTAMP '2024-01-05' AND ts < TIMESTAMP '2024-01-06'
+  GROUP BY 1),
+b AS (
+  SELECT user_id, count(*) AS n FROM events
+  WHERE ts >= TIMESTAMP '2024-01-06' AND ts < TIMESTAMP '2024-01-07'
+  GROUP BY 1)
+SELECT COALESCE(a.user_id, b.user_id) AS user_id,
+       CASE WHEN a.user_id IS NULL THEN 'added'
+            WHEN b.user_id IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       a.n AS old_n, b.n AS new_n
+FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+WHERE a.user_id IS NULL OR b.user_id IS NULL OR a.n <> b.n
+""")
+def events_user_day_diff(sf_dir: str):
+    """Change-data-capture between two snapshots (per-user activity on
+    consecutive days): rel.snapshot_diff classifies every key as
+    added / removed / changed via one FULL OUTER hash exchange and drops
+    unchanged keys before anything reaches the driver — the incremental
+    shape of the reference's listed-vs-processed reconciliation
+    (app/s3_manager.py:208-211) lifted to value-level drift."""
+    ev = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def day(lo: str, hi: str) -> rd.Dataset:
+        l, h = _ts(lo), _ts(hi)
+        f = ev.map_batches(
+            lambda t, l=l, h=h: t.filter(pc.and_(
+                pc.greater_equal(t["ts"], l), pc.less(t["ts"], h))),
+            batch_format="pyarrow", zero_copy_batch=True)
+        return rel.grouped_agg(f.select_columns(["user_id"]), ["user_id"],
+                               [("user_id", "count", "n")], mode="shuffle")
+
+    diff = rel.snapshot_diff(day("2024-01-05", "2024-01-06"),
+                             day("2024-01-06", "2024-01-07"),
+                             keys=["user_id"], compare=["n"])
+    return diff.map_batches(lambda t: pa.table({
+        "user_id": pc.cast(t["user_id"], pa.int64()),
+        "status": t["status"],
+        "old_n": pc.cast(t["old_n"], pa.int64()),
+        "new_n": pc.cast(t["new_n"], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("lineitem_price_qty_linreg", """
+SELECT l_returnflag,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 2) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+FROM lineitem GROUP BY l_returnflag
+""")
+def lineitem_price_qty_linreg(sf_dir: str):
+    """Per-group OLS fit (price ~ quantity per returnflag) as a
+    partializable aggregate: five running sums per group leave the map
+    stage, the closed form runs on the driver over #groups rows
+    (rel.grouped_linreg — same partial shape as Pearson corr). Rounded at
+    2 digits on both sides: slope/intercept are O(1e3-1e4), so 1e-6
+    rounding would sit below cross-engine summation-order noise."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity",
+                             "l_extendedprice"])
+    return rel.grouped_linreg(li, ["l_returnflag"],
+                              x="l_quantity", y="l_extendedprice",
+                              ndigits=2)
+
+
+@register("doc_compression_ratio", None)  # zlib → not SQL-expressible
+def doc_compression_ratio(sf_dir: str):
+    """Compressibility quality signal (zlib level 6 bytes ratio per doc):
+    the cheap repetition proxy used alongside the Gopher rules — see
+    ops/textops.py::add_compression_ratio. Deterministic, row-local,
+    shuffle-free; pinned by tests (repetitive ≪ prose ratio)."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.add_compression_ratio(docs)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -1634,3 +1634,54 @@ def test_zorder_layout_prunes_on_both_columns(tmp_path):
     assert z_user <= 0.55          # z-order prunes BOTH dimensions
     assert z_time <= 0.55
     assert z_user < t_user / 2 and z_time < 0.9
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged():
+    old = rd.from_arrow(pa.table({
+        "k": [1, 2, 3, 4],
+        "v": pa.array([10, 20, 30, None], pa.int64())}))
+    new = rd.from_arrow(pa.table({
+        "k": [2, 3, 4, 5],
+        "v": pa.array([20, 31, 40, 50], pa.int64())}))
+    out = rel.snapshot_diff(old, new, keys=["k"], compare=["v"]).to_pandas()
+    by_k = {int(r.k): r for r in out.itertuples()}
+    assert set(by_k) == {1, 3, 4, 5}      # k=2 unchanged → dropped
+    assert by_k[1].status == "removed"
+    assert by_k[3].status == "changed" and by_k[3].new_v == 31
+    assert by_k[4].status == "changed"    # null → value is a change
+    assert by_k[5].status == "added" and by_k[5].new_v == 50
+
+
+def test_grouped_linreg_matches_polyfit():
+    rng = np.random.default_rng(7)
+    n = 5000
+    g = rng.integers(0, 3, n)
+    x = rng.uniform(0, 50, n)
+    y = np.where(g == 0, 3.0 * x + 7.0,
+                 np.where(g == 1, -2.0 * x + 100.0, 0.5 * x)) \
+        + rng.normal(0, 0.5, n)
+    ds = rd.from_arrow(pa.table({"g": g, "x": x, "y": y})
+                       ).repartition(8)
+    out = rel.grouped_linreg(ds, ["g"], "x", "y", ndigits=4).to_pandas()
+    for grp in range(3):
+        slope, intercept = np.polyfit(x[g == grp], y[g == grp], 1)
+        row = out[out.g == grp].iloc[0]
+        assert abs(row.slope - slope) < 1e-3, (grp, row.slope, slope)
+        assert abs(row.intercept - intercept) < 1e-3
+
+
+def test_compression_ratio_orders_repetitive_below_prose():
+    from illumio_ray.ops import textops
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [1, 2, 3],
+        "text": pa.array(["spam " * 400,
+                          "A genuinely varied sentence about web-scale "
+                          "data pipelines, entropy, and parquet files. "
+                          "每个文档 different words avoid repetition "
+                          "entirely through unique vocabulary items.",
+                          None], pa.string())}))
+    out = textops.add_compression_ratio(docs).to_pandas() \
+        .set_index("doc_id").compression_ratio
+    assert out[1] < 0.1 < out[2]
+    assert np.isnan(out[3])
