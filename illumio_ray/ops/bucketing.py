@@ -17,6 +17,7 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -208,3 +209,35 @@ def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
                 p.unlink()
                 removed += 1
     return removed
+
+
+@ray.remote
+def _lookup_bucket(layout_dir: str, bucket: int, key_col: str,
+                   keys: list, columns: list[str] | None) -> pa.Table:
+    t = read_bucket(layout_dir, bucket, columns)
+    if t.num_rows == 0:
+        sch = _bucket_schema(layout_dir)
+        t = sch.empty_table()
+        t = t.select(columns) if columns else t.drop_columns(["__bucket"])
+    return t.filter(pc.is_in(t[key_col], value_set=pa.array(keys)))
+
+
+def bucketed_lookup(layout_dir: str | Path, key_col: str, keys: list,
+                    num_buckets: int,
+                    columns: list[str] | None = None) -> rd.Dataset:
+    """Point lookups against a persisted bucketed layout WITHOUT scanning
+    it: each probe key hashes to its bucket with stable_hash64 — the same
+    function that wrote the layout — so only the ≤ min(#keys, K) bucket
+    directories that can contain a probe key are ever opened. One Ray
+    task per touched bucket filters its bucket to the probe keys
+    (vectorized is_in); untouched buckets cost nothing. This is the
+    layout's third amortized consumer (after the co-located join and the
+    re-grouped aggregate): the index IS the directory structure."""
+    ks = pa.array(keys)
+    buckets = stable_hash64(ks) % np.uint64(num_buckets)
+    by_bucket: dict[int, list] = {}
+    for key, b in zip(keys, buckets):
+        by_bucket.setdefault(int(b), []).append(key)
+    refs = [_lookup_bucket.remote(str(layout_dir), b, key_col, bks, columns)
+            for b, bks in sorted(by_bucket.items())]
+    return rd.from_arrow_refs(refs)

