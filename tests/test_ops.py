@@ -949,6 +949,23 @@ def test_dup_components_path_graph_and_empty():
     assert empty.count() == 0
 
 
+def test_dup_components_driver_path_equals_distributed():
+    from illumio_ray.ops import dedup
+
+    rng = np.random.default_rng(11)
+    # random graph with chains, cliques and singleton pairs
+    a = rng.integers(0, 400, 600)
+    b = np.where(rng.random(600) < 0.5, a + 1, rng.integers(0, 400, 600))
+    pairs = pd.DataFrame({"id_a": a, "id_b": b})
+    pairs = pairs[pairs.id_a != pairs.id_b].reset_index(drop=True)
+    drv = (dedup.dup_components(rd.from_pandas(pairs))
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    dist = (dedup.dup_components(rd.from_pandas(pairs),
+                                 driver_edge_limit=0)
+            .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(drv, dist, check_dtype=False)
+
+
 def test_drop_empty_blocks_enables_join_after_shuffle_agg():
     # shuffle grouped_agg can emit 0-row EMPTY-SCHEMA blocks that crash a
     # downstream Dataset.join; drop_empty_blocks must remove them.
