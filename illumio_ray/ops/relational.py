@@ -937,3 +937,109 @@ def weighted_sample(ds: rd.Dataset, id_col: str, weight_col: str,
     keyed = ds.map_batches(add_key, batch_format="pyarrow",
                            zero_copy_batch=True)
     return topk(keyed, ["__ares"], k).drop_columns(["__ares"])
+
+
+def exact_quantile_disc(ds: rd.Dataset, col: str, qs: list[float],
+                        num_bins: int = 512,
+                        collect_limit: int = 200_000,
+                        max_passes: int = 8) -> list[float]:
+    """EXACT discrete quantiles (SQL quantile_disc: the element at
+    0-indexed rank ceil(n·q)−1) over an unbounded column WITHOUT
+    collecting it: iterative histogram refinement. Each pass is one
+    map-reduce — every block histograms the values inside each quantile's
+    current half-open range, the driver sums the per-block counts,
+    locates the bucket holding the target rank, and narrows that
+    quantile's range ×num_bins. When a range holds ≤ collect_limit values
+    the survivors are pulled and the rank read off directly. log_512(n)
+    passes (2 passes cover 10¹⁰ rows at the default limit) — the exact
+    counterpart to the mergeable t-digest (approximate) and the
+    driver-collect small path (doc_chars_quantiles). All quantiles share
+    each pass's scan. Values must be numeric, nulls ignored."""
+    # pass 0: global n / min / max (single tiny reduce)
+    def nmm(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"n": [len(v)], "lo": [float(v.min())],
+                         "hi": [float(v.max())]})
+
+    parts = [pa.table(b) for b in ds.map_batches(
+        nmm, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow")]
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    n = int(pc.sum(allp["n"]).as_py())
+    if n == 0:
+        return [float("nan")] * len(qs)
+    gmin = float(pc.min(allp["lo"]).as_py())
+    gmax = float(pc.max(allp["hi"]).as_py())
+
+    # per-quantile state: (target rank within range, lo, hi_excl, done value)
+    state = [{"k": max(0, int(np.ceil(n * q)) - 1), "lo": gmin,
+              "hi": float(np.nextafter(gmax, np.inf)), "n": n,
+              "val": None} for q in qs]
+
+    for _ in range(max_passes):
+        active = [i for i, s in enumerate(state)
+                  if s["val"] is None and s["n"] > collect_limit]
+        if not active:
+            break
+        ranges = [(i, state[i]["lo"], state[i]["hi"]) for i in active]
+
+        def hist(t: pa.Table, ranges=ranges) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            rows_i, rows_c = [], []
+            for i, lo, hi in ranges:
+                m = v[(v >= lo) & (v < hi)]
+                c, _ = np.histogram(m, bins=num_bins, range=(lo, hi))
+                rows_i.append(i)
+                rows_c.append(c.astype(np.int64))
+            return pa.table({"qi": pa.array(rows_i, pa.int32()),
+                             "counts": pa.array(rows_c)})
+
+        sums: dict[int, np.ndarray] = {i: np.zeros(num_bins, np.int64)
+                                       for i in active}
+        for b in ds.map_batches(hist, batch_format="pyarrow",
+                                zero_copy_batch=True
+                                ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for qi, cnts in zip(t["qi"].to_pylist(), t["counts"].to_pylist()):
+                sums[qi] += np.asarray(cnts, np.int64)
+        for i in active:
+            s = state[i]
+            cum = np.cumsum(sums[i])
+            b = int(np.searchsorted(cum, s["k"] + 1))
+            edges = np.linspace(s["lo"], s["hi"], num_bins + 1)
+            s["k"] -= int(cum[b - 1]) if b else 0
+            s["n"] = int(sums[i][b])
+            s["lo"], s["hi"] = float(edges[b]), float(edges[b + 1])
+            if s["hi"] <= np.nextafter(s["lo"], np.inf):
+                s["val"] = s["lo"]  # range collapsed to one float
+
+    # final: collect each small surviving range once (shared pass)
+    pending = [(i, state[i]["lo"], state[i]["hi"])
+               for i, s in enumerate(state) if s["val"] is None]
+    if pending:
+        def survivors(t: pa.Table, pending=pending) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ii, vv = [], []
+            for i, lo, hi in pending:
+                m = v[(v >= lo) & (v < hi)]
+                ii.extend([i] * len(m))
+                vv.extend(m.tolist())
+            return pa.table({"qi": pa.array(ii, pa.int32()),
+                             "v": pa.array(vv, pa.float64())})
+
+        got: dict[int, list] = {i: [] for i, _, _ in pending}
+        for b in ds.map_batches(survivors, batch_format="pyarrow",
+                                zero_copy_batch=True
+                                ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for qi, v in zip(t["qi"].to_pylist(), t["v"].to_pylist()):
+                got[qi].append(v)
+        for i, _, _ in pending:
+            vs = np.sort(np.array(got[i]))
+            state[i]["val"] = float(vs[state[i]["k"]])
+    return [s["val"] for s in state]

@@ -4179,6 +4179,26 @@ def embedding_topk_filtered(sf_dir: str):
     return similarity.brute_force_topk(flt, _query_vec(sf_dir), 10)
 
 
+@register("events_value_quantiles_exact", """
+SELECT quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.9) AS p90,
+       quantile_disc(value, 0.99) AS p99
+FROM events
+""")
+def events_value_quantiles_exact(sf_dir: str):
+    """EXACT quantiles over an unbounded column with NO driver collect:
+    iterative histogram refinement (rel.exact_quantile_disc) — each pass
+    one map-reduce that narrows every quantile's candidate range ×512, so
+    two passes bound 10^10 rows. The exact counterpart to the t-digest
+    sketch (approximate, mergeable) and the collect-one-column small path
+    (doc_chars_quantiles). collect_limit forced low here so the gate
+    exercises a real refinement pass even at sf0.01."""
+    ev = read_table(sf_dir, "events", columns=["value"])
+    p50, p90, p99 = rel.exact_quantile_disc(
+        ev, "value", [0.5, 0.9, 0.99], collect_limit=500)
+    return pa.table({"p50": [p50], "p90": [p90], "p99": [p99]})
+
+
 @register("orders_bucketed_lookup", """
 SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
        CAST(o_orderkey AS BIGINT) AS o_orderkey

@@ -1736,3 +1736,18 @@ def test_bucketed_lookup_prunes_to_probed_buckets(tmp_path):
     touched = set((stable_hash64(pa.array(probes)) % np.uint64(k)).tolist())
     assert out["__bucket"].nunique() if "__bucket" in out else True
     assert len(set(out.key)) == 3 and len(touched) <= 3
+
+
+def test_exact_quantile_disc_matches_rank_rule():
+    rng = np.random.default_rng(3)
+    # duplicates + skew to stress bucket collapse and rank bookkeeping
+    v = np.concatenate([rng.lognormal(0, 2, 6000).round(2),
+                        np.full(2000, 7.77)])
+    ds = rd.from_arrow(pa.table({"value": v})).repartition(8)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = rel.exact_quantile_disc(ds, "value", qs,
+                                  collect_limit=100, num_bins=64)
+    srt = np.sort(v)
+    for q, g in zip(qs, got):
+        expect = srt[max(0, int(np.ceil(len(v) * q)) - 1)]
+        assert g == expect, (q, g, expect)
