@@ -1043,3 +1043,96 @@ def exact_quantile_disc(ds: rd.Dataset, col: str, qs: list[float],
             vs = np.sort(np.array(got[i]))
             state[i]["val"] = float(vs[state[i]["k"]])
     return [s["val"] for s in state]
+
+
+def exact_quantile_disc_by(ds: rd.Dataset, key: str, col: str, q: float,
+                           num_bins: int = 256,
+                           collect_limit: int = 200_000,
+                           max_passes: int = 8) -> pa.Table:
+    """Per-group EXACT discrete quantile (quantile_disc semantics: the
+    group's element at 0-indexed rank ceil(n·q)−1) for a BOUNDED group
+    key, without collecting any group's values: the same iterative
+    histogram refinement as exact_quantile_disc, with every group's
+    candidate range narrowed in the SAME shared pass over the column.
+    Driver state is O(groups); per pass the exchange is O(groups ×
+    num_bins) counts. Upgrade path for the driver-interpolation small
+    path (doc_median_chars_by_lang) when per-group rows are unbounded.
+    Nulls ignored. Returns (key, q<percent>) with one row per group."""
+    # pass 0: per-group n / min / max — bounded keys → driver combine
+    base = grouped_agg(ds, [key], [(col, "count", "n"),
+                                   (col, "min", "lo"),
+                                   (col, "max", "hi")]).take_all()
+    state: dict = {}
+    for r in base:
+        n = int(r["n"])
+        if n == 0:
+            continue
+        state[r[key]] = {"k": max(0, int(np.ceil(n * q)) - 1),
+                         "lo": float(r["lo"]),
+                         "hi": float(np.nextafter(float(r["hi"]), np.inf)),
+                         "n": n, "val": None}
+
+    for _ in range(max_passes):
+        active = {g: (s["lo"], s["hi"]) for g, s in state.items()
+                  if s["val"] is None and s["n"] > collect_limit}
+        if not active:
+            break
+
+        def hist(t: pa.Table, active=active) -> pa.Table:
+            kv = t[key].to_numpy(zero_copy_only=False)
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            gs, cs = [], []
+            for g, (lo, hi) in active.items():
+                m = v[(kv == g) & (v >= lo) & (v < hi)]
+                c, _ = np.histogram(m, bins=num_bins, range=(lo, hi))
+                gs.append(g)
+                cs.append(c.astype(np.int64))
+            return pa.table({"g": pa.array(gs), "counts": pa.array(cs)})
+
+        sums = {g: np.zeros(num_bins, np.int64) for g in active}
+        for b in ds.map_batches(hist, batch_format="pyarrow",
+                                zero_copy_batch=True
+                                ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for g, cnts in zip(t["g"].to_pylist(), t["counts"].to_pylist()):
+                sums[g] += np.asarray(cnts, np.int64)
+        for g in active:
+            s = state[g]
+            cum = np.cumsum(sums[g])
+            bi = int(np.searchsorted(cum, s["k"] + 1))
+            edges = np.linspace(s["lo"], s["hi"], num_bins + 1)
+            s["k"] -= int(cum[bi - 1]) if bi else 0
+            s["n"] = int(sums[g][bi])
+            s["lo"], s["hi"] = float(edges[bi]), float(edges[bi + 1])
+            if s["hi"] <= np.nextafter(s["lo"], np.inf):
+                s["val"] = s["lo"]
+
+    pending = {g: (s["lo"], s["hi"]) for g, s in state.items()
+               if s["val"] is None}
+    if pending:
+        def survivors(t: pa.Table, pending=pending) -> pa.Table:
+            kv = t[key].to_numpy(zero_copy_only=False)
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            gs, vv = [], []
+            for g, (lo, hi) in pending.items():
+                m = v[(kv == g) & (v >= lo) & (v < hi)]
+                gs.extend([g] * len(m))
+                vv.extend(m.tolist())
+            return pa.table({"g": pa.array(gs), "v": pa.array(vv, pa.float64())})
+
+        got = {g: [] for g in pending}
+        for b in ds.map_batches(survivors, batch_format="pyarrow",
+                                zero_copy_batch=True
+                                ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for g, v in zip(t["g"].to_pylist(), t["v"].to_pylist()):
+                got[g].append(v)
+        for g in pending:
+            vs = np.sort(np.array(got[g]))
+            state[g]["val"] = float(vs[state[g]["k"]])
+
+    ks = sorted(state)
+    out_name = f"q{int(round(q * 100)):02d}"
+    return pa.table({key: pa.array(ks),
+                     out_name: pa.array([state[g]["val"] for g in ks],
+                                        pa.float64())})

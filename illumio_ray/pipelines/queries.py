@@ -4199,6 +4199,21 @@ def events_value_quantiles_exact(sf_dir: str):
     return pa.table({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
+@register("events_value_median_by_type_exact", """
+SELECT event_type, quantile_disc(value, 0.5) AS q50
+FROM events GROUP BY event_type
+""")
+def events_value_median_by_type_exact(sf_dir: str):
+    """Per-group EXACT median at scale (bounded group key, unbounded
+    per-group rows): every group's candidate range narrows ×256 in the
+    SAME shared refinement pass (rel.exact_quantile_disc_by), driver
+    state O(groups). collect_limit forced low so the gate exercises a
+    real refinement pass."""
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return rel.exact_quantile_disc_by(ev, "event_type", "value", 0.5,
+                                      collect_limit=200)
+
+
 @register("orders_bucketed_lookup", """
 SELECT CAST(o_custkey AS BIGINT) AS c_custkey,
        CAST(o_orderkey AS BIGINT) AS o_orderkey

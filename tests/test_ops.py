@@ -1751,3 +1751,19 @@ def test_exact_quantile_disc_matches_rank_rule():
     for q, g in zip(qs, got):
         expect = srt[max(0, int(np.ceil(len(v) * q)) - 1)]
         assert g == expect, (q, g, expect)
+
+
+def test_exact_quantile_disc_by_matches_rank_rule_per_group():
+    rng = np.random.default_rng(5)
+    g = np.repeat(["a", "b", "c"], 3000)
+    v = np.concatenate([rng.normal(10, 2, 3000).round(3),
+                        rng.lognormal(1, 1, 3000).round(3),
+                        np.full(3000, 4.5)])  # constant group → collapse
+    ds = rd.from_arrow(pa.table({"k": g, "value": v})).repartition(8)
+    out = rel.exact_quantile_disc_by(ds, "k", "value", 0.5,
+                                     collect_limit=50, num_bins=32)
+    df = out.to_pandas().set_index("k").q50
+    for grp in ["a", "b", "c"]:
+        vals = np.sort(v[g == grp])
+        expect = vals[max(0, int(np.ceil(len(vals) * 0.5)) - 1)]
+        assert df[grp] == expect, (grp, df[grp], expect)
