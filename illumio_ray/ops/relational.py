@@ -976,10 +976,65 @@ def exact_quantile_disc(ds: rd.Dataset, col: str, qs: list[float],
     gmin = float(pc.min(allp["lo"]).as_py())
     gmax = float(pc.max(allp["hi"]).as_py())
 
-    # per-quantile state: (target rank within range, lo, hi_excl, done value)
-    state = [{"k": max(0, int(np.ceil(n * q)) - 1), "lo": gmin,
+    ranks = [max(0, int(np.ceil(n * q)) - 1) for q in qs]
+    return _exact_rank_values(ds, col, ranks, n, gmin, gmax,
+                              num_bins, collect_limit, max_passes)
+
+
+def exact_quantile_cont(ds: rd.Dataset, col: str, qs: list[float],
+                        num_bins: int = 512,
+                        collect_limit: int = 200_000,
+                        max_passes: int = 8) -> list[float]:
+    """EXACT interpolated quantiles (SQL quantile_cont / median: linear
+    interpolation at position (n−1)·q) with the same no-collect histogram
+    refinement as exact_quantile_disc: both bracketing order statistics
+    resolve in the shared passes, then the driver interpolates two
+    scalars."""
+    def nmm(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if not len(v):
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"n": [len(v)], "lo": [float(v.min())],
+                         "hi": [float(v.max())]})
+
+    parts = [pa.table(b) for b in ds.map_batches(
+        nmm, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow")]
+    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    n = int(pc.sum(allp["n"]).as_py())
+    if n == 0:
+        return [float("nan")] * len(qs)
+    gmin = float(pc.min(allp["lo"]).as_py())
+    gmax = float(pc.max(allp["hi"]).as_py())
+
+    pos = [(n - 1) * q for q in qs]
+    ranks = sorted({r for p in pos
+                    for r in (int(np.floor(p)), int(np.ceil(p)))})
+    vals = dict(zip(ranks, _exact_rank_values(
+        ds, col, ranks, n, gmin, gmax, num_bins, collect_limit,
+        max_passes)))
+    out = []
+    for p in pos:
+        lo, hi = vals[int(np.floor(p))], vals[int(np.ceil(p))]
+        f = p - np.floor(p)
+        out.append(float(lo + f * (hi - lo)))
+    return out
+
+
+def _exact_rank_values(ds: rd.Dataset, col: str, ranks: list[int],
+                       n: int, gmin: float, gmax: float,
+                       num_bins: int, collect_limit: int,
+                       max_passes: int) -> list[float]:
+    """Core of the histogram-refinement selection: the element at each
+    0-indexed global rank (over the sorted non-null column), one shared
+    scan per pass for all ranks."""
+    # per-rank state: (target rank within range, lo, hi_excl, done value)
+    state = [{"k": k, "lo": gmin,
               "hi": float(np.nextafter(gmax, np.inf)), "n": n,
-              "val": None} for q in qs]
+              "val": None} for k in ranks]
 
     for _ in range(max_passes):
         active = [i for i, s in enumerate(state)

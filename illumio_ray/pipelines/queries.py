@@ -4199,6 +4199,27 @@ def events_value_quantiles_exact(sf_dir: str):
     return pa.table({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
+@register("lineitem_price_quantiles_cont", """
+SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem
+""")
+def lineitem_price_quantiles_cont(sf_dir: str):
+    """EXACT interpolated quantiles (SQL quantile_cont semantics) over
+    the fact table without collecting the column: the two bracketing
+    order statistics per quantile resolve in the shared histogram
+    refinement passes (rel.exact_quantile_cont), the driver interpolates
+    two scalars. collect_limit forced low to exercise refinement at gate
+    scale."""
+    from ..functions.rounding import round_np
+
+    li = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    p50, p95 = rel.exact_quantile_cont(li, "l_extendedprice",
+                                       [0.5, 0.95], collect_limit=500)
+    vals = round_np(np.array([p50, p95]), 6)
+    return pa.table({"p50": [vals[0]], "p95": [vals[1]]})
+
+
 @register("events_value_median_by_type_exact", """
 SELECT event_type, quantile_disc(value, 0.5) AS q50
 FROM events GROUP BY event_type

@@ -1767,3 +1767,14 @@ def test_exact_quantile_disc_by_matches_rank_rule_per_group():
         vals = np.sort(v[g == grp])
         expect = vals[max(0, int(np.ceil(len(vals) * 0.5)) - 1)]
         assert df[grp] == expect, (grp, df[grp], expect)
+
+
+def test_exact_quantile_cont_matches_numpy_linear():
+    rng = np.random.default_rng(9)
+    v = rng.lognormal(2, 1, 7000).round(4)
+    ds = rd.from_arrow(pa.table({"value": v})).repartition(8)
+    qs = [0.25, 0.5, 0.95]
+    got = rel.exact_quantile_cont(ds, "value", qs,
+                                  collect_limit=100, num_bins=64)
+    for q, g in zip(qs, got):
+        assert abs(g - np.quantile(v, q, method="linear")) < 1e-9
