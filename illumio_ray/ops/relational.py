@@ -1191,3 +1191,34 @@ def exact_quantile_disc_by(ds: rd.Dataset, key: str, col: str, q: float,
     return pa.table({key: pa.array(ks),
                      out_name: pa.array([state[g]["val"] for g in ks],
                                         pa.float64())})
+
+
+def grouped_string_agg(ds: rd.Dataset, key: str, col: str, out: str,
+                       sep: str = ",") -> rd.Dataset:
+    """collect_list / string_agg family: per group, the values of ``col``
+    sorted and joined into one string (SQL string_agg(col, sep ORDER BY
+    col)). Group cardinality is unbounded (≈ one group per key value), so
+    the exchange runs on hash(key) %% adaptive buckets — the bucket-mode
+    rule from grouped_agg — and each bucket builds its groups' lists with
+    one vectorized pandas groupby. A group's rows meet in exactly one
+    bucket, so lists are complete by construction. Per-group output size
+    grows with group size — this is the one aggregate whose OUTPUT is as
+    big as its input, so it shares the facts' partitioning rather than a
+    driver combine."""
+    nb = adaptive_bucket_count(None)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[key], index=False).to_numpy()
+        return df.assign(__gb=(h % np.uint64(nb)).astype(np.int32))
+
+    def per_bucket(g: pd.DataFrame) -> pa.Table:
+        g = g.sort_values(col, kind="mergesort")
+        s = g.groupby(key, sort=False)[col].agg(
+            lambda v: sep.join(map(str, v)))
+        return pa.table({key: pa.array(s.index.to_numpy()),
+                         out: pa.array(s.to_numpy(), pa.string())})
+
+    bucketed = ds.map_batches(add_bucket, batch_format="pandas")
+    res = bucketed.groupby("__gb").map_groups(per_bucket,
+                                              batch_format="pandas")
+    return drop_empty_blocks(res)

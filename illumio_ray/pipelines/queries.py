@@ -4199,6 +4199,23 @@ def events_value_quantiles_exact(sf_dir: str):
     return pa.table({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
+@register("customer_order_id_lists", """
+SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_ids
+FROM orders GROUP BY o_custkey
+""")
+def customer_order_id_lists(sf_dir: str):
+    """collect_list / string_agg per group (the one aggregate whose
+    output is as large as its input): unbounded key space → bucket-mode
+    exchange, each bucket builds its groups' sorted joined lists with one
+    vectorized pandas groupby (rel.grouped_string_agg). Deterministic —
+    the in-list order is the sorted value order, matching the oracle's
+    ORDER BY inside string_agg."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderkey"])
+    return rel.grouped_string_agg(orders, "o_custkey", "o_orderkey",
+                                  out="order_ids")
+
+
 @register("lineitem_price_quantiles_cont", """
 SELECT ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
        ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS p95

@@ -1778,3 +1778,18 @@ def test_exact_quantile_cont_matches_numpy_linear():
                                   collect_limit=100, num_bins=64)
     for q, g in zip(qs, got):
         assert abs(g - np.quantile(v, q, method="linear")) < 1e-9
+
+
+def test_grouped_string_agg_sorted_lists_across_blocks():
+    rng = np.random.default_rng(13)
+    k = rng.integers(0, 50, 2000)
+    v = rng.permutation(2000)
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(8)
+    out = rel.grouped_string_agg(ds, "k", "v", out="vs").to_pandas()
+    df = pd.DataFrame({"k": k, "v": v})
+    expect = df.sort_values("v").groupby("k")["v"].agg(
+        lambda s: ",".join(map(str, s)))
+    assert len(out) == len(expect)
+    got = out.set_index("k")["vs"]
+    for grp in expect.index:
+        assert got[grp] == expect[grp]
