@@ -950,3 +950,32 @@ def add_compression_ratio(ds: rd.Dataset, text_col: str = "text",
                              round_np(ratios, 6), pa.float64())})
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_word_windows(ds: rd.Dataset, id_col: str = "doc_id",
+                       text_col: str = "text", size: int = 50,
+                       stride: int = 40) -> rd.Dataset:
+    """Split each document into fixed-size word windows with overlap
+    (size − stride words shared between consecutive chunks) — the
+    context-window chunking step of a pretraining/RAG corpus build.
+    Chunk i covers words [i·stride, i·stride+size); starts run to
+    ceil(n/stride) so every word lands in ≥ 1 chunk and no chunk starts
+    past the end. Row-local (a doc's words never leave its batch), so
+    the op is a pure map stage at any scale; output rows ≈ rows × n/stride.
+    NULL text is dropped (SQL unnest semantics). Deterministic; chunk
+    text is the single-space join shared verbatim with the oracle."""
+    if stride <= 0 or size < stride:
+        raise ValueError("need 0 < stride <= size")
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch[batch[text_col].notna()]
+        ids, cis, chunks = [], [], []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            w = text.split(" ")
+            for i in range(int(np.ceil(len(w) / stride))):
+                ids.append(did)
+                cis.append(i)
+                chunks.append(" ".join(w[i * stride:i * stride + size]))
+        return pd.DataFrame({id_col: ids, "chunk_id": cis, "chunk": chunks})
+
+    return ds.map_batches(fn, batch_format="pandas")

@@ -4199,6 +4199,24 @@ def events_value_quantiles_exact(sf_dir: str):
     return pa.table({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
+@register("doc_chunk_windows", r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+           FROM documents WHERE text IS NOT NULL),
+c AS (SELECT doc_id, i,
+             array_to_string(w[i*40+1 : i*40+50], ' ') AS chunk
+      FROM t, UNNEST(range(0, CAST(ceil(len(w)/40.0) AS BIGINT))) AS u(i))
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, chunk FROM c
+""")
+def doc_chunk_windows(sf_dir: str):
+    """Context-window chunking with overlap (50-word windows, stride 40 —
+    10 shared words between consecutive chunks): the corpus-prep step
+    between cleaning and packing in a pretraining/RAG build. Pure map
+    stage (textops.chunk_word_windows); the oracle states the identical
+    slice algebra over string_split."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.chunk_word_windows(docs, size=50, stride=40)
+
+
 @register("customer_order_id_lists", """
 SELECT o_custkey, string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS order_ids
 FROM orders GROUP BY o_custkey

@@ -1793,3 +1793,22 @@ def test_grouped_string_agg_sorted_lists_across_blocks():
     got = out.set_index("k")["vs"]
     for grp in expect.index:
         assert got[grp] == expect[grp]
+
+
+def test_chunk_word_windows_overlap_and_coverage():
+    from illumio_ray.ops import textops
+
+    text = " ".join(f"w{i}" for i in range(100))
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2, 3],
+                                 "text": pa.array([text, "solo", None],
+                                                  pa.string())}))
+    out = (textops.chunk_word_windows(ds, size=50, stride=40)
+           .to_pandas().sort_values(["doc_id", "chunk_id"]))
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk_id) == [0, 1, 2]
+    assert d1.iloc[0].chunk.split(" ")[0] == "w0"
+    assert d1.iloc[1].chunk.split(" ")[0] == "w40"   # overlap of 10
+    assert d1.iloc[0].chunk.split(" ")[-1] == "w49"
+    assert d1.iloc[2].chunk == " ".join(f"w{i}" for i in range(80, 100))
+    assert list(out[out.doc_id == 2].chunk) == ["solo"]
+    assert 3 not in set(out.doc_id)  # NULL text dropped
