@@ -4199,6 +4199,37 @@ def events_value_quantiles_exact(sf_dir: str):
     return pa.table({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
+@register("events_user_rolling_mean", """
+SELECT event_id,
+       ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             6) AS roll_mean
+FROM events
+""")
+def events_user_rolling_mean(sf_dir: str):
+    """Bounded-frame moving average per key (ROWS BETWEEN 4 PRECEDING):
+    the window-frame shape the registry lacked next to UNBOUNDED
+    running aggregates and lag/lead — same user-bucket partition via the
+    shared rel.keyed_window helper, pandas rolling(min_periods=1) inside
+    each bucket."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        roll = (g.groupby("user_id", sort=False)["value"]
+                .rolling(5, min_periods=1).mean()
+                .reset_index(drop=True))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "roll_mean": round_np(roll.to_numpy(), 6),
+        })
+
+    return rel.keyed_window(ds, "user_id", window)
+
+
 @register("doc_chunk_windows", r"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents WHERE text IS NOT NULL),
