@@ -4199,6 +4199,44 @@ def events_value_quantiles_exact(sf_dir: str):
     return pa.table({"p50": [p50], "p90": [p90], "p99": [p99]})
 
 
+@register("events_weighted_sample_by_type", """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY
+           ln((('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::UBIGINT
+               + 0.5) / 4294967296.0) / value DESC, event_id) AS rn
+  FROM events)
+WHERE rn <= 10
+""")
+def events_weighted_sample_by_type(sf_dir: str):
+    """STRATIFIED weighted sampling (k per group, probability ∝ weight
+    within each stratum): the per-source variant of A-Res every mixture
+    build needs — same deterministic md5 keys as events_weighted_sample,
+    reduced with topk_per_group so only k rows per (batch, group) enter
+    the exchange. Engine-independent: the oracle computes identical
+    keys."""
+    import hashlib
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+
+    def add_key(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        u = np.fromiter(
+            ((int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) + 0.5)
+             / 4294967296.0 for v in ids),
+            dtype=np.float64, count=len(ids))
+        w = t["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("__ares", pa.array(np.log(u) / w))
+
+    keyed = ev.map_batches(add_key, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    top = rel.topk_per_group(keyed, ["event_type"],
+                             ["__ares", "event_id"], k=10,
+                             descending=[True, False])
+    return top.select_columns(["event_id", "event_type"])
+
+
 @register("events_user_rolling_mean", """
 SELECT event_id,
        ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
