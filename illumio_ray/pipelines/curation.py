@@ -6,7 +6,8 @@ pretraining-data build chains together, composed end-to-end.
       → quality + language filter
       → exact dedup   (content-hash groupby, keep min doc_id)
       → near-dup removal (MinHash+LSH candidates → Jaccard verify →
-                          drop the higher doc_id of each surviving pair)
+                          connected components over the pair table →
+                          keep the min-doc_id representative per group)
       → kept docs + per-stage funnel report (token budget accounting)
 
 Everything deterministic; the SQL-expressible prefix (filters + exact
@@ -16,12 +17,16 @@ pipeline including near-dup removal is exposed rows-only
 
 Scale notes: the quality/filter stages are fused map_batches; exact dedup
 shuffles 64-bit content hashes (never text); near-dup candidate bucketing
-is the thresholded driver/distributed hybrid in ops/dedup.py; the drop-set
-for near-dup removal is O(duplicate pairs) and broadcasts.
+is the thresholded driver/distributed hybrid in ops/dedup.py; the verified
+pair table goes through ``dedup.dup_components`` (distributed min-label
+propagation, driver union-find fast path under 2M edges) so transitive
+groups keep exactly ONE representative — the pair table and the drop-set
+never materialize on the driver above the broadcast gate.
 """
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -30,6 +35,47 @@ from ..ops import dedup, relational as rel, textops
 
 DEFAULT_MIN_TOKENS = 5
 DEFAULT_MAX_STOP_RATIO = 0.6
+
+# Above this many non-representative doc ids the keep step switches from a
+# broadcast anti-join (zero shuffle of the kept text) to a hash-partitioned
+# left-outer join (shuffles survivors once, drop-set never leaves workers).
+# 2M int64 ids ≈ 16 MB broadcast — same order as the other driver gates.
+DROP_BROADCAST_MAX_IDS = 2_000_000
+
+
+def _drop_non_representatives(survivors: rd.Dataset, pairs: rd.Dataset,
+                              id_col: str = "doc_id") -> tuple[rd.Dataset, int]:
+    """Near-dup ACTION with transitive closure: pair evidence → connected
+    components (``dedup.dup_components``) → keep exactly the min-id
+    representative of each component. Returns (kept, n_dropped).
+
+    Pairwise drop-the-higher-id over-keeps on chains (A~C, B~C, A≁C kept
+    both A and B); the closure matches the reference's keep-exactly-once
+    rule (reference app/s3_manager.py:356-359) and the
+    ``near_dup_keep_docs`` registry oracle. The drop-set is only collected
+    to the driver under ``DROP_BROADCAST_MAX_IDS``; above it the keep is a
+    reduce-side left-outer join and nothing pair-shaped touches the
+    driver."""
+    comps = dedup.dup_components(pairs, "id_a", "id_b")
+    drops = rel.filter_batches(
+        comps, lambda t: pc.not_equal(t["id"], t["component"]))
+    drops = drops.map_batches(
+        lambda t: pa.table({id_col: t["id"]}),
+        batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n_dropped = drops.count()
+    if n_dropped <= DROP_BROADCAST_MAX_IDS:
+        ids = pa.concat_tables(
+            pa.table(b) for b in drops.iter_batches(batch_format="pyarrow"))
+        kept = rel.semi_anti_join(survivors, ids[id_col], id_col, anti=True)
+        return kept, n_dropped
+    marker = drops.map_batches(
+        lambda t: t.append_column(
+            "__dup", pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    joined = rel.hash_join(survivors, rel.drop_empty_blocks(marker),
+                           on=[id_col], join_type="left_outer")
+    kept = rel.filter_batches(joined, lambda t: pc.is_null(t["__dup"]))
+    return kept.drop_columns(["__dup"]), n_dropped
 
 
 def quality_filter(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
@@ -69,9 +115,11 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
 
     The near-dup stage needs the survivor corpus twice (signatures +
     verify), so the filtered/deduped slice is STREAMED to a spill dir and
-    re-read — the driver never holds document text (the drop-id set and
-    the funnel counters are the only driver-side state). Verify runs as a
-    reduce-side join (no corpus broadcast).
+    re-read — the driver never holds document text or the pair table
+    (funnel counters and, under the broadcast gate, the component drop-ids
+    are the only driver-side state). Verify runs as a reduce-side join (no
+    corpus broadcast); removal is transitive-closure keep-one-per-group
+    via ``_drop_non_representatives``.
 
     Opt-in modern stages (both off by default, preserving the oracle-
     checked default funnel):
@@ -109,24 +157,26 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
             columns=["doc_id", "text"])
         pairs = dedup.near_dup_pairs(
             surv_pruned, docs_tbl, "doc_id", "text",
-            threshold=near_dup_threshold, n_docs=n_filtered_exact).to_pandas()
+            threshold=near_dup_threshold, n_docs=n_filtered_exact)
     else:
-        cand = dedup.minhash_lsh_candidates(surv_pruned, "doc_id", "text",
-                                            n_docs=n_filtered_exact)
         pairs = dedup.verify_jaccard_pairs_join(
-            cand, rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
-            "doc_id", "text", threshold=near_dup_threshold).to_pandas()
-    drop_arr = pa.array(sorted(set(pairs["id_b"].tolist())), pa.int64())
-
-    kept = rel.semi_anti_join(survivors, drop_arr, "doc_id", anti=True)
+            dedup.minhash_lsh_candidates(surv_pruned, "doc_id", "text",
+                                         n_docs=n_filtered_exact),
+            rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
+            "doc_id", "text", threshold=near_dup_threshold)
+    # pin the verified pairs: the funnel count and dup_components both
+    # consume them — unmaterialized each would re-run LSH + verify
+    pairs = pairs.materialize()
+    n_pairs = pairs.count()
+    kept, n_dropped = _drop_non_representatives(survivors, pairs, "doc_id")
     kept_tokens = kept.sum("n_tokens") or 0
 
     report = {
         "docs_input": n_input,
         "docs_after_quality_and_exact_dedup": n_filtered_exact,
-        "near_dup_pairs": int(len(pairs)),
-        "docs_dropped_near_dup": len(drop_arr),
-        "docs_kept": n_filtered_exact - len(drop_arr),
+        "near_dup_pairs": n_pairs,
+        "docs_dropped_near_dup": n_dropped,
+        "docs_kept": n_filtered_exact - n_dropped,
         "tokens_kept": int(kept_tokens),
     }
 

@@ -1049,6 +1049,81 @@ def curation_modern_kept(sf_dir: str):
     return kept
 
 
+@register("curation_kept_closure", r"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, text, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS BIGINT) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|to|and|in|is|for)\b')) AS BIGINT) AS n_stop
+  FROM documents
+), f AS (
+  SELECT * FROM q
+  WHERE n_tokens >= 5
+    AND CAST(n_stop AS DOUBLE) <= 0.6 * GREATEST(n_tokens, 1)
+), d AS (
+  SELECT doc_id, text, lang, n_tokens FROM f
+  QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+),
+toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM d
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id, d.lang, d.n_tokens FROM d
+LEFT JOIN comp c ON d.doc_id = c.id
+WHERE c.id IS NULL OR c.component = d.doc_id
+""")
+def curation_kept_closure(sf_dir: str):
+    """The curation funnel with the EXACT near-dup family so every stage —
+    quality gate, exact dedup, n-gram-Jaccard pairs, connected-components
+    closure, keep-one-representative-per-group — is pinned by a recursive-
+    CTE oracle (the MinHash variant in `curate` is LSH-approximate, hence
+    rows-only; this query proves the removal ACTION byte-exact). Uses the
+    same `_drop_non_representatives` keep path as `curate`: pairs →
+    dup_components → min-id representative via broadcast-gated anti-join.
+    ≙ reference keep-exactly-once rule (app/s3_manager.py:356-359)."""
+    from .curation import _drop_non_representatives, quality_filter
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    surv = dedup.exact_dedup(quality_filter(docs), "text", "doc_id")
+    # pin the survivors: pair generation and the keep join both read them
+    surv = surv.materialize()
+    n = surv.count()
+    pairs = dedup.ngram_jaccard_pairs(
+        surv.select_columns(["doc_id", "text"]), "doc_id", "text",
+        threshold=0.8, n_rows=n * 256)
+    kept, _ = _drop_non_representatives(surv, pairs, "doc_id")
+    return kept.select_columns(["doc_id", "lang", "n_tokens"])
+
+
 @register("documents_profile", """
 WITH cols AS (
   SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v FROM documents
@@ -4477,6 +4552,8 @@ _DRIVER_FIRST = [
     "events_heavy_hitters",
     "events_error_view_range_join", "doc_repetition", "pages_label_flatten",
     "events_daily_delta", "doc_bpeish_tokens",
+    # round-4 additions occupy driver slots (VERDICT r03 item 8)
+    "curation_kept_closure",
 ]
 
 

@@ -43,6 +43,32 @@ def test_curate_funnel():
     assert report["tokens_kept"] == int(kept_df.n_tokens.sum())
 
 
+def test_curate_transitive_group_keeps_one_representative():
+    """A~C and B~C but A!~B (A<B<C): pairwise drop-the-higher-id would
+    keep A and B; the components closure must keep exactly A."""
+    words = [f"ca{i}" for i in range(36)]
+    rows = [
+        # shifted 30-word windows: 3-shingle Jaccard(0,3)=25/31≈0.81,
+        # (3,6)≈0.81, (0,6)=22/34≈0.65 — so with threshold 0.7 the pair
+        # graph is a chain through the BRIDGE text, which gets the top id
+        {"doc_id": 200, "lang": "en", "text": " ".join(words[0:30])},
+        {"doc_id": 201, "lang": "en", "text": " ".join(words[6:36])},
+        {"doc_id": 202, "lang": "en", "text": " ".join(words[3:33])},
+    ]
+    # padding docs so the funnel isn't degenerate
+    for i in range(5):
+        rows.append({"doc_id": i, "lang": "en",
+                     "text": f"pad doc {i} " + " ".join(
+                         f"p{i}q{j}" for j in range(20))})
+    kept, report = curate(rd.from_pandas(pd.DataFrame(rows)),
+                          near_dup_threshold=0.7)
+    ids = set(kept.to_pandas().doc_id)
+    assert 200 in ids
+    assert 201 not in ids and 202 not in ids
+    assert report["docs_dropped_near_dup"] == 2
+    assert report["docs_kept"] == len(ids) == 6
+
+
 def test_curate_modern_stages_funnel():
     kept, report = curate(rd.from_pandas(_docs()), near_dup_threshold=0.7,
                           max_lm_nll=50.0, segment_dedup=True)
