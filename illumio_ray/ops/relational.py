@@ -508,8 +508,8 @@ def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
     Ray Data has no as-of join; this is the broadcast form — the right side
     is sorted once on the driver, shipped via ray.put, and each batch does a
     vectorized searchsorted (no shuffle, no per-row Python). Valid while the
-    right side fits in memory; at scale, range-partition both sides on time
-    and run this per partition with boundary overlap.
+    right side fits in memory; at scale use ``asof_partitioned_join``
+    (range-partitions both sides on time with boundary-seed overlap).
 
     value_map: {output_col: right_col} columns to carry from the match."""
     right = right.filter(pc.is_valid(right[right_ts]))  # null ts can't match
@@ -545,6 +545,221 @@ def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
 
 
 _ASOF_CACHE: dict = {}
+
+
+def asof_partitioned_join(left: rd.Dataset, right: rd.Dataset, left_ts: str,
+                          right_ts: str, value_map: dict[str, str],
+                          direction: str = "backward",
+                          num_partitions: int | None = None,
+                          boundaries: list[int] | None = None) -> rd.Dataset:
+    """Range-partitioned as-of join — same semantics as
+    ``asof_broadcast_join`` but neither side is ever broadcast or held on
+    the driver: the scale path for a right side that is itself fact-sized.
+
+    Both sides range-partition on epoch-µs time (boundaries from a
+    deterministic per-block stride sample of the left side unless pinned
+    by the caller), then one groupby exchange co-locates each time range
+    and the same vectorized searchsorted kernel runs per partition.
+    BOUNDARY OVERLAP is carried as at most ONE seed row per partition:
+    backward = the latest right row strictly before the partition's lower
+    bound (any older right row is dominated by it for every left row in
+    the partition), forward = the earliest right row at/after the upper
+    bound. Seeds come from a per-block per-partition argmax/argmin partial
+    (bounded: ≤ blocks × partitions narrow rows), combined with a prefix/
+    suffix scan over O(partitions) driver rows, and ride to workers via
+    one ray.put. Shuffle volume is O(left + right); empty partitions are
+    handled by the scan (a partition with no right rows still gets the
+    correct seed from earlier/later ranges).
+
+    ``value_map``: {output_col: right_col} columns carried from the match;
+    the right side is pruned to right_ts + those columns before anything
+    moves. Null left timestamps produce null matches (same as broadcast);
+    null right timestamps are dropped (can't match)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    backward = direction == "backward"
+    rcols = list(dict.fromkeys([right_ts, *value_map.values()]))
+
+    def _types(ds: rd.Dataset) -> tuple[list[str], dict[str, pa.DataType]]:
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema):
+            return list(base.names), {n: base.field(n).type
+                                      for n in base.names}
+        # pandas-backed blocks report numpy dtypes; object dtype means
+        # strings in every caller here (text/ids) — same mapping Ray uses
+        out = {}
+        for n, t in zip(base.names, base.types):
+            if isinstance(t, pa.DataType):
+                out[n] = t
+            elif getattr(t, "kind", None) == "O":
+                out[n] = pa.string()
+            else:
+                out[n] = pa.from_numpy_dtype(t)
+        return list(base.names), out
+
+    lnames, ltypes = _types(left)
+    _, rtypes_all = _types(right)
+    rtypes = {c: rtypes_all[c] for c in rcols}
+    reserved = {"__p", "__side"} | {f"__r_{c}" for c in rcols}
+    if reserved & set(lnames):
+        raise ValueError(f"left columns collide with internals: "
+                         f"{reserved & set(lnames)}")
+
+    right = right.map_batches(
+        lambda t: t.filter(pc.is_valid(t[right_ts])).select(rcols),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8))
+                             if ray.is_initialized() else 8)
+    if boundaries is None:
+        # stride sample: ≤16 deterministic probes per block — O(blocks)
+        # driver rows (two-level sampling is the next rung if blocks ever
+        # number in the millions)
+        def sample_block(t: pa.Table) -> pa.Table:
+            us = ts_as_us(t[left_ts]).drop_null()
+            n = len(us)
+            if n == 0:
+                return pa.table({"us": pa.array([], pa.int64())})
+            idx = pa.array(np.arange(0, n, max(1, n // 16), dtype=np.int64))
+            return pa.table({"us": pc.take(us, idx)})
+
+        samp_parts = [pa.table(b) for b in left.map_batches(
+            sample_block, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
+        samp = (pa.concat_tables(samp_parts) if samp_parts
+                else pa.table({"us": pa.array([], pa.int64())}))
+        vals = np.sort(samp["us"].to_numpy(zero_copy_only=False))
+        if len(vals) == 0:
+            bounds = np.array([], np.int64)
+        else:
+            qs = np.linspace(0, 1, num_partitions + 1)[1:-1]
+            bounds = np.unique(np.quantile(vals, qs).astype(np.int64))
+    else:
+        bounds = np.unique(np.asarray(boundaries, dtype=np.int64))
+    npart = len(bounds) + 1
+
+    # ---- per-partition boundary seeds -----------------------------------
+    def seed_partials(t: pa.Table) -> pa.Table:
+        us = ts_as_us(t[right_ts]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = np.searchsorted(bounds, us, side="right").astype(np.int64)
+        if len(us) == 0:
+            return t.slice(0, 0).append_column("__p",
+                                               pa.array([], pa.int32()))
+        order = np.lexsort((us, p))
+        ps = p[order]
+        keep = (np.r_[ps[1:] != ps[:-1], True] if backward
+                else np.r_[True, ps[1:] != ps[:-1]])
+        idx = order[keep]
+        return t.take(pa.array(idx, pa.int64())).append_column(
+            "__p", pa.array(ps[keep].astype(np.int32), pa.int32()))
+
+    pt_parts = [pa.table(b) for b in right.map_batches(
+        seed_partials, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow")]
+    pt = pa.concat_tables(pt_parts) if pt_parts else None
+    seed_tables: dict[int, pa.Table] = {}
+    if pt is not None and pt.num_rows:
+        us_all = ts_as_us(pt[right_ts]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p_all = pt["__p"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((us_all, p_all))
+        ps = p_all[order]
+        keep = (np.r_[ps[1:] != ps[:-1], True] if backward
+                else np.r_[True, ps[1:] != ps[:-1]])
+        champ_p, champ_idx = ps[keep], order[keep]
+        champ_us = us_all[champ_idx]
+        run_idx, run_us = -1, 0
+        scan = range(npart) if backward else range(npart - 1, -1, -1)
+        for p in scan:
+            if run_idx >= 0:
+                seed_tables[p] = pt.take(
+                    pa.array([run_idx], pa.int64())).select(rcols)
+            j = int(np.searchsorted(champ_p, p))
+            if j < len(champ_p) and champ_p[j] == p:
+                better = (champ_us[j] >= run_us if backward
+                          else champ_us[j] <= run_us)
+                if run_idx < 0 or better:
+                    run_idx, run_us = int(champ_idx[j]), int(champ_us[j])
+    seeds_ref = ray.put(seed_tables)
+
+    # ---- pad + union + one exchange --------------------------------------
+    def pad_left(t: pa.Table) -> pa.Table:
+        cols = {n: t[n] for n in lnames}
+        for c in rcols:
+            cols[f"__r_{c}"] = pa.nulls(t.num_rows, rtypes[c])
+        us = pc.fill_null(ts_as_us(t[left_ts]), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        cols["__p"] = pa.array(
+            np.searchsorted(bounds, us, side="right").astype(np.int32),
+            pa.int32())
+        cols["__side"] = pa.array(np.zeros(t.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    def pad_right(t: pa.Table) -> pa.Table:
+        cols = {n: pa.nulls(t.num_rows, ltypes[n]) for n in lnames}
+        for c in rcols:
+            cols[f"__r_{c}"] = t[c]
+        us = ts_as_us(t[right_ts]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cols["__p"] = pa.array(
+            np.searchsorted(bounds, us, side="right").astype(np.int32),
+            pa.int32())
+        cols["__side"] = pa.array(np.ones(t.num_rows, np.int8), pa.int8())
+        return pa.table(cols)
+
+    merged = left.map_batches(pad_left, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        right.map_batches(pad_right, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def kernel(g: pa.Table) -> pa.Table:
+        seeds = _BROADCAST_CACHE.get(seeds_ref)
+        if seeds is None:
+            seeds = ray.get(seeds_ref)
+            _BROADCAST_CACHE.clear()
+            _BROADCAST_CACHE[seeds_ref] = seeds
+        is_left = pc.equal(g["__side"], pa.scalar(0, pa.int8()))
+        lt = g.filter(is_left)
+        rt = g.filter(pc.invert(is_left))
+        out_cols = {n: lt[n] for n in lnames}
+        n_l = lt.num_rows
+        r_tbl = pa.table({c: rt[f"__r_{c}"] for c in rcols})
+        p = int(g["__p"][0].as_py())
+        seed = seeds.get(p)
+        if seed is not None:
+            r_tbl = pa.concat_tables([seed, r_tbl]).combine_chunks()
+        if n_l == 0 or r_tbl.num_rows == 0:
+            for out_name, rc in value_map.items():
+                out_cols[out_name] = pa.nulls(n_l, rtypes[rc])
+            return pa.table(out_cols)
+        l_valid = pc.is_valid(lt[left_ts]).to_numpy(zero_copy_only=False)
+        l_us = pc.fill_null(ts_as_us(lt[left_ts]), 0) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        r_us = ts_as_us(r_tbl[right_ts]).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(r_us, kind="stable")
+        r_tbl = r_tbl.take(pa.array(order, pa.int64()))
+        r_us = r_us[order]
+        if backward:
+            idx = np.searchsorted(r_us, l_us, side="right") - 1
+            ok = (idx >= 0) & l_valid
+        else:
+            idx = np.searchsorted(r_us, l_us, side="left")
+            ok = (idx < len(r_us)) & l_valid
+        valid = pa.array(ok)
+        take = pa.array(np.where(ok, idx, 0), pa.int64())
+        for out_name, rc in value_map.items():
+            col = r_tbl[rc]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            out_cols[out_name] = pc.if_else(valid, pc.take(col, take),
+                                            pa.scalar(None, col.type))
+        return pa.table(out_cols)
+
+    return merged.groupby("__p").map_groups(kernel, batch_format="pyarrow")
 
 
 def salted_topk_per_group(ds: rd.Dataset, group_keys: list[str],

@@ -1548,16 +1548,20 @@ ASOF LEFT JOIN (SELECT ts FROM events WHERE event_type = 'view') r
 """)
 def events_asof_view(sf_dir: str):
     """As-of join: each click matched to the latest 'view' event at or
-    before it (custom operator — Ray Data has no as-of join)."""
+    before it (custom operator — Ray Data has no as-of join). Runs the
+    PARTITIONED path (range-partition both sides + boundary seeds) so the
+    gate exercises the 100 TB form; the broadcast form is pinned
+    equivalent by tests/test_ops.py."""
     events = read_table(sf_dir, "events", columns=["event_id", "ts", "event_type"])
     clicks = rel.filter_batches(
         events, lambda t: pc.equal(t["event_type"], "click")
     ).select_columns(["event_id", "ts"])
-    views = pq.read_table(str(Path(sf_dir) / "events.parquet"),
-                          columns=["ts", "event_type"])
-    views = views.filter(pc.equal(views["event_type"], "view")).select(["ts"])
-    return rel.asof_broadcast_join(clicks, views, "ts", "ts",
-                                   {"prev_view_ts": "ts"})
+    views = rel.filter_batches(
+        read_table(sf_dir, "events", columns=["ts", "event_type"]),
+        lambda t: pc.equal(t["event_type"], "view")
+    ).select_columns(["ts"]).rename_columns({"ts": "r_ts"})
+    return rel.asof_partitioned_join(clicks, views, "ts", "r_ts",
+                                     {"prev_view_ts": "r_ts"})
 
 
 @register("events_asof_next_error", """
@@ -1568,19 +1572,21 @@ ASOF LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') r
 """)
 def events_asof_next_error(sf_dir: str):
     """FORWARD as-of join: each click matched to the earliest 'error'
-    event at or after it (time-to-next-failure view) — the forward
-    direction of the same broadcast-searchsorted operator."""
+    event at or after it (time-to-next-failure view) — forward direction
+    of the partitioned searchsorted operator (boundary seed = earliest
+    right row at/after each partition's upper bound)."""
     events = read_table(sf_dir, "events",
                         columns=["event_id", "ts", "event_type"])
     clicks = rel.filter_batches(
         events, lambda t: pc.equal(t["event_type"], "click")
     ).select_columns(["event_id", "ts"])
-    errs = pq.read_table(str(Path(sf_dir) / "events.parquet"),
-                         columns=["ts", "event_type"])
-    errs = errs.filter(pc.equal(errs["event_type"], "error")).select(["ts"])
-    return rel.asof_broadcast_join(clicks, errs, "ts", "ts",
-                                   {"next_error_ts": "ts"},
-                                   direction="forward")
+    errs = rel.filter_batches(
+        read_table(sf_dir, "events", columns=["ts", "event_type"]),
+        lambda t: pc.equal(t["event_type"], "error")
+    ).select_columns(["ts"]).rename_columns({"ts": "r_ts"})
+    return rel.asof_partitioned_join(clicks, errs, "ts", "r_ts",
+                                     {"next_error_ts": "r_ts"},
+                                     direction="forward")
 
 
 @register("events_daily_rate", """

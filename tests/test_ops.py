@@ -472,6 +472,55 @@ def test_topk_per_group_keeps_null_partition():
     assert len(null_rows) == 1 and null_rows.iloc[0].id == 3
 
 
+def test_asof_partitioned_matches_broadcast_randomized():
+    """Randomized equivalence: the range-partitioned as-of (boundary
+    seeds, one exchange) must match the broadcast-searchsorted form in
+    both directions — including empty partitions (clustered right side)
+    and forced narrow partitions."""
+    rng = np.random.default_rng(17)
+    l_us = np.sort(rng.integers(0, 10_000_000, 400))
+    # right side CLUSTERED into two bursts so several partitions hold no
+    # right rows at all and matching crosses many boundaries via seeds
+    r_us = np.concatenate([rng.integers(0, 1_000_000, 60),
+                           rng.integers(6_000_000, 7_000_000, 60)])
+    left = pd.DataFrame({"id": np.arange(400),
+                         "ts": pd.to_datetime(l_us, unit="us")})
+    right_df = pd.DataFrame({"r_ts": pd.to_datetime(r_us, unit="us"),
+                             "v": np.arange(len(r_us))})
+    right_tbl = pa.Table.from_pandas(right_df, preserve_index=False)
+    for direction in ("backward", "forward"):
+        bc = rel.asof_broadcast_join(
+            rd.from_pandas(left), right_tbl.rename_columns(["ts", "v"]),
+            "ts", "ts", {"mv": "v"},
+            direction=direction).to_pandas().sort_values("id")
+        pt = rel.asof_partitioned_join(
+            rd.from_pandas(left), rd.from_pandas(right_df), "ts", "r_ts",
+            {"mv": "v"}, direction=direction,
+            num_partitions=13).to_pandas().sort_values("id")
+        pd.testing.assert_frame_equal(
+            bc.reset_index(drop=True)[["id", "mv"]],
+            pt.reset_index(drop=True)[["id", "mv"]], check_dtype=False)
+
+
+def test_asof_partitioned_null_and_empty_right():
+    left = pd.DataFrame({"id": [1, 2],
+                         "ts": pd.to_datetime(["2024-01-01 00:10", None])})
+    right = pd.DataFrame({"r_ts": pd.to_datetime(["2024-01-01 00:00"]),
+                          "v": [7]})
+    out = rel.asof_partitioned_join(
+        rd.from_pandas(left), rd.from_pandas(right), "ts", "r_ts",
+        {"prev_v": "v"}, num_partitions=4).to_pandas().sort_values("id")
+    assert out.prev_v.tolist()[0] == 7
+    assert pd.isna(out.prev_v.tolist()[1])
+    # right side with zero matchable rows → all-null matches, schema kept
+    none = rel.asof_partitioned_join(
+        rd.from_pandas(left),
+        rd.from_pandas(pd.DataFrame({"r_ts": pd.to_datetime([pd.NaT]),
+                                     "v": [1]})),
+        "ts", "r_ts", {"prev_v": "v"}, num_partitions=4).to_pandas()
+    assert len(none) == 2 and none.prev_v.isna().all()
+
+
 def test_asof_join_null_left_ts_yields_null():
     left = pd.DataFrame({"id": [1, 2],
                          "ts": pd.to_datetime(["2024-01-01 00:10", None])})
