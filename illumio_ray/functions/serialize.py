@@ -66,14 +66,20 @@ def serialize_wire(tbl: pa.Table, event_class: str) -> pa.Array:
     wire = pc.binary_join_element_wise(fields_str, _ORIG_PREFIX, orig, "")
 
     if pc.any(over).as_py():
-        # Rare path: per-row truncation budget → Python fallback.
-        wires = wire.to_pylist()
-        fs = fields_str.to_pylist()
-        og = orig.to_pylist()
-        idxs = [i for i, o in enumerate(over.to_pylist()) if o]
-        for i in idxs:
-            b = MAX_MESSAGE_LENGTH - len(_ORIG_PREFIX) - len(fs[i])
-            wires[i] = fs[i] + _ORIG_PREFIX + og[i][: max(0, b - 3)] + "..."
-        wire = pa.array(wires, pa.string())
+        # Rare path: per-row truncation budget → Python ONLY for the
+        # over-length rows (take by index, patch back via if_else) — the
+        # under-budget bulk of the batch never leaves Arrow.
+        import numpy as np
+
+        mask = over.to_numpy(zero_copy_only=False).astype(bool)
+        pos = np.flatnonzero(mask)
+        fs_sub = pc.take(fields_str, pa.array(pos, pa.int64())).to_pylist()
+        og_sub = pc.take(orig, pa.array(pos, pa.int64())).to_pylist()
+        scattered = np.full(n, None, dtype=object)
+        for p, f, o in zip(pos, fs_sub, og_sub):
+            b = MAX_MESSAGE_LENGTH - len(_ORIG_PREFIX) - len(f)
+            scattered[p] = f + _ORIG_PREFIX + o[: max(0, b - 3)] + "..."
+        wire = pc.if_else(pa.array(mask), pa.array(scattered, pa.string()),
+                          wire)
 
     return wire if isinstance(wire, pa.Array) else wire.combine_chunks()

@@ -90,32 +90,81 @@ def _distinct_rows_bucketed(ds: rd.Dataset, cols: list[str],
 # tokenization / shingling helpers (per-batch, numpy-vectorized core)
 # ---------------------------------------------------------------------------
 
+_SHINGLE_C = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+
 def _shingle_hashes(texts: list[str], n: int = 3,
                     hasher=None) -> list[np.ndarray]:
-    """Per doc: hashed word-n-gram shingle set (uint64). All docs' shingles
-    are hashed in ONE hash64 call (per-doc calls pay pandas hashing setup
-    per doc). ``hasher`` defaults to hash64 (fast, within-run); pass
-    stable_hash64 for anything PERSISTED and re-read later (shingle
-    indexes), where the hash must survive library upgrades."""
+    """Per doc: hashed word-n-gram shingle set (uint64), built WITHOUT
+    materializing shingle strings: every token in the batch hashes once
+    (one vectorized hasher call), and each n-gram key is a rolling
+    polynomial combine of n token hashes — the same pattern as
+    textops.add_dup_ngram_fraction. The per-doc `" ".join` string build
+    this replaces dominated near-dup CPU. Semantics preserved: lowercase,
+    whitespace tokenization, docs with 0 < tokens < n collapse to ONE
+    whole-text key, empty docs → empty set, per-doc output sorted unique.
+
+    ``hasher`` defaults to hash64 (fast, within-run); pass stable_hash64
+    for anything PERSISTED and re-read later (shingle indexes). Key VALUES
+    changed when this moved from string shingles to rolling token keys —
+    persisted index metadata carries ``scheme`` and refuses a mismatch."""
     if hasher is None:
         hasher = hash64
-    all_shingles: list[str] = []
-    counts: list[int] = []
-    for s in texts:
-        toks = s.lower().split() if s else []
-        if len(toks) < n:
-            shingles = [" ".join(toks)] if toks else []
-        else:
-            shingles = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-        all_shingles.extend(shingles)
-        counts.append(len(shingles))
-    flat = hasher(all_shingles) if all_shingles else np.array([], np.uint64)
-    out = []
-    pos = 0
-    for c in counts:
-        out.append(np.unique(flat[pos : pos + c]) if c else np.array([], np.uint64))
-        pos += c
-    return out
+    n_texts = len(texts)
+    if n_texts == 0:
+        return []
+    arr = pa.array(["" if s is None else s for s in texts], pa.string())
+    lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+    offs = lists.offsets.to_numpy()
+    row_idx = np.repeat(np.arange(n_texts), np.diff(offs))
+    flat = lists.flatten()
+    ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_idx = row_idx[ok]
+    toks = flat.filter(pa.array(ok))
+    h = hasher(toks).astype(np.uint64)
+    tok_counts = np.bincount(row_idx, minlength=n_texts)
+
+    # full-width rolling keys: position i covers tokens i..i+n-1, valid
+    # only when both ends sit in the same row
+    if len(h) >= n:
+        key = h[: len(h) - n + 1] * _SHINGLE_C
+        for j in range(1, n):
+            key = (key + h[j: len(h) - n + 1 + j]) * _SHINGLE_C
+        valid = row_idx[: len(h) - n + 1] == row_idx[n - 1:]
+        g_row = row_idx[: len(h) - n + 1][valid]
+        g_key = key[valid]
+    else:
+        g_row = np.array([], np.int64)
+        g_key = np.array([], np.uint64)
+
+    # short docs (0 < tokens < n): one whole-text key, combined with the
+    # same polynomial — grouped by length so each length vectorizes
+    short = np.flatnonzero((tok_counts > 0) & (tok_counts < n))
+    if len(short):
+        starts = np.zeros(n_texts, np.int64)
+        np.cumsum(tok_counts[:-1], out=starts[1:])
+        extra_rows, extra_keys = [g_row], [g_key]
+        for k in np.unique(tok_counts[short]):
+            rows_k = short[tok_counts[short] == k]
+            idx = starts[rows_k]
+            key = h[idx] * _SHINGLE_C
+            for j in range(1, int(k)):
+                key = (key + h[idx + j]) * _SHINGLE_C
+            extra_rows.append(rows_k)
+            extra_keys.append(key)
+        g_row = np.concatenate(extra_rows)
+        g_key = np.concatenate(extra_keys)
+
+    if len(g_key) == 0:
+        return [np.array([], np.uint64)] * n_texts
+    # one global sort+dedup, then per-doc slicing (sorted-unique views)
+    order = np.lexsort((g_key, g_row))
+    sr, sk = g_row[order], g_key[order]
+    first = np.ones(len(sk), bool)
+    first[1:] = (sr[1:] != sr[:-1]) | (sk[1:] != sk[:-1])
+    sr, sk = sr[first], sk[first]
+    bounds = np.searchsorted(sr, np.arange(n_texts + 1))
+    return [sk[bounds[r]: bounds[r + 1]] for r in range(n_texts)]
 
 
 def jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -150,12 +199,18 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
         n = len(ids)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         doc_ids = np.repeat(np.asarray(ids), bands)
-        # Hash each band's slice of the signature to one 64-bit bucket key.
+        # Fold each band's signature slice to one 64-bit bucket key with a
+        # polynomial combine — equal slices collide, unequal slices don't
+        # (mod 2⁻⁶⁴ collisions); the string "_".join build this replaces
+        # was O(docs × perms) Python. band_id rides separately in the
+        # groupby key, so cross-band key reuse is harmless.
         band_hash = np.empty(n * bands, dtype=np.int64)
         for b in range(bands):
             seg = sigs[:, b * rows_per_band : (b + 1) * rows_per_band]
-            keys = ["_".join(map(str, row)) for row in seg]
-            band_hash[b::bands] = hash64(keys).astype(np.int64)
+            key = seg[:, 0] * _SHINGLE_C
+            for j in range(1, rows_per_band):
+                key = (key + seg[:, j]) * _SHINGLE_C
+            band_hash[b::bands] = key.view(np.int64)
         return pa.table({
             "band_id": pa.array(band_ids, pa.int32()),
             "band_hash": pa.array(band_hash, pa.int64()),
@@ -985,6 +1040,19 @@ def dup_components(pairs: rd.Dataset, id_a: str = "id_a",
 # ---------------------------------------------------------------------------
 
 _INDEX_META = "_index_meta.json"
+# Shingle-key scheme identifier. Bump whenever _shingle_hashes changes the
+# VALUES it produces (e.g. the string→rolling-token-key move): a persisted
+# index built under another scheme cannot be merged with new rows.
+_SHINGLE_SCHEME = "rolling-token-v2"
+
+
+def _check_index_scheme(meta: dict, index_dir) -> None:
+    got = meta.get("scheme", "string-v1")
+    if got != _SHINGLE_SCHEME:
+        raise ValueError(
+            f"shingle index at {index_dir} was built with scheme '{got}' "
+            f"but this build produces '{_SHINGLE_SCHEME}' — rebuild the "
+            f"index (build_shingle_index) before appending/querying")
 
 
 def _explode_shingle_rows(ds: rd.Dataset, id_col: str, text_col: str,
@@ -1036,7 +1104,7 @@ def build_shingle_index(ds: rd.Dataset, id_col: str, text_col: str,
     rows = _explode_shingle_rows(ds, id_col, text_col, n, num_buckets,
                                  stable=True)
     rows.write_parquet(str(out_dir), partition_cols=["__b"])
-    meta = {"num_buckets": num_buckets, "n": n}
+    meta = {"num_buckets": num_buckets, "n": n, "scheme": _SHINGLE_SCHEME}
     Path(out_dir, _INDEX_META).write_text(json.dumps(meta))
     return meta
 
@@ -1052,6 +1120,7 @@ def append_to_shingle_index(new_ds: rd.Dataset, index_dir: str,
     from pathlib import Path
 
     meta = json.loads(Path(index_dir, _INDEX_META).read_text())
+    _check_index_scheme(meta, index_dir)
     rows = _explode_shingle_rows(new_ds, id_col, text_col, meta["n"],
                                  meta["num_buckets"], stable=True)
     rows.write_parquet(str(index_dir), partition_cols=["__b"])
@@ -1077,6 +1146,7 @@ def ngram_jaccard_pairs_incremental(new_ds: rd.Dataset, index_dir: str,
     from pathlib import Path
 
     meta = json.loads(Path(index_dir, _INDEX_META).read_text())
+    _check_index_scheme(meta, index_dir)
     num_buckets, n = meta["num_buckets"], meta["n"]
 
     new_rows = _explode_shingle_rows(new_ds, id_col, text_col, n,

@@ -3603,9 +3603,12 @@ def ngram_jaccard_pairs_incr(sf_dir: str):
     # committed index (the production shape) instead of leaking a fresh
     # mkdtemp per call; rebuild only when the split parameters change
     # keyed by the sf dir's NAME as well as the split: different sf tiers
-    # can share a row count (sf0.001 and sf0.01 both hold 500 docs)
+    # can share a row count (sf0.001 and sf0.01 both hold 500 docs).
+    # The shingle-key scheme is part of the key: a scheme bump must
+    # rebuild, not crash on the stale index.
     idx = Path("/tmp/illumio_ray_testdata"
-               f"/jidx_{Path(sf_dir).name}_{n_docs}_{k}")
+               f"/jidx_{dedup._SHINGLE_SCHEME}_"
+               f"{Path(sf_dir).name}_{n_docs}_{k}")
     marker = idx / "_complete.json"
     if not marker.exists():
         shutil.rmtree(idx, ignore_errors=True)

@@ -544,6 +544,56 @@ def test_grouped_agg_empty_input_keeps_key_types():
     assert str(types["s"]) == "double"
 
 
+def test_shingle_hashes_match_string_reference():
+    """The rolling-token-key shingles must produce the same SETS (sizes,
+    pairwise Jaccard) as the definitional string implementation —
+    lowercase, whitespace runs, short docs, empties, None."""
+    rng = np.random.default_rng(23)
+    vocab = [f"Word{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(0, 30)))
+             for _ in range(60)]
+    texts += ["", None, "one", "two tokens", "Tab\tand\nnewline  runs",
+              "repeat repeat repeat repeat", "MiXeD CaSe MiXeD CaSe x"]
+
+    def ref_shingles(s, n=3):
+        toks = s.lower().split() if s else []
+        if not toks:
+            return set()
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    from illumio_ray.ops.dedup import _shingle_hashes, jaccard
+    got = _shingle_hashes(texts, 3)
+    refs = [ref_shingles(s) for s in texts]
+    assert [len(a) for a in got] == [len(r) for r in refs]
+    for i in range(0, len(texts), 7):
+        for j in range(i + 1, len(texts), 11):
+            a, b = refs[i], refs[j]
+            ref_j = (1.0 if not a and not b
+                     else len(a & b) / len(a | b) if (a | b) else 0.0)
+            assert abs(jaccard(got[i], got[j]) - ref_j) < 1e-12, (i, j)
+
+
+def test_stale_shingle_index_scheme_is_refused():
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from illumio_ray.ops.dedup import (append_to_shingle_index,
+                                       build_shingle_index)
+    d = tempfile.mkdtemp(prefix="shidx_")
+    df = pd.DataFrame({"doc_id": [1, 2],
+                       "text": ["alpha beta gamma delta",
+                                "alpha beta gamma epsilon"]})
+    build_shingle_index(rd.from_pandas(df), "doc_id", "text", d)
+    meta = json.loads(Path(d, "_index_meta.json").read_text())
+    meta["scheme"] = "string-v1"
+    Path(d, "_index_meta.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="scheme"):
+        append_to_shingle_index(rd.from_pandas(df), d, "doc_id", "text")
+
+
 def test_verify_jaccard_join_matches_broadcast():
     texts = [f"unique words {i} " + " ".join(f"w{i}{j}" for j in range(20))
              for i in range(30)]
