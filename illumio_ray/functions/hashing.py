@@ -4,6 +4,21 @@ All hashes are stable across processes and Python versions (no builtin
 ``hash`` — PYTHONHASHSEED-dependent). Used for: skew-defusing salts
 (SURVEY.md §4), lineage content hashes (≙ reference state manifest,
 app/s3_manager.py:253-267), dedup keys, MinHash/SimHash sketches.
+
+hash64 vs stable_hash64 — WHICH KEYS WHICH PERSISTED ARTIFACT:
+  hash64 (polars xxhash — stable only within one polars version, pinned
+  in requirements.txt) may key only state whose lifetime is ONE run:
+    - in-flight exchange buckets (grouped_agg/dedup/exchange salts);
+    - flagship content-addressed part filenames + manifest content_hash
+      (pipelines/flagship.py): retry-safety needs within-run stability
+      only — uncommitted shards are swept wholesale on resume, committed
+      shards are never recomputed, so a polars upgrade between runs
+      cannot break exactly-once.
+  stable_hash64 (pinned splitmix/FNV path in THIS file) must key anything
+  written in one run and re-read by a later one:
+    - bucketed layouts + upsert/vacuum/point lookups (ops/bucketing.py);
+    - the persisted shingle index (ops/dedup.py, with its scheme marker);
+    - z-order cell keys where persisted (ops/relational.py callers).
 """
 
 from __future__ import annotations

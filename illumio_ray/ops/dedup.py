@@ -820,76 +820,125 @@ def segment_dedup(ds: rd.Dataset, id_col: str, text_col: str, *,
         num_buckets = adaptive_bucket_count(n_rows)
 
     def explode(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        texts = t[text_col].to_pylist()
-        out_ids: list = []
-        out_idx: list[int] = []
-        segs: list[str] = []
-        for d, s in zip(ids, texts):
-            if s is None:
-                continue
-            if sep is not None:
-                parts = s.split(sep)
-            else:
-                toks = s.split(" ")
-                parts = [" ".join(toks[i:i + seg_words])
-                         for i in range(0, len(toks), seg_words)]
-            segs.extend(parts)
-            out_ids.extend([d] * len(parts))
-            out_idx.extend(range(len(parts)))
-        h = hash64(segs) if segs else np.array([], np.uint64)
-        b = (h % np.uint64(num_buckets)).astype(np.int32)
-        # explicit id type: an empty / all-null-text block must not emit a
-        # null-typed id column that clashes with other blocks' schema.
+        # Arrow end-to-end: the full text NEVER round-trips through Python
+        # or pandas objects — segments are built as a ListArray window view
+        # over the flat token array and joined with one binary_join kernel.
         # Null-text docs emit no segments, hence no output row — the same
         # semantics as the SQL oracle's join over exploded words.
+        tt = t.filter(pc.is_valid(t[text_col]))
+        ids = tt[id_col].combine_chunks()
+        texts = pc.cast(tt[text_col], pa.string())
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if sep is not None:
+            lists = pc.split_pattern(texts, sep)
+            segs = lists.flatten()
+            counts = np.diff(lists.offsets.to_numpy())
+            win_row = np.repeat(np.arange(len(counts)), counts)
+            seg_idx = (np.arange(len(win_row))
+                       - np.repeat(np.cumsum(counts) - counts, counts))
+        else:
+            toks = pc.split_pattern(texts, " ")
+            flat = toks.flatten()
+            cnt = np.diff(toks.offsets.to_numpy())
+            nwin = -(-cnt // seg_words)  # ceil; "" splits to [""] so ≥1
+            row_starts = np.zeros(len(cnt) + 1, np.int64)
+            np.cumsum(cnt, out=row_starts[1:])
+            win_row = np.repeat(np.arange(len(cnt)), nwin)
+            seg_idx = (np.arange(len(win_row))
+                       - np.repeat(np.cumsum(nwin) - nwin, nwin))
+            starts = row_starts[win_row] + seg_idx * seg_words
+            offsets = np.append(starts, row_starts[-1])
+            la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                          flat)
+            segs = pc.binary_join(la, " ")
+        h = (hash64(segs) if len(segs)
+             else np.array([], np.uint64))
+        b = (h % np.uint64(num_buckets)).astype(np.int32)
+        # explicit id type: an empty / all-null-text block must not emit a
+        # null-typed id column that clashes with other blocks' schema
         return pa.table({
-            id_col: pa.array(out_ids, type=t[id_col].type),
-            "seg_idx": pa.array(np.array(out_idx, np.int64), pa.int64()),
-            "seg": pa.array(segs, pa.string()),
+            id_col: (ids.take(pa.array(win_row, pa.int64()))
+                     if len(win_row) else pa.array([], ids.type)),
+            "seg_idx": pa.array(seg_idx.astype(np.int64), pa.int64()),
+            "seg": pc.cast(segs, pa.string()),
             "__sb": pa.array(b, pa.int32()),
         })
 
     exploded = ds.map_batches(explode, batch_format="pyarrow",
                               zero_copy_batch=True)
 
-    def mark(g: pd.DataFrame) -> pd.DataFrame:
+    def mark(g: pa.Table) -> pa.Table:
         # all occurrences of a segment are in this bucket → sorting by
-        # (doc, position) makes duplicated() the GLOBAL keep-first;
-        # dedup on the segment text itself, not its hash (collisions)
-        g = g.sort_values([id_col, "seg_idx"], kind="mergesort")
-        g = g.assign(kept=~g.duplicated("seg", keep="first"))
-        return g.drop(columns="__sb")
+        # (doc, position) makes first-appearance the GLOBAL keep-first;
+        # dictionary_encode dedups on the segment text itself, not its
+        # hash (collision-safe), with the strings staying in Arrow
+        g = g.drop_columns(["__sb"])
+        order = pc.sort_indices(
+            pa.table({"a": g[id_col], "b": g["seg_idx"]}),
+            sort_keys=[("a", "ascending"), ("b", "ascending")])
+        g = g.take(order)
+        seg = g["seg"]
+        if isinstance(seg, pa.ChunkedArray):
+            seg = seg.combine_chunks()  # encode ONE array: one dictionary
+        codes = pc.dictionary_encode(seg).indices \
+            .to_numpy(zero_copy_only=False)
+        kept = np.zeros(len(codes), bool)
+        kept[np.unique(codes, return_index=True)[1]] = True
+        return g.append_column("kept", pa.array(kept))
 
     marked = exploded.groupby("__sb").map_groups(mark,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
-    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        hb = pd.util.hash_pandas_object(df[id_col],
-                                        index=False).to_numpy()
-        return df.assign(
-            __db=(hb % np.uint64(num_buckets)).astype(np.int32))
+    def add_doc_bucket(t: pa.Table) -> pa.Table:
+        b = (hash64(t[id_col]) % np.uint64(num_buckets)).astype(np.int32)
+        return t.append_column("__db", pa.array(b, pa.int32()))
 
-    rebucketed = marked.map_batches(add_doc_bucket, batch_format="pandas")
+    rebucketed = marked.map_batches(add_doc_bucket, batch_format="pyarrow",
+                                    zero_copy_batch=True)
     # rejoin with the same delimiter the text was split on (word-window
     # mode splits on spaces, so " " is also the faithful joiner there)
     joiner = sep if sep is not None else " "
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([id_col, "seg_idx"], kind="mergesort")
-        g = g.assign(rem=~g["kept"])
-        stats = (g.groupby(id_col, sort=False)
-                   .agg(n_kept=("kept", "sum"), n_removed=("rem", "sum")))
-        text = (g[g["kept"]].groupby(id_col, sort=False)["seg"]
-                .agg(joiner.join).rename("clean_text"))
-        out = stats.join(text).reset_index()
-        out["clean_text"] = out["clean_text"].fillna("")
-        out["n_kept"] = out["n_kept"].astype(np.int64)
-        out["n_removed"] = out["n_removed"].astype(np.int64)
-        return out[[id_col, "clean_text", "n_kept", "n_removed"]]
+    def rebuild(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__db"])
+        order = pc.sort_indices(
+            pa.table({"a": g[id_col], "b": g["seg_idx"]}),
+            sort_keys=[("a", "ascending"), ("b", "ascending")])
+        g = g.take(order)
+        # doc boundaries: dictionary codes are first-appearance-ordered,
+        # and rows are doc-sorted, so codes are non-decreasing per doc
+        idc = g[id_col]
+        if isinstance(idc, pa.ChunkedArray):
+            idc = idc.combine_chunks()
+        enc = pc.dictionary_encode(idc)
+        doc_of = enc.indices.to_numpy(zero_copy_only=False)
+        doc_ids = enc.dictionary
+        n_docs = len(doc_ids)
+        kept = g["kept"].to_numpy(zero_copy_only=False).astype(bool)
+        n_kept = np.bincount(doc_of[kept], minlength=n_docs)
+        n_removed = np.bincount(doc_of[~kept], minlength=n_docs)
+        # kept segments per doc as a ListArray window over the sorted
+        # kept slice, joined in one kernel — text never leaves Arrow
+        kept_rows = np.flatnonzero(kept)
+        segs_kept = g["seg"].take(pa.array(kept_rows, pa.int64()))
+        if isinstance(segs_kept, pa.ChunkedArray):
+            segs_kept = segs_kept.combine_chunks()
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(np.bincount(doc_of[kept], minlength=n_docs),
+                  out=offsets[1:])
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      segs_kept)
+        clean = pc.fill_null(pc.binary_join(la, joiner), "")
+        return pa.table({
+            id_col: doc_ids,
+            "clean_text": pc.cast(clean, pa.string()),
+            "n_kept": pa.array(n_kept.astype(np.int64), pa.int64()),
+            "n_removed": pa.array(n_removed.astype(np.int64), pa.int64()),
+        })
 
     return rebucketed.groupby("__db").map_groups(rebuild,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -209,6 +209,11 @@ def make_write_summarize(shard_tmp: Path):
         # writing, before returning its summary) overwrites the SAME file
         # instead of adding a duplicate under a fresh random name; the
         # exactly-once invariant survives task-level retries.
+        # hash64 (polars-version-coupled) is safe here: the name only has
+        # to be stable within ONE run — on resume, uncommitted shards are
+        # swept wholesale and committed shards never recompute, so a
+        # polars upgrade between runs can't break exactly-once (see the
+        # artifact table in functions/hashing.py).
         content_id = combine_unordered(hash64(batch["url"])) if batch.num_rows else 0
         fname = f"part-{content_id:016x}-{batch.num_rows}.parquet"
         for cls in pc.unique(batch["event_class"]).to_pylist():
