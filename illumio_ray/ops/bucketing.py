@@ -197,7 +197,14 @@ def upsert_bucketed(layout_dir: str | Path, new_ds: rd.Dataset,
 
 def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
     """Delete non-live generation files left by completed upserts.
-    Safe any time: _HEAD is the source of truth and is never removed."""
+
+    SINGLE-WRITER ONLY (same contract as the lineage manifest protocol):
+    the layout is crash-safe — _HEAD is the commit point and is never
+    removed — but not concurrent-writer-safe. A vacuum racing a live
+    upsert can list _HEAD, then unlink a generation file that becomes
+    live an instant later; two concurrent upserts to one bucket lose one
+    writer's rows (last _HEAD wins over a stale base). Run vacuum (and
+    upserts) from the one process that owns the layout."""
     removed = 0
     for b in range(num_buckets):
         bdir = _bucket_dir(layout_dir, b)
@@ -214,12 +221,17 @@ def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
 @ray.remote
 def _lookup_bucket(layout_dir: str, bucket: int, key_col: str,
                    keys: list, columns: list[str] | None) -> pa.Table:
-    t = read_bucket(layout_dir, bucket, columns)
+    # key_col is always read (the probe filter needs it) and dropped
+    # afterwards if the caller's projection excluded it
+    cols = None if columns is None else \
+        list(dict.fromkeys([key_col, *columns]))
+    t = read_bucket(layout_dir, bucket, cols)
     if t.num_rows == 0:
         sch = _bucket_schema(layout_dir)
         t = sch.empty_table()
-        t = t.select(columns) if columns else t.drop_columns(["__bucket"])
-    return t.filter(pc.is_in(t[key_col], value_set=pa.array(keys)))
+        t = t.select(cols) if cols else t.drop_columns(["__bucket"])
+    t = t.filter(pc.is_in(t[key_col], value_set=pa.array(keys)))
+    return t.select(columns) if columns is not None else t
 
 
 def bucketed_lookup(layout_dir: str | Path, key_col: str, keys: list,
@@ -232,7 +244,10 @@ def bucketed_lookup(layout_dir: str | Path, key_col: str, keys: list,
     task per touched bucket filters its bucket to the probe keys
     (vectorized is_in); untouched buckets cost nothing. This is the
     layout's third amortized consumer (after the co-located join and the
-    re-grouped aggregate): the index IS the directory structure."""
+    re-grouped aggregate): the index IS the directory structure.
+
+    ``columns`` may omit ``key_col``: the key is always read for the
+    probe filter and dropped from the output when not requested."""
     ks = pa.array(keys)
     buckets = stable_hash64(ks) % np.uint64(num_buckets)
     by_bucket: dict[int, list] = {}

@@ -1314,11 +1314,15 @@ def edit_distance_pairs(ds: rd.Dataset, id_col: str, key_col: str,
     nb = num_buckets or adaptive_bucket_count(None)
 
     def expand(df: pd.DataFrame) -> pd.DataFrame:
+        # SQL comparison-with-NULL semantics: a null key matches nothing
+        # (levenshtein(NULL, x) is NULL in the oracle), so null/missing
+        # rows are dropped here rather than coerced to "" — "" would pair
+        # null rows with each other and with every 1-char key
+        df = df[df[key_col].notna()]
         ids: list = []
         sigs: list[str] = []
         keys: list[str] = []
         for i, k in zip(df[id_col].to_numpy(), df[key_col].to_numpy()):
-            k = k or ""
             variants = [k] + [k[:j] + k[j + 1:] for j in range(len(k))]
             ids.extend([i] * len(variants))
             sigs.extend(variants)

@@ -897,6 +897,13 @@ def interval_overlap_join(left: rd.Dataset, right: rd.Dataset,
         def fn(t: pa.Table) -> pa.Table:
             s = ts_as_us(t[s_col]).to_numpy(zero_copy_only=False)
             e = ts_as_us(t[e_col]).to_numpy(zero_copy_only=False)
+            if np.any(e < s):
+                bad = int(np.flatnonzero(e < s)[0])
+                raise ValueError(
+                    f"interval_overlap_join: inverted interval at row "
+                    f"{bad} of a '{tag}'-side block (end < start: "
+                    f"{int(e[bad])} < {int(s[bad])}) — the closed-interval "
+                    f"contract requires start <= end")
             c0 = s // cell
             n = (e // cell - c0 + 1).astype(np.int64)
             idx = np.repeat(np.arange(len(s)), n)
@@ -1184,7 +1191,10 @@ def exact_quantile_disc(ds: rd.Dataset, col: str, qs: list[float],
     parts = [pa.table(b) for b in ds.map_batches(
         nmm, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_format="pyarrow")]
-    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:  # every block all-null/NaN → no quantiles exist
+        return [float("nan")] * len(qs)
+    allp = pa.concat_tables(nonempty)
     n = int(pc.sum(allp["n"]).as_py())
     if n == 0:
         return [float("nan")] * len(qs)
@@ -1218,7 +1228,10 @@ def exact_quantile_cont(ds: rd.Dataset, col: str, qs: list[float],
     parts = [pa.table(b) for b in ds.map_batches(
         nmm, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_format="pyarrow")]
-    allp = pa.concat_tables([p for p in parts if p.num_rows])
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:  # every block all-null/NaN → no quantiles exist
+        return [float("nan")] * len(qs)
+    allp = pa.concat_tables(nonempty)
     n = int(pc.sum(allp["n"]).as_py())
     if n == 0:
         return [float("nan")] * len(qs)

@@ -1837,6 +1837,47 @@ def test_bucketed_lookup_prunes_to_probed_buckets(tmp_path):
     assert len(set(out.key)) == 3 and len(touched) <= 3
 
 
+def test_bucketed_lookup_columns_may_omit_key(tmp_path):
+    from illumio_ray.ops import bucketing
+
+    t = pa.table({"key": np.arange(100, dtype=np.int64),
+                  "val": np.arange(100, dtype=np.int64) * 10})
+    bucketing.write_bucketed(rd.from_arrow(t), "key", 4, tmp_path / "lay")
+    out = bucketing.bucketed_lookup(tmp_path / "lay", "key", [5, 42],
+                                    num_buckets=4,
+                                    columns=["val"]).to_pandas()
+    assert sorted(out.columns) == ["val"]
+    assert sorted(out.val) == [50, 420]
+
+
+def test_exact_quantile_all_null_returns_nan():
+    ds = rd.from_arrow(pa.table({"value": pa.array([None, None, None],
+                                                   pa.float64())}))
+    for fn in (rel.exact_quantile_disc, rel.exact_quantile_cont):
+        got = fn(ds, "value", [0.5, 0.9])
+        assert len(got) == 2 and all(np.isnan(x) for x in got)
+
+
+def test_interval_overlap_join_rejects_inverted_interval():
+    left = pd.DataFrame({"id": [1], "s": [100], "e": [50]})   # e < s
+    right = pd.DataFrame({"rid": [2], "s": [0], "e": [200]})
+    with pytest.raises(Exception, match="inverted interval"):
+        rel.interval_overlap_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            "id", "s", "e", "rid", "s", "e",
+            cell_us=60).materialize()
+
+
+def test_edit_distance_pairs_null_keys_match_nothing():
+    from illumio_ray.ops.dedup import edit_distance_pairs
+    df = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                       "key": [None, None, "a", "ab"]})
+    got = (edit_distance_pairs(rd.from_pandas(df), "doc_id", "key")
+           .to_pandas().sort_values(["id_a", "id_b"]))
+    # nulls pair with nothing (SQL NULL semantics); "a"~"ab" at distance 1
+    assert got[["id_a", "id_b"]].values.tolist() == [[3, 4]]
+
+
 def test_exact_quantile_disc_matches_rank_rule():
     rng = np.random.default_rng(3)
     # duplicates + skew to stress bucket collapse and rank bookkeeping
