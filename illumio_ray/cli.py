@@ -192,6 +192,11 @@ def cmd_stats(args) -> int:
         "rows_dropped": sum(m.get("rows_dropped") or 0 for m in manifests.values()),
         "per_shard": {sid: m["row_count"] for sid, m in sorted(manifests.items())},
     }
+    # live-run signal: the in-run heartbeat (state/heartbeat.py) — lets
+    # `stats` answer "is it still moving?" against a RUNNING out dir
+    hb_path = out / "_heartbeat.json"
+    if hb_path.exists():
+        report["heartbeat"] = json.loads(hb_path.read_text())
     agg_dir = out / "aggregates"
     if agg_dir.exists():
         agg = pads.dataset(str(agg_dir)).to_table()

@@ -228,8 +228,11 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
     # The small-corpus fast path fires only on an EXPLICIT n_docs from the
     # caller (parquet footers, survivor counters) — no plan introspection:
     # unknown size takes the distributed path, which is correct at any
-    # scale and merely pays two sort-shuffles of fixed overhead.
-    if n_docs is not None and n_docs <= 2_000_000:
+    # scale and merely pays two sort-shuffles of fixed overhead. Gate at
+    # 500k docs: the driver frame is docs × bands band rows (8M rows ≈
+    # a few hundred MB with string ids at the gate) — the 2M gate this
+    # replaces flirted with multi-GB driver frames.
+    if n_docs is not None and n_docs <= 500_000:
         tbl = pa.concat_tables(
             pa.table(b) for b in band_rows.iter_batches(batch_format="pyarrow"))
         df = tbl.to_pandas()

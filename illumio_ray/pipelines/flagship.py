@@ -366,7 +366,8 @@ def run_incremental(pages_dir: str | Path, out_dir: str | Path,
                     max_concurrent_shards: int = 4,
                     with_wire: bool = True,
                     enrich_mode: str = "task",
-                    time_window: tuple | None = None) -> dict:
+                    time_window: tuple | None = None,
+                    heartbeat_interval: float = 10.0) -> dict:
     """Incremental ingestion (≙ the reference's poll-loop iteration,
     app/main.py:339-384): discover fragments, anti-join against committed
     manifests, process ONLY new fragments into fresh shards, refresh the
@@ -389,7 +390,10 @@ def run_incremental(pages_dir: str | Path, out_dir: str | Path,
     from concurrent.futures import ThreadPoolExecutor
 
     if todo:
-        with ThreadPoolExecutor(n_threads) as ex:
+        from ..state.heartbeat import Heartbeat
+
+        with Heartbeat(out_dir, len(todo), heartbeat_interval) as hb, \
+                ThreadPoolExecutor(n_threads) as ex:
             futs = [
                 ex.submit(run_shard, sid, frags, out_dir, lookup_kwargs,
                           with_wire=with_wire, min_blocks=min_blocks,
@@ -397,7 +401,7 @@ def run_incremental(pages_dir: str | Path, out_dir: str | Path,
                 for sid, frags in todo
             ]
             for f in futs:
-                f.result()
+                hb.shard_done(f.result())
 
     manifests = lineage.load_manifests(out_dir)
     agg_path = _write_aggregate(out_dir, manifests)
@@ -418,7 +422,8 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
                  enrich_concurrency=None, with_wire: bool = True,
                  fail_after_shards: int | None = None,
                  max_concurrent_shards: int = 4,
-                 enrich_mode: str = "task") -> dict:
+                 enrich_mode: str = "task",
+                 heartbeat_interval: float = 10.0) -> dict:
     """Full resumable run. ``fail_after_shards`` simulates a mid-run kill
     (used by the checkpoint-resume test; forces serial shard order).
 
@@ -449,30 +454,35 @@ def run_flagship(pages_dir: str | Path, out_dir: str | Path,
     # when the shard has few fragments (splits at row-group granularity).
     min_blocks = max(1, (2 * _cluster_cpus()) // n_threads)
 
-    done = 0
-    if n_threads == 1:
-        for sid, frags in todo:
-            run_shard(sid, frags, out_dir, lookup_kwargs,
-                      enrich_concurrency=enrich_concurrency,
-                      with_wire=with_wire, min_blocks=min_blocks,
-                      enrich_mode=enrich_mode)
-            done += 1
-            if fail_after_shards is not None and done >= fail_after_shards:
-                raise RuntimeError(f"simulated failure after {done} shards")
-    else:
-        from concurrent.futures import ThreadPoolExecutor
+    from ..state.heartbeat import Heartbeat
 
-        with ThreadPoolExecutor(n_threads) as ex:
-            futs = [
-                ex.submit(run_shard, sid, frags, out_dir, lookup_kwargs,
-                          enrich_concurrency=enrich_concurrency,
-                          with_wire=with_wire, min_blocks=min_blocks,
-                          enrich_mode=enrich_mode)
-                for sid, frags in todo
-            ]
-            for f in futs:
-                f.result()
+    done = 0
+    with Heartbeat(out_dir, len(todo), heartbeat_interval) as hb:
+        if n_threads == 1:
+            for sid, frags in todo:
+                m = run_shard(sid, frags, out_dir, lookup_kwargs,
+                              enrich_concurrency=enrich_concurrency,
+                              with_wire=with_wire, min_blocks=min_blocks,
+                              enrich_mode=enrich_mode)
+                hb.shard_done(m)
                 done += 1
+                if fail_after_shards is not None and done >= fail_after_shards:
+                    raise RuntimeError(
+                        f"simulated failure after {done} shards")
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(n_threads) as ex:
+                futs = [
+                    ex.submit(run_shard, sid, frags, out_dir, lookup_kwargs,
+                              enrich_concurrency=enrich_concurrency,
+                              with_wire=with_wire, min_blocks=min_blocks,
+                              enrich_mode=enrich_mode)
+                    for sid, frags in todo
+                ]
+                for f in futs:
+                    hb.shard_done(f.result())
+                    done += 1
 
     # Final aggregate = driver combine of the COMMITTED shards' partial
     # sidecars (each O(groups) rows, computed distributed at shard commit).

@@ -164,3 +164,34 @@ def test_run_flagship_actor_mode_end_to_end(tmp_path):
                           partitioning="hive").to_table(columns=["url"])
     assert routed.num_rows == m["rows_routed"] > 0
     assert len(set(routed["url"].to_pylist())) == routed.num_rows
+
+
+def test_heartbeat_live_and_final_beats(tmp_path):
+    """In-run heartbeat (≙ reference health_reporter thread): periodic
+    beats during the run, a final beat on clean exit, and — after a
+    mid-run failure — a final beat that reports exactly the committed
+    shards with ok=false."""
+    import json
+
+    from illumio_ray.pipelines.flagship import run_flagship
+    from illumio_ray.synth import synth_pages
+
+    info = synth_pages(tmp_path / "in", rows=800, num_files=4)
+    out = tmp_path / "out"
+    m = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                     info["lookup_host"], num_shards=2,
+                     heartbeat_interval=0.05)
+    hb = json.loads((out / "_heartbeat.json").read_text())
+    assert hb["in_progress"] is False and hb["ok"] is True
+    assert hb["shards_committed"] == hb["shards_planned"] == 2
+    assert hb["rows_routed_committed"] == m["rows_routed"] > 0
+    assert hb["rows_per_sec"] > 0
+
+    out2 = tmp_path / "out2"
+    with pytest.raises(RuntimeError, match="simulated failure"):
+        run_flagship(info["pages_dir"], out2, info["lookup_lang"],
+                     info["lookup_host"], num_shards=4,
+                     fail_after_shards=2, heartbeat_interval=0.05)
+    hb2 = json.loads((out2 / "_heartbeat.json").read_text())
+    assert hb2["in_progress"] is False and hb2["ok"] is False
+    assert hb2["shards_committed"] == 2 and hb2["shards_planned"] == 4
