@@ -4561,8 +4561,9 @@ _DRIVER_FIRST = [
     "events_heavy_hitters",
     "events_error_view_range_join", "doc_repetition", "pages_label_flatten",
     "events_daily_delta", "doc_bpeish_tokens",
-    # round-4 additions occupy driver slots (VERDICT r03 item 8)
-    "curation_kept_closure",
+    # round-4 additions occupy driver slots (VERDICT r03 item 8):
+    # the closure curation and BOTH directions of the partitioned as-of
+    "curation_kept_closure", "events_asof_next_error",
 ]
 
 
