@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
@@ -305,3 +306,166 @@ def brute_force_topk_multi(ds: rd.Dataset, query_ids, query_mat: np.ndarray,
                             zero_copy_batch=True)
     return topk_per_group(scored, ["qid"], ["score", id_col], k,
                           descending=[True, False])
+
+
+# ---------------------------------------------------------------------------
+# k-nearest-neighbor JOIN (every left row → its top-k right rows)
+# ---------------------------------------------------------------------------
+
+def knn_join(left: rd.Dataset, right: rd.Dataset, k: int,
+             left_id: str = "qid", right_id: str = "vec_id",
+             left_vec: str = "embedding", right_vec: str = "embedding",
+             out_score: str = "score") -> rd.Dataset:
+    """EXACT cosine k-NN JOIN: for EVERY left row, the top-k right rows by
+    cosine (ties: score desc, right id asc) — both sides are Datasets,
+    neither broadcasts to the driver. The semantic-dedup / RAG-linking
+    primitive where the "queries" are themselves a table, not a request
+    batch (that case is brute_force_topk_multi).
+
+    Scale shape: the right corpus pins ONCE in the object store as Arrow
+    block refs; one map task per LEFT block streams the right blocks
+    through a (B_l x D) . (D x B_r) matmul, folding a running per-row
+    top-k after each block — task memory is O(left block + ONE right
+    block + B_l x k) and shuffle volume is ZERO (each left block sees the
+    whole right side, so no per-query reduce exists). O(L x R) flops is
+    inherent to exactness; ``ivf_knn_join`` is the approximate path that
+    prunes the cross product to probed IVF cells."""
+    rrefs = right.select_columns([right_id, right_vec]).to_arrow_refs()
+    rrefs_ref = ray.put(list(rrefs))
+
+    def score(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            left_id: pa.array([], t.schema.field(left_id).type
+                              if left_id in t.schema.names else pa.int64()),
+            right_id: pa.array([], pa.int64()),
+            out_score: pa.array([], pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        q = _normalize(vecs_from_arrow(t[left_vec]))
+        qids = t[left_id].combine_chunks()
+        B = len(q)
+        best_s = np.full((B, 0), -2.0)
+        best_i = np.full((B, 0), -1, np.int64)
+        for ref in ray.get(rrefs_ref):
+            blk = ray.get(ref)
+            if blk.num_rows == 0:
+                continue
+            v = _normalize(vecs_from_arrow(blk[right_vec]))
+            rids = blk[right_id].combine_chunks() \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            s = round_np(q @ v.T, 6)                       # B x B_r
+            kk = min(k, s.shape[1])
+            # block-local top-k (argpartition), then fold into the running
+            # candidates and re-rank — candidates stay at <= 2k per row
+            part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+            cand_s = np.concatenate(
+                [best_s, np.take_along_axis(s, part, axis=1)], axis=1)
+            cand_i = np.concatenate([best_i, rids[part]], axis=1)
+            order = np.lexsort((cand_i, -cand_s), axis=1)[:, :k]
+            best_s = np.take_along_axis(cand_s, order, axis=1)
+            best_i = np.take_along_axis(cand_i, order, axis=1)
+        kk = best_s.shape[1]
+        if kk == 0:
+            return empty
+        out_q = pc.take(qids, pa.array(np.repeat(np.arange(B), kk),
+                                       pa.int64()))
+        return pa.table({
+            left_id: out_q,
+            right_id: pa.array(best_i.ravel(), pa.int64()),
+            out_score: pa.array(best_s.ravel(), pa.float64()),
+        })
+
+    return left.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+def ivf_knn_join(left: rd.Dataset, right: rd.Dataset, k: int,
+                 n_cells: int = 16, nprobe: int = 2,
+                 left_id: str = "qid", right_id: str = "vec_id",
+                 left_vec: str = "embedding", right_vec: str = "embedding",
+                 train_sample_rows: int = 4096) -> rd.Dataset:
+    """Approximate k-NN join — the 10^12-row path: both sides assign to
+    IVF cells (centroids trained once on a bounded sample), left rows
+    replicate to their ``nprobe`` nearest cells, ONE hash exchange
+    co-locates each cell, the in-cell matmul emits per-(query, cell)
+    top-k, and a tiny per-query reduce keeps the global k. The cross
+    product prunes from L x R to sum-over-cells(L_probe_c x R_c); recall
+    vs knn_join is pinned by tests."""
+    from .relational import topk_per_group
+
+    sample = right.limit(train_sample_rows).take_batch(
+        train_sample_rows, batch_format="pyarrow")
+    index = IVFIndex(vecs_from_arrow(sample[right_vec]), n_cells=n_cells)
+    ref = ray.put(index)
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        cols = {"__cell": pa.array([], pa.int32()), "__side": pa.array([], pa.int8()),
+                "id": pa.array([], pa.int64()),
+                "vec": pa.array([], t.schema.field(right_vec).type)}
+        if t.num_rows == 0:
+            return pa.table(cols)
+        idx = ray.get(ref)
+        v = _normalize(vecs_from_arrow(t[right_vec]))
+        return pa.table({
+            "__cell": pa.array(idx.assign(v).astype(np.int32), pa.int32()),
+            "__side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+            "id": pc.cast(t[right_id], pa.int64()),
+            "vec": t[right_vec],
+        })
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        cols = {"__cell": pa.array([], pa.int32()), "__side": pa.array([], pa.int8()),
+                "id": pa.array([], pa.int64()),
+                "vec": pa.array([], t.schema.field(left_vec).type)}
+        if t.num_rows == 0:
+            return pa.table(cols)
+        idx = ray.get(ref)
+        v = _normalize(vecs_from_arrow(t[left_vec]))
+        sims = v @ idx.centroids.T                     # B x C
+        probes = np.argsort(-sims, axis=1)[:, :nprobe]
+        B = t.num_rows
+        rep = pa.array(np.repeat(np.arange(B), nprobe), pa.int64())
+        return pa.table({
+            "__cell": pa.array(probes.ravel().astype(np.int32), pa.int32()),
+            "__side": pa.array(np.zeros(B * nprobe, np.int8), pa.int8()),
+            "id": pc.take(pc.cast(t[left_id], pa.int64()), rep),
+            "vec": pc.take(t[left_vec], rep),
+        })
+
+    merged = left.map_batches(tag_left, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        right.map_batches(tag_right, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def in_cell(g: pa.Table) -> pa.Table:
+        is_l = pc.equal(g["__side"], pa.scalar(0, pa.int8()))
+        lt, rt = g.filter(is_l), g.filter(pc.invert(is_l))
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             right_id: pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        q = _normalize(vecs_from_arrow(lt["vec"]))
+        v = _normalize(vecs_from_arrow(rt["vec"]))
+        rids = rt["id"].combine_chunks().to_numpy(zero_copy_only=False)
+        s = round_np(q @ v.T, 6)
+        kk = min(k, s.shape[1])
+        part = np.argpartition(-s, kk - 1, axis=1)[:, :kk]
+        ps = np.take_along_axis(s, part, axis=1)
+        pi = rids[part]
+        order = np.lexsort((pi, -ps), axis=1)
+        ps = np.take_along_axis(ps, order, axis=1)
+        pi = np.take_along_axis(pi, order, axis=1)
+        B = len(q)
+        return pa.table({
+            "qid": pc.take(lt["id"].combine_chunks(),
+                           pa.array(np.repeat(np.arange(B), kk), pa.int64())),
+            right_id: pa.array(pi.ravel(), pa.int64()),
+            "score": pa.array(ps.ravel(), pa.float64()),
+        })
+
+    scored = merged.groupby("__cell").map_groups(in_cell,
+                                                 batch_format="pyarrow")
+    out = topk_per_group(scored, ["qid"], ["score", right_id], k,
+                         descending=[True, False])
+    return out.rename_columns({"qid": left_id}) if left_id != "qid" else out

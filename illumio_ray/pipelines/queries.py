@@ -4263,6 +4263,48 @@ def embedding_topk_filtered(sf_dir: str):
     return similarity.brute_force_topk(flt, _query_vec(sf_dir), 10)
 
 
+@register("embedding_knn_join", """
+SELECT a.vec_id AS qid, b.vec_id,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS score
+FROM embeddings a, embeddings b
+QUALIFY row_number() OVER (
+  PARTITION BY a.vec_id
+  ORDER BY ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+           DESC, b.vec_id) <= 3
+""")
+def embedding_knn_join(sf_dir: str):
+    """EXACT k-NN JOIN (every vector → its 3 nearest corpus vectors,
+    self-match included): the semantic-dedup / RAG-linking primitive where
+    the query side is itself a table. Right side pins once as Arrow block
+    refs; each left block folds a running top-k across them — zero
+    shuffle, no driver materialization (similarity.knn_join); oracle is
+    the windowed-rank cross join."""
+    left = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    left = left.map_batches(
+        lambda t: t.rename_columns(["qid", "embedding"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.knn_join(left, right, 3)
+
+
+@register("embedding_knn_join_ivf", None)  # approximate (recall-tested) → rows-only
+def embedding_knn_join_ivf(sf_dir: str):
+    """Approximate k-NN join — both sides assign to IVF cells, left rows
+    probe their 2 nearest cells, one hash exchange co-locates each cell
+    and the cross product prunes to within-cell matmuls
+    (similarity.ivf_knn_join). Recall vs the exact join pinned by
+    tests/test_ops.py."""
+    left = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    left = left.map_batches(
+        lambda t: t.rename_columns(["qid", "embedding"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.ivf_knn_join(left, right, 3, n_cells=8, nprobe=2)
+
+
 @register("events_value_quantiles_exact", """
 SELECT quantile_disc(value, 0.5) AS p50,
        quantile_disc(value, 0.9) AS p90,
@@ -4562,8 +4604,9 @@ _DRIVER_FIRST = [
     "events_error_view_range_join", "doc_repetition", "pages_label_flatten",
     "events_daily_delta", "doc_bpeish_tokens",
     # round-4 additions occupy driver slots (VERDICT r03 item 8):
-    # the closure curation and BOTH directions of the partitioned as-of
-    "curation_kept_closure", "events_asof_next_error",
+    # the closure curation, BOTH directions of the partitioned as-of,
+    # and the exact k-NN join
+    "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
 ]
 
 

@@ -460,6 +460,38 @@ def test_ivf_topk_recall():
     assert recall >= 0.8
 
 
+def test_knn_join_matches_multi_query_and_ivf_recall():
+    """knn_join (query side = a Dataset, running top-k over right block
+    refs) must equal brute_force_topk_multi (broadcast query matrix) on
+    the same data; ivf_knn_join must recover most exact neighbors."""
+    from illumio_ray.ops import similarity as sim
+    rng = np.random.default_rng(31)
+    centers = rng.standard_normal((6, 12))
+    vecs = np.concatenate(
+        [c + 0.1 * rng.standard_normal((40, 12)) for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                       "embedding": list(vecs.astype(np.float32))})
+    right = rd.from_pandas(df).repartition(4)
+    left = rd.from_pandas(
+        df.rename(columns={"vec_id": "qid"})).repartition(3)
+
+    joined = sim.knn_join(left, right, 5).to_pandas()
+    ref = sim.brute_force_topk_multi(
+        rd.from_pandas(df).repartition(4),
+        df.vec_id.to_numpy(), vecs, 5).to_pandas()
+    key = ["qid", "vec_id", "score"]
+    a = joined.sort_values(key).reset_index(drop=True)[key]
+    b = ref.sort_values(key).reset_index(drop=True)[key]
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    approx = sim.ivf_knn_join(left, right, 5, n_cells=6,
+                              nprobe=2).to_pandas()
+    exact_pairs = set(map(tuple, a[["qid", "vec_id"]].values.tolist()))
+    got_pairs = set(map(tuple, approx[["qid", "vec_id"]].values.tolist()))
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.8, recall
+
+
 def test_topk_per_group_keeps_null_partition():
     df = pd.DataFrame({"g": ["a", "a", None, None, "b"],
                        "x": [5.0, 3.0, 9.0, 1.0, 2.0],
