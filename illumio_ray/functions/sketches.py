@@ -17,6 +17,27 @@ import numpy as np
 from .hashing import hash64
 
 
+def _hll_ranks(h: np.ndarray, p: int) -> np.ndarray:
+    """rank = leading zeros of the (64-p) value bits + 1, capped — the
+    shared register-update kernel for the global HLL and the per-group
+    partials (hll_distinct_by)."""
+    h = h.astype(np.uint64)
+    rest = h << np.uint64(p)  # remaining 64-p bits, left-aligned
+    mask = rest != 0
+    bl = np.zeros(len(h), dtype=np.uint8)
+    r = rest[mask]
+    # np.log2 is unsafe at 2^63; compute bit length by shifting
+    lengths = np.zeros(len(r), dtype=np.uint8)
+    v = r.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        step = v >= (np.uint64(1) << np.uint64(shift))
+        lengths = np.where(step, lengths + shift, lengths)
+        v = np.where(step, v >> np.uint64(shift), v)
+    bl[mask] = lengths + 1  # bit_length
+    return np.where(mask, np.uint8(64) - bl + np.uint8(1),
+                    np.uint8(64 - p + 1)).astype(np.uint8)
+
+
 class HyperLogLog:
     """Fixed-precision HLL over 64-bit hashes; registers merge by max."""
 
@@ -30,24 +51,7 @@ class HyperLogLog:
             return self
         h = h.astype(np.uint64)
         idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = h << np.uint64(self.p)  # remaining 64-p bits, left-aligned
-        # rank = leading zeros of `rest` + 1, capped at 64-p+1
-        rank = np.ones(len(h), dtype=np.uint8)
-        mask = rest != 0
-        # count leading zeros via bit length: lz = 64 - bit_length(rest)
-        bl = np.zeros(len(h), dtype=np.uint8)
-        r = rest[mask]
-        # np.log2 is unsafe at 2^63; compute bit length by shifting
-        lengths = np.zeros(len(r), dtype=np.uint8)
-        v = r.copy()
-        for shift in (32, 16, 8, 4, 2, 1):
-            step = v >= (np.uint64(1) << np.uint64(shift))
-            lengths = np.where(step, lengths + shift, lengths)
-            v = np.where(step, v >> np.uint64(shift), v)
-        bl[mask] = lengths + 1  # bit_length
-        rank = np.where(mask, np.uint8(64) - bl + np.uint8(1),
-                        np.uint8(64 - self.p + 1)).astype(np.uint8)
-        np.maximum.at(self.registers, idx, rank)
+        np.maximum.at(self.registers, idx, _hll_ranks(h, self.p))
         return self
 
     def add(self, values) -> "HyperLogLog":
@@ -478,3 +482,4 @@ def cms_counts(ds, col: str, query_values,
                 depth, width)
     vals = np.asarray(query_values)
     return dict(zip(query_values, acc.estimate_array(vals).tolist()))
+

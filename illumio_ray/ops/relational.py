@@ -1450,3 +1450,48 @@ def grouped_string_agg(ds: rd.Dataset, key: str, col: str, out: str,
     res = bucketed.groupby("__gb").map_groups(per_bucket,
                                               batch_format="pandas")
     return drop_empty_blocks(res)
+
+
+def mad_outlier_filter(ds: rd.Dataset, key: str, col: str,
+                       thresh: float = 3.5) -> rd.Dataset:
+    """Robust per-group outlier filter: keep rows with
+    |x − median_g| <= thresh · MAD_g (MAD = median of |x − median_g|) —
+    the median/MAD rule that survives the outliers a mean/stddev z-score
+    is corrupted by. The standard telemetry-cleaning gate before
+    aggregation (value spikes, sensor glitches).
+
+    Two shared-pass exact per-group medians (exact_quantile_disc_by —
+    iterative histogram refinement, driver state O(groups), no group ever
+    collects), then one broadcast map filter. Bounded group keys (same
+    contract as grouped_agg mode="driver"). Null values drop (SQL
+    comparison semantics)."""
+    med_tbl = exact_quantile_disc_by(ds, key, col, 0.5)
+    med = dict(zip(med_tbl[key].to_pylist(), med_tbl["q50"].to_pylist()))
+    med_ref = ray.put(med)
+
+    def add_dev(t: pa.Table) -> pa.Table:
+        kv = t[key].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = pd.Series(kv).map(ray.get(med_ref)).to_numpy(np.float64)
+        return pa.table({key: t[key],
+                         "__dev": pa.array(np.abs(v - m), pa.float64())})
+
+    dev = ds.map_batches(add_dev, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    mad_tbl = exact_quantile_disc_by(dev, key, "__dev", 0.5)
+    mad = dict(zip(mad_tbl[key].to_pylist(), mad_tbl["q50"].to_pylist()))
+    bounds_ref = ray.put({g: (med[g], thresh * mad[g]) for g in mad
+                          if g in med})
+
+    def keep(t: pa.Table) -> pa.Table:
+        bounds = ray.get(bounds_ref)
+        kv = t[key].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        meds = pd.Series(kv).map({g: b[0] for g, b in bounds.items()}) \
+            .to_numpy(np.float64)
+        lims = pd.Series(kv).map({g: b[1] for g, b in bounds.items()}) \
+            .to_numpy(np.float64)
+        m = np.abs(v - meds) <= lims     # NaN (null value / unseen key) → drop
+        return t.filter(pa.array(m & ~np.isnan(v)))
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

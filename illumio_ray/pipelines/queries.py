@@ -4305,6 +4305,32 @@ def embedding_knn_join_ivf(sf_dir: str):
     return similarity.ivf_knn_join(left, right, 3, n_cells=8, nprobe=2)
 
 
+@register("events_value_mad_filtered", """
+WITH med AS (
+  SELECT event_type, quantile_disc(value, 0.5) AS med
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+), dev AS (
+  SELECT e.event_type, abs(e.value - m.med) AS d
+  FROM events e JOIN med m USING (event_type)
+  WHERE e.value IS NOT NULL
+), mad AS (
+  SELECT event_type, quantile_disc(d, 0.5) AS mad FROM dev GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value
+FROM events e JOIN med m USING (event_type) JOIN mad a USING (event_type)
+WHERE e.value IS NOT NULL AND abs(e.value - m.med) <= 3.5 * a.mad
+""")
+def events_value_mad_filtered(sf_dir: str):
+    """Robust per-group outlier gate: keep events within 3.5 MAD of their
+    type's median — the median/MAD cleaning rule whose thresholds survive
+    the very outliers a mean/stddev z-score absorbs. Medians are EXACT via
+    the shared-pass histogram refinement (rel.exact_quantile_disc_by), so
+    the filter matches the SQL quantile_disc definition bit-for-bit."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    return rel.mad_outlier_filter(ds, "event_type", "value", thresh=3.5)
+
+
 @register("events_value_quantiles_exact", """
 SELECT quantile_disc(value, 0.5) AS p50,
        quantile_disc(value, 0.9) AS p90,
@@ -4607,6 +4633,7 @@ _DRIVER_FIRST = [
     # the closure curation, BOTH directions of the partitioned as-of,
     # and the exact k-NN join
     "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
+    "events_value_mad_filtered",
 ]
 
 

@@ -460,6 +460,29 @@ def test_ivf_topk_recall():
     assert recall >= 0.8
 
 
+def test_mad_outlier_filter_matches_bruteforce():
+    rng = np.random.default_rng(41)
+    g = np.repeat(["a", "b"], 500)
+    v = np.concatenate([rng.normal(10, 1, 500), rng.normal(-5, 3, 500)])
+    v[::97] += 80  # injected spikes
+    df = pd.DataFrame({"id": np.arange(1000), "g": g, "v": v})
+    got = rel.mad_outlier_filter(rd.from_pandas(df).repartition(4),
+                                 "g", "v", thresh=3.5).to_pandas()
+
+    def brute(d):
+        def disc_median(x):
+            s = np.sort(x.to_numpy())
+            return s[max(0, int(np.ceil(len(s) * 0.5)) - 1)]
+        med = d.groupby("g")["v"].apply(disc_median)
+        dev = (d.v - d.g.map(med)).abs()
+        mad = dev.groupby(d.g).apply(disc_median)
+        return d[dev <= 3.5 * d.g.map(mad)]
+
+    expect = brute(df)
+    assert sorted(got.id) == sorted(expect.id)
+    assert len(got) < len(df)  # the spikes actually got dropped
+
+
 def test_knn_join_matches_multi_query_and_ivf_recall():
     """knn_join (query side = a Dataset, running top-k over right block
     refs) must equal brute_force_topk_multi (broadcast query matrix) on
