@@ -1495,3 +1495,66 @@ def mad_outlier_filter(ds: rd.Dataset, key: str, col: str,
         return t.filter(pa.array(m & ~np.isnan(v)))
 
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def funnel_counts(ds: rd.Dataset, user_col: str, ts_col: str,
+                  type_col: str, steps: list[str],
+                  num_buckets: int | None = None,
+                  n_rows: int | None = None) -> pa.Table:
+    """Ordered funnel: for each prefix of ``steps``, how many users
+    completed it IN ORDER (step i strictly after their earliest completion
+    of step i-1; first step = their earliest step-0 event) — the
+    conversion-funnel analysis a log pipeline feeds (view → click →
+    purchase). Greedy earliest-completion is the standard semantics and
+    is what the SQL chained-min oracle defines.
+
+    Distributed shape: rows prune to the step types at the scan, exchange
+    ONCE on a user-hash bucket (keyed_window contract: a user's rows never
+    split), and each bucket computes per-user completion vectorized —
+    sort by (user, ts), then per step a chained earliest-after lookup.
+    Only (bucket, step, count) partials reach the driver."""
+    steps = list(steps)
+    step_idx = {s: i for i, s in enumerate(steps)}
+
+    pruned = filter_batches(
+        ds.select_columns([user_col, ts_col, type_col]),
+        lambda t: pc.and_(pc.is_in(t[type_col],
+                                   value_set=pa.array(steps)),
+                          pc.is_valid(t[ts_col])))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col], kind="mergesort")
+        users = g[user_col].to_numpy()
+        ts = ts_as_us(pa.Array.from_pandas(g[ts_col])).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes = g[type_col].map(step_idx).to_numpy(np.int64)
+        uniq, inv = np.unique(users, return_inverse=True)
+        n_u = len(uniq)
+        # completion_time[u] for the current prefix; NaT sentinel = not yet
+        SENT = np.int64(2**62)
+        counts = []
+        done = np.full(n_u, -SENT)  # "completed step -1 at -inf"
+        for i in range(len(steps)):
+            nxt = np.full(n_u, SENT)
+            m = codes == i
+            # earliest step-i event strictly after the user's prefix time
+            # (after -inf for step 0 → their earliest step-0 event)
+            cand_u, cand_t = inv[m], ts[m]
+            ok = cand_t > done[cand_u]
+            np.minimum.at(nxt, cand_u[ok], cand_t[ok])
+            done = nxt
+            counts.append(int((done < SENT).sum()))
+        return pd.DataFrame({"step": steps, "__i": np.arange(len(steps)),
+                             "n_users": np.asarray(counts, np.int64)})
+
+    bucketed = keyed_window(pruned, user_col, per_bucket,
+                            num_buckets=num_buckets, n_rows=n_rows)
+    parts = [pa.table(b) for b in bucketed.iter_batches(batch_format="pyarrow")]
+    if not parts:
+        return pa.table({"step": pa.array(steps),
+                         "n_users": pa.array([0] * len(steps), pa.int64())})
+    allp = pa.concat_tables(parts)
+    agg = allp.group_by(["__i", "step"]).aggregate([("n_users", "sum")])
+    agg = agg.sort_by([("__i", "ascending")])
+    return pa.table({"step": agg["step"],
+                     "n_users": pc.cast(agg["n_users_sum"], pa.int64())})

@@ -979,3 +979,29 @@ def chunk_word_windows(ds: rd.Dataset, id_col: str = "doc_id",
         return pd.DataFrame({id_col: ids, "chunk_id": cis, "chunk": chunks})
 
     return ds.map_batches(fn, batch_format="pandas")
+
+
+def regex_extract_columns(ds: rd.Dataset, col: str, pattern: str,
+                          drop_unmatched: bool = False) -> rd.Dataset:
+    """Grok-style multi-field extraction: ONE compiled RE2 pattern with
+    named groups runs per batch through pyarrow's extract_regex kernel and
+    every named group becomes a column — the generic form of the field
+    mappers the flagship parse stage specializes (≙ reference grok/regex
+    parse tables, app/log_processor.py field extraction). Non-matching
+    rows yield null fields (SQL regexp_extract semantics) or drop when
+    ``drop_unmatched``. Vectorized end-to-end: no Python per row, no
+    pandas conversion."""
+    def fn(t: pa.Table) -> pa.Table:
+        s = t[col]
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        st = pc.extract_regex(s, pattern)
+        out = t
+        for i in range(st.type.num_fields):
+            name = st.type.field(i).name
+            out = out.append_column(name, pc.struct_field(st, name))
+        if drop_unmatched:
+            out = out.filter(pc.is_valid(st))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

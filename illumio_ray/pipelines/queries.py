@@ -1508,6 +1508,41 @@ def pages_wire(sf_dir: str):
     return routed.select_columns(["url", "event_class", "wire"])
 
 
+# the wire SELECT re-wrapped as one more CTE, then grokked back apart
+_WIRE_GROK_SQL = (
+    _WIRE_SQL.rstrip()
+    .replace("SELECT url, event_class,", ", wired_sel AS (\nSELECT event_class,", 1)
+    + r"""
+)
+SELECT event_class,
+       regexp_extract(wire, 'device_type=([^|]*)', 1) AS device_type,
+       regexp_extract(wire, '\|tag1=([^|]*)\|original_message=', 1) AS tag1,
+       CAST(count(*) AS BIGINT) AS n
+FROM wired_sel GROUP BY 1, 2, 3""")
+
+
+@register("pages_wire_grok", _WIRE_GROK_SQL)
+def pages_wire_grok(sf_dir: str):
+    """Grok the wire format BACK apart: named-group RE2 patterns re-extract
+    device_type and tag1 from the serialized message and the counts must
+    close the loop against the SQL wire reimplementation — the generic
+    regex_extract_columns operator (parse side of the reference's
+    serialize/parse pair) applied to our own sink output."""
+    info = _pages(sf_dir)
+    pages = rd.read_parquet(info["pages_dir"])
+    lookups = broadcast_lookups(info["lookup_lang"], info["lookup_host"])
+    routed = build_routed(pages, lookups, with_wire=True) \
+        .select_columns(["event_class", "wire"])
+    parsed = textops.regex_extract_columns(
+        routed, "wire", r"device_type=(?P<device_type>[^|]*)")
+    parsed = textops.regex_extract_columns(
+        parsed, "wire", r"\|tag1=(?P<tag1>[^|]*)\|original_message=")
+    return rel.grouped_agg(
+        parsed.select_columns(["event_class", "device_type", "tag1"]),
+        ["event_class", "device_type", "tag1"],
+        [("device_type", "count", "n")])
+
+
 # ---------------------------------------------------------------------------
 # ordering / windows / set ops / as-of
 # ---------------------------------------------------------------------------
@@ -4331,6 +4366,33 @@ def events_value_mad_filtered(sf_dir: str):
     return rel.mad_outlier_filter(ds, "event_type", "value", thresh=3.5)
 
 
+@register("events_funnel_view_click_purchase", """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1
+)
+SELECT 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0
+UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM s1
+UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s2
+""")
+def events_funnel_view_click_purchase(sf_dir: str):
+    """Ordered conversion funnel (view → click → purchase): users counted
+    at each step only if it happened strictly after their earliest
+    completion of the previous step — greedy earliest-completion, the
+    chained-min SQL definition. One user-bucket exchange, per-bucket
+    vectorized chained lookup (rel.funnel_counts)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return rel.funnel_counts(ds, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"])
+
+
 @register("events_value_quantiles_exact", """
 SELECT quantile_disc(value, 0.5) AS p50,
        quantile_disc(value, 0.9) AS p90,
@@ -4633,7 +4695,8 @@ _DRIVER_FIRST = [
     # the closure curation, BOTH directions of the partitioned as-of,
     # and the exact k-NN join
     "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
-    "events_value_mad_filtered",
+    "events_value_mad_filtered", "events_funnel_view_click_purchase",
+    "pages_wire_grok",
 ]
 
 

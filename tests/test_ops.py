@@ -460,6 +460,47 @@ def test_ivf_topk_recall():
     assert recall >= 0.8
 
 
+def test_regex_extract_columns_named_groups():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"line": [
+        "GET /index.html 200", "POST /api/v1 500", "garbage", None]})
+    out = textops.regex_extract_columns(
+        rd.from_pandas(df), "line",
+        r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<status>\d+)").to_pandas()
+    assert out.verb.tolist()[:2] == ["GET", "POST"]
+    assert out.status.tolist()[:2] == ["200", "500"]
+    assert out.verb.isna().tolist()[2:] == [True, True]
+    dropped = textops.regex_extract_columns(
+        rd.from_pandas(df), "line",
+        r"(?P<verb>[A-Z]+) (?P<path>\S+) (?P<status>\d+)",
+        drop_unmatched=True).to_pandas()
+    assert len(dropped) == 2
+
+
+def test_funnel_counts_ordered_semantics():
+    ts = pd.to_datetime  # noqa
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "2024-01-01 00:00", "view"), (1, "2024-01-01 00:05", "click"),
+        (1, "2024-01-01 00:10", "purchase"),
+        # u2 clicks BEFORE viewing → click doesn't count; re-click missing
+        (2, "2024-01-01 00:05", "click"), (2, "2024-01-01 00:06", "view"),
+        # u3 view+click same timestamp → strict 'after' fails
+        (3, "2024-01-01 00:00", "view"), (3, "2024-01-01 00:00", "click"),
+        # u4 views only
+        (4, "2024-01-01 00:00", "view"),
+        # u5 purchase with no prefix
+        (5, "2024-01-01 00:00", "purchase"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = rel.funnel_counts(rd.from_pandas(df).repartition(3), "user_id",
+                            "ts", "event_type",
+                            ["view", "click", "purchase"]).to_pandas()
+    got = dict(zip(out.step, out.n_users))
+    assert got == {"view": 4, "click": 1, "purchase": 1}
+
+
 def test_mad_outlier_filter_matches_bruteforce():
     rng = np.random.default_rng(41)
     g = np.repeat(["a", "b"], 500)
