@@ -433,6 +433,64 @@ def global_percent_rank(ds: rd.Dataset, value_col: str,
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_percent_rank(ds: rd.Dataset, key: str, value_col: str,
+                         out_col: str = "pr",
+                         ndigits: int = 6) -> rd.Dataset:
+    """Exact ``percent_rank() OVER (PARTITION BY key ORDER BY value)`` —
+    the per-group normalization a curation pass filters on ("keep the top
+    X% per language"): raw quality scores aren't comparable across
+    languages, per-group percentile ranks are.
+
+    Same scale shape as global_percent_rank, grouped: per-(key, value)
+    histograms combine via grouped_agg (driver state O(groups ×
+    distinct values), bounded-cardinality contract), below-counts cumsum
+    per group on the driver, and each row is one dict lookup — no sort,
+    no shuffle of row data. Nulls get null rank (SQL window semantics
+    treat NULL as a peer group; here the contract is a non-null value
+    column — rows with null value are passed through with null pr)."""
+    hist = grouped_agg(ds.select_columns([key, value_col]),
+                       [key, value_col],
+                       [(value_col, "count", "__n")]).take_all()
+    per_g: dict = {}
+    for h in hist:
+        if h[value_col] is None:
+            continue
+        per_g.setdefault(h[key], []).append((h[value_col], int(h["__n"])))
+    pr_tables: dict = {}
+    for g, pairs in per_g.items():
+        pairs.sort()
+        vals = np.array([v for v, _ in pairs])
+        cnts = np.array([c for _, c in pairs], np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        pr_tables[g] = (vals, below / float(max(int(cnts.sum()) - 1, 1)))
+    ref = ray.put(pr_tables)
+
+    def fn(t: pa.Table) -> pa.Table:
+        from ..functions.rounding import round_np
+
+        m = _BROADCAST_CACHE.get(ref)
+        if m is None:
+            m = ray.get(ref)
+            _BROADCAST_CACHE.clear()
+            _BROADCAST_CACHE[ref] = m
+        kv = t[key].to_numpy(zero_copy_only=False)
+        vv = t[value_col].to_numpy(zero_copy_only=False)
+        pr = np.full(t.num_rows, np.nan)
+        # loop over the batch's DISTINCT groups (bounded), vectorized within
+        for g in pd.unique(kv):
+            tab = m.get(g)
+            if tab is None:
+                continue
+            vals, prv = tab
+            mask = (kv == g) & pd.notna(vv)
+            pr[mask] = prv[np.searchsorted(vals, vv[mask])]
+        return t.append_column(
+            out_col, pa.array(round_np(pr, ndigits), pa.float64(),
+                              mask=np.isnan(pr)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:
     """Ray's hash-shuffle aggregate can emit 0-row blocks with an EMPTY
     schema (no columns at all). Most downstream ops skip empty blocks, but

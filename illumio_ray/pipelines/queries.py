@@ -4366,6 +4366,24 @@ def events_value_mad_filtered(sf_dir: str):
     return rel.mad_outlier_filter(ds, "event_type", "value", thresh=3.5)
 
 
+@register("doc_chars_percent_rank_by_lang", """
+SELECT doc_id, lang,
+       ROUND(percent_rank() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+         AS pr
+FROM documents
+""")
+def doc_chars_percent_rank_by_lang(sf_dir: str):
+    """Per-group exact percent_rank — the cross-language normalization a
+    curation pass filters on ('keep the top X% per language'; raw scores
+    aren't comparable across languages). Only (lang, value) histograms
+    reach the driver; each row is one searchsorted against its group's
+    broadcast rank table (rel.grouped_percent_rank)."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+    out = rel.grouped_percent_rank(ds, "lang", "n_chars")
+    return out.select_columns(["doc_id", "lang", "pr"])
+
+
 @register("events_funnel_view_click_purchase", """
 WITH s0 AS (
   SELECT user_id, min(ts) AS t FROM events
@@ -4696,7 +4714,7 @@ _DRIVER_FIRST = [
     # and the exact k-NN join
     "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
     "events_value_mad_filtered", "events_funnel_view_click_purchase",
-    "pages_wire_grok",
+    "pages_wire_grok", "doc_chars_percent_rank_by_lang",
 ]
 
 

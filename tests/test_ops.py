@@ -460,6 +460,20 @@ def test_ivf_topk_recall():
     assert recall >= 0.8
 
 
+def test_grouped_percent_rank_matches_pandas():
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 600),
+                       "v": rng.integers(0, 50, 600)})
+    got = rel.grouped_percent_rank(rd.from_pandas(df).repartition(4),
+                                   "g", "v").to_pandas()
+    expect = df.groupby("g")["v"].rank(method="min").sub(1) / \
+        (df.groupby("g")["v"].transform("size") - 1)
+    merged = got.sort_values(["g", "v"]).reset_index(drop=True)
+    ref = df.assign(pr=np.round(expect, 6)).sort_values(["g", "v"]) \
+        .reset_index(drop=True)
+    assert np.allclose(merged.pr.to_numpy(), ref.pr.to_numpy())
+
+
 def test_regex_extract_columns_named_groups():
     from illumio_ray.ops import textops
     df = pd.DataFrame({"line": [
