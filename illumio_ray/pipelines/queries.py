@@ -4384,6 +4384,48 @@ def doc_chars_percent_rank_by_lang(sf_dir: str):
     return out.select_columns(["doc_id", "lang", "pr"])
 
 
+@register("events_by_type_from_orc", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(value) IS NOT NULL AS BIGINT) AS has_vals
+FROM events GROUP BY 1
+""")
+def events_by_type_from_orc(sf_dir: str):
+    """Source-format roundtrip through the custom ORC datasource (Ray Data
+    has no read_orc; sources/orc.py streams stripe-by-stripe with decode-
+    time column pruning): the events table converted once to ORC (cached,
+    marker-keyed), read back distributed, aggregated — and the result must
+    match the SQL oracle over the ORIGINAL parquet. Proves the §2.10
+    extension surface end-to-end for a format the engine has no built-in
+    for."""
+    import pyarrow.orc as paorc
+
+    from ..sources.orc import read_orc
+
+    src = Path(sf_dir) / "events.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path(f"/tmp/illumio_ray_testdata/orc_{Path(sf_dir).name}_{n_rows}")
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        cache.mkdir(parents=True)
+        paorc.write_table(pq.read_table(str(src)),
+                          cache / "events.orc",
+                          stripe_size=4 * 1024 * 1024)
+        marker.write_text("ok")
+    ds = read_orc(str(cache / "events.orc"),
+                  columns=["event_type", "value"])
+    agg = rel.grouped_agg(ds, ["event_type"],
+                          [("event_type", "count", "n"),
+                           ("value", "sum", "__sv")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n": t["n"],
+            "has_vals": pc.cast(pc.is_valid(t["__sv"]), pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("events_funnel_view_click_purchase", """
 WITH s0 AS (
   SELECT user_id, min(ts) AS t FROM events
@@ -4715,6 +4757,7 @@ _DRIVER_FIRST = [
     "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
     "events_value_mad_filtered", "events_funnel_view_click_purchase",
     "pages_wire_grok", "doc_chars_percent_rank_by_lang",
+    "events_by_type_from_orc",
 ]
 
 

@@ -1677,6 +1677,34 @@ def test_read_events_csv_gz_matches_parquet(tmp_path):
     assert pruned.schema().names == ["event_id", "value"]
 
 
+def test_read_orc_matches_parquet(tmp_path):
+    """Custom ORC datasource (Ray Data has none): stripe-streamed read
+    reproduces the parquet table exactly; column pruning happens at
+    decode; multi-stripe files split into multiple yielded tables."""
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq
+
+    from illumio_ray.sources.orc import read_orc
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    d = tmp_path / "orc"
+    d.mkdir()
+    half = src.num_rows // 2
+    paorc.write_table(src.slice(0, half), d / "a.orc")
+    paorc.write_table(src.slice(half), d / "b.orc")
+
+    got = (read_orc(str(d)).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    # ORC's timestamp type is ns-based; values must match after unit cast
+    got["ts"] = got["ts"].astype("datetime64[us]")
+    want = src.to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+    pruned = read_orc(str(d), columns=["event_id", "value"]).to_pandas()
+    assert sorted(pruned.columns) == ["event_id", "value"]
+    assert len(pruned) == len(want)
+
+
 def test_upsert_bucketed_replace_by_key_and_vacuum(tmp_path):
     """Keyed upsert rewrites only touched buckets, replaces by key,
     commits via the _HEAD pointer, and vacuum drops dead generations;
