@@ -1364,3 +1364,61 @@ def edit_distance_pairs(ds: rd.Dataset, id_col: str, key_col: str,
     pairs = rows.groupby("__b").map_groups(emit_pairs, batch_format="pandas")
     return _distinct_rows_bucketed(pairs, ["id_a", "id_b"],
                                    num_buckets=num_buckets)
+
+
+def keep_best_per_component(docs: rd.Dataset, pairs: rd.Dataset,
+                            id_col: str, score_col: str,
+                            num_buckets: int | None = None) -> rd.Dataset:
+    """Quality-aware dedup ACTION: given near-dup pair evidence, keep the
+    BEST-scored member of each duplicate group (score desc, min id on
+    ties) instead of the min-id representative — the curation variant
+    that keeps the longest / highest-quality copy (what production
+    near-dedup actually wants; min-id is only the deterministic default).
+
+    pairs → dup_components (closure: A~B~C chains form ONE group) →
+    scores attach to group members via a reduce-side join → ONE
+    component-hash bucket exchange picks each group's winner vectorized
+    (never one Ray group per component — #components can approach #docs)
+    → losers become a drop marker and the corpus anti-joins it. Only
+    (id, component, score) rows ever shuffle."""
+    from .relational import (adaptive_bucket_count, drop_empty_blocks,
+                             filter_batches, hash_join, semi_anti_join)
+
+    comps = dup_components(pairs, "id_a", "id_b")
+    members = hash_join(
+        drop_empty_blocks(comps.map_batches(
+            lambda t: pa.table({id_col: t["id"], "__comp": t["component"]}),
+            batch_format="pyarrow", zero_copy_batch=True)),
+        docs.select_columns([id_col, score_col]),
+        on=[id_col])
+    nb = num_buckets or adaptive_bucket_count(None)
+
+    def add_cb(t: pa.Table) -> pa.Table:
+        c = t["__comp"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = ((c * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(nb)) \
+            .astype(np.int32)
+        return t.append_column("__cb", pa.array(b, pa.int32()))
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__comp", score_col, id_col],
+                          ascending=[True, False, True], kind="mergesort")
+        lose = g.duplicated("__comp", keep="first")
+        return g.loc[lose, [id_col]]
+
+    drops = members.map_batches(add_cb, batch_format="pyarrow",
+                                zero_copy_batch=True) \
+        .groupby("__cb").map_groups(losers, batch_format="pandas") \
+        .materialize()
+    n_drop = drops.count()
+    if n_drop <= 2_000_000:  # same broadcast gate as the curation keep
+        ids = pa.concat_tables(
+            pa.table(b) for b in drops.iter_batches(batch_format="pyarrow"))
+        return semi_anti_join(docs, ids[id_col], id_col, anti=True)
+    marker = drops.map_batches(
+        lambda t: t.append_column("__dup",
+                                  pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow")
+    joined = hash_join(docs, drop_empty_blocks(marker), on=[id_col],
+                       join_type="left_outer")
+    kept = filter_batches(joined, lambda t: pc.is_null(t["__dup"]))
+    return kept.drop_columns(["__dup"])

@@ -3458,6 +3458,70 @@ def near_dup_keep_docs(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+@register("near_dup_keep_best_docs", r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+scored AS (
+  SELECT c.component, d.doc_id, d.n_chars
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+),
+win AS (
+  SELECT component, doc_id FROM scored
+  QUALIFY row_number() OVER (PARTITION BY component
+                             ORDER BY n_chars DESC, doc_id) = 1
+)
+SELECT d.doc_id FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.id
+WHERE c.id IS NULL OR d.doc_id IN (SELECT doc_id FROM win)
+""")
+def near_dup_keep_best_docs(sf_dir: str):
+    """Quality-aware dedup action: per duplicate GROUP (transitive
+    closure), keep the member with the most characters (ties: min id) —
+    what production near-dedup actually wants over the min-id default.
+    dedup.keep_best_per_component: closure → reduce-side score attach →
+    one component-bucket exchange picks winners vectorized → anti-join."""
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8,
+                                      n_rows=n_docs * 256)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    kept = dedup.keep_best_per_component(docs, pairs, "doc_id", "n_chars")
+    return kept.select_columns(["doc_id"])
+
+
 @register("doc_normalize_text", r"""
 SELECT doc_id,
        trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
@@ -4757,7 +4821,7 @@ _DRIVER_FIRST = [
     "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
     "events_value_mad_filtered", "events_funnel_view_click_purchase",
     "pages_wire_grok", "doc_chars_percent_rank_by_lang",
-    "events_by_type_from_orc",
+    "events_by_type_from_orc", "near_dup_keep_best_docs",
 ]
 
 

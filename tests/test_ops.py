@@ -460,6 +460,25 @@ def test_ivf_topk_recall():
     assert recall >= 0.8
 
 
+def test_keep_best_per_component_picks_highest_score():
+    """A~B, B~C chain: one group; the highest-score member wins even when
+    it is neither the min id nor pairwise-favored; untouched docs stay."""
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 9],
+                         "score": [5.0, 30.0, 10.0, 1.0]})
+    pairs = pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]})
+    kept = dedup.keep_best_per_component(
+        rd.from_pandas(docs), rd.from_pandas(pairs),
+        "doc_id", "score").to_pandas()
+    assert sorted(kept.doc_id) == [2, 9]
+    # tie on score → min id wins
+    docs2 = pd.DataFrame({"doc_id": [4, 5], "score": [7.0, 7.0]})
+    pairs2 = pd.DataFrame({"id_a": [4], "id_b": [5]})
+    kept2 = dedup.keep_best_per_component(
+        rd.from_pandas(docs2), rd.from_pandas(pairs2),
+        "doc_id", "score").to_pandas()
+    assert sorted(kept2.doc_id) == [4]
+
+
 def test_grouped_percent_rank_matches_pandas():
     rng = np.random.default_rng(47)
     df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 600),
