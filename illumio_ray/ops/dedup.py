@@ -944,6 +944,170 @@ def segment_dedup(ds: rd.Dataset, id_col: str, text_col: str, *,
                                                  batch_format="pyarrow")
 
 
+def remove_dup_spans(ds: rd.Dataset, id_col: str = "doc_id",
+                     text_col: str = "text", *, n: int = 3,
+                     n_rows: int | None = None,
+                     num_buckets: int | None = None) -> rd.Dataset:
+    """ExactSubstr-style duplicated-SPAN removal (the action form of
+    ``textops.corpus_dup_ngram_coverage``, which only measures): every
+    OVERLAPPING word ``n``-gram that occurs more than once anywhere in
+    the corpus is removed from all occurrences except the globally-first
+    one (min ``(doc_id, position)``), overlapping removal windows merge,
+    and each document is reassembled from its surviving tokens in order.
+    Output: ``(id_col, clean_text, n_tokens, n_removed)`` — one row per
+    non-null-text document, untouched docs included with n_removed = 0.
+
+    This is the fixed-length stand-in for suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") and differs from ``segment_dedup`` exactly where it matters:
+    windows are stride-1 (a recycled span at ANY token offset is caught,
+    not just one aligned to a segment boundary) and removals are merged
+    per-position rather than per-segment.
+
+    Scale shape (same contract as segment_dedup):
+      1. explode stride-1 window rows — gram strings built with ONE
+         binary_join_element_wise over n zero-copy slices of the flat
+         token array (no Python loop, no per-row work);
+      2. exchange on gram-hash bucket: every occurrence of a gram lands
+         in one bucket, so "duplicated" and "globally first" are decided
+         locally, with the STRING compared (hash collisions can't merge
+         distinct grams). Only removal rows (id, window start) leave;
+      3. exchange on doc-hash bucket: removal rows union with the doc
+         text, the keep-mask and the rebuilt string are computed
+         vectorized per bucket (never one Ray group per document).
+    The gram exchange ships ~n× the corpus bytes (each token appears in
+    ≤ n gram strings) — the price of collision-proof string equality;
+    at 100 TB, shard the corpus and run per shard, or accept 64-bit
+    keys and drop the string column (documented trade, not default)."""
+    from .relational import adaptive_bucket_count
+
+    if n < 2:
+        raise ValueError("remove_dup_spans requires n >= 2")
+    nb = num_buckets if num_buckets is not None \
+        else adaptive_bucket_count(n_rows)
+
+    def _flat_tokens(t: pa.Table):
+        texts = t[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.cast(texts, pa.string())
+        lists = pc.split_pattern(texts, " ")
+        offs = lists.offsets.to_numpy()
+        return lists.flatten(), offs
+
+    def explode(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[text_col]))
+        ids = tt[id_col].combine_chunks() if tt.num_rows else tt[id_col]
+        flat, offs = _flat_tokens(tt)
+        cnt = np.diff(offs)
+        row_of = np.repeat(np.arange(len(cnt)), cnt)
+        T = len(flat)
+        if T >= n:
+            grams = pc.binary_join_element_wise(
+                *[flat.slice(j, T - n + 1) for j in range(n)], " ")
+            valid = row_of[: T - n + 1] == row_of[n - 1:]
+            k = np.flatnonzero(valid)          # global window-start index
+            rows = row_of[k]
+            i_pos = k - offs[rows]             # 0-based start within doc
+            grams = grams.filter(pa.array(valid))
+            out_ids = ids.take(pa.array(rows, pa.int64()))
+        else:
+            i_pos = np.array([], np.int64)
+            grams = pa.array([], pa.string())
+            out_ids = pa.array([], ids.type if tt.num_rows
+                               else tt.schema.field(id_col).type)
+        b = ((hash64(grams) if len(grams) else np.array([], np.uint64))
+             % np.uint64(nb)).astype(np.int32)
+        return pa.table({
+            id_col: out_ids,
+            "i": pa.array(i_pos.astype(np.int64), pa.int64()),
+            "g": grams,
+            "__gb": pa.array(b, pa.int32()),
+        })
+
+    windows = ds.map_batches(explode, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def mark_removals(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g.duplicated("g", keep=False)]
+        if len(d):
+            # sorted by (gram, doc, pos): the first row of each gram run
+            # is the GLOBAL first occurrence — every other row is removed
+            d = d.sort_values(["g", id_col, "i"], kind="mergesort")
+            d = d.loc[d.duplicated("g", keep="first")]
+        return d[[id_col, "i"]]
+
+    removals = windows.groupby("__gb").map_groups(mark_removals,
+                                                  batch_format="pandas")
+
+    def _doc_bucket(ids) -> pa.Array:
+        return pa.array((hash64(ids) % np.uint64(nb)).astype(np.int32),
+                        pa.int32())
+
+    def pad_docs(t: pa.Table) -> pa.Table:
+        tt = t.filter(pc.is_valid(t[text_col]))
+        return pa.table({
+            id_col: tt[id_col],
+            "i": pa.nulls(tt.num_rows, pa.int64()),
+            text_col: pc.cast(tt[text_col], pa.string()),
+            "__side": pa.array(np.zeros(tt.num_rows, np.int8)),
+            "__db": _doc_bucket(tt[id_col]),
+        })
+
+    def pad_removals(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col],
+            "i": pc.cast(t["i"], pa.int64()),
+            text_col: pa.nulls(t.num_rows, pa.string()),
+            "__side": pa.array(np.ones(t.num_rows, np.int8)),
+            "__db": _doc_bucket(t[id_col]),
+        })
+
+    docs_side = ds.map_batches(pad_docs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    rem_side = removals.map_batches(pad_removals, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    unioned = docs_side.union(rem_side)
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        side = g["__side"].to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(side == 0))
+        rem = g.filter(pa.array(side == 1))
+        flat, offs = _flat_tokens(docs)
+        cnt = np.diff(offs)
+        n_docs = len(cnt)
+        row_of = np.repeat(np.arange(n_docs), cnt)
+        keep = np.ones(len(flat), bool)
+        if rem.num_rows:
+            doc_ids = docs[id_col]
+            if isinstance(doc_ids, pa.ChunkedArray):
+                doc_ids = doc_ids.combine_chunks()
+            rrow = pc.index_in(rem[id_col], value_set=doc_ids) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            start = offs[rrow] + rem["i"].to_numpy(zero_copy_only=False)
+            covered = (np.repeat(start, n)
+                       + np.tile(np.arange(n, dtype=np.int64), len(start)))
+            keep[covered] = False
+        kept_cnt = (np.bincount(row_of[keep], minlength=n_docs)
+                    if len(flat) else np.zeros(n_docs, np.int64))
+        kept_flat = flat.filter(pa.array(keep))
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(kept_cnt, out=offsets[1:])
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                      kept_flat)
+        clean = pc.fill_null(pc.binary_join(la, " "), "")
+        return pa.table({
+            id_col: docs[id_col],
+            "clean_text": pc.cast(clean, pa.string()),
+            "n_tokens": pa.array(cnt.astype(np.int64), pa.int64()),
+            "n_removed": pa.array((cnt - kept_cnt).astype(np.int64),
+                                  pa.int64()),
+        })
+
+    return unioned.groupby("__db").map_groups(rebuild,
+                                              batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # duplicate-group connected components
 # ---------------------------------------------------------------------------

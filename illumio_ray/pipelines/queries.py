@@ -3758,6 +3758,53 @@ def doc_segment_dedup(sf_dir: str):
                                n_rows=n * 64)
 
 
+@register("docs_dup_spans_removed", """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS L FROM documents
+),
+tri AS (
+  SELECT doc_id, i, L[i] || ' ' || L[i+1] || ' ' || L[i+2] AS g
+  FROM toks, UNNEST(range(1, len(L) - 1)) AS t(i) WHERE len(L) >= 3
+),
+ranked AS (
+  SELECT doc_id, i,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id, i) AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM tri
+),
+covered AS (
+  SELECT DISTINCT doc_id, j
+  FROM (SELECT doc_id, i FROM ranked WHERE cnt >= 2 AND rn >= 2),
+       UNNEST([i, i + 1, i + 2]) AS u(j)
+),
+words AS (
+  SELECT doc_id, i AS j, L[i] AS w
+  FROM toks, UNNEST(range(1, len(L) + 1)) AS t(i)
+)
+SELECT w.doc_id,
+       coalesce(string_agg(w.w, ' ' ORDER BY w.j)
+                FILTER (WHERE c.j IS NULL), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(c.j) AS BIGINT) AS n_removed
+FROM words w LEFT JOIN covered c ON w.doc_id = c.doc_id AND w.j = c.j
+GROUP BY w.doc_id
+""")
+def docs_dup_spans_removed(sf_dir: str):
+    """ExactSubstr-style duplicated-span REMOVAL (the action form of
+    doc_dup_coverage, which only measures): every overlapping word
+    trigram occurring >1 time in the corpus is stripped from all but its
+    globally-first occurrence (min doc_id, position), overlapping
+    removal windows merge per token position, and docs reassemble from
+    surviving tokens — the fixed-n stand-in for Lee et al. 2022
+    suffix-array substring dedup. Catches recycled spans at ANY offset,
+    which segment-aligned dedup (doc_segment_dedup) structurally misses."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = pq.ParquetFile(str(Path(sf_dir) / "documents.parquet")
+                       ).metadata.num_rows
+    return dedup.remove_dup_spans(ds, "doc_id", "text", n=3,
+                                  n_rows=n * 64)
+
+
 @register("doc_lm_nll", """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
 big AS (
@@ -4822,6 +4869,7 @@ _DRIVER_FIRST = [
     "events_value_mad_filtered", "events_funnel_view_click_purchase",
     "pages_wire_grok", "doc_chars_percent_rank_by_lang",
     "events_by_type_from_orc", "near_dup_keep_best_docs",
+    "docs_dup_spans_removed",
 ]
 
 

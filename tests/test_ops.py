@@ -1493,6 +1493,68 @@ def test_segment_dedup_matches_reference_on_random_corpora():
             got.astype({"n_kept": np.int64, "n_removed": np.int64}), want)
 
 
+def _ref_remove_dup_spans(docs: pd.DataFrame, n: int) -> pd.DataFrame:
+    toks = {int(r["doc_id"]): (None if r["text"] is None
+                               else r["text"].split(" "))
+            for _, r in docs.iterrows()}
+    occ: dict[tuple, list] = {}
+    for i in sorted(toks):
+        ts = toks[i]
+        if ts is None:
+            continue
+        for p in range(len(ts) - n + 1):
+            occ.setdefault(tuple(ts[p:p + n]), []).append((i, p))
+    cov: dict[int, set] = {}
+    for g, os_ in occ.items():
+        if len(os_) < 2:
+            continue
+        for (i, p) in sorted(os_)[1:]:  # keep the globally-first occurrence
+            cov.setdefault(i, set()).update(range(p, p + n))
+    rows = []
+    for i in sorted(toks):
+        ts = toks[i]
+        if ts is None:
+            continue
+        c = cov.get(i, set())
+        kept = [w for j, w in enumerate(ts) if j not in c]
+        rows.append((i, " ".join(kept), len(ts), len(ts) - len(kept)))
+    return pd.DataFrame(rows, columns=["doc_id", "clean_text",
+                                       "n_tokens", "n_removed"])
+
+
+def test_remove_dup_spans_matches_reference_on_random_corpora():
+    from illumio_ray.ops import dedup
+    rng = np.random.default_rng(41)
+    vocab = [f"w{i}" for i in range(8)]  # tiny vocab → overlapping dups
+    for trial in range(3):
+        texts = [" ".join(rng.choice(vocab, rng.integers(1, 25)))
+                 for _ in range(18)]
+        texts += [texts[0], ""]  # a full-doc dup and an empty doc
+        docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        got = (dedup.remove_dup_spans(rd.from_pandas(docs), n=3,
+                                      n_rows=len(texts) * 8)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got, _ref_remove_dup_spans(docs, 3))
+
+
+def test_remove_dup_spans_edges():
+    """Null text drops the row; short docs and within-doc overlapping
+    repeats follow keep-globally-first with merged spans."""
+    from illumio_ray.ops import dedup
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                         "text": ["m m m m", "p q", None, "a b c m m m"]})
+    out = (dedup.remove_dup_spans(rd.from_pandas(docs), n=3, num_buckets=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [1, 2, 4]
+    # doc1 "m m m" at pos 0 is the global first; pos 1 dup covers 1..3,
+    # doc4's "m m m" at pos 3 covers 3..5
+    assert out.loc[0, "clean_text"] == "m"
+    assert out.loc[0, "n_removed"] == 3
+    assert out.loc[1, "clean_text"] == "p q"
+    assert out.loc[2, "clean_text"] == "a b c"
+    assert out.loc[2, "n_removed"] == 3
+
+
 def _ref_jaccard_pairs(docs: pd.DataFrame, n: int, threshold: float):
     sets = {}
     for _, r in docs.iterrows():
