@@ -215,6 +215,104 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
     return reduced.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def rollup_agg(ds: rd.Dataset, keys: list[str],
+               aggs: list[tuple[str, str, str]],
+               mode: str = "driver") -> rd.Dataset:
+    """``GROUP BY ROLLUP(keys...)``: the finest aggregate plus every
+    prefix level up to the grand total, rolled-up key columns emitted as
+    NULL (ANSI semantics). fn ∈ sum|count|min|max (the re-aggregable
+    set — a rolled-up ``count`` re-combines with ``sum``).
+
+    Scale shape: the INPUT is aggregated exactly once (one grouped_agg
+    pass over the data, any mode); every coarser level re-aggregates the
+    previous LEVEL's result, which is already group-sized — so rollup
+    costs one extra tiny pass per level, never another scan of the input.
+    The union of levels stays a lazy Dataset."""
+    re_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _, fn, _ in aggs:
+        if fn not in re_fn:
+            raise ValueError(f"rollup_agg cannot re-aggregate fn: {fn}")
+
+    finest = grouped_agg(ds, keys, aggs, mode=mode)
+    levels = [finest]
+    prev = finest
+    for depth in range(len(keys) - 1, -1, -1):
+        kept, rolled = keys[:depth], keys[depth:]
+        specs = [(out, re_fn[fn], out) for _, fn, out in aggs]
+        if kept:
+            lv = grouped_agg(prev, kept, specs)
+        else:  # grand total: one-batch reduce of the level-1 table
+            lv = _one_batch_total(prev, specs)
+        # align schema: rolled-up keys ride as typed nulls
+        fsch = finest.schema()
+        fsch = getattr(fsch, "base_schema", fsch)
+        key_types = {k: fsch.field(k).type for k in keys}
+
+        def pad(t: pa.Table, rolled=tuple(rolled), kt=key_types,
+                order=tuple(keys), outs=tuple(o for _, _, o in aggs)):
+            cols = {}
+            for k in order:
+                cols[k] = (t[k] if k not in rolled
+                           else pa.nulls(t.num_rows, kt[k]))
+            for o in outs:
+                cols[o] = t[o]
+            return pa.table(cols)
+
+        levels.append(lv.map_batches(pad, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+        prev = lv
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def _one_batch_total(ds: rd.Dataset, specs) -> rd.Dataset:
+    """Grand-total reduce of an already-aggregated (small) Dataset: pull
+    its partial rows into ONE batch via repartition(1), then combine."""
+    def total(t: pa.Table) -> pa.Table:
+        cols = {}
+        for col, fn, out in specs:
+            cols[out] = pa.array([getattr(pc, fn)(t[col]).as_py()])
+        return pa.table(cols)
+
+    return ds.repartition(1).map_batches(total, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+
+def pivot_agg(ds: rd.Dataset, group_key: str, pivot_col: str,
+              value_col: str, fn: str, values: list[str],
+              mode: str = "driver",
+              name_fmt: str = "{fn}_{v}") -> rd.Dataset:
+    """PIVOT via conditional aggregation: one output row per
+    ``group_key``, one column per entry of ``values`` holding
+    ``fn(value_col) FILTER (WHERE pivot_col = v)`` — the SQL-standard
+    reshape for bounded pivot domains (statuses, priorities, langs).
+
+    ``values`` is explicit (ANSI PIVOT requires the IN list too): the
+    output schema must be known up front, and at scale you never want a
+    schema inferred from a full distinct scan. Pivot cells with no rows
+    are NULL (0 for count). One grouped_agg over (group_key, pivot_col)
+    — bounded × bounded — then a driver-side reshape of the tiny result."""
+    finest = grouped_agg(ds, [group_key, pivot_col],
+                         [(value_col, fn, "__v")], mode=mode)
+    rows = finest.take_all()
+    per_g: dict = {}
+    for r in rows:
+        per_g.setdefault(r[group_key], {})[r[pivot_col]] = r["__v"]
+    gkeys = sorted(per_g)
+    cols: dict = {group_key: pa.array(gkeys)}
+    for v in values:
+        name = name_fmt.format(fn=fn, v=v)
+        vals = [per_g[g].get(v) for g in gkeys]
+        if fn == "count":
+            cols[name] = pa.array([0 if x is None else int(x) for x in vals],
+                                  pa.int64())
+        else:
+            cols[name] = pa.array(vals)
+    return rd.from_arrow(pa.table(cols))
+
+
 # ---------------------------------------------------------------------------
 # top-k / distinct
 # ---------------------------------------------------------------------------
@@ -433,21 +531,17 @@ def global_percent_rank(ds: rd.Dataset, value_col: str,
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def grouped_percent_rank(ds: rd.Dataset, key: str, value_col: str,
-                         out_col: str = "pr",
-                         ndigits: int = 6) -> rd.Dataset:
-    """Exact ``percent_rank() OVER (PARTITION BY key ORDER BY value)`` —
-    the per-group normalization a curation pass filters on ("keep the top
-    X% per language"): raw quality scores aren't comparable across
-    languages, per-group percentile ranks are.
-
-    Same scale shape as global_percent_rank, grouped: per-(key, value)
-    histograms combine via grouped_agg (driver state O(groups ×
-    distinct values), bounded-cardinality contract), below-counts cumsum
-    per group on the driver, and each row is one dict lookup — no sort,
-    no shuffle of row data. Nulls get null rank (SQL window semantics
-    treat NULL as a peer group; here the contract is a non-null value
-    column — rows with null value are passed through with null pr)."""
+def _grouped_rank_apply(ds: rd.Dataset, key: str, value_col: str,
+                        out_col: str, rank_of, out_type,
+                        ndigits: int | None) -> rd.Dataset:
+    """Shared core of the exact per-group window-rank family
+    (percent_rank / dense_rank / cume_dist): per-(key, value) histograms
+    combine via grouped_agg (driver state O(groups × distinct values) —
+    bounded-cardinality contract), ``rank_of(vals, cnts)`` maps each
+    group's sorted distinct values to their rank statistic on the driver,
+    the per-group tables broadcast once, and each row is one searchsorted
+    lookup — no sort, no shuffle of row data. Rows with null value pass
+    through with a null rank (the non-null value-column contract)."""
     hist = grouped_agg(ds.select_columns([key, value_col]),
                        [key, value_col],
                        [(value_col, "count", "__n")]).take_all()
@@ -461,8 +555,7 @@ def grouped_percent_rank(ds: rd.Dataset, key: str, value_col: str,
         pairs.sort()
         vals = np.array([v for v, _ in pairs])
         cnts = np.array([c for _, c in pairs], np.int64)
-        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-        pr_tables[g] = (vals, below / float(max(int(cnts.sum()) - 1, 1)))
+        pr_tables[g] = (vals, rank_of(vals, cnts).astype(np.float64))
     ref = ray.put(pr_tables)
 
     def fn(t: pa.Table) -> pa.Table:
@@ -476,19 +569,69 @@ def grouped_percent_rank(ds: rd.Dataset, key: str, value_col: str,
         kv = t[key].to_numpy(zero_copy_only=False)
         vv = t[value_col].to_numpy(zero_copy_only=False)
         pr = np.full(t.num_rows, np.nan)
-        # loop over the batch's DISTINCT groups (bounded), vectorized within
-        for g in pd.unique(kv):
+        for g in pd.unique(kv):  # distinct groups per batch: bounded
             tab = m.get(g)
             if tab is None:
                 continue
             vals, prv = tab
             mask = (kv == g) & pd.notna(vv)
             pr[mask] = prv[np.searchsorted(vals, vv[mask])]
-        return t.append_column(
-            out_col, pa.array(round_np(pr, ndigits), pa.float64(),
-                              mask=np.isnan(pr)))
+        isnan = np.isnan(pr)
+        if ndigits is not None:
+            out = pa.array(round_np(pr, ndigits), out_type, mask=isnan)
+        else:
+            out = pa.array(np.where(isnan, 0, pr).astype(np.int64),
+                           out_type, mask=isnan)
+        return t.append_column(out_col, out)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_percent_rank(ds: rd.Dataset, key: str, value_col: str,
+                         out_col: str = "pr",
+                         ndigits: int = 6) -> rd.Dataset:
+    """Exact ``percent_rank() OVER (PARTITION BY key ORDER BY value)`` —
+    the per-group normalization a curation pass filters on ("keep the top
+    X% per language"): raw quality scores aren't comparable across
+    languages, per-group percentile ranks are.
+
+    Same scale shape as global_percent_rank, grouped — see
+    ``_grouped_rank_apply`` for the histogram/broadcast/searchsorted
+    contract. Nulls get null rank (SQL window semantics treat NULL as a
+    peer group; here the contract is a non-null value column — rows with
+    null value are passed through with null pr)."""
+    def rank_of(vals, cnts):
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        return below / float(max(int(cnts.sum()) - 1, 1))
+
+    return _grouped_rank_apply(ds, key, value_col, out_col, rank_of,
+                               pa.float64(), ndigits)
+
+
+def grouped_dense_rank(ds: rd.Dataset, key: str, value_col: str,
+                       out_col: str = "dr") -> rd.Dataset:
+    """Exact ``dense_rank() OVER (PARTITION BY key ORDER BY value)``:
+    ties share a rank and ranks have no gaps — the 1-based index of the
+    row's value among its group's sorted DISTINCT values. Same
+    bounded-distinct scale shape as grouped_percent_rank (only distinct
+    values reach the driver; rows never shuffle)."""
+    def rank_of(vals, cnts):
+        return np.arange(1, len(vals) + 1, dtype=np.int64)
+
+    return _grouped_rank_apply(ds, key, value_col, out_col, rank_of,
+                               pa.int64(), None)
+
+
+def grouped_cume_dist(ds: rd.Dataset, key: str, value_col: str,
+                      out_col: str = "cd", ndigits: int = 6) -> rd.Dataset:
+    """Exact ``cume_dist() OVER (PARTITION BY key ORDER BY value)``:
+    fraction of the group's rows with value ≤ this row's value (ties
+    share). Same bounded-distinct scale shape as grouped_percent_rank."""
+    def rank_of(vals, cnts):
+        return np.cumsum(cnts) / float(max(int(cnts.sum()), 1))
+
+    return _grouped_rank_apply(ds, key, value_col, out_col, rank_of,
+                               pa.float64(), ndigits)
 
 
 def drop_empty_blocks(ds: rd.Dataset) -> rd.Dataset:

@@ -25,7 +25,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
-from ..functions.rounding import round_col
+from ..functions.rounding import round_col, round_np
 
 
 def _ts(iso: str) -> pa.Scalar:
@@ -4493,6 +4493,102 @@ def doc_chars_percent_rank_by_lang(sf_dir: str):
                     columns=["doc_id", "lang", "n_chars"])
     out = rel.grouped_percent_rank(ds, "lang", "n_chars")
     return out.select_columns(["doc_id", "lang", "pr"])
+
+
+@register("doc_chars_dense_rank_by_lang", """
+SELECT doc_id, lang,
+       CAST(dense_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+            AS BIGINT) AS dr
+FROM documents
+""")
+def doc_chars_dense_rank_by_lang(sf_dir: str):
+    """Per-group exact dense_rank (ties share, no gaps) — same
+    bounded-distinct histogram/broadcast/searchsorted core as
+    percent_rank (rel.grouped_dense_rank); rows never shuffle."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+    out = rel.grouped_dense_rank(ds, "lang", "n_chars")
+    return out.select_columns(["doc_id", "lang", "dr"])
+
+
+@register("doc_chars_cume_dist_by_lang", """
+SELECT doc_id, lang,
+       ROUND(cume_dist() OVER (PARTITION BY lang ORDER BY n_chars), 6)
+         AS cd
+FROM documents
+""")
+def doc_chars_cume_dist_by_lang(sf_dir: str):
+    """Per-group exact cume_dist (fraction of the group with value ≤
+    this row's, ties share) — the third member of the shared rank core
+    (rel.grouped_cume_dist)."""
+    ds = read_table(sf_dir, "documents",
+                    columns=["doc_id", "lang", "n_chars"])
+    out = rel.grouped_cume_dist(ds, "lang", "n_chars")
+    return out.select_columns(["doc_id", "lang", "cd"])
+
+
+@register("events_rollup_day_type", """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM events GROUP BY ROLLUP(day, event_type)
+""")
+def events_rollup_day_type(sf_dir: str):
+    """GROUP BY ROLLUP(day, event_type): finest cells plus per-day
+    subtotals plus the grand total, rolled-up keys NULL (ANSI). The
+    input aggregates exactly once; each coarser level re-aggregates the
+    previous level's already-tiny result (rel.rollup_agg)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ds = rel.time_bucket(ds, "ts", "day", out_col="day")
+    out = rel.rollup_agg(ds.select_columns(["day", "event_type", "value"]),
+                         ["day", "event_type"],
+                         [("value", "count", "n_events"),
+                          ("value", "sum", "sum_value")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": t["day"], "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pa.array(
+                round_np(t["sum_value"].to_numpy(zero_copy_only=False), 6),
+                pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@register("orders_pivot_status_by_priority", """
+SELECT o_orderpriority,
+       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6)
+         AS sum_F,
+       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 6)
+         AS sum_O,
+       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 6)
+         AS sum_P
+FROM orders GROUP BY o_orderpriority
+""")
+def orders_pivot_status_by_priority(sf_dir: str):
+    """PIVOT via conditional aggregation (bounded pivot domain, explicit
+    IN list — the output schema is never inferred from a distinct scan):
+    one grouped_agg over (priority, status), then a driver reshape of the
+    tiny result (rel.pivot_agg)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderpriority", "o_orderstatus",
+                             "o_totalprice"])
+    out = rel.pivot_agg(ds, "o_orderpriority", "o_orderstatus",
+                        "o_totalprice", "sum", values=["F", "O", "P"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        cols = {"o_orderpriority": t["o_orderpriority"]}
+        for c in ("sum_F", "sum_O", "sum_P"):
+            v = t[c].to_numpy(zero_copy_only=False)
+            cols[c] = pa.array(round_np(v, 6), pa.float64(),
+                               mask=pd.isna(v))
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 @register("events_by_type_from_orc", """

@@ -493,6 +493,71 @@ def test_grouped_percent_rank_matches_pandas():
     assert np.allclose(merged.pr.to_numpy(), ref.pr.to_numpy())
 
 
+def test_grouped_dense_rank_and_cume_dist_match_pandas():
+    rng = np.random.default_rng(53)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 400),
+                       "v": rng.integers(0, 20, 400).astype(float)})
+    df.loc[5, "v"] = np.nan  # null value → null rank, row passes through
+    ds = rd.from_pandas(df).repartition(4)
+    dr = rel.grouped_dense_rank(ds, "g", "v").to_pandas() \
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    cd = rel.grouped_cume_dist(ds, "g", "v").to_pandas() \
+        .sort_values(["g", "v"]).reset_index(drop=True)
+    ref = df.sort_values(["g", "v"]).reset_index(drop=True)
+    want_dr = ref.groupby("g")["v"].rank(method="dense")
+    want_cd = ref.groupby("g")["v"].rank(method="max") / \
+        ref.groupby("g")["v"].transform(lambda s: s.notna().sum())
+    nn = ref["v"].notna()
+    assert (dr.loc[nn, "dr"].to_numpy() == want_dr[nn].to_numpy()).all()
+    assert np.allclose(cd.loc[nn, "cd"].to_numpy(),
+                       np.round(want_cd[nn].to_numpy(), 6))
+    assert dr.loc[~nn, "dr"].isna().all()
+    assert cd.loc[~nn, "cd"].isna().all()
+
+
+def test_rollup_agg_matches_pandas_levels():
+    rng = np.random.default_rng(59)
+    df = pd.DataFrame({"a": rng.choice(["x", "y"], 300),
+                       "b": rng.choice(["p", "q", "r"], 300),
+                       "v": rng.normal(10, 3, 300)})
+    out = rel.rollup_agg(rd.from_pandas(df).repartition(3), ["a", "b"],
+                         [("v", "count", "n"), ("v", "sum", "s"),
+                          ("v", "min", "mn")]).to_pandas()
+    finest = out[out.b.notna()]
+    lvl_a = out[out.b.isna() & out.a.notna()]
+    total = out[out.a.isna()]
+    ref = df.groupby(["a", "b"])["v"].agg(["count", "sum", "min"])
+    assert len(finest) == len(ref)
+    m = finest.set_index(["a", "b"]).sort_index()
+    assert (m["n"].to_numpy() == ref["count"].to_numpy()).all()
+    assert np.allclose(m["s"].to_numpy(), ref["sum"].to_numpy())
+    assert np.allclose(m["mn"].to_numpy(), ref["min"].to_numpy())
+    ra = df.groupby("a")["v"].agg(["count", "sum", "min"])
+    ma = lvl_a.set_index("a").sort_index()
+    assert (ma["n"].to_numpy() == ra["count"].to_numpy()).all()
+    assert np.allclose(ma["s"].to_numpy(), ra["sum"].to_numpy())
+    assert len(total) == 1
+    assert int(total["n"].iloc[0]) == 300
+    assert np.isclose(float(total["s"].iloc[0]), df["v"].sum())
+    assert np.isclose(float(total["mn"].iloc[0]), df["v"].min())
+
+
+def test_pivot_agg_missing_cells():
+    df = pd.DataFrame({"g": ["a", "a", "b"],
+                       "p": ["x", "y", "x"],
+                       "v": [1.0, 2.0, 3.0]})
+    out = rel.pivot_agg(rd.from_pandas(df), "g", "p", "v", "sum",
+                        values=["x", "y", "z"]).to_pandas() \
+        .set_index("g").sort_index()
+    assert out.loc["a", "sum_x"] == 1.0 and out.loc["a", "sum_y"] == 2.0
+    assert out.loc["b", "sum_x"] == 3.0
+    assert pd.isna(out.loc["b", "sum_y"]) and out["sum_z"].isna().all()
+    cnt = rel.pivot_agg(rd.from_pandas(df), "g", "p", "v", "count",
+                        values=["x", "y"]).to_pandas() \
+        .set_index("g").sort_index()
+    assert cnt.loc["b", "count_x"] == 1 and cnt.loc["b", "count_y"] == 0
+
+
 def test_regex_extract_columns_named_groups():
     from illumio_ray.ops import textops
     df = pd.DataFrame({"line": [
