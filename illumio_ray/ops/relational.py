@@ -280,6 +280,108 @@ def _one_batch_total(ds: rd.Dataset, specs) -> rd.Dataset:
                                          zero_copy_batch=True)
 
 
+def grouping_sets_agg(ds: rd.Dataset, keys: list[str],
+                      sets: list[list[str]],
+                      aggs: list[tuple[str, str, str]],
+                      mode: str = "driver") -> rd.Dataset:
+    """``GROUP BY GROUPING SETS(sets...)``: the input aggregates exactly
+    once at the finest level (all ``keys``); every requested set
+    re-aggregates that already-group-sized result, absent keys emitted
+    as typed NULLs. fn ∈ sum|count|min|max (the re-aggregable set).
+    ``cube_agg`` passes every subset; ``rollup_agg`` is the prefix chain
+    (kept separate — its level-(k) input is the level-(k+1) result,
+    one step cheaper than always re-aggregating the finest)."""
+    re_fn = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    for _, fn, _ in aggs:
+        if fn not in re_fn:
+            raise ValueError(f"grouping_sets_agg cannot re-aggregate: {fn}")
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} has non-key columns "
+                             f"{unknown}")
+
+    finest = grouped_agg(ds, keys, aggs, mode=mode)
+    fsch = finest.schema()
+    fsch = getattr(fsch, "base_schema", fsch)
+    key_types = {k: fsch.field(k).type for k in keys}
+    specs = [(out, re_fn[fn], out) for _, fn, out in aggs]
+    outs = tuple(o for _, _, o in aggs)
+
+    levels = []
+    for s in sets:
+        if list(s) == list(keys):
+            lv = finest
+        elif s:
+            lv = grouped_agg(finest, list(s), specs)
+        else:
+            lv = _one_batch_total(finest, specs)
+
+        def pad(t: pa.Table, present=frozenset(s), kt=key_types,
+                order=tuple(keys), outs=outs):
+            cols = {}
+            for k in order:
+                cols[k] = (t[k] if k in present
+                           else pa.nulls(t.num_rows, kt[k]))
+            for o in outs:
+                cols[o] = t[o]
+            return pa.table(cols)
+
+        levels.append(lv.map_batches(pad, batch_format="pyarrow",
+                                     zero_copy_batch=True))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def cube_agg(ds: rd.Dataset, keys: list[str],
+             aggs: list[tuple[str, str, str]],
+             mode: str = "driver") -> rd.Dataset:
+    """``GROUP BY CUBE(keys...)``: every subset of the keys, via
+    grouping_sets_agg (2^len(keys) sets — keep the key list short, as
+    ANSI CUBE users do)."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_agg(ds, keys, sets, aggs, mode=mode)
+
+
+def melt(ds: rd.Dataset, id_cols: list[str], value_cols: list[str],
+         var_col: str = "metric", value_col: str = "val",
+         value_type: pa.DataType | None = None) -> rd.Dataset:
+    """UNPIVOT / melt: one output row per (input row × value column),
+    ``var_col`` holding the source column name and ``value_col`` its
+    value cast to a common type (default float64). Row-local and
+    shuffle-free — each batch explodes independently with Arrow take +
+    cast kernels; output order within a batch is column-major
+    (all rows of value_cols[0], then [1], …), irrelevant to any
+    downstream groupby and matched by UNION ALL oracles."""
+    vt = value_type or pa.float64()
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols: dict = {}
+        for c in id_cols:
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols[c] = pa.concat_arrays([arr] * len(value_cols)) \
+                if len(value_cols) > 1 else arr
+        names = pa.concat_arrays([
+            pa.array([v] * n, pa.string()) for v in value_cols])
+        vals = pa.concat_arrays([
+            pc.cast(t[v].combine_chunks()
+                    if isinstance(t[v], pa.ChunkedArray) else t[v], vt)
+            for v in value_cols])
+        cols[var_col] = names
+        cols[value_col] = vals
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pivot_agg(ds: rd.Dataset, group_key: str, pivot_col: str,
               value_col: str, fn: str, values: list[str],
               mode: str = "driver",

@@ -4558,6 +4558,79 @@ def events_rollup_day_type(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@register("events_cube_day_type", """
+SELECT date_trunc('day', ts) AS day, event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM events GROUP BY CUBE(day, event_type)
+""")
+def events_cube_day_type(sf_dir: str):
+    """GROUP BY CUBE(day, event_type): all four grouping sets, absent
+    keys NULL (ANSI). One aggregation pass over the input; every set
+    re-aggregates the finest result (rel.cube_agg → grouping_sets_agg)."""
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type", "value"])
+    ds = rel.time_bucket(ds, "ts", "day", out_col="day")
+    out = rel.cube_agg(ds.select_columns(["day", "event_type", "value"]),
+                       ["day", "event_type"],
+                       [("value", "count", "n_events"),
+                        ("value", "sum", "sum_value")])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "day": t["day"], "event_type": t["event_type"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": pa.array(
+                round_np(t["sum_value"].to_numpy(zero_copy_only=False), 6),
+                pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
+@register("events_unpivot_metrics", """
+SELECT event_id, 'value' AS metric, value AS val FROM events
+UNION ALL
+SELECT event_id, 'user_id' AS metric, CAST(user_id AS DOUBLE) AS val
+FROM events
+""")
+def events_unpivot_metrics(sf_dir: str):
+    """UNPIVOT / melt to long form (one row per row × metric column) —
+    row-local Arrow explode, zero shuffle (rel.melt)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "value", "user_id"])
+    return rel.melt(ds, ["event_id"], ["value", "user_id"])
+
+
+@register("events_ntile_by_user", """
+SELECT event_id,
+       CAST(ntile(4) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) AS BIGINT) AS tile
+FROM events
+""")
+def events_ntile_by_user(sf_dir: str):
+    """Exact ntile(4) per user over a TOTAL order (ts, event_id — unique
+    tiebreak, so cross-engine deterministic despite ntile's
+    arbitrary-tie-split semantics). Same user-bucket partition shape as
+    sessionize/running_total (rel.keyed_window)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    K = 4
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        grp = g.groupby("user_id", sort=False)
+        r = grp.cumcount().to_numpy(np.int64)
+        n = grp["event_id"].transform("size").to_numpy(np.int64)
+        q, m = n // K, n % K
+        big = (q + 1) * m  # rows in the (q+1)-sized leading tiles
+        tile = np.where(r < big, r // np.maximum(q + 1, 1),
+                        m + (r - big) // np.maximum(q, 1))
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy(),
+                             "tile": (tile + 1).astype(np.int64)})
+
+    return rel.keyed_window(ds, "user_id", window)
+
+
 @register("orders_pivot_status_by_priority", """
 SELECT o_orderpriority,
        ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6)

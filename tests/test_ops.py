@@ -542,6 +542,35 @@ def test_rollup_agg_matches_pandas_levels():
     assert np.isclose(float(total["mn"].iloc[0]), df["v"].min())
 
 
+def test_cube_agg_emits_all_grouping_sets():
+    rng = np.random.default_rng(61)
+    df = pd.DataFrame({"a": rng.choice(["x", "y"], 200),
+                       "b": rng.choice(["p", "q"], 200),
+                       "v": rng.normal(0, 1, 200)})
+    out = rel.cube_agg(rd.from_pandas(df).repartition(3), ["a", "b"],
+                       [("v", "count", "n")]).to_pandas()
+    assert len(out[out.a.notna() & out.b.notna()]) == \
+        df.groupby(["a", "b"]).ngroups
+    assert len(out[out.a.notna() & out.b.isna()]) == df["a"].nunique()
+    assert len(out[out.a.isna() & out.b.notna()]) == df["b"].nunique()
+    total = out[out.a.isna() & out.b.isna()]
+    assert len(total) == 1 and int(total["n"].iloc[0]) == 200
+    # every level's counts sum to the row count
+    for mask in (out.b.notna() & out.a.notna(),
+                 out.a.notna() & out.b.isna(),
+                 out.a.isna() & out.b.notna()):
+        assert int(out.loc[mask, "n"].sum()) == 200
+
+
+def test_melt_long_form():
+    df = pd.DataFrame({"id": [1, 2], "x": [1.5, 2.5], "y": [10, 20]})
+    out = rel.melt(rd.from_pandas(df), ["id"], ["x", "y"]).to_pandas()
+    assert len(out) == 4
+    assert set(out.metric) == {"x", "y"}
+    got = out.set_index(["id", "metric"])["val"].to_dict()
+    assert got[(1, "x")] == 1.5 and got[(2, "y")] == 20.0
+
+
 def test_pivot_agg_missing_cells():
     df = pd.DataFrame({"g": ["a", "a", "b"],
                        "p": ["x", "y", "x"],
