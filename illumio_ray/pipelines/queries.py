@@ -1985,30 +1985,33 @@ FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """)
 def orders_rollup(sf_dir: str):
     """GROUP BY ROLLUP: subtotals at (priority, status), (priority) and
-    grand-total levels. ONE distributed pass computes the finest level
-    (bounded key space → grouped_agg driver combine); the coarser levels
-    re-aggregate from those ≤|priorities×statuses| partial rows on the
-    driver — the textbook rollup-from-finest optimization, no second
-    data scan."""
-    from ..functions.rounding import round_np
-
+    grand-total levels — rel.rollup_agg (one distributed pass at the
+    finest level, each coarser level re-aggregated from the previous
+    level's bounded result, no second data scan)."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderpriority", "o_orderstatus",
                              "o_totalprice"])
-    fine = rel.grouped_agg(
-        ds, ["o_orderpriority", "o_orderstatus"],
-        [("o_totalprice", "count", "n_orders"),
-         ("o_totalprice", "sum", "ssum")]).to_pandas()
-    mid = (fine.groupby("o_orderpriority", as_index=False)
-               .agg(n_orders=("n_orders", "sum"), ssum=("ssum", "sum")))
-    mid["o_orderstatus"] = None
-    top = pd.DataFrame({"o_orderpriority": [None], "o_orderstatus": [None],
-                        "n_orders": [fine["n_orders"].sum()],
-                        "ssum": [fine["ssum"].sum()]})
-    out = pd.concat([fine, mid, top], ignore_index=True)
-    out["total_price"] = round_np(out.pop("ssum").to_numpy(), 2)
-    return out[["o_orderpriority", "o_orderstatus", "n_orders",
-                "total_price"]]
+    out = rel.rollup_agg(ds, ["o_orderpriority", "o_orderstatus"],
+                         [("o_totalprice", "count", "n_orders"),
+                          ("o_totalprice", "sum", "ssum")])
+    return _finish_subtotal_lattice(out)
+
+
+def _finish_subtotal_lattice(out) -> rd.Dataset:
+    """Shared tail of the ROLLUP/CUBE/GROUPING SETS orders queries:
+    int-cast the count, round the sum to the oracle's 2 digits."""
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "o_orderstatus": t["o_orderstatus"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total_price": pa.array(
+                round_np(t["ssum"].to_numpy(zero_copy_only=False), 2),
+                pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 @register("orders_cube", """
@@ -2018,34 +2021,16 @@ SELECT o_orderpriority, o_orderstatus,
 FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
 """)
 def orders_cube(sf_dir: str):
-    """GROUP BY CUBE: every subset of the grouping keys. Same
-    from-finest plan as orders_rollup — one distributed pass for the
-    finest level, all 2^k coarser levels re-aggregated from those
-    bounded partial rows on the driver, no second scan."""
-    from ..functions.rounding import round_np
-
+    """GROUP BY CUBE: every subset of the grouping keys — rel.cube_agg
+    (one distributed pass at the finest level, all 2^k coarser sets
+    re-aggregated from its bounded result, no second scan)."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderpriority", "o_orderstatus",
                              "o_totalprice"])
-    fine = rel.grouped_agg(
-        ds, ["o_orderpriority", "o_orderstatus"],
-        [("o_totalprice", "count", "n_orders"),
-         ("o_totalprice", "sum", "ssum")]).to_pandas()
-    levels = [fine]
-    for keep in (["o_orderpriority"], ["o_orderstatus"], []):
-        g = (fine.groupby(keep, as_index=False)
-                 .agg(n_orders=("n_orders", "sum"), ssum=("ssum", "sum"))
-             if keep else
-             pd.DataFrame({"n_orders": [fine["n_orders"].sum()],
-                           "ssum": [fine["ssum"].sum()]}))
-        for c in ("o_orderpriority", "o_orderstatus"):
-            if c not in g.columns:
-                g[c] = None
-        levels.append(g)
-    out = pd.concat(levels, ignore_index=True)
-    out["total_price"] = round_np(out.pop("ssum").to_numpy(), 2)
-    return out[["o_orderpriority", "o_orderstatus", "n_orders",
-                "total_price"]]
+    out = rel.cube_agg(ds, ["o_orderpriority", "o_orderstatus"],
+                       [("o_totalprice", "count", "n_orders"),
+                        ("o_totalprice", "sum", "ssum")])
+    return _finish_subtotal_lattice(out)
 
 
 @register("events_hourly_gapfill", """
@@ -4139,25 +4124,18 @@ GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus))
 def orders_grouping_sets(sf_dir: str):
     """GROUP BY GROUPING SETS — the general form under ROLLUP/CUBE:
     arbitrary subsets of the grouping keys, here ((priority, status),
-    (status)). Same from-finest plan as orders_rollup/orders_cube: ONE
-    distributed pass at the finest level, each requested coarser set
-    re-aggregated from those bounded partial rows on the driver."""
-    from ..functions.rounding import round_np
-
+    (status)) — rel.grouping_sets_agg (one distributed pass at the
+    finest level, each requested set re-aggregated from its bounded
+    result)."""
     ds = read_table(sf_dir, "orders",
                     columns=["o_orderpriority", "o_orderstatus",
                              "o_totalprice"])
-    fine = rel.grouped_agg(
+    out = rel.grouping_sets_agg(
         ds, ["o_orderpriority", "o_orderstatus"],
+        [["o_orderpriority", "o_orderstatus"], ["o_orderstatus"]],
         [("o_totalprice", "count", "n_orders"),
-         ("o_totalprice", "sum", "ssum")]).to_pandas()
-    by_status = (fine.groupby("o_orderstatus", as_index=False)
-                     .agg(n_orders=("n_orders", "sum"), ssum=("ssum", "sum")))
-    by_status["o_orderpriority"] = None
-    out = pd.concat([fine, by_status], ignore_index=True)
-    out["total_price"] = round_np(out.pop("ssum").to_numpy(), 2)
-    return out[["o_orderpriority", "o_orderstatus", "n_orders",
-                "total_price"]]
+         ("o_totalprice", "sum", "ssum")])
+    return _finish_subtotal_lattice(out)
 
 
 @register("events_user_first_last", """
@@ -5038,7 +5016,9 @@ _DRIVER_FIRST = [
     "events_value_mad_filtered", "events_funnel_view_click_purchase",
     "pages_wire_grok", "doc_chars_percent_rank_by_lang",
     "events_by_type_from_orc", "near_dup_keep_best_docs",
-    "docs_dup_spans_removed",
+    "docs_dup_spans_removed", "events_rollup_day_type",
+    "orders_pivot_status_by_priority", "events_ntile_by_user",
+    "events_cube_day_type", "doc_chars_dense_rank_by_lang",
 ]
 
 
