@@ -33,7 +33,7 @@ import ray.data as rd
 from .similarity import vecs_from_arrow
 
 __all__ = ["kmeans_fit", "kmeans_assign", "semdedup", "pca_fit",
-           "pca_project"]
+           "pca_project", "logreg_fit_hashed", "logreg_score_hashed"]
 
 
 def _init_centroids(ds: rd.Dataset, k: int, vec_col: str,
@@ -232,5 +232,131 @@ def pca_project(ds: rd.Dataset, mean: np.ndarray, components: np.ndarray,
         col = pa.FixedSizeListArray.from_arrays(
             pa.array(proj.ravel(), pa.float64()), p)
         return t.append_column(out_col, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# quality classifier: logistic regression over hashed token features
+# ---------------------------------------------------------------------------
+# The fastText-style linear quality/domain classifier a curation pass
+# trains on its own corpus (e.g. "looks like reference text" vs "looks
+# like crawl noise") and then scores every document with. Same bounded-
+# state iterative shape as kmeans_fit: each full-batch gradient-descent
+# epoch is ONE map_batches pass emitting per-batch partials (a dim-sized
+# gradient vector + loss/count scalars); the driver combines partials and
+# holds ONLY the weight vector between passes. Scoring is a broadcast of
+# the weights and a row-local pass. No reference counterpart (brief's
+# training-data extension).
+
+def _hashed_token_features(texts: pa.Array | pa.ChunkedArray, dim: int):
+    """(row_of, feat) index pairs for every token: feature id =
+    hash64(token) % dim, empty tokens dropped. Vectorized: one
+    split_pattern + one hash pass over the flat token array."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import hash64
+
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lists = pc.split_pattern(pc.cast(texts, pa.string()), " ")
+    offs = lists.offsets.to_numpy()
+    flat = lists.flatten()
+    row_of = np.repeat(np.arange(len(lists)), np.diff(offs))
+    ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_of = row_of[ok]
+    toks = flat.filter(pa.array(ok))
+    feat = (hash64(toks) % np.uint64(dim)).astype(np.int64) \
+        if len(toks) else np.array([], np.int64)
+    return row_of, feat
+
+
+def logreg_fit_hashed(ds: rd.Dataset, text_col: str, label_col: str,
+                      dim: int = 1 << 16, epochs: int = 10,
+                      lr: float = 1.0, l2: float = 1e-6):
+    """Fit a binary logistic-regression classifier on hashed
+    bag-of-token-counts features with full-batch gradient descent.
+    ``label_col`` must be 0/1 int (or bool). Returns
+    ``(w, b, history)`` — weights (dim,), bias, and per-epoch
+    [(loss, accuracy), ...].
+
+    Scale shape: one map_batches pass per epoch; each batch emits a
+    single partial row holding its dense gradient (dim float64s — 0.5 MB
+    at the default 2^16), loss sum, correct count and row count. Driver
+    state is O(dim), never O(rows) — and full-batch GD makes the fit
+    deterministic under any partitioning (per-batch partials sum).
+    Feature hashing bounds the model size regardless of vocabulary
+    (hash collisions fold rare features together — the standard
+    hashing-trick trade)."""
+    w = np.zeros(dim, np.float64)
+    b = 0.0
+    history: list[tuple[float, float]] = []
+    for _ in range(epochs):
+        ref = ray.put((w, b))
+
+        def partials(t: pa.Table, ref=ref) -> pa.Table:
+            ww, bb = ray.get(ref)
+            y = t[label_col].to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            row_of, feat = _hashed_token_features(t[text_col], dim)
+            z = np.full(t.num_rows, bb)
+            if len(feat):
+                np.add.at(z, row_of, ww[feat])
+            p = 1.0 / (1.0 + np.exp(-z))
+            resid = p - y
+            g = np.zeros(dim, np.float64)
+            if len(feat):
+                np.add.at(g, feat, resid[row_of])
+            eps = 1e-12
+            loss = -np.sum(y * np.log(p + eps)
+                           + (1 - y) * np.log(1 - p + eps))
+            correct = int(np.sum((p >= 0.5) == (y >= 0.5)))
+            return pa.table({
+                "g": pa.array([g], pa.list_(pa.float64())),
+                "gb": pa.array([float(resid.sum())]),
+                "loss": pa.array([float(loss)]),
+                "correct": pa.array([correct], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            })
+
+        g = np.zeros(dim, np.float64)
+        gb = loss = 0.0
+        correct = n = 0
+        for batch in ds.map_batches(
+                partials, batch_format="pyarrow",
+                zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+            for i in range(batch.num_rows):
+                g += np.asarray(batch["g"][i].as_py(), np.float64)
+                gb += batch["gb"][i].as_py()
+                loss += batch["loss"][i].as_py()
+                correct += batch["correct"][i].as_py()
+                n += batch["n"][i].as_py()
+        if n == 0:
+            raise ValueError("logreg_fit_hashed: empty input")
+        w = w - lr * (g / n + l2 * w)
+        b = b - lr * (gb / n)
+        history.append((loss / n, correct / n))
+    return w, b, history
+
+
+def logreg_score_hashed(ds: rd.Dataset, w: np.ndarray, b: float,
+                        text_col: str = "text", out_col: str = "prob",
+                        ndigits: int = 6) -> rd.Dataset:
+    """Score every row under a fitted hashed-feature logistic model:
+    broadcast (w, b) once, one row-local vectorized pass."""
+    from ..functions.rounding import round_np
+
+    dim = len(w)
+    ref = ray.put((np.asarray(w, np.float64), float(b)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        ww, bb = ray.get(ref)
+        row_of, feat = _hashed_token_features(t[text_col], dim)
+        z = np.full(t.num_rows, bb)
+        if len(feat):
+            np.add.at(z, row_of, ww[feat])
+        p = 1.0 / (1.0 + np.exp(-z))
+        return t.append_column(out_col,
+                               pa.array(round_np(p, ndigits), pa.float64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -2732,6 +2732,38 @@ def embedding_pca_project(sf_dir: str):
     return out.select_columns(["vec_id", "pca"])
 
 
+@register("doc_lang_en_classifier", None)  # iterative GD fit → rows-only
+def doc_lang_en_classifier(sf_dir: str):
+    """fastText-style linear quality/domain classifier trained ON the
+    corpus and used to score it (the model-in-the-loop curation shape:
+    train "looks like reference text" → keep high scorers). Here the
+    self-contained demo target is lang=='en' from hashed token counts.
+    Full-batch GD: one map_batches pass per epoch emitting dim-sized
+    gradient partials; driver state O(dim), deterministic under any
+    partitioning. Scoring broadcasts (w, b) once, row-local."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def add_label(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "label", pc.cast(pc.equal(t["lang"], "en"), pa.int8()))
+
+    labeled = ds.map_batches(add_label, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    w, b, _ = clustering.logreg_fit_hashed(labeled, "text", "label",
+                                           dim=1 << 16, epochs=6, lr=1.0)
+    out = clustering.logreg_score_hashed(labeled, w, b)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "prob": t["prob"],
+            "pred": pc.cast(pc.greater_equal(t["prob"], 0.5), pa.int8()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing (stubbed decode — deterministic fake)
 # ---------------------------------------------------------------------------

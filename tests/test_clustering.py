@@ -76,3 +76,26 @@ def test_pca_matches_numpy_eigh(blobs):
     want = xc @ comps.T
     # float32 ingest: projections match at float32 precision
     assert np.abs(got - want).max() < 1e-4
+
+
+def test_logreg_hashed_converges_and_is_partition_invariant():
+    rng = np.random.default_rng(7)
+    pos = [f"good{i}" for i in range(30)]
+    neg = [f"bad{i}" for i in range(30)]
+    rows = [(i, " ".join(rng.choice(pos if i % 2 else neg, 12)), i % 2)
+            for i in range(300)]
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "label"])
+    ds = rd.from_pandas(df).repartition(4)
+    w, b, hist = cl.logreg_fit_hashed(ds, "text", "label",
+                                      dim=1 << 12, epochs=6, lr=2.0)
+    losses = [l for l, _ in hist]
+    assert losses == sorted(losses, reverse=True)  # monotone descent
+    assert hist[-1][1] == 1.0  # separable vocabularies → perfect train acc
+    scored = cl.logreg_score_hashed(ds, w, b).to_pandas()
+    assert (((scored["prob"] >= 0.5).astype(int)
+             == scored["label"]).mean()) == 1.0
+    # full-batch GD: identical weights under any partitioning
+    w2, _, _ = cl.logreg_fit_hashed(rd.from_pandas(df).repartition(8),
+                                    "text", "label",
+                                    dim=1 << 12, epochs=6, lr=2.0)
+    assert np.abs(w - w2).max() < 1e-12
