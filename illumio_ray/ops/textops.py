@@ -12,6 +12,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 import ray.data as rd
 
 from ..functions.hashing import hash64
@@ -1003,5 +1004,188 @@ def regex_extract_columns(ds: rd.Dataset, col: str, pattern: str,
         if drop_unmatched:
             out = out.filter(pc.is_valid(st))
         return out
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (exact greedy merges, distributed pair counts)
+# ---------------------------------------------------------------------------
+
+def _apply_merges_flat(codes: np.ndarray, word_of: np.ndarray,
+                       merges: list[tuple[int, int, int]]):
+    """Apply a ranked merge list to a flat symbol stream (greedy
+    left-to-right within each word, one vectorized pass per merge —
+    BPE apply order: by merge rank, not by position). Returns the new
+    (codes, word_of). Overlapping candidates only occur for x==y merges;
+    there, the leftmost of each consecutive run wins alternately (exact
+    greedy semantics)."""
+    for a, b, new in merges:
+        if len(codes) < 2:
+            continue
+        cand = np.flatnonzero((codes[:-1] == a) & (codes[1:] == b)
+                              & (word_of[:-1] == word_of[1:]))
+        if len(cand) == 0:
+            continue
+        if a == b:
+            # greedy left-to-right on an x==x run merges positions
+            # 0, 2, 4, … of each maximal consecutive-candidate run
+            run_start = np.ones(len(cand), bool)
+            run_start[1:] = cand[1:] != cand[:-1] + 1
+            run_id = np.cumsum(run_start) - 1
+            starts = np.flatnonzero(run_start)
+            pos_in_run = np.arange(len(cand)) - starts[run_id]
+            cand = cand[pos_in_run % 2 == 0]
+        codes = codes.copy()
+        codes[cand] = new
+        keep = np.ones(len(codes), bool)
+        keep[cand + 1] = False
+        codes = codes[keep]
+        word_of = word_of[keep]
+    return codes, word_of
+
+
+def bpe_train(ds: rd.Dataset, text_col: str = "text",
+              n_merges: int = 10) -> list[dict]:
+    """Train ``n_merges`` exact greedy BPE merges over the corpus
+    (Sennrich et al. 2016): start from characters, repeatedly merge the
+    globally most frequent adjacent symbol pair (ties broken by lowest
+    (left, right) symbol ids — deterministic across engines and
+    partitionings). Returns one dict per merge:
+    ``{rank, left, right, merged, count}`` (symbol strings).
+
+    Scale shape — no word-frequency table anywhere: round 0 is one pass
+    collecting the distinct alphabet (bounded by charset); each merge
+    round is ONE map_batches pass that re-applies the current merge list
+    to its batch on the fly and emits adjacent-pair counts as a partial
+    (bounded by (alphabet + merges)² pairs, in practice the few thousand
+    pairs actually adjacent); the driver combines partials and appends
+    the argmax merge. n_merges passes total — the standard trade for
+    training exactly on the full corpus instead of a sample."""
+    import pyarrow.compute as pc
+
+    # round 0: distinct characters → initial symbol table
+    def chars_partial(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        joined = "".join(text.drop_null().to_pylist())
+        uniq = sorted(set(joined) - {" "})
+        return pa.table({"c": pa.array(uniq, pa.string())})
+
+    alpha = sorted({r["c"] for r in ds.map_batches(
+        chars_partial, batch_format="pyarrow",
+        zero_copy_batch=True).take_all()})
+    symbols: list[str] = list(alpha)
+    merges: list[tuple[int, int, int]] = []
+    out: list[dict] = []
+    # the single-char id space is fixed after round 0: one sorted
+    # codepoint lookup serves every round (vectorized map, no per-char
+    # Python in the per-batch path)
+    cp_sorted = np.array([ord(c) for c in alpha], np.int64)
+
+    def batch_codes(t: pa.Table, cps: np.ndarray):
+        """Flat (codes, word_of) for a batch: split to words, then chars
+        — codepoints via one utf-32 decode, ids via one searchsorted."""
+        text = _string_array(t[text_col])
+        words = pc.split_pattern(text, " ").flatten()
+        wl = pc.utf8_length(words).to_numpy(zero_copy_only=False)
+        word_of = np.repeat(np.arange(len(words)), wl)
+        flat_chars = "".join(words.to_pylist())
+        cp = np.frombuffer(flat_chars.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        idx = np.searchsorted(cps, cp)
+        ok = (idx < len(cps))
+        ok &= cps[np.minimum(idx, len(cps) - 1)] == cp
+        return idx[ok], word_of[ok]
+
+    for rank in range(n_merges):
+        ref = ray.put((cp_sorted, list(merges)))
+        K = len(symbols) + 1  # pair key base (current symbol count)
+
+        def pair_partial(t: pa.Table, ref=ref, K=K) -> pa.Table:
+            cps, mg = ray.get(ref)
+            codes, word_of = batch_codes(t, cps)
+            codes, word_of = _apply_merges_flat(codes, word_of, mg)
+            if len(codes) < 2:
+                return pa.table({"k": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            adj = word_of[:-1] == word_of[1:]
+            keys = codes[:-1][adj] * K + codes[1:][adj]
+            uk, cnt = np.unique(keys, return_counts=True)
+            return pa.table({"k": pa.array(uk, pa.int64()),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        from .relational import grouped_agg
+        combined = grouped_agg(
+            ds.map_batches(pair_partial, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["k"], [("n", "sum", "n")]).take_all()
+        if not combined:
+            break
+        ks = np.array([r["k"] for r in combined], np.int64)
+        ns = np.array([r["n"] for r in combined], np.int64)
+        best = np.lexsort((ks, -ns))[0]  # max count, then lowest pair key
+        a, b = int(ks[best] // K), int(ks[best] % K)
+        new_sym = symbols[a] + symbols[b]
+        new_id = len(symbols)
+        symbols.append(new_sym)
+        merges.append((a, b, new_id))
+        out.append({"rank": rank, "left": symbols[a], "right": symbols[b],
+                    "merged": new_sym, "count": int(ns[best])})
+    return out
+
+
+def bpe_segment(ds: rd.Dataset, merge_table: list[dict],
+                id_col: str = "doc_id", text_col: str = "text",
+                out_col: str = "n_bpe_tokens") -> rd.Dataset:
+    """Apply a trained merge table and count the resulting BPE tokens per
+    document — broadcast the merges once, row-local vectorized apply."""
+    import pyarrow.compute as pc
+
+    # rebuild the symbol/merge id space exactly as bpe_train evolved it
+    symbols: list[str] = []
+    sym_id: dict = {}
+    merges: list[tuple[int, int, int]] = []
+    for m in merge_table:
+        for part in (m["left"], m["right"]):
+            if len(part) == 1 and part not in sym_id:
+                sym_id[part] = len(symbols)
+                symbols.append(part)
+    for m in merge_table:
+        a, b = sym_id[m["left"]], sym_id[m["right"]]
+        nid = sym_id.setdefault(m["merged"], len(symbols))
+        if nid == len(symbols):
+            symbols.append(m["merged"])
+        merges.append((a, b, nid))
+    single_cp = np.array(sorted(ord(c) for c in sym_id
+                                if len(c) == 1), np.int64)
+    single_id = np.array([sym_id[chr(c)] for c in single_cp], np.int64)
+    ref = ray.put((single_cp, single_id, list(merges)))
+
+    def fn(t: pa.Table) -> pa.Table:
+        cps, ids, mg = ray.get(ref)
+        text = _string_array(t[text_col])
+        words = pc.split_pattern(text, " ")
+        offs = words.offsets.to_numpy()
+        flat = words.flatten()
+        wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        word_of = np.repeat(np.arange(len(flat)), wl)
+        chars = "".join(flat.to_pylist())
+        cp = np.frombuffer(chars.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.int64)
+        if len(cps):
+            idx = np.minimum(np.searchsorted(cps, cp), len(cps) - 1)
+            known = cps[idx] == cp
+            # unknown chars keep code -1: never merge-eligible (merge ids
+            # are >= 0) but still block adjacency and count as one token
+            codes = np.where(known, ids[idx], np.int64(-1))
+        else:
+            codes = np.full(len(cp), -1, np.int64)
+        codes2, word_of2 = _apply_merges_flat(codes, word_of, mg)
+        # tokens per word = symbols remaining; roll up words per doc
+        row_of_word = np.repeat(np.arange(len(offs) - 1), np.diff(offs))
+        toks_per_word = np.bincount(word_of2, minlength=len(flat))
+        per_doc = np.zeros(t.num_rows, np.int64)
+        np.add.at(per_doc, row_of_word, toks_per_word)
+        return t.append_column(out_col, pa.array(per_doc, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -2732,6 +2732,27 @@ def embedding_pca_project(sf_dir: str):
     return out.select_columns(["vec_id", "pca"])
 
 
+@register("corpus_bpe_merges", None)  # iterative greedy fit → rows-only
+def corpus_bpe_merges(sf_dir: str):
+    """Exact greedy BPE tokenizer training over the corpus (Sennrich et
+    al. 2016): 12 merge rounds, each ONE map_batches pass emitting
+    adjacent-symbol-pair count partials (bounded by the pair space,
+    never a word table); driver picks the deterministic argmax
+    (count desc, then lowest symbol-id pair). Returns the ranked merge
+    table — the trained-tokenizer artifact a data pipeline ships to the
+    training job. Segmentation with the table is textops.bpe_segment
+    (broadcast merges, row-local apply), pinned by unit test."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    merges = textops.bpe_train(ds, n_merges=12)
+    return pa.table({
+        "rank": pa.array([m["rank"] for m in merges], pa.int64()),
+        "left": pa.array([m["left"] for m in merges], pa.string()),
+        "right": pa.array([m["right"] for m in merges], pa.string()),
+        "merged": pa.array([m["merged"] for m in merges], pa.string()),
+        "count": pa.array([m["count"] for m in merges], pa.int64()),
+    })
+
+
 @register("doc_lang_en_classifier", None)  # iterative GD fit → rows-only
 def doc_lang_en_classifier(sf_dir: str):
     """fastText-style linear quality/domain classifier trained ON the

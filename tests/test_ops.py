@@ -1649,6 +1649,71 @@ def test_remove_dup_spans_edges():
     assert out.loc[2, "n_removed"] == 3
 
 
+def _ref_bpe_train(texts: list[str], n: int):
+    alpha = sorted({c for t in texts for c in t if c != " "})
+    words = []
+    for t in texts:
+        words += [list(w) for w in t.split(" ") if w]
+    merges: list[tuple[str, str, int]] = []
+    ids = {c: i for i, c in enumerate(alpha)}
+    for _ in range(n):
+        counts: dict = {}
+        for w in words:
+            for i in range(len(w) - 1):
+                counts[(w[i], w[i + 1])] = counts.get((w[i], w[i + 1]), 0) + 1
+        if not counts:
+            break
+        K = len(alpha) + len(merges) + 1
+        (a, b), c = min(counts.items(),
+                        key=lambda kv: (-kv[1],
+                                        ids[kv[0][0]] * K + ids[kv[0][1]]))
+        merges.append((a, b, c))
+        ids[a + b] = len(alpha) + len(merges) - 1
+        words = [_ref_bpe_apply(w, a, b) for w in words]
+    return merges, words
+
+
+def _ref_bpe_apply(w: list[str], a: str, b: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(w):
+        if i + 1 < len(w) and w[i] == a and w[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(w[i])
+            i += 1
+    return out
+
+
+def test_bpe_train_and_segment_match_reference():
+    from illumio_ray.ops import textops
+    rng = np.random.default_rng(67)
+    vocab = ["the", "cat", "that", "aaa", "abab", "banana", "thesis"]
+    for trial in range(3):
+        texts = [" ".join(rng.choice(vocab, rng.integers(1, 8)))
+                 for _ in range(12)]
+        ds = rd.from_pandas(pd.DataFrame(
+            {"doc_id": range(len(texts)), "text": texts})).repartition(3)
+        got = textops.bpe_train(ds, n_merges=6)
+        ref_merges, _ = _ref_bpe_train(texts, 6)
+        assert [(m["left"], m["right"], m["count"]) for m in got] \
+            == ref_merges
+        seg = (textops.bpe_segment(ds, got).to_pandas()
+               .sort_values("doc_id"))
+
+        def count(t):
+            total = 0
+            for w in t.split(" "):
+                wl = list(w)
+                for a, b, _ in ref_merges:
+                    wl = _ref_bpe_apply(wl, a, b)
+                total += len(wl)
+            return total
+
+        assert seg["n_bpe_tokens"].tolist() == [count(t) for t in texts]
+
+
 def _ref_jaccard_pairs(docs: pd.DataFrame, n: int, threshold: float):
     sets = {}
     for _, r in docs.iterrows():
