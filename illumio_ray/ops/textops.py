@@ -1189,3 +1189,46 @@ def bpe_segment(ds: rd.Dataset, merge_table: list[dict],
         return t.append_column(out_col, pa.array(per_doc, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (web-crawl key normalization)
+# ---------------------------------------------------------------------------
+
+def canonicalize_urls(ds: rd.Dataset, url_col: str = "url",
+                      out_col: str = "canon_url") -> rd.Dataset:
+    """Canonical URL form — the key a crawl dedups/groups on (raw URLs
+    split the same page across variants): lowercase scheme+host, strip
+    the fragment and the whole query string, drop the scheme's default
+    port (:80 for http, :443 for https), drop a leading ``www.``, and
+    strip trailing slashes from the path. Row-local RE2/Arrow kernels
+    only — the DuckDB oracle states the IDENTICAL regex chain, so
+    canonical bytes hash-match across engines (the property a
+    canonical-key dedup depends on). Rows whose value doesn't parse as
+    an http(s) URL get a null canon_url."""
+    def fn(t: pa.Table) -> pa.Table:
+        u = _string_array(t[url_col])
+        st = pc.extract_regex(u, r"^(?P<scheme>[Hh][Tt][Tt][Pp][Ss]?)://"
+                                 r"(?P<host>[^/?#]+)")
+        scheme = pc.utf8_lower(pc.struct_field(st, "scheme"))
+        host = pc.utf8_lower(pc.struct_field(st, "host"))
+        # default port by scheme
+        host = pc.if_else(pc.equal(scheme, "http"),
+                          pc.replace_substring_regex(host, r":80$", ""),
+                          pc.replace_substring_regex(host, r":443$", ""))
+        host = pc.replace_substring_regex(host, r"^www\.", "")
+        # path: strip fragment, then query, then capture, then trailing /
+        nofrag = pc.replace_substring_regex(u, r"#.*", "")
+        noq = pc.replace_substring_regex(nofrag, r"\?.*", "")
+        pst = pc.extract_regex(noq, r"^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+"
+                                    r"(?P<path>/.*)?$")
+        path = pc.struct_field(pst, "path")
+        path = pc.fill_null(pc.if_else(pc.is_valid(pst),
+                                       pc.fill_null(path, ""), None), "")
+        path = pc.replace_substring_regex(path, r"/+$", "")
+        canon = pc.binary_join_element_wise(
+            scheme, pa.array(["://"] * t.num_rows, pa.string()),
+            host, path, "")
+        return t.append_column(out_col, canon)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

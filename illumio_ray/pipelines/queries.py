@@ -102,6 +102,42 @@ routed AS (
 # flagship / pages queries
 # ---------------------------------------------------------------------------
 
+@register("pages_canonical_urls", f"""
+WITH u AS (
+  SELECT url,
+         lower(regexp_extract(url,
+               '^([Hh][Tt][Tt][Pp][Ss]?)://', 1)) AS scheme,
+         lower(regexp_extract(url,
+               '^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)', 1)) AS host0,
+         regexp_extract(
+           regexp_replace(regexp_replace(url, '#.*', ''), '\\?.*', ''),
+           '^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+(/.*)?$', 1) AS path0
+  FROM read_parquet('{PAGES_GLOB}')
+)
+SELECT url,
+       CASE WHEN scheme = '' OR host0 = '' THEN NULL ELSE
+         scheme || '://' ||
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                THEN regexp_replace(host0, ':80$', '')
+                ELSE regexp_replace(host0, ':443$', '') END,
+           '^www\\.', '') ||
+         regexp_replace(coalesce(path0, ''), '/+$', '')
+       END AS canon_url
+FROM u
+""")
+def pages_canonical_urls(sf_dir: str):
+    """Canonical URL normalization — the dedup/group key of a web crawl
+    (lowercase scheme+host, fragment/query stripped, default port and
+    'www.' dropped, trailing slashes trimmed). Row-local RE2 kernels;
+    the oracle states the identical regex chain so canonical bytes
+    hash-match across engines; messy-input edge cases (ports, utm
+    queries, fragments, uppercase hosts) pinned by unit test."""
+    info = _pages(sf_dir)
+    pages = rd.read_parquet(info["pages_dir"], columns=["url"])
+    return textops.canonicalize_urls(pages).select_columns(
+        ["url", "canon_url"])
+
 @register("pages_routed", _ROUTED_CTE + """
 SELECT url, lang, url_host, title, page_event, extracted_text, n_tokens,
        host_category, event_class

@@ -1649,6 +1649,26 @@ def test_remove_dup_spans_edges():
     assert out.loc[2, "n_removed"] == 3
 
 
+def test_canonicalize_urls_messy_inputs():
+    from illumio_ray.ops import textops
+    cases = {
+        "https://Example.COM/a/b/": "https://example.com/a/b",
+        "http://www.Site.org:80/x?utm_source=a&q=1#frag":
+            "http://site.org/x",
+        "https://host.net:443/": "https://host.net",
+        "https://host.net:8443/p": "https://host.net:8443/p",
+        "HTTPS://WWW.HOST.IO": "https://host.io",
+        "http://h.co/p///": "http://h.co/p",
+        "ftp://not.http/x": None,  # non-http(s) → null canon
+    }
+    df = pd.DataFrame({"url": list(cases)})
+    out = textops.canonicalize_urls(rd.from_pandas(df)).to_pandas()
+    got = dict(zip(out["url"], out["canon_url"]))
+    for url, want in cases.items():
+        assert got[url] == want or (want is None and pd.isna(got[url])), \
+            (url, got[url], want)
+
+
 def _ref_bpe_train(texts: list[str], n: int):
     alpha = sorted({c for t in texts for c in t if c != " "})
     words = []
