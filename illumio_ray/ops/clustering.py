@@ -251,11 +251,15 @@ def pca_project(ds: rd.Dataset, mean: np.ndarray, components: np.ndarray,
 
 def _hashed_token_features(texts: pa.Array | pa.ChunkedArray, dim: int):
     """(row_of, feat) index pairs for every token: feature id =
-    hash64(token) % dim, empty tokens dropped. Vectorized: one
-    split_pattern + one hash pass over the flat token array."""
+    stable_hash64(token) % dim, empty tokens dropped. Vectorized: one
+    split_pattern + one hash pass over the flat token array.
+    stable_hash64, NOT hash64: the fitted (w, b) is a model ARTIFACT a
+    caller may persist and reuse in a later run — feature slots must
+    survive library upgrades (see the artifact table in
+    functions/hashing.py)."""
     import pyarrow.compute as pc
 
-    from ..functions.hashing import hash64
+    from ..functions.hashing import stable_hash64
 
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
@@ -266,7 +270,7 @@ def _hashed_token_features(texts: pa.Array | pa.ChunkedArray, dim: int):
     ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     row_of = row_of[ok]
     toks = flat.filter(pa.array(ok))
-    feat = (hash64(toks) % np.uint64(dim)).astype(np.int64) \
+    feat = (stable_hash64(toks) % np.uint64(dim)).astype(np.int64) \
         if len(toks) else np.array([], np.int64)
     return row_of, feat
 
@@ -325,12 +329,17 @@ def logreg_fit_hashed(ds: rd.Dataset, text_col: str, label_col: str,
         for batch in ds.map_batches(
                 partials, batch_format="pyarrow",
                 zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
-            for i in range(batch.num_rows):
-                g += np.asarray(batch["g"][i].as_py(), np.float64)
-                gb += batch["gb"][i].as_py()
-                loss += batch["loss"][i].as_py()
-                correct += batch["correct"][i].as_py()
-                n += batch["n"][i].as_py()
+            t = pa.table(batch)
+            # vectorized combine: read the list column's values buffer
+            # directly — no per-row .as_py() of 65k-float gradients
+            gcol = t["g"].combine_chunks()
+            flat = gcol.flatten().to_numpy(zero_copy_only=False)
+            g += flat.reshape(-1, dim).sum(axis=0)
+            import pyarrow.compute as pc
+            gb += pc.sum(t["gb"]).as_py() or 0.0
+            loss += pc.sum(t["loss"]).as_py() or 0.0
+            correct += pc.sum(t["correct"]).as_py() or 0
+            n += pc.sum(t["n"]).as_py() or 0
         if n == 0:
             raise ValueError("logreg_fit_hashed: empty input")
         w = w - lr * (g / n + l2 * w)

@@ -234,6 +234,14 @@ def rollup_agg(ds: rd.Dataset, keys: list[str],
             raise ValueError(f"rollup_agg cannot re-aggregate fn: {fn}")
 
     finest = grouped_agg(ds, keys, aggs, mode=mode)
+    if mode != "driver":
+        # shuffle/bucket modes return a LAZY dataset whose plan contains
+        # the full input aggregation — pin the (group-sized) result once
+        # so the coarser levels and the final union never re-execute it
+        finest = finest.materialize()
+    fsch = finest.schema()
+    fsch = getattr(fsch, "base_schema", fsch)
+    key_types = {k: fsch.field(k).type for k in keys}
     levels = [finest]
     prev = finest
     for depth in range(len(keys) - 1, -1, -1):
@@ -243,10 +251,6 @@ def rollup_agg(ds: rd.Dataset, keys: list[str],
             lv = grouped_agg(prev, kept, specs)
         else:  # grand total: one-batch reduce of the level-1 table
             lv = _one_batch_total(prev, specs)
-        # align schema: rolled-up keys ride as typed nulls
-        fsch = finest.schema()
-        fsch = getattr(fsch, "base_schema", fsch)
-        key_types = {k: fsch.field(k).type for k in keys}
 
         def pad(t: pa.Table, rolled=tuple(rolled), kt=key_types,
                 order=tuple(keys), outs=tuple(o for _, _, o in aggs)):
@@ -302,6 +306,11 @@ def grouping_sets_agg(ds: rd.Dataset, keys: list[str],
                              f"{unknown}")
 
     finest = grouped_agg(ds, keys, aggs, mode=mode)
+    if mode != "driver":
+        # pin the group-sized finest result: every requested set and the
+        # final union re-reads it, and a lazy shuffle plan would
+        # re-execute the input aggregation each time
+        finest = finest.materialize()
     fsch = finest.schema()
     fsch = getattr(fsch, "base_schema", fsch)
     key_types = {k: fsch.field(k).type for k in keys}
@@ -402,7 +411,10 @@ def pivot_agg(ds: rd.Dataset, group_key: str, pivot_col: str,
     per_g: dict = {}
     for r in rows:
         per_g.setdefault(r[group_key], {})[r[pivot_col]] = r["__v"]
-    gkeys = sorted(per_g)
+    # a null group key (Arrow group_by keeps it) sorts last, not TypeError
+    gkeys = sorted(k for k in per_g if k is not None)
+    if None in per_g:
+        gkeys.append(None)
     cols: dict = {group_key: pa.array(gkeys)}
     for v in values:
         name = name_fmt.format(fn=fn, v=v)

@@ -1222,9 +1222,10 @@ def canonicalize_urls(ds: rd.Dataset, url_col: str = "url",
         noq = pc.replace_substring_regex(nofrag, r"\?.*", "")
         pst = pc.extract_regex(noq, r"^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+"
                                     r"(?P<path>/.*)?$")
-        path = pc.struct_field(pst, "path")
-        path = pc.fill_null(pc.if_else(pc.is_valid(pst),
-                                       pc.fill_null(path, ""), None), "")
+        # unset optional group or non-matching row both → "" (the
+        # non-http case still yields null canon via scheme/host nulls
+        # propagating through binary_join_element_wise)
+        path = pc.fill_null(pc.struct_field(pst, "path"), "")
         path = pc.replace_substring_regex(path, r"/+$", "")
         canon = pc.binary_join_element_wise(
             scheme, pa.array(["://"] * t.num_rows, pa.string()),

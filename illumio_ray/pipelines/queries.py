@@ -2033,18 +2033,20 @@ def orders_rollup(sf_dir: str):
     return _finish_subtotal_lattice(out)
 
 
-def _finish_subtotal_lattice(out) -> rd.Dataset:
-    """Shared tail of the ROLLUP/CUBE/GROUPING SETS orders queries:
-    int-cast the count, round the sum to the oracle's 2 digits."""
+def _finish_subtotal_lattice(out, keys=("o_orderpriority",
+                                        "o_orderstatus"),
+                             count_col="n_orders", sum_in="ssum",
+                             sum_out="total_price",
+                             ndigits=2) -> rd.Dataset:
+    """Shared tail of every ROLLUP/CUBE/GROUPING SETS query: int-cast
+    the count, round the sum to the oracle's digits."""
     def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "o_orderpriority": t["o_orderpriority"],
-            "o_orderstatus": t["o_orderstatus"],
-            "n_orders": pc.cast(t["n_orders"], pa.int64()),
-            "total_price": pa.array(
-                round_np(t["ssum"].to_numpy(zero_copy_only=False), 2),
-                pa.float64()),
-        })
+        cols = {k: t[k] for k in keys}
+        cols[count_col] = pc.cast(t[count_col], pa.int64())
+        cols[sum_out] = pa.array(
+            round_np(t[sum_in].to_numpy(zero_copy_only=False), ndigits),
+            pa.float64())
+        return pa.table(cols)
 
     return out.map_batches(finish, batch_format="pyarrow",
                            zero_copy_batch=True)
@@ -4611,18 +4613,10 @@ def events_rollup_day_type(sf_dir: str):
                          ["day", "event_type"],
                          [("value", "count", "n_events"),
                           ("value", "sum", "sum_value")])
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "day": t["day"], "event_type": t["event_type"],
-            "n_events": pc.cast(t["n_events"], pa.int64()),
-            "sum_value": pa.array(
-                round_np(t["sum_value"].to_numpy(zero_copy_only=False), 6),
-                pa.float64()),
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return _finish_subtotal_lattice(out, keys=("day", "event_type"),
+                                    count_col="n_events",
+                                    sum_in="sum_value",
+                                    sum_out="sum_value", ndigits=6)
 
 
 @register("events_cube_day_type", """
@@ -4641,18 +4635,10 @@ def events_cube_day_type(sf_dir: str):
                        ["day", "event_type"],
                        [("value", "count", "n_events"),
                         ("value", "sum", "sum_value")])
-
-    def finish(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "day": t["day"], "event_type": t["event_type"],
-            "n_events": pc.cast(t["n_events"], pa.int64()),
-            "sum_value": pa.array(
-                round_np(t["sum_value"].to_numpy(zero_copy_only=False), 6),
-                pa.float64()),
-        })
-
-    return out.map_batches(finish, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    return _finish_subtotal_lattice(out, keys=("day", "event_type"),
+                                    count_col="n_events",
+                                    sum_in="sum_value",
+                                    sum_out="sum_value", ndigits=6)
 
 
 @register("events_unpivot_metrics", """
@@ -4700,11 +4686,11 @@ def events_ntile_by_user(sf_dir: str):
 
 @register("orders_pivot_status_by_priority", """
 SELECT o_orderpriority,
-       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6)
+       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2)
          AS sum_F,
-       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 6)
+       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2)
          AS sum_O,
-       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 6)
+       ROUND(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 2)
          AS sum_P
 FROM orders GROUP BY o_orderpriority
 """)
@@ -4720,10 +4706,13 @@ def orders_pivot_status_by_priority(sf_dir: str):
                         "o_totalprice", "sum", values=["F", "O", "P"])
 
     def finish(t: pa.Table) -> pa.Table:
+        # 2 digits like the sibling o_totalprice lattices: group sums are
+        # ~1e8, so 6-digit rounding would sit within cross-engine
+        # float-summation-order drift
         cols = {"o_orderpriority": t["o_orderpriority"]}
         for c in ("sum_F", "sum_O", "sum_P"):
             v = t[c].to_numpy(zero_copy_only=False)
-            cols[c] = pa.array(round_np(v, 6), pa.float64(),
+            cols[c] = pa.array(round_np(v, 2), pa.float64(),
                                mask=pd.isna(v))
         return pa.table(cols)
 

@@ -585,6 +585,13 @@ def test_pivot_agg_missing_cells():
                         values=["x", "y"]).to_pandas() \
         .set_index("g").sort_index()
     assert cnt.loc["b", "count_x"] == 1 and cnt.loc["b", "count_y"] == 0
+    # null group key: emitted as its own (last) row, not a TypeError
+    dfn = pd.DataFrame({"g": ["a", None], "p": ["x", "x"],
+                        "v": [1.0, 9.0]})
+    outn = rel.pivot_agg(rd.from_pandas(dfn), "g", "p", "v", "sum",
+                         values=["x"]).to_pandas()
+    assert outn["g"].tolist()[:1] == ["a"] and pd.isna(outn["g"].iloc[1])
+    assert outn["sum_x"].tolist() == [1.0, 9.0]
 
 
 def test_regex_extract_columns_named_groups():
