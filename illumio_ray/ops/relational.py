@@ -1812,6 +1812,43 @@ def mad_outlier_filter(ds: rd.Dataset, key: str, col: str,
     return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def winsorize_by(ds: rd.Dataset, key: str, col: str,
+                 q_lo: float = 0.05, q_hi: float = 0.95,
+                 out_col: str | None = None) -> rd.Dataset:
+    """Per-group winsorization: clip ``col`` to its group's
+    [quantile(q_lo), quantile(q_hi)] — the heavy-tail taming that keeps
+    outlier rows (unlike the MAD gate, which drops them) while bounding
+    their leverage on downstream means/regressions. Quantiles are EXACT
+    (shared-pass histogram refinement, ``exact_quantile_disc_by`` —
+    driver state O(groups), no group ever collects); the clip is one
+    broadcast row-local map picking existing values, so output bytes
+    match the SQL least/greatest definition exactly. Null values drop
+    (SQL join semantics); bounded group keys."""
+    lo_t = exact_quantile_disc_by(ds, key, col, q_lo)
+    hi_t = exact_quantile_disc_by(ds, key, col, q_hi)
+    lo_name, hi_name = lo_t.column_names[1], hi_t.column_names[1]
+    lo = dict(zip(lo_t[key].to_pylist(), lo_t[lo_name].to_pylist()))
+    hi = dict(zip(hi_t[key].to_pylist(), hi_t[hi_name].to_pylist()))
+    ref = ray.put({g: (lo[g], hi[g]) for g in lo if g in hi})
+    out = out_col or f"{col}_w"
+
+    def clip(t: pa.Table) -> pa.Table:
+        bounds = ray.get(ref)
+        kv = t[key].to_numpy(zero_copy_only=False)
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        los = pd.Series(kv).map({g: b[0] for g, b in bounds.items()}) \
+            .to_numpy(np.float64)
+        his = pd.Series(kv).map({g: b[1] for g, b in bounds.items()}) \
+            .to_numpy(np.float64)
+        ok = ~(np.isnan(v) | np.isnan(los))  # null value / unseen key
+        t = t.filter(pa.array(ok))
+        w = np.minimum(np.maximum(v[ok], los[ok]), his[ok])
+        return t.append_column(out, pa.array(w, pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def funnel_counts(ds: rd.Dataset, user_col: str, ts_col: str,
                   type_col: str, steps: list[str],
                   num_buckets: int | None = None,

@@ -4520,6 +4520,30 @@ def embedding_knn_join_ivf(sf_dir: str):
     return similarity.ivf_knn_join(left, right, 3, n_cells=8, nprobe=2)
 
 
+@register("events_value_winsorized", """
+WITH b AS (
+  SELECT event_type, quantile_disc(value, 0.05) AS lo,
+         quantile_disc(value, 0.95) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY 1
+)
+SELECT e.event_id, e.event_type,
+       least(greatest(e.value, b.lo), b.hi) AS value_w
+FROM events e JOIN b USING (event_type)
+WHERE e.value IS NOT NULL
+""")
+def events_value_winsorized(sf_dir: str):
+    """Per-group winsorization (clip to the type's exact [p5, p95]) —
+    keeps outlier rows but bounds their leverage; the clip picks existing
+    input/quantile doubles so bytes match the SQL least/greatest
+    definition with no rounding step (rel.winsorize_by over the
+    shared-pass exact quantiles)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    out = rel.winsorize_by(ds, "event_type", "value", 0.05, 0.95,
+                           out_col="value_w")
+    return out.select_columns(["event_id", "event_type", "value_w"])
+
+
 @register("events_value_mad_filtered", """
 WITH med AS (
   SELECT event_type, quantile_disc(value, 0.5) AS med

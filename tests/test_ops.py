@@ -1656,6 +1656,28 @@ def test_remove_dup_spans_edges():
     assert out.loc[2, "n_removed"] == 3
 
 
+def test_winsorize_by_matches_reference():
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({"g": rng.choice(["a", "b"], 500),
+                       "v": rng.normal(0, 10, 500)})
+    df.loc[0, "v"] = 1e6  # extreme outlier gets clipped, not dropped
+    out = (rel.winsorize_by(rd.from_pandas(df).repartition(4), "g", "v")
+           .to_pandas())
+    assert len(out) == len(df)
+
+    def qdisc(s, q):  # quantile_disc: element at 0-indexed rank ceil(nq)-1
+        v = np.sort(s.to_numpy())
+        return v[max(int(np.ceil(len(v) * q)) - 1, 0)]
+
+    for g, grp in df.groupby("g"):
+        lo, hi = qdisc(grp["v"], 0.05), qdisc(grp["v"], 0.95)
+        got = out[out.g == g]
+        want = grp["v"].clip(lo, hi)
+        assert np.allclose(np.sort(got["v_w"].to_numpy()),
+                           np.sort(want.to_numpy()))
+        assert got["v_w"].max() <= hi and got["v_w"].min() >= lo
+
+
 def test_canonicalize_urls_messy_inputs():
     from illumio_ray.ops import textops
     cases = {
