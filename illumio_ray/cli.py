@@ -64,6 +64,15 @@ def cmd_run(args) -> int:
         cfg.max_messages_per_second or None)
     siem = args.siem or (f"{cfg.sma_host}:{cfg.sma_port}" if cfg.sma_host else None)
 
+    # rotating JSON run log (≙ reference app/logger_config.py): opt-in via
+    # --log-dir flag or [Logging] log_folder / ILLUMIO_RAY_LOGGING_* env
+    log_dir = args.log_dir or cfg.log_folder
+    if log_dir:
+        from .state.runlog import setup_run_logging
+        setup_run_logging(log_dir, level=cfg.log_level,
+                          max_bytes=cfg.max_log_size,
+                          backup_count=cfg.backup_count)
+
     if args.watch and not args.incremental:
         raise SystemExit("--watch requires --incremental (the poll loop "
                          "re-plans new fragments; a full run has no "
@@ -307,6 +316,10 @@ def main(argv=None) -> int:
     rp.add_argument("--siem", default=None, metavar="HOST:PORT",
                     help="after committing, stream wire messages to this "
                          "TCP endpoint (reference send_to_siem)")
+    rp.add_argument("--log-dir", default=None, metavar="DIR",
+                    help="rotating JSON run log folder (default: "
+                         "[Logging] log_folder from --config / env; "
+                         "empty disables)")
     rp.add_argument("--max-mps", type=float, default=None,
                     help="per-connection message rate ceiling for --siem")
     rp.set_defaults(fn=cmd_run)

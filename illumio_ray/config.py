@@ -42,6 +42,12 @@ class Settings:
     sma_port: int = 514
     use_tcp: bool = True
     max_messages_per_second: float = 0.0  # 0 = unlimited
+    # [Logging] ≙ reference LOG_FOLDER/LOG_LEVEL/MAX_LOG_SIZE/BACKUP_COUNT
+    # (app/logger_config.py:40-43) — empty folder disables the file log
+    log_folder: str = ""
+    log_level: str = "INFO"
+    max_log_size: int = 10_485_760
+    backup_count: int = 5
 
     @property
     def siem_proto(self) -> str:
@@ -56,6 +62,8 @@ _SECTION_OF = {
     "fragments_per_shard": "Processing", "enrich_mode": "Processing",
     "sma_host": "Syslog", "sma_port": "Syslog", "use_tcp": "Syslog",
     "max_messages_per_second": "Syslog",
+    "log_folder": "Logging", "log_level": "Logging",
+    "max_log_size": "Logging", "backup_count": "Logging",
 }
 
 _TRUE = {"1", "true", "yes", "on"}

@@ -333,6 +333,12 @@ def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
         "content_hash": content_hash,
     }
     lineage.write_manifest(out_dir, shard_id, manifest)
+    from ..state.runlog import get_run_logger
+    get_run_logger().info(
+        f"shard {shard_id} committed",
+        extra={"event": "shard_commit", "shard_id": shard_id,
+               "rows": rows_out, "rows_dropped": manifest["rows_dropped"],
+               "fragments": len(fragments)})
     return manifest
 
 
@@ -357,6 +363,12 @@ def _write_aggregate(out_dir: Path, manifests: dict) -> Path:
     agg_path.mkdir(parents=True)
     import pyarrow.parquet as _pq
     _pq.write_table(agg_tbl, agg_path / "part-00000.parquet")
+    from ..state.runlog import get_run_logger
+    get_run_logger().info(
+        "aggregate written",
+        extra={"event": "aggregate_written", "path": str(agg_path),
+               "groups": agg_tbl.num_rows,
+               "shards_combined": len(manifests)})
     return agg_path
 
 

@@ -131,3 +131,69 @@ def test_cli_query_list_and_run(tmp_path, capsys):
     assert '"rows": 1' in out
 
     assert main(["query", "no_such_query"]) == 2
+
+
+def test_run_log_rotation_and_json_lines(tmp_path):
+    """Rotating JSON run log (≙ reference app/logger_config.py): events
+    are one JSON object per line, the file rotates at max_bytes, and a
+    second setup call adds no duplicate handler."""
+    import json
+    import logging
+
+    from illumio_ray.state.runlog import (RUN_LOGGER_NAME, LOG_FILE,
+                                          setup_run_logging)
+
+    log_dir = tmp_path / "logs"
+    lg = setup_run_logging(log_dir, max_bytes=600, backup_count=2)
+    lg2 = setup_run_logging(log_dir, max_bytes=600, backup_count=2)
+    assert lg is lg2
+    file_handlers = [h for h in lg.handlers
+                     if not isinstance(h, logging.NullHandler)]
+    assert len(file_handlers) == 1  # idempotent setup
+
+    for i in range(30):
+        lg.info("shard %d committed", i,
+                extra={"event": "shard_commit", "shard_id": i, "rows": 10})
+    main = log_dir / LOG_FILE
+    assert main.exists()
+    assert (log_dir / (LOG_FILE + ".1")).exists()  # rotated
+    for line in main.read_text().splitlines():
+        rec = json.loads(line)
+        assert rec["name"] == RUN_LOGGER_NAME
+        assert rec["event"] == "shard_commit"
+        assert isinstance(rec["shard_id"], int) and rec["rows"] == 10
+    # detach so later tests' flagship runs don't write into tmp_path
+    for h in file_handlers:
+        lg.removeHandler(h)
+        h.close()
+
+
+def test_run_cli_writes_run_log(tmp_path):
+    """run --log-dir emits shard_commit + aggregate_written events."""
+    import json
+
+    from illumio_ray import cli as cli_mod
+
+    info = synth_pages(tmp_path / "in", rows=300, num_files=4)
+    out = tmp_path / "out"
+    logs = tmp_path / "logs"
+    rc = cli_mod.main([
+        "run", "--pages-dir", str(info["pages_dir"]),
+        "--lang", info["lookup_lang"],
+        "--host", info["lookup_host"],
+        "--out", str(out), "--num-shards", "2", "--log-dir", str(logs),
+    ])
+    assert rc == 0
+    recs = [json.loads(l) for l in
+            (logs / "app.json").read_text().splitlines()]
+    events = [r["event"] for r in recs if "event" in r]
+    assert events.count("shard_commit") == 2
+    assert "aggregate_written" in events
+    import logging
+
+    from illumio_ray.state.runlog import get_run_logger
+    lg = get_run_logger()
+    for h in [h for h in lg.handlers
+              if not isinstance(h, logging.NullHandler)]:
+        lg.removeHandler(h)
+        h.close()
