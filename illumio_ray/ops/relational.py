@@ -77,7 +77,12 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
         #rows): exchange on hash(keys) % adaptive_bucket_count instead of
         the keys themselves, then one vectorized arrow group_by per
         bucket — same semantics as "shuffle", much cheaper when Ray's
-        composite-key aggregate would track millions of groups."""
+        composite-key aggregate would track millions of groups.
+      - "auto": pick one of the above from a one-block cardinality sample
+        (``choose_agg_mode`` — adaptive execution for callers that don't
+        know their key shape)."""
+    if mode == "auto":
+        mode = choose_agg_mode(ds, keys)
     for _, fn, _ in aggs:
         if fn not in _PARTIALIZABLE:
             raise ValueError(f"unsupported agg fn: {fn}")
@@ -213,6 +218,41 @@ def grouped_agg(ds: rd.Dataset, keys: list[str],
     reduced = partials.groupby(keys).aggregate(*ray_aggs)
 
     return reduced.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def choose_agg_mode(ds: rd.Dataset, keys: list[str],
+                    sample_rows: int = 50_000,
+                    driver_max_groups: int = 20_000,
+                    bucket_ratio: float = 0.25) -> str:
+    """Adaptive-execution mode pick for ``grouped_agg``: estimate the
+    group-key shape from ONE sampled block and choose the reduce plan
+    the playbook prescribes (CLAUDE.md invariant: bounded → driver;
+    grows-with-data but ≪ rows → shuffle; ≈ rows → bucket).
+
+    Heuristic on the sampled distinct ratio r = distinct/sampled:
+      - r ≥ ``bucket_ratio`` → "bucket" (keys ≈ rows: ids, hashes);
+      - distinct ≤ ``driver_max_groups`` AND r small → "driver"
+        (a bounded key space shows ~every value inside one block, so the
+        sample distinct IS the global distinct to first order);
+      - otherwise → "shuffle" (the conservative middle: sample distinct
+        too large for comfort on the driver, ratio too low for bucket).
+    Cost: one block materializes twice (once here, once in the real
+    pass) — the standard price of sampling-based planning. Callers that
+    know their key shape should pass the mode explicitly; "auto" is for
+    generic/library call sites."""
+    sample = ds.limit(sample_rows).take_batch(sample_rows,
+                                              batch_format="pyarrow")
+    t = pa.table(sample)
+    n = t.num_rows
+    if n == 0:
+        return "driver"
+    distinct = t.select(keys).group_by(keys).aggregate([]).num_rows
+    ratio = distinct / n
+    if ratio >= bucket_ratio:
+        return "bucket"
+    if distinct <= driver_max_groups and ratio <= 0.05:
+        return "driver"
+    return "shuffle"
 
 
 def rollup_agg(ds: rd.Dataset, keys: list[str],

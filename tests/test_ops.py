@@ -1656,6 +1656,28 @@ def test_remove_dup_spans_edges():
     assert out.loc[2, "n_removed"] == 3
 
 
+def test_choose_agg_mode_picks_playbook_modes():
+    rng = np.random.default_rng(73)
+    n = 60_000
+    df = pd.DataFrame({
+        "bounded": rng.choice(["a", "b", "c", "d"], n),   # 4 groups
+        "mid": rng.integers(0, 10_000, n),  # 10k distinct, ratio ~0.2
+        "unique": np.arange(n),             # keys ≈ rows
+        "v": rng.normal(size=n)})
+    ds = rd.from_pandas(df).repartition(4)
+    assert rel.choose_agg_mode(ds, ["bounded"]) == "driver"
+    assert rel.choose_agg_mode(ds, ["mid"]) == "shuffle"
+    assert rel.choose_agg_mode(ds, ["unique"]) == "bucket"
+    # mode="auto" matches the explicit mode's result exactly
+    a = rel.grouped_agg(ds, ["bounded"], [("v", "sum", "s")],
+                        mode="auto").to_pandas() \
+        .sort_values("bounded").reset_index(drop=True)
+    b = rel.grouped_agg(ds, ["bounded"], [("v", "sum", "s")],
+                        mode="driver").to_pandas() \
+        .sort_values("bounded").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_winsorize_by_matches_reference():
     rng = np.random.default_rng(71)
     df = pd.DataFrame({"g": rng.choice(["a", "b"], 500),
