@@ -852,6 +852,73 @@ def salted_join(left: rd.Dataset, right: rd.Dataset, on: str,
     return j.drop_columns(["__salt"])
 
 
+def suggest_salts(ds: rd.Dataset, key: str, total: int,
+                  hot_frac: float = 0.01,
+                  max_factor: int = 64) -> dict:
+    """Skew diagnosis for ``skew_salted_join``: find the keys holding
+    ≥ ``hot_frac`` of all rows (EXACT, via the Misra-Gries + recount
+    heavy-hitter pass — never shuffles the raw key column) and assign
+    each a salt factor ≈ its excess over the hot threshold, capped at
+    ``max_factor``. Keys absent from the map are not skewed and should
+    not be salted (factor 1). ``total`` is the row count (parquet
+    metadata at the call site — no extra scan)."""
+    from ..functions.sketches import heavy_hitters
+
+    hh = heavy_hitters(ds, key, hot_frac, total, out_col="__n")
+    out: dict = {}
+    for b in hh.iter_batches(batch_format="pyarrow"):
+        for k, n in zip(b[key].to_pylist(), b["__n"].to_pylist()):
+            out[k] = int(min(max_factor,
+                             max(2, -(-int(n) // max(int(hot_frac * total),
+                                                     1)))))
+    return out
+
+
+def skew_salted_join(left: rd.Dataset, right: rd.Dataset, on: str,
+                     salt_map: dict,
+                     num_partitions: int | None = None) -> rd.Dataset:
+    """Skew-aware inner join: ONLY the hot keys in ``salt_map`` (from
+    ``suggest_salts``) are salted — a hot key's left rows spread over its
+    per-key factor, and each right row replicates only as many times as
+    ITS key's factor (cold keys: once, salt 0). Replication cost is
+    Σ(factor over hot right rows) instead of ``salted_join``'s uniform
+    ×num_salts over the whole right side; result equals the plain inner
+    join row for row."""
+    import ray as _ray
+
+    if num_partitions is None:
+        num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    ref = ray.put(dict(salt_map))
+
+    def _factors(t: pa.Table) -> np.ndarray:
+        m = ray.get(ref)
+        kv = t[on].to_numpy(zero_copy_only=False)
+        return pd.Series(kv).map(m).fillna(1).to_numpy(np.int64)
+
+    def salt_left(t: pa.Table) -> pa.Table:
+        f = _factors(t)
+        s = (np.arange(t.num_rows, dtype=np.int64) % f).astype(np.int32)
+        return t.append_column("__salt", pa.array(s, pa.int32()))
+
+    def replicate_right(t: pa.Table) -> pa.Table:
+        f = _factors(t)
+        idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), f)
+        # salt 0..f_i-1 within each row's replica run
+        starts = np.cumsum(f) - f
+        s = (np.arange(int(f.sum()), dtype=np.int64)
+             - np.repeat(starts, f)).astype(np.int32)
+        return t.take(pa.array(idx, pa.int64())) \
+            .append_column("__salt", pa.array(s, pa.int32()))
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    rrep = right.map_batches(replicate_right, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    j = lsalted.join(rrep, join_type="inner", on=(on, "__salt"),
+                     num_partitions=num_partitions)
+    return j.drop_columns(["__salt"])
+
+
 def asof_broadcast_join(ds: rd.Dataset, right: pa.Table, left_ts: str,
                         right_ts: str, value_map: dict[str, str],
                         direction: str = "backward") -> rd.Dataset:

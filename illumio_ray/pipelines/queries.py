@@ -1365,6 +1365,49 @@ def events_by_segment_salted(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("events_by_type_skew_salted", """
+SELECT d.label, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 6) AS sum_value
+FROM events e
+JOIN (SELECT DISTINCT event_type,
+             'type:' || event_type AS label FROM events) d
+  USING (event_type)
+GROUP BY 1
+""")
+def events_by_type_skew_salted(sf_dir: str):
+    """SKEW-AWARE salted join, factors measured not guessed: every
+    event_type holds ≫1% of rows, so rel.suggest_salts (Misra-Gries +
+    exact recount, raw keys never shuffle) flags them all hot and
+    assigns per-key factors; rel.skew_salted_join salts ONLY those keys
+    (right rows replicate per their own key's factor, cold keys once).
+    Oracle = the plain SQL join: salting must not change a single row."""
+    import pyarrow.parquet as _pq
+
+    ev = read_table(sf_dir, "events", columns=["event_type", "value"])
+    total = _pq.ParquetFile(str(Path(sf_dir) / "events.parquet")) \
+        .metadata.num_rows
+    dim = rel.drop_empty_blocks(rel.grouped_agg(
+        read_table(sf_dir, "events", columns=["event_type"]),
+        ["event_type"], [("event_type", "count", "__n")]))
+    dim = dim.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "label": pc.binary_join_element_wise(
+                pa.array(["type:"] * t.num_rows, pa.string()),
+                pc.cast(t["event_type"], pa.string()), "")}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    salts = rel.suggest_salts(ev, "event_type", total, hot_frac=0.01)
+    j = rel.skew_salted_join(ev, dim, on="event_type", salt_map=salts)
+    agg = rel.grouped_agg(j, ["label"],
+                          [("value", "count", "n_events"),
+                           ("value", "sum", "sum_value")])
+    return agg.map_batches(lambda t: pa.table({
+        "label": t["label"],
+        "n_events": pc.cast(t["n_events"], pa.int64()),
+        "sum_value": round_col(t["sum_value"], 6)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("doc_chars_histogram", """
 SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bin_lo,
        CAST(count(*) AS BIGINT) AS n_docs

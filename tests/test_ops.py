@@ -1656,6 +1656,28 @@ def test_remove_dup_spans_edges():
     assert out.loc[2, "n_removed"] == 3
 
 
+def test_skew_salted_join_equals_plain_join_on_skewed_keys():
+    rng = np.random.default_rng(79)
+    # one key holds half of all rows — the hot-key case salting exists for
+    keys = np.where(rng.random(4000) < 0.5, 7,
+                    rng.integers(0, 200, 4000))
+    left = pd.DataFrame({"k": keys, "v": rng.normal(size=4000)})
+    right = pd.DataFrame({"k": np.arange(200), "lab": [f"r{i}"
+                                                       for i in range(200)]})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(2)
+    salts = rel.suggest_salts(lds, "k", total=len(left), hot_frac=0.01)
+    assert 7 in salts and salts[7] >= 2  # the hot key is detected
+    assert all(f >= 2 for f in salts.values())
+    got = (rel.skew_salted_join(lds, rds, on="k", salt_map=salts)
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    want = (left.merge(right, on="k").sort_values(["k", "v"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "lab"]], want[["k", "v", "lab"]],
+        check_dtype=False)
+
+
 def test_choose_agg_mode_picks_playbook_modes():
     rng = np.random.default_rng(73)
     n = 60_000
