@@ -4829,6 +4829,56 @@ def events_by_type_from_orc(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("events_daily_from_csv", """
+SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+""")
+def events_daily_from_csv(sf_dir: str):
+    """Source-format roundtrip through gzipped CSV (ray.data.read_csv +
+    explicit Arrow convert schema — timestamps parse at decode time, no
+    post-cast pass): the events table converted once (cached,
+    marker-keyed), read back distributed in multiple compressed parts,
+    aggregated — and the result must match the SQL oracle over the
+    ORIGINAL parquet, including microsecond timestamp fidelity."""
+    import pyarrow.csv as pacsv
+
+    import ray.data as _rd
+
+    src = Path(sf_dir) / "events.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path(f"/tmp/illumio_ray_testdata/csv_{Path(sf_dir).name}_{n_rows}")
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        cache.mkdir(parents=True)
+        t = pq.read_table(str(src), columns=["ts", "value"])
+        # ISO timestamps with microseconds; 4 parts so the read is
+        # actually distributed
+        step = -(-t.num_rows // 4)
+        for i in range(4):
+            part = t.slice(i * step, step)
+            if part.num_rows:
+                pacsv.write_csv(part, cache / f"events-{i}.csv")
+        marker.write_text("ok")
+    convert = pacsv.ConvertOptions(column_types={
+        "ts": pa.timestamp("us"), "value": pa.float64()})
+    ds = _rd.read_csv(str(cache),
+                      convert_options=convert,
+                      file_extensions=["csv"])
+    ds = rel.time_bucket(ds, "ts", "day", out_col="day")
+    agg = rel.grouped_agg(ds.select_columns(["day", "value"]), ["day"],
+                          [("value", "count", "n_events"),
+                           ("value", "sum", "sum_value")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "day": t["day"],
+            "n_events": pc.cast(t["n_events"], pa.int64()),
+            "sum_value": round_col(t["sum_value"], 6),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("events_funnel_view_click_purchase", """
 WITH s0 AS (
   SELECT user_id, min(ts) AS t FROM events
