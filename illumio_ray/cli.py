@@ -214,6 +214,13 @@ def cmd_stats(args) -> int:
             per_sink[sink] = per_sink.get(sink, 0) + int(n)
         report["per_sink_docs"] = per_sink
         report["aggregate_groups"] = agg.num_rows
+    # run-event tail from the rotating JSON log, when one was configured
+    # (≙ the reference operator tailing logs/app.json)
+    if args.log_dir:
+        log_file = Path(args.log_dir) / "app.json"
+        if log_file.exists():
+            lines = log_file.read_text().splitlines()[-args.log_tail:]
+            report["run_log_tail"] = [json.loads(l) for l in lines]
     print(json.dumps(report, indent=1))
     return 0
 
@@ -326,6 +333,10 @@ def main(argv=None) -> int:
 
     tp = sub.add_parser("stats", help="report over a finished run")
     tp.add_argument("--out", required=True)
+    tp.add_argument("--log-dir", default=None, metavar="DIR",
+                    help="include the last --log-tail events from DIR/"
+                         "app.json (the rotating JSON run log)")
+    tp.add_argument("--log-tail", type=int, default=10)
     tp.set_defaults(fn=cmd_stats)
 
     ip = sub.add_parser("invalidate", help="invalidate committed shards "

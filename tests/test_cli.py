@@ -189,6 +189,16 @@ def test_run_cli_writes_run_log(tmp_path):
     events = [r["event"] for r in recs if "event" in r]
     assert events.count("shard_commit") == 2
     assert "aggregate_written" in events
+    # stats --log-dir surfaces the event tail
+    import io
+    from contextlib import redirect_stdout
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert cli_mod.main(["stats", "--out", str(out),
+                             "--log-dir", str(logs)]) == 0
+    report = json.loads(buf.getvalue())
+    tail_events = [r.get("event") for r in report["run_log_tail"]]
+    assert "aggregate_written" in tail_events
     import logging
 
     from illumio_ray.state.runlog import get_run_logger
