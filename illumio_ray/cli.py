@@ -267,7 +267,8 @@ def cmd_curate(args) -> int:
                           near_dup_threshold=args.near_dup_threshold,
                           spill_dir=str(out / "_spill"),
                           max_lm_nll=args.max_lm_nll,
-                          segment_dedup=args.segment_dedup)
+                          segment_dedup=args.segment_dedup,
+                          dup_span_removal=args.dup_span_removal)
     kept.write_parquet(str(out / "kept"))
     (out / "report.json").write_text(json.dumps(report, indent=1))
     import shutil
@@ -368,6 +369,9 @@ def main(argv=None) -> int:
     cp.add_argument("--segment-dedup", action="store_true",
                     help="cross-document paragraph/segment dedup on the "
                     "kept docs (output becomes doc_id/clean_text)")
+    cp.add_argument("--dup-span-removal", action="store_true",
+                    help="ExactSubstr-style stride-1 duplicated-span "
+                    "removal on the kept docs (keep-first, merged spans)")
     cp.set_defaults(fn=cmd_curate)
 
     args = ap.parse_args(argv)

@@ -1084,7 +1084,10 @@ def remove_dup_spans(ds: rd.Dataset, id_col: str = "doc_id",
                 doc_ids = doc_ids.combine_chunks()
             rrow = pc.index_in(rem[id_col], value_set=doc_ids) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
-            start = offs[rrow] + rem["i"].to_numpy(zero_copy_only=False)
+            # explicit int cast: the union's nullable padding can route a
+            # block through pandas, where docs-side NaNs make `i` float64
+            start = offs[rrow] + rem["i"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
             covered = (np.repeat(start, n)
                        + np.tile(np.arange(n, dtype=np.int64), len(start)))
             keep[covered] = False

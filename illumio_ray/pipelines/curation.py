@@ -63,6 +63,8 @@ def _drop_non_representatives(survivors: rd.Dataset, pairs: rd.Dataset,
         lambda t: pa.table({id_col: t["id"]}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
     n_dropped = drops.count()
+    if n_dropped == 0:  # no near-dups at all: nothing to remove
+        return survivors, 0
     if n_dropped <= DROP_BROADCAST_MAX_IDS:
         ids = pa.concat_tables(
             pa.table(b) for b in drops.iter_batches(batch_format="pyarrow"))
@@ -110,7 +112,9 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
            spill_dir: str | None = None,
            max_lm_nll: float | None = None,
            segment_dedup: bool = False,
-           seg_words: int = 10) -> tuple[rd.Dataset, dict]:
+           seg_words: int = 10,
+           dup_span_removal: bool = False,
+           span_ngram: int = 3) -> tuple[rd.Dataset, dict]:
     """Full curation; returns (kept dataset, funnel report).
 
     The near-dup stage needs the survivor corpus twice (signatures +
@@ -200,5 +204,23 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
                          n_rows=report["docs_kept"] * 64).materialize()
         report["segments_removed"] = int(kept.sum("n_removed") or 0)
         report["segments_kept"] = int(kept.sum("n_kept") or 0)
+
+    if dup_span_removal:
+        # ExactSubstr-style stride-1 span removal over the kept docs —
+        # catches recycled spans at any offset, the dup class the
+        # segment-aligned pass structurally misses. Text column name
+        # differs when segment_dedup already rebuilt the docs.
+        tcol = "clean_text" if segment_dedup else "text"
+        spans = dedup.remove_dup_spans(
+            kept.map_batches(
+                lambda t, c=tcol: pa.table({"doc_id": t["doc_id"],
+                                            "text": t[c]}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            "doc_id", "text", n=span_ngram,
+            n_rows=report["docs_kept"] * 64).materialize()
+        report["span_tokens_removed"] = int(spans.sum("n_removed") or 0)
+        report["span_tokens_kept"] = int(
+            (spans.sum("n_tokens") or 0) - report["span_tokens_removed"])
+        kept = spans
 
     return kept, report

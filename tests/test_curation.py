@@ -88,3 +88,21 @@ def test_curate_modern_stages_funnel():
                             max_lm_nll=-1.0)
     assert report2["docs_dropped_lm"] == 20   # every doc scores > -1
     assert report2["docs_kept"] == 0
+
+
+def test_curate_dup_span_removal_stage():
+    kept, report = curate(rd.from_pandas(_docs()), near_dup_threshold=0.7,
+                          dup_span_removal=True)
+    kept_df = kept.to_pandas()
+    assert set(kept_df.columns) == {"doc_id", "clean_text", "n_tokens",
+                                    "n_removed"}
+    assert len(kept_df) == report["docs_kept"]
+    assert report["span_tokens_removed"] == int(kept_df.n_removed.sum())
+    assert report["span_tokens_kept"] == \
+        int(kept_df.n_tokens.sum() - kept_df.n_removed.sum())
+    # composes after segment dedup too (text column renamed upstream)
+    kept3, report3 = curate(rd.from_pandas(_docs()), near_dup_threshold=0.7,
+                            segment_dedup=True, dup_span_removal=True)
+    df3 = kept3.to_pandas()
+    assert len(df3) == report3["docs_kept"]
+    assert "span_tokens_removed" in report3
