@@ -1,11 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
-The Ray-side plumbing (schema, actor-pool stage signature, small batch
-sizes for large payloads, output layout) is real and tested; the actual
-codec work is stubbed because no image/audio libraries ship in this
-container. ``DecodeImageStub`` produces a deterministic fake decode so
-pipelines and tests are end-to-end runnable; swap ``_decode`` for a real
-PIL/ffmpeg call in a full environment.
+Two tiers:
+  - REAL decode for PNG images and PCM WAV audio via the stdlib codecs
+    in ``ops/codecs.py`` (``DecodeImagePNG`` / ``ResizeImagePNG`` /
+    ``AudioFeatureWav``) — actual pixels/samples, perceptual ahash,
+    bilinear resize with re-encode, RMS energy features;
+  - deterministic STUBS for formats that need a codec library the
+    container doesn't ship (JPEG via PIL — gated, fail-fast; MP4 frame
+    sampling). Same schemas and actor-pool shapes, so swapping in a real
+    codec is a constructor change.
 """
 
 from __future__ import annotations
@@ -231,3 +234,180 @@ def frame_sample(ds: rd.Dataset, binary_col: str, every_n: int = 10,
                                "max_frames": max_frames},
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode stages (stdlib codecs — ops/codecs.py): PNG and PCM WAV
+# ---------------------------------------------------------------------------
+# The deterministic stubs above remain the plumbing for formats that need
+# a codec library (JPEG, MP4 — PIL-gated). For PNG and WAV nothing
+# beyond zlib/wave/numpy is required, so these stages decode, resize,
+# hash and feature REAL payload bytes end-to-end in this container.
+
+
+class DecodeImagePNG:
+    """Actor-pool stage: PNG payload → (width, height, channels, n_bytes,
+    ahash). ahash is the 64-bit average perceptual hash of the DECODED
+    pixels — the image near-dup key (re-encoded identical content hashes
+    equal, unlike a byte hash). Decode is inherently per-payload; keep
+    batch_size small so batch × concurrency payloads fit worker heaps."""
+
+    def __init__(self, binary_col: str = "payload"):
+        from . import codecs
+        self.codecs = codecs
+        self.binary_col = binary_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch[self.binary_col]
+        n = batch.num_rows
+        w = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        ch = np.zeros(n, np.int64)
+        ah = np.zeros(n, np.int64)
+        for i, buf in enumerate(payload.to_pylist()):
+            img = self.codecs.png_decode(buf)
+            hh, ww = img.shape[:2]
+            w[i], h[i] = ww, hh
+            ch[i] = 1 if img.ndim == 2 else img.shape[2]
+            # uint64 ahash reinterpreted as int64 for arrow
+            ah[i] = np.uint64(self.codecs.ahash64(img)).astype(np.int64)
+        nb = pa.compute.cast(pa.compute.binary_length(payload), pa.int64())
+        return (batch.drop_columns([self.binary_col])
+                .append_column("n_bytes", nb)
+                .append_column("width", pa.array(w, pa.int64()))
+                .append_column("height", pa.array(h, pa.int64()))
+                .append_column("channels", pa.array(ch, pa.int64()))
+                .append_column("ahash", pa.array(ah, pa.int64())))
+
+
+class ResizeImagePNG:
+    """Actor-pool stage: PNG payload → RESIZED PNG payload (bilinear,
+    aspect-preserving fit into max_w × max_h; images already inside the
+    box pass through re-encoded) + output dims."""
+
+    def __init__(self, binary_col: str = "payload", max_w: int = 64,
+                 max_h: int = 64):
+        from . import codecs
+        self.codecs = codecs
+        self.binary_col = binary_col
+        self.max_w = max_w
+        self.max_h = max_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload = []
+        out_w = np.zeros(batch.num_rows, np.int64)
+        out_h = np.zeros(batch.num_rows, np.int64)
+        for i, buf in enumerate(batch[self.binary_col].to_pylist()):
+            img = self.codecs.png_decode(buf)
+            hh, ww = img.shape[:2]
+            scale = min(1.0, self.max_w / ww, self.max_h / hh)
+            tw = max(1, int(ww * scale))
+            th = max(1, int(hh * scale))
+            resized = self.codecs.resize_bilinear(img, tw, th)
+            out_payload.append(self.codecs.png_encode(resized))
+            out_w[i], out_h[i] = tw, th
+        return (batch.drop_columns([self.binary_col])
+                .append_column("payload", pa.array(out_payload, pa.binary()))
+                .append_column("out_width", pa.array(out_w, pa.int64()))
+                .append_column("out_height", pa.array(out_h, pa.int64())))
+
+
+class AudioFeatureWav:
+    """Actor-pool stage: PCM WAV payload → duration (from the REAL header)
+    + n_windows RMS-energy vector over the decoded samples (mono-mixed) —
+    what a VAD / audio-quality gate consumes."""
+
+    def __init__(self, binary_col: str = "payload", n_windows: int = 16):
+        from . import codecs
+        self.codecs = codecs
+        self.binary_col = binary_col
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        nw = self.n_windows
+        n = batch.num_rows
+        feats = np.zeros((n, nw), np.float32)
+        durations = np.zeros(n, np.float64)
+        rates = np.zeros(n, np.int64)
+        for i, buf in enumerate(batch[self.binary_col].to_pylist()):
+            s, rate, ch = self.codecs.wav_decode(buf)
+            if ch > 1:
+                s = s.mean(axis=1)
+            x = s.astype(np.float64) / 32768.0
+            rates[i] = rate
+            durations[i] = len(x) / rate
+            if len(x):
+                for j, seg in enumerate(np.array_split(x, nw)):
+                    feats[i, j] = np.sqrt(np.mean(seg * seg)) if len(seg) \
+                        else 0.0
+        energy = pa.FixedSizeListArray.from_arrays(
+            pa.array(feats.reshape(-1), pa.float32()), nw)
+        return (batch.drop_columns([self.binary_col])
+                .append_column("sample_rate", pa.array(rates, pa.int64()))
+                .append_column("duration_sec",
+                               pa.array(durations, pa.float64()))
+                .append_column("frame_energy", energy))
+
+
+def decode_png_metadata(ds: rd.Dataset, binary_col: str = "payload",
+                        concurrency=(1, 4),
+                        batch_size: int = 128) -> rd.Dataset:
+    return ds.map_batches(
+        DecodeImagePNG, fn_constructor_kwargs={"binary_col": binary_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+def resize_png(ds: rd.Dataset, binary_col: str = "payload",
+               max_w: int = 64, max_h: int = 64, concurrency=(1, 4),
+               batch_size: int = 64) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeImagePNG,
+        fn_constructor_kwargs={"binary_col": binary_col, "max_w": max_w,
+                               "max_h": max_h},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+def wav_features(ds: rd.Dataset, binary_col: str = "payload",
+                 n_windows: int = 16, concurrency=(1, 4),
+                 batch_size: int = 64) -> rd.Dataset:
+    return ds.map_batches(
+        AudioFeatureWav,
+        fn_constructor_kwargs={"binary_col": binary_col,
+                               "n_windows": n_windows},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+def synth_png_payloads(ids: np.ndarray) -> list[bytes]:
+    """Deterministic real PNG payloads for tests/queries: per id, a small
+    RGB gradient+sinusoid pattern with id-derived dimensions. ids with
+    equal value produce byte-identical payloads (ahash dup pairs)."""
+    from . import codecs
+    out = []
+    for i in ids:
+        i = int(i)
+        w = 24 + (i * 7) % 40
+        h = 20 + (i * 11) % 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = ((np.sin(xx / 3.0 + i) + 1) * 127).astype(np.uint8)
+        out.append(codecs.png_encode(np.stack([r, g, b], axis=2)))
+    return out
+
+
+def synth_wav_payloads(ids: np.ndarray, rate: int = 8000) -> list[bytes]:
+    """Deterministic real WAV payloads: per id, a tone at an id-derived
+    frequency and duration."""
+    from . import codecs
+    out = []
+    for i in ids:
+        i = int(i)
+        freq = 110.0 * (1 + (i % 16))
+        dur = 0.25 + (i % 4) * 0.125
+        t = np.arange(int(rate * dur)) / rate
+        s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
+        out.append(codecs.wav_encode(s, rate, 1))
+    return out

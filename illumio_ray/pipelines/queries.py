@@ -2870,6 +2870,66 @@ def doc_lang_en_classifier(sf_dir: str):
 # multimodal plumbing (stubbed decode — deterministic fake)
 # ---------------------------------------------------------------------------
 
+def _png_payload_ds(sf_dir: str) -> rd.Dataset:
+    """Real PNG payloads, one per document id (deterministic bytes —
+    synth_png_payloads), built inside map_batches so payload bytes are
+    generated where the rows live, never on the driver."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(multimodal.synth_png_payloads(ids),
+                                pa.binary())})
+
+    return ds.map_batches(add_payload, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@register("multimodal_png_decode", None)  # real decode → rows-only
+def multimodal_png_decode(sf_dir: str):
+    """REAL image decode (stdlib PNG codec, no PIL): payload → actual
+    width/height/channels + the 64-bit average perceptual hash of the
+    decoded pixels — the image near-dup key. Actor-pool stage, small
+    batches (batch × concurrency payloads per worker heap)."""
+    return multimodal.decode_png_metadata(_png_payload_ds(sf_dir))
+
+
+@register("multimodal_png_resize", None)  # real resize → rows-only
+def multimodal_png_resize(sf_dir: str):
+    """REAL image resize: decode → bilinear aspect-preserving fit into
+    32×32 → re-encode PNG; output payload is a valid PNG of the reported
+    dims (pinned by test)."""
+    out = multimodal.resize_png(_png_payload_ds(sf_dir), max_w=32, max_h=32)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "out_width": t["out_width"], "out_height": t["out_height"],
+            "out_bytes": pc.cast(pc.binary_length(t["payload"]),
+                                 pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("multimodal_wav_energy", None)  # real audio decode → rows-only
+def multimodal_wav_energy(sf_dir: str):
+    """REAL audio decode (stdlib wave module): per-id PCM WAV tones →
+    duration from the actual header + RMS frame-energy over the decoded
+    samples."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(multimodal.synth_wav_payloads(ids),
+                                pa.binary())})
+
+    wav = ds.map_batches(add_payload, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return multimodal.wav_features(wav, n_windows=8)
+
+
 @register("multimodal_decode", None)  # hash-derived fake decode → rows-only
 def multimodal_decode(sf_dir: str):
     info = _pages(sf_dir)

@@ -69,6 +69,81 @@ def test_multimodal_real_decode_raises():
         multimodal.DecodeImageStub(real=True)
 
 
+def test_png_codec_roundtrip_and_filters():
+    from illumio_ray.ops import codecs
+    rng = np.random.default_rng(83)
+    for shape in [(17, 23), (9, 13, 3), (5, 7, 4)]:
+        a = rng.integers(0, 256, shape, dtype=np.uint8)
+        b = codecs.png_decode(codecs.png_encode(a))
+        assert b.shape == a.shape and (b == a).all()
+    # re-encoded identical content hashes equal (perceptual, not byte)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    assert codecs.ahash64(img) == \
+        codecs.ahash64(codecs.png_decode(codecs.png_encode(img)))
+    # constant image resizes to itself
+    flat = np.full((16, 16), 200, np.uint8)
+    assert (codecs.resize_bilinear(flat, 8, 8) == 200).all()
+
+
+def test_wav_codec_roundtrip():
+    from illumio_ray.ops import codecs
+    t = (np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)
+         * 12000).astype(np.int16)
+    s, rate, ch = codecs.wav_decode(codecs.wav_encode(t, 8000, 1))
+    assert rate == 8000 and ch == 1 and (s == t).all()
+    st = np.stack([t, -t], axis=1)
+    s2, _, ch2 = codecs.wav_decode(codecs.wav_encode(st, 8000, 2))
+    assert ch2 == 2 and (s2 == st).all()
+
+
+def test_multimodal_real_png_stages_end_to_end():
+    from illumio_ray.ops import codecs
+    ids = np.array([1, 2, 3, 1])  # duplicate content at ids 0 and 3
+    payloads = multimodal.synth_png_payloads(ids)
+    df = pd.DataFrame({"doc_id": [10, 11, 12, 13],
+                       "payload": payloads})
+    meta = (multimodal.decode_png_metadata(rd.from_pandas(df))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # dims match the synth formula and the perceptual hash pairs dups
+    for i, docid in enumerate([10, 11, 12, 13]):
+        img = codecs.png_decode(payloads[i])
+        assert meta.loc[i, "height"] == img.shape[0]
+        assert meta.loc[i, "width"] == img.shape[1]
+        assert meta.loc[i, "channels"] == 3
+    assert meta.loc[0, "ahash"] == meta.loc[3, "ahash"]
+    assert meta.loc[0, "ahash"] != meta.loc[1, "ahash"]
+
+    resized = (multimodal.resize_png(rd.from_pandas(df), max_w=16,
+                                     max_h=16)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i in range(4):
+        out = codecs.png_decode(resized.loc[i, "payload"])  # valid PNG out
+        assert out.shape[0] == resized.loc[i, "out_height"]
+        assert out.shape[1] == resized.loc[i, "out_width"]
+        assert max(out.shape[:2]) <= 16
+
+
+def test_multimodal_real_wav_stage_energy_and_duration():
+    ids = np.array([0, 3])
+    payloads = multimodal.synth_wav_payloads(ids, rate=8000)
+    silence = multimodal.synth_wav_payloads(np.array([0]), rate=8000)[0]
+    import illumio_ray.ops.codecs as codecs
+    zero = codecs.wav_encode(np.zeros(4000, np.int16), 8000, 1)
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "payload": [payloads[0], payloads[1], zero]})
+    out = (multimodal.wav_features(rd.from_pandas(df), n_windows=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # duration from the REAL header: id 0 → 0.25 s, id 3 → 0.625 s
+    assert np.isclose(out.loc[0, "duration_sec"], 0.25)
+    assert np.isclose(out.loc[1, "duration_sec"], 0.625)
+    assert np.isclose(out.loc[2, "duration_sec"], 0.5)
+    # a full-scale-ish tone has RMS ~ amplitude/sqrt(2); silence is 0
+    tone_rms = 12000 / 32768.0 / np.sqrt(2)
+    assert np.allclose(np.asarray(out.loc[0, "frame_energy"]),
+                       tone_rms, rtol=0.05)
+    assert np.allclose(np.asarray(out.loc[2, "frame_energy"]), 0.0)
+
+
 def test_multimodal_real_decode_branch_with_fake_pil(monkeypatch):
     """The real=True branch is wired (not a stub raise): inject a fake PIL
     and check the decoded dimensions flow through the columnar plumbing."""
