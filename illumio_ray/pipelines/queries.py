@@ -2911,6 +2911,30 @@ def multimodal_png_resize(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("multimodal_png_dedup", None)  # real perceptual dedup → rows-only
+def multimodal_png_dedup(sf_dir: str):
+    """Image near-dup on the DECODED pixels: payloads synthesized from
+    doc_id % 61 (so each of 61 patterns recurs), real PNG decode →
+    perceptual ahash → bounded-key grouped count. The ahash groups
+    re-encoded identical content that a byte hash would split — the
+    image-side analogue of text exact-dedup's content hashing."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) % 61
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(multimodal.synth_png_payloads(ids),
+                                pa.binary())})
+
+    payloads = ds.map_batches(add_payload, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    meta = multimodal.decode_png_metadata(payloads)
+    return rel.grouped_agg(meta.select_columns(["ahash", "doc_id"]),
+                           ["ahash"], [("doc_id", "count", "n_copies"),
+                                       ("doc_id", "min", "keep_id")])
+
+
 @register("multimodal_wav_energy", None)  # real audio decode → rows-only
 def multimodal_wav_energy(sf_dir: str):
     """REAL audio decode (stdlib wave module): per-id PCM WAV tones →
