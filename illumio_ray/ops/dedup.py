@@ -610,6 +610,92 @@ def simhash_dup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset
     return sh.groupby("__shb").map_groups(group, batch_format="pandas")
 
 
+def hamming_dup_pairs(ds: rd.Dataset, id_col: str, sig_col: str,
+                      max_hamming: int = 3,
+                      num_buckets: int | None = None) -> rd.Dataset:
+    """Near-dup pairs under a HAMMING-distance bound over any 64-bit
+    signature column (SimHash, perceptual image ahash, …): pigeonhole
+    banding — split the 64 bits into ``max_hamming + 1`` equal bands, so
+    two signatures within the bound agree EXACTLY on ≥1 band — then an
+    exchange on (band, band_value) buckets, in-bucket candidate pairing,
+    exact popcount verify, and a bucketed distinct to collapse pairs
+    that matched in several bands. Returns (id_a, id_b, hamming) with
+    id_a < id_b.
+
+    Scale shape: only (id, sig, band rows) shuffle — 4 narrow rows per
+    input row at the default bound; no all-pairs anywhere. Same family
+    as minhash banding (ngram_jaccard_pairs) with bit-bands instead of
+    shingle bands."""
+    from .relational import adaptive_bucket_count
+
+    nb = num_buckets or adaptive_bucket_count(None)
+    n_bands = max_hamming + 1
+    if 64 % n_bands:
+        band_bits = [64 // n_bands + (1 if i < 64 % n_bands else 0)
+                     for i in range(n_bands)]
+    else:
+        band_bits = [64 // n_bands] * n_bands
+    shifts = np.cumsum([0] + band_bits[:-1]).astype(np.uint64)
+    masks = np.array([(1 << b) - 1 for b in band_bits], np.uint64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sig = t[sig_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        n = len(sig)
+        band_id = np.tile(np.arange(n_bands, dtype=np.int64), n)
+        sigs = np.repeat(sig, n_bands)
+        vals = (sigs >> shifts[band_id % n_bands]) & masks[band_id % n_bands]
+        ids = t[id_col].take(pa.array(np.repeat(np.arange(n), n_bands),
+                                      pa.int64()))
+        key = (vals * np.uint64(n_bands) + band_id.astype(np.uint64))
+        b = ((key * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(40)) \
+            % np.uint64(nb)
+        return pa.table({
+            id_col: ids,
+            "sig": pa.array(sigs.astype(np.int64), pa.int64()),
+            "__k": pa.array(key.astype(np.int64), pa.int64()),
+            "__b": pa.array(b.astype(np.int32), pa.int32()),
+        })
+
+    rows = ds.map_batches(explode, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        for _, grp in g.groupby("__k", sort=False):
+            if len(grp) < 2:
+                continue
+            ids = grp[id_col].to_numpy()
+            sigs = grp["sig"].to_numpy().astype(np.uint64)
+            order = np.argsort(ids, kind="mergesort")
+            ids, sigs = ids[order], sigs[order]
+            ai, bi = np.triu_indices(len(ids), k=1)
+            x = sigs[ai] ^ sigs[bi]
+            # vectorized popcount over the candidate pairs
+            h = np.zeros(len(x), np.int64)
+            while True:
+                nz = x != 0
+                if not nz.any():
+                    break
+                h[nz] += 1
+                x = x & (x - np.uint64(1))
+            ok = h <= max_hamming
+            out_a.append(ids[ai[ok]])
+            out_b.append(ids[bi[ok]])
+            out_h.append(h[ok])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h).astype(np.int64)})
+
+    cand = rows.groupby("__b").map_groups(pairs_in_bucket,
+                                          batch_format="pandas")
+    # a pair close in several bands emits once per matching band
+    return _distinct_rows_bucketed(cand, ["id_a", "id_b", "hamming"],
+                                   num_buckets=nb)
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------

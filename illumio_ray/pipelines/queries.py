@@ -1035,6 +1035,20 @@ def simhash_groups(sf_dir: str):
     return dedup.simhash_dup_groups(ds, "doc_id", "text")
 
 
+@register("doc_simhash_hamming_pairs", None)  # rows-only
+def doc_simhash_hamming_pairs(sf_dir: str):
+    """Hamming near-dup pairs (≤3 bits) over 64-bit SimHash signatures:
+    pigeonhole bit-banding — two sigs within the bound agree exactly on
+    ≥1 of 4 bands — then one (band, value) exchange, in-bucket popcount
+    verify, bucketed pair distinct. The generic signature-space sibling
+    of MinHash-LSH (dedup.hamming_dup_pairs, brute-force-pinned by
+    test); the same operator serves perceptual image ahashes."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    sh = dedup.add_simhash(ds, "doc_id", "text")
+    return dedup.hamming_dup_pairs(sh.select_columns(["doc_id", "simhash"]),
+                                   "doc_id", "simhash", max_hamming=3)
+
+
 @register("curation_filtered", r"""
 WITH q AS (
   SELECT doc_id, text, lang,

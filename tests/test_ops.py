@@ -69,6 +69,28 @@ def test_multimodal_real_decode_raises():
         multimodal.DecodeImageStub(real=True)
 
 
+def test_hamming_dup_pairs_matches_brute_force():
+    from illumio_ray.ops import dedup
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 2**63, 40, dtype=np.int64)
+    sigs = list(base)
+    for i in range(10):  # planted near-dups at 1-3 flipped bits
+        s = np.uint64(base[i])
+        for b in rng.choice(64, 1 + i % 3, replace=False):
+            s ^= np.uint64(1) << np.uint64(b)
+        sigs.append(np.int64(s.astype(np.int64)))
+    df = pd.DataFrame({"vid": range(len(sigs)),
+                       "sig": np.array(sigs, np.int64)})
+    got = dedup.hamming_dup_pairs(rd.from_pandas(df).repartition(3),
+                                  "vid", "sig", max_hamming=3).to_pandas()
+    got_set = set(zip(got.id_a, got.id_b, got.hamming))
+    s = [int(x) for x in df.sig.to_numpy().astype(np.uint64)]
+    want = {(i, j, bin(s[i] ^ s[j]).count("1"))
+            for i in range(len(s)) for j in range(i + 1, len(s))
+            if bin(s[i] ^ s[j]).count("1") <= 3}
+    assert got_set == want
+
+
 def test_png_codec_roundtrip_and_filters():
     from illumio_ray.ops import codecs
     rng = np.random.default_rng(83)
