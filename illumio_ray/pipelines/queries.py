@@ -5312,6 +5312,9 @@ _DRIVER_FIRST = [
     "docs_dup_spans_removed", "events_rollup_day_type",
     "orders_pivot_status_by_priority", "events_ntile_by_user",
     "events_cube_day_type", "doc_chars_dense_rank_by_lang",
+    "events_value_winsorized", "events_by_type_skew_salted",
+    "events_daily_from_csv", "pages_canonical_urls",
+    "events_unpivot_metrics",
 ]
 
 
