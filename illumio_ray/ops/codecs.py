@@ -191,3 +191,198 @@ def wav_decode(data: bytes) -> tuple[np.ndarray, int, int]:
     if ch > 1:
         s = s.reshape(-1, ch)
     return s, rate, ch
+
+
+# ---------------------------------------------------------------------------
+# GIF (animated, palette-indexed) — LZW in pure Python/numpy
+# ---------------------------------------------------------------------------
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """GIF-variant LZW over palette indices (variable code width,
+    CLEAR/END codes, dict capped at 4096)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out_bits: list[tuple[int, int]] = []  # (code, width)
+
+    def reset():
+        return {(i,): i for i in range(clear)}, end + 1, min_code_size + 1
+
+    table, next_code, width = reset()
+    out_bits.append((clear, width))
+    buf: tuple = ()
+    for px in indices.tolist():
+        cand = buf + (px,)
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            out_bits.append((clear, width))
+            table, next_code, width = reset()
+        buf = (px,)
+    if buf:
+        out_bits.append((table[buf], width))
+    out_bits.append((end, width))
+    # pack LSB-first
+    acc = 0
+    nbits = 0
+    by = bytearray()
+    for code, w in out_bits:
+        acc |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            by.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        by.append(acc & 0xFF)
+    return bytes(by)
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    pos = 0
+    prev: bytes | None = None
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("gif lzw: truncated code stream")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif lzw: code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_pixels:
+            break
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
+
+
+def _sub_blocks(data: bytes) -> bytes:
+    """Wrap a byte stream into GIF ≤255-byte sub-blocks + terminator."""
+    out = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)
+    return bytes(out)
+
+
+def gif_encode(frames: list[np.ndarray], palette: np.ndarray,
+               delay_cs: int = 4) -> bytes:
+    """Animated GIF89a from palette-index frames (each HxW uint8 indices
+    into ``palette`` (K≤256 rows of RGB)). Deterministic bytes."""
+    if not frames:
+        raise ValueError("gif_encode: no frames")
+    h, w = frames[0].shape
+    pal = np.ascontiguousarray(palette, np.uint8)
+    k = len(pal)
+    depth = max(2, int(np.ceil(np.log2(max(k, 2)))))  # table size ≥ 4
+    table = np.zeros((1 << depth, 3), np.uint8)
+    table[:k] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((depth - 1) << 4)
+                       | (depth - 1), 0, 0)
+    out += table.tobytes()
+    # NETSCAPE loop extension (loop forever) — the standard animation marker
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    min_code = max(2, depth)
+    for f in frames:
+        if f.shape != (h, w):
+            raise ValueError("gif_encode: frames must share dimensions")
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(min_code)
+        out += _sub_blocks(_lzw_encode(f.reshape(-1), min_code))
+    out += b"\x3b"
+    return bytes(out)
+
+
+def gif_decode(data: bytes):
+    """Decode a GIF87a/89a (global color table, non-interlaced) →
+    (frames [HxW uint8 index arrays], palette Kx3 uint8, delays_cs)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("gif_decode: not a GIF")
+    w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    palette = np.zeros((0, 3), np.uint8)
+    if flags & 0x80:
+        k = 2 << (flags & 0x07)
+        palette = np.frombuffer(data[pos:pos + 3 * k],
+                                np.uint8).reshape(k, 3).copy()
+        pos += 3 * k
+    frames: list[np.ndarray] = []
+    delays: list[int] = []
+    delay = 0
+    while pos < len(data):
+        b0 = data[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label + sub-blocks
+            label = data[pos]
+            pos += 1
+            if label == 0xF9 and data[pos] >= 4:
+                delay = struct.unpack("<H", data[pos + 2:pos + 4])[0]
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            fx, fy, fw, fh, iflags = struct.unpack("<HHHHB",
+                                                   data[pos:pos + 9])
+            pos += 9
+            if iflags & 0x40:
+                raise ValueError("gif_decode: interlaced GIFs unsupported")
+            if iflags & 0x80:  # local color table replaces palette view
+                k = 2 << (iflags & 0x07)
+                palette = np.frombuffer(data[pos:pos + 3 * k],
+                                        np.uint8).reshape(k, 3).copy()
+                pos += 3 * k
+            min_code = data[pos]
+            pos += 1
+            stream = bytearray()
+            while data[pos]:
+                ln = data[pos]
+                stream += data[pos + 1:pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _lzw_decode(bytes(stream), min_code, fw * fh)
+            frame = np.zeros((h, w), np.uint8)
+            frame[fy:fy + fh, fx:fx + fw] = idx.reshape(fh, fw)
+            frames.append(frame)
+            delays.append(delay)
+        else:
+            raise ValueError(f"gif_decode: unexpected block 0x{b0:02x}")
+    return frames, palette, delays

@@ -411,3 +411,78 @@ def synth_wav_payloads(ids: np.ndarray, rate: int = 8000) -> list[bytes]:
         s = (np.sin(2 * np.pi * freq * t) * 12000).astype(np.int16)
         out.append(codecs.wav_encode(s, rate, 1))
     return out
+
+
+class FrameSampleGIF:
+    """Actor-pool stage: REAL animated-GIF payload → one row per sampled
+    frame (every_n-th, capped at max_frames; flat_map-shaped output).
+    Per frame: its index, delay (centiseconds, from the real Graphic
+    Control Extensions) and the perceptual ahash of the decoded RGB
+    frame — the key a video near-dup / scene-cut pass consumes."""
+
+    def __init__(self, binary_col: str = "payload", every_n: int = 2,
+                 max_frames: int = 8):
+        from . import codecs
+        self.codecs = codecs
+        self.binary_col = binary_col
+        self.every_n = every_n
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx_rows: list[int] = []
+        frame_no: list[int] = []
+        delays_out: list[int] = []
+        hashes: list[int] = []
+        n_frames_out: list[int] = []
+        for i, buf in enumerate(batch[self.binary_col].to_pylist()):
+            frames, palette, delays = self.codecs.gif_decode(buf)
+            take = list(range(0, len(frames), self.every_n))[
+                :self.max_frames]
+            for fno in take:
+                rgb = palette[frames[fno]]  # index → RGB via palette take
+                idx_rows.append(i)
+                frame_no.append(fno)
+                delays_out.append(delays[fno])
+                hashes.append(int(np.uint64(self.codecs.ahash64(rgb))
+                                  .astype(np.int64)))
+                n_frames_out.append(len(frames))
+        out = batch.drop_columns([self.binary_col]) \
+            .take(pa.array(idx_rows, pa.int64()))
+        return (out
+                .append_column("n_frames", pa.array(n_frames_out, pa.int64()))
+                .append_column("frame_no", pa.array(frame_no, pa.int64()))
+                .append_column("delay_cs", pa.array(delays_out, pa.int64()))
+                .append_column("frame_ahash", pa.array(hashes, pa.int64())))
+
+
+def gif_frame_sample(ds: rd.Dataset, binary_col: str = "payload",
+                     every_n: int = 2, max_frames: int = 8,
+                     concurrency=(1, 4), batch_size: int = 32) -> rd.Dataset:
+    return ds.map_batches(
+        FrameSampleGIF,
+        fn_constructor_kwargs={"binary_col": binary_col, "every_n": every_n,
+                               "max_frames": max_frames},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+def synth_gif_payloads(ids: np.ndarray) -> list[bytes]:
+    """Deterministic real animated GIFs: per id, a moving-bar animation
+    with id-derived frame count (3-8), dims and palette."""
+    from . import codecs
+    out = []
+    for i in ids:
+        i = int(i)
+        w = 20 + (i * 5) % 24
+        h = 16 + (i * 3) % 16
+        n_frames = 3 + i % 6
+        pal = np.array([[(16 * j) % 256, (32 * j) % 256, (64 * j) % 256]
+                        for j in range(16)], np.uint8)
+        frames = []
+        for f in range(n_frames):
+            fr = np.full((h, w), (i + f) % 4, np.uint8)
+            bar = (f * w // n_frames) % w
+            fr[:, bar] = 8 + (f % 8)
+            frames.append(fr)
+        out.append(codecs.gif_encode(frames, pal, delay_cs=4 + i % 5))
+    return out

@@ -2949,6 +2949,27 @@ def multimodal_png_dedup(sf_dir: str):
                                        ("doc_id", "min", "keep_id")])
 
 
+@register("multimodal_gif_frames", None)  # real video decode → rows-only
+def multimodal_gif_frames(sf_dir: str):
+    """REAL animated-video frame sampling (stdlib GIF/LZW codec): per-id
+    moving-bar animations → one row per sampled frame with its real
+    frame index, delay from the Graphic Control Extension, and the
+    perceptual ahash of the decoded RGB frame (the scene-cut / video
+    near-dup key). Row-expanding actor-pool stage."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(multimodal.synth_gif_payloads(ids),
+                                pa.binary())})
+
+    gifs = ds.map_batches(add_payload, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return multimodal.gif_frame_sample(gifs, every_n=2, max_frames=4)
+
+
 @register("multimodal_wav_energy", None)  # real audio decode → rows-only
 def multimodal_wav_energy(sf_dir: str):
     """REAL audio decode (stdlib wave module): per-id PCM WAV tones →

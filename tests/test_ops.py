@@ -145,6 +145,47 @@ def test_multimodal_real_png_stages_end_to_end():
         assert max(out.shape[:2]) <= 16
 
 
+def test_gif_codec_roundtrip():
+    from illumio_ray.ops import codecs
+    rng = np.random.default_rng(91)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    frames = [rng.integers(0, 16, (13, 21), dtype=np.uint8)
+              for _ in range(5)]
+    f2, pal2, delays = codecs.gif_decode(codecs.gif_encode(frames, pal,
+                                                           delay_cs=7))
+    assert len(f2) == 5 and delays == [7] * 5
+    assert (pal2[:16] == pal).all()
+    for a, b in zip(frames, f2):
+        assert (a == b).all()
+    # big frame exercises LZW dict growth + the clear-reset path
+    big = rng.integers(0, 16, (80, 120), dtype=np.uint8)
+    g2, _, _ = codecs.gif_decode(codecs.gif_encode([big], pal))
+    assert (g2[0] == big).all()
+
+
+def test_multimodal_real_gif_frame_sampling():
+    from illumio_ray.ops import codecs
+    ids = np.array([2, 7])
+    payloads = multimodal.synth_gif_payloads(ids)
+    df = pd.DataFrame({"doc_id": [20, 21], "payload": payloads})
+    out = (multimodal.gif_frame_sample(rd.from_pandas(df), every_n=2,
+                                       max_frames=4)
+           .to_pandas().sort_values(["doc_id", "frame_no"])
+           .reset_index(drop=True))
+    for docid, pid in [(20, 2), (21, 7)]:
+        frames, pal, delays = codecs.gif_decode(
+            payloads[0] if pid == 2 else payloads[1])
+        rows = out[out.doc_id == docid]
+        expect_idx = list(range(0, len(frames), 2))[:4]
+        assert rows.frame_no.tolist() == expect_idx
+        assert (rows.n_frames == len(frames)).all()
+        assert (rows.delay_cs == delays[0]).all()
+        for _, r in rows.iterrows():
+            rgb = pal[frames[int(r.frame_no)]]
+            assert r.frame_ahash == np.uint64(
+                codecs.ahash64(rgb)).astype(np.int64)
+
+
 def test_multimodal_real_wav_stage_energy_and_duration():
     ids = np.array([0, 3])
     payloads = multimodal.synth_wav_payloads(ids, rate=8000)
