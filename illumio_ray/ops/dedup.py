@@ -612,7 +612,8 @@ def simhash_dup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset
 
 def hamming_dup_pairs(ds: rd.Dataset, id_col: str, sig_col: str,
                       max_hamming: int = 3,
-                      num_buckets: int | None = None) -> rd.Dataset:
+                      num_buckets: int | None = None,
+                      max_group: int | None = None) -> rd.Dataset:
     """Near-dup pairs under a HAMMING-distance bound over any 64-bit
     signature column (SimHash, perceptual image ahash, …): pigeonhole
     banding — split the 64 bits into ``max_hamming + 1`` equal bands, so
@@ -625,7 +626,11 @@ def hamming_dup_pairs(ds: rd.Dataset, id_col: str, sig_col: str,
     Scale shape: only (id, sig, band rows) shuffle — 4 narrow rows per
     input row at the default bound; no all-pairs anywhere. Same family
     as minhash banding (ngram_jaccard_pairs) with bit-bands instead of
-    shingle bands."""
+    shingle bands. Candidate pairing is O(group²) per exact band value —
+    ``max_group`` (optional) skips band groups larger than that, the
+    same stop-key pruning as ngram_jaccard's ``max_df`` (documented
+    approximation for degenerate corpora where one band value covers a
+    large fraction of rows; default None is exact)."""
     from .relational import adaptive_bucket_count
 
     nb = num_buckets or adaptive_bucket_count(None)
@@ -664,6 +669,8 @@ def hamming_dup_pairs(ds: rd.Dataset, id_col: str, sig_col: str,
         for _, grp in g.groupby("__k", sort=False):
             if len(grp) < 2:
                 continue
+            if max_group is not None and len(grp) > max_group:
+                continue  # stop-key pruning (see docstring)
             ids = grp[id_col].to_numpy()
             sigs = grp["sig"].to_numpy().astype(np.uint64)
             order = np.argsort(ids, kind="mergesort")
