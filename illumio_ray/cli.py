@@ -216,7 +216,7 @@ def cmd_stats(args) -> int:
         report["aggregate_groups"] = agg.num_rows
     # run-event tail from the rotating JSON log, when one was configured
     # (≙ the reference operator tailing logs/app.json)
-    if args.log_dir:
+    if args.log_dir and args.log_tail > 0:
         log_file = Path(args.log_dir) / "app.json"
         if log_file.exists():
             lines = log_file.read_text().splitlines()[-args.log_tail:]

@@ -35,13 +35,14 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
 
 
 def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
-    """Encode HxW (gray), HxWx3 (RGB) or HxWx4 (RGBA) uint8 → PNG bytes.
-    Filter 0 on every row; fixed zlib level → deterministic bytes."""
+    """Encode HxW (gray), HxWx2 (gray+alpha), HxWx3 (RGB) or HxWx4
+    (RGBA) uint8 → PNG bytes. Filter 0 on every row; fixed zlib level →
+    deterministic bytes."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
     h, w, c = a.shape
-    color = {1: 0, 3: 2, 4: 6}.get(c)
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
     if color is None:
         raise ValueError(f"png_encode: unsupported channel count {c}")
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
@@ -154,9 +155,11 @@ def ahash64(arr: np.ndarray) -> int:
     (identical content re-encoded hashes equal; hamming distance ≈
     visual distance)."""
     a = arr
-    if a.ndim == 3:  # luma without a colorspace lib
+    if a.ndim == 3 and a.shape[2] >= 3:  # luma without a colorspace lib
         a = (0.299 * a[:, :, 0] + 0.587 * a[:, :, 1]
              + 0.114 * a[:, :, 2]).astype(np.uint8)
+    elif a.ndim == 3:  # gray+alpha: hash the gray channel
+        a = a[:, :, 0]
     small = resize_bilinear(a, 8, 8).astype(np.float64)
     bits = (small > small.mean()).reshape(-1)
     v = 0
@@ -331,21 +334,28 @@ def gif_encode(frames: list[np.ndarray], palette: np.ndarray,
 
 
 def gif_decode(data: bytes):
-    """Decode a GIF87a/89a (global color table, non-interlaced) →
-    (frames [HxW uint8 index arrays], palette Kx3 uint8, delays_cs)."""
+    """Decode a GIF87a/89a (non-interlaced) → (frames [HxW uint8 index
+    arrays], palettes [Kx3 uint8, one per frame], delays_cs). Partial
+    frames composite onto the PREVIOUS canvas ("do not dispose" — the
+    common delta-encoding); disposal methods 2/3 (restore background /
+    previous) raise a clear error rather than decoding wrong pixels.
+    Each frame's palette is its local color table when present, else the
+    global one; the per-frame GCE delay applies to its own frame only."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("gif_decode: not a GIF")
     w, h, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
-    palette = np.zeros((0, 3), np.uint8)
+    global_pal = np.zeros((0, 3), np.uint8)
     if flags & 0x80:
         k = 2 << (flags & 0x07)
-        palette = np.frombuffer(data[pos:pos + 3 * k],
-                                np.uint8).reshape(k, 3).copy()
+        global_pal = np.frombuffer(data[pos:pos + 3 * k],
+                                   np.uint8).reshape(k, 3).copy()
         pos += 3 * k
     frames: list[np.ndarray] = []
+    palettes: list[np.ndarray] = []
     delays: list[int] = []
     delay = 0
+    canvas = np.zeros((h, w), np.uint8)
     while pos < len(data):
         b0 = data[pos]
         pos += 1
@@ -355,6 +365,13 @@ def gif_decode(data: bytes):
             label = data[pos]
             pos += 1
             if label == 0xF9 and data[pos] >= 4:
+                gce_flags = data[pos + 1]
+                disposal = (gce_flags >> 2) & 0x07
+                if disposal in (2, 3):
+                    raise ValueError(
+                        "gif_decode: disposal method "
+                        f"{disposal} (restore background/previous) "
+                        "unsupported — frames would decode wrong")
                 delay = struct.unpack("<H", data[pos + 2:pos + 4])[0]
             while data[pos]:
                 pos += 1 + data[pos]
@@ -365,10 +382,11 @@ def gif_decode(data: bytes):
             pos += 9
             if iflags & 0x40:
                 raise ValueError("gif_decode: interlaced GIFs unsupported")
-            if iflags & 0x80:  # local color table replaces palette view
+            pal = global_pal
+            if iflags & 0x80:  # local color table: THIS frame only
                 k = 2 << (iflags & 0x07)
-                palette = np.frombuffer(data[pos:pos + 3 * k],
-                                        np.uint8).reshape(k, 3).copy()
+                pal = np.frombuffer(data[pos:pos + 3 * k],
+                                    np.uint8).reshape(k, 3).copy()
                 pos += 3 * k
             min_code = data[pos]
             pos += 1
@@ -379,10 +397,12 @@ def gif_decode(data: bytes):
                 pos += 1 + ln
             pos += 1
             idx = _lzw_decode(bytes(stream), min_code, fw * fh)
-            frame = np.zeros((h, w), np.uint8)
-            frame[fy:fy + fh, fx:fx + fw] = idx.reshape(fh, fw)
-            frames.append(frame)
+            canvas = canvas.copy()  # composite onto the previous frame
+            canvas[fy:fy + fh, fx:fx + fw] = idx.reshape(fh, fw)
+            frames.append(canvas)
+            palettes.append(pal)
             delays.append(delay)
+            delay = 0  # a GCE applies to exactly one following image
         else:
             raise ValueError(f"gif_decode: unexpected block 0x{b0:02x}")
-    return frames, palette, delays
+    return frames, palettes, delays

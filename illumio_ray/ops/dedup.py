@@ -690,7 +690,12 @@ def hamming_dup_pairs(ds: rd.Dataset, id_col: str, sig_col: str,
             out_b.append(ids[bi[ok]])
             out_h.append(h[ok])
         if not out_a:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+            # id-dtype-preserving empty frame (same convention as
+            # ngram_jaccard_pairs' _empty): float64 placeholders would
+            # clash with int/string id blocks at schema unification
+            empty_ids = g[id_col].iloc[:0]
+            return pd.DataFrame({"id_a": empty_ids, "id_b": empty_ids,
+                                 "hamming": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({
             "id_a": np.concatenate(out_a),
             "id_b": np.concatenate(out_b),

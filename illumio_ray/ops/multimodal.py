@@ -435,11 +435,12 @@ class FrameSampleGIF:
         hashes: list[int] = []
         n_frames_out: list[int] = []
         for i, buf in enumerate(batch[self.binary_col].to_pylist()):
-            frames, palette, delays = self.codecs.gif_decode(buf)
+            frames, palettes, delays = self.codecs.gif_decode(buf)
             take = list(range(0, len(frames), self.every_n))[
                 :self.max_frames]
             for fno in take:
-                rgb = palette[frames[fno]]  # index → RGB via palette take
+                # index → RGB via the frame's own palette
+                rgb = palettes[fno][frames[fno]]
                 idx_rows.append(i)
                 frame_no.append(fno)
                 delays_out.append(delays[fno])

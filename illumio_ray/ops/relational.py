@@ -240,8 +240,11 @@ def choose_agg_mode(ds: rd.Dataset, keys: list[str],
     pass) — the standard price of sampling-based planning. Callers that
     know their key shape should pass the mode explicitly; "auto" is for
     generic/library call sites."""
-    sample = ds.limit(sample_rows).take_batch(sample_rows,
-                                              batch_format="pyarrow")
+    try:
+        sample = ds.limit(sample_rows).take_batch(sample_rows,
+                                                  batch_format="pyarrow")
+    except ValueError:  # Ray raises on a fully-empty dataset
+        return "driver"
     t = pa.table(sample)
     n = t.num_rows
     if n == 0:
@@ -831,8 +834,12 @@ def salted_join(left: rd.Dataset, right: rd.Dataset, on: str,
         num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 8)))
 
     def salt_left(t: pa.Table) -> pa.Table:
-        # row-position salt: spreads a hot key independent of its value
-        s = (np.arange(t.num_rows, dtype=np.uint64)
+        # scrambled-position salt: a multiplicative hash of the row
+        # position decorrelates residues, so a periodic row layout (hot
+        # key at every k-th position) still spreads across all salts —
+        # plain `pos % num_salts` would collapse it onto one
+        pos = np.arange(t.num_rows, dtype=np.uint64)
+        s = (((pos * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33))
              % np.uint64(num_salts)).astype(np.int32)
         return t.append_column("__salt", pa.array(s, pa.int32()))
 
@@ -897,7 +904,12 @@ def skew_salted_join(left: rd.Dataset, right: rd.Dataset, on: str,
 
     def salt_left(t: pa.Table) -> pa.Table:
         f = _factors(t)
-        s = (np.arange(t.num_rows, dtype=np.int64) % f).astype(np.int32)
+        # scrambled position (see salted_join): periodic layouts must not
+        # collapse a hot key's rows onto one salt residue
+        pos = np.arange(t.num_rows, dtype=np.uint64)
+        scr = ((pos * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)) \
+            .astype(np.int64)
+        s = (scr % f).astype(np.int32)
         return t.append_column("__salt", pa.array(s, pa.int32()))
 
     def replicate_right(t: pa.Table) -> pa.Table:
@@ -1750,35 +1762,42 @@ def _exact_rank_values(ds: rd.Dataset, col: str, ranks: list[int],
     return [s["val"] for s in state]
 
 
-def exact_quantile_disc_by(ds: rd.Dataset, key: str, col: str, q: float,
+def exact_quantile_disc_by(ds: rd.Dataset, key: str, col: str,
+                           q: float | list[float],
                            num_bins: int = 256,
                            collect_limit: int = 200_000,
                            max_passes: int = 8) -> pa.Table:
-    """Per-group EXACT discrete quantile (quantile_disc semantics: the
+    """Per-group EXACT discrete quantile(s) (quantile_disc semantics: the
     group's element at 0-indexed rank ceil(n·q)−1) for a BOUNDED group
     key, without collecting any group's values: the same iterative
-    histogram refinement as exact_quantile_disc, with every group's
-    candidate range narrowed in the SAME shared pass over the column.
-    Driver state is O(groups); per pass the exchange is O(groups ×
-    num_bins) counts. Upgrade path for the driver-interpolation small
-    path (doc_median_chars_by_lang) when per-group rows are unbounded.
-    Nulls ignored. Returns (key, q<percent>) with one row per group."""
+    histogram refinement as exact_quantile_disc, with every group's —
+    and every requested quantile's — candidate range narrowed in the
+    SAME shared pass over the column (``q`` may be a list: winsorize's
+    p5+p95 cost one set of scans, not two). Driver state is
+    O(groups × qs); per pass the exchange is O(groups × qs × num_bins)
+    counts. Nulls ignored. Returns (key, q<percent>...) with one row per
+    group and one column per requested quantile."""
+    qs = [q] if isinstance(q, (int, float)) else list(q)
     # pass 0: per-group n / min / max — bounded keys → driver combine
     base = grouped_agg(ds, [key], [(col, "count", "n"),
                                    (col, "min", "lo"),
                                    (col, "max", "hi")]).take_all()
-    state: dict = {}
+    state: dict = {}  # (group, q-index) → refinement state
+    groups: list = []
     for r in base:
         n = int(r["n"])
         if n == 0:
             continue
-        state[r[key]] = {"k": max(0, int(np.ceil(n * q)) - 1),
-                         "lo": float(r["lo"]),
-                         "hi": float(np.nextafter(float(r["hi"]), np.inf)),
-                         "n": n, "val": None}
+        groups.append(r[key])
+        for j, qq in enumerate(qs):
+            state[(r[key], j)] = {
+                "k": max(0, int(np.ceil(n * qq)) - 1),
+                "lo": float(r["lo"]),
+                "hi": float(np.nextafter(float(r["hi"]), np.inf)),
+                "n": n, "val": None}
 
     for _ in range(max_passes):
-        active = {g: (s["lo"], s["hi"]) for g, s in state.items()
+        active = {gj: (s["lo"], s["hi"]) for gj, s in state.items()
                   if s["val"] is None and s["n"] > collect_limit}
         if not active:
             break
@@ -1786,61 +1805,71 @@ def exact_quantile_disc_by(ds: rd.Dataset, key: str, col: str, q: float,
         def hist(t: pa.Table, active=active) -> pa.Table:
             kv = t[key].to_numpy(zero_copy_only=False)
             v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            gs, cs = [], []
-            for g, (lo, hi) in active.items():
+            gs, js, cs = [], [], []
+            for (g, j), (lo, hi) in active.items():
                 m = v[(kv == g) & (v >= lo) & (v < hi)]
                 c, _ = np.histogram(m, bins=num_bins, range=(lo, hi))
                 gs.append(g)
+                js.append(j)
                 cs.append(c.astype(np.int64))
-            return pa.table({"g": pa.array(gs), "counts": pa.array(cs)})
+            return pa.table({"g": pa.array(gs),
+                             "j": pa.array(js, pa.int32()),
+                             "counts": pa.array(cs)})
 
-        sums = {g: np.zeros(num_bins, np.int64) for g in active}
+        sums = {gj: np.zeros(num_bins, np.int64) for gj in active}
         for b in ds.map_batches(hist, batch_format="pyarrow",
                                 zero_copy_batch=True
                                 ).iter_batches(batch_format="pyarrow"):
             t = pa.table(b)
-            for g, cnts in zip(t["g"].to_pylist(), t["counts"].to_pylist()):
-                sums[g] += np.asarray(cnts, np.int64)
-        for g in active:
-            s = state[g]
-            cum = np.cumsum(sums[g])
+            for g, j, cnts in zip(t["g"].to_pylist(), t["j"].to_pylist(),
+                                  t["counts"].to_pylist()):
+                sums[(g, j)] += np.asarray(cnts, np.int64)
+        for gj in active:
+            s = state[gj]
+            cum = np.cumsum(sums[gj])
             bi = int(np.searchsorted(cum, s["k"] + 1))
             edges = np.linspace(s["lo"], s["hi"], num_bins + 1)
             s["k"] -= int(cum[bi - 1]) if bi else 0
-            s["n"] = int(sums[g][bi])
+            s["n"] = int(sums[gj][bi])
             s["lo"], s["hi"] = float(edges[bi]), float(edges[bi + 1])
             if s["hi"] <= np.nextafter(s["lo"], np.inf):
                 s["val"] = s["lo"]
 
-    pending = {g: (s["lo"], s["hi"]) for g, s in state.items()
+    pending = {gj: (s["lo"], s["hi"]) for gj, s in state.items()
                if s["val"] is None}
     if pending:
         def survivors(t: pa.Table, pending=pending) -> pa.Table:
             kv = t[key].to_numpy(zero_copy_only=False)
             v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            gs, vv = [], []
-            for g, (lo, hi) in pending.items():
+            gs, js, vv = [], [], []
+            for (g, j), (lo, hi) in pending.items():
                 m = v[(kv == g) & (v >= lo) & (v < hi)]
                 gs.extend([g] * len(m))
+                js.extend([j] * len(m))
                 vv.extend(m.tolist())
-            return pa.table({"g": pa.array(gs), "v": pa.array(vv, pa.float64())})
+            return pa.table({"g": pa.array(gs),
+                             "j": pa.array(js, pa.int32()),
+                             "v": pa.array(vv, pa.float64())})
 
-        got = {g: [] for g in pending}
+        got = {gj: [] for gj in pending}
         for b in ds.map_batches(survivors, batch_format="pyarrow",
                                 zero_copy_batch=True
                                 ).iter_batches(batch_format="pyarrow"):
             t = pa.table(b)
-            for g, v in zip(t["g"].to_pylist(), t["v"].to_pylist()):
-                got[g].append(v)
-        for g in pending:
-            vs = np.sort(np.array(got[g]))
-            state[g]["val"] = float(vs[state[g]["k"]])
+            for g, j, v in zip(t["g"].to_pylist(), t["j"].to_pylist(),
+                               t["v"].to_pylist()):
+                got[(g, j)].append(v)
+        for gj in pending:
+            vs = np.sort(np.array(got[gj]))
+            state[gj]["val"] = float(vs[state[gj]["k"]])
 
-    ks = sorted(state)
-    out_name = f"q{int(round(q * 100)):02d}"
-    return pa.table({key: pa.array(ks),
-                     out_name: pa.array([state[g]["val"] for g in ks],
-                                        pa.float64())})
+    ks = sorted(set(groups))
+    cols: dict = {key: pa.array(ks)}
+    for j, qq in enumerate(qs):
+        out_name = f"q{int(round(qq * 100)):02d}"
+        cols[out_name] = pa.array([state[(g, j)]["val"] for g in ks],
+                                  pa.float64())
+    return pa.table(cols)
 
 
 def grouped_string_agg(ds: rd.Dataset, key: str, col: str, out: str,
@@ -1931,22 +1960,23 @@ def winsorize_by(ds: rd.Dataset, key: str, col: str,
     broadcast row-local map picking existing values, so output bytes
     match the SQL least/greatest definition exactly. Null values drop
     (SQL join semantics); bounded group keys."""
-    lo_t = exact_quantile_disc_by(ds, key, col, q_lo)
-    hi_t = exact_quantile_disc_by(ds, key, col, q_hi)
-    lo_name, hi_name = lo_t.column_names[1], hi_t.column_names[1]
-    lo = dict(zip(lo_t[key].to_pylist(), lo_t[lo_name].to_pylist()))
-    hi = dict(zip(hi_t[key].to_pylist(), hi_t[hi_name].to_pylist()))
-    ref = ray.put({g: (lo[g], hi[g]) for g in lo if g in hi})
+    qt = exact_quantile_disc_by(ds, key, col, [q_lo, q_hi])
+    lo_name, hi_name = qt.column_names[1], qt.column_names[2]
+    lo = dict(zip(qt[key].to_pylist(), qt[lo_name].to_pylist()))
+    hi = dict(zip(qt[key].to_pylist(), qt[hi_name].to_pylist()))
+    ref = ray.put((lo, hi))
     out = out_col or f"{col}_w"
 
     def clip(t: pa.Table) -> pa.Table:
-        bounds = ray.get(ref)
+        lo_map, hi_map = _BROADCAST_CACHE.get(ref) or (None, None)
+        if lo_map is None:
+            lo_map, hi_map = ray.get(ref)
+            _BROADCAST_CACHE.clear()
+            _BROADCAST_CACHE[ref] = (lo_map, hi_map)
         kv = t[key].to_numpy(zero_copy_only=False)
         v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-        los = pd.Series(kv).map({g: b[0] for g, b in bounds.items()}) \
-            .to_numpy(np.float64)
-        his = pd.Series(kv).map({g: b[1] for g, b in bounds.items()}) \
-            .to_numpy(np.float64)
+        los = pd.Series(kv).map(lo_map).to_numpy(np.float64)
+        his = pd.Series(kv).map(hi_map).to_numpy(np.float64)
         ok = ~(np.isnan(v) | np.isnan(los))  # null value / unseen key
         t = t.filter(pa.array(ok))
         w = np.minimum(np.maximum(v[ok], los[ok]), his[ok])

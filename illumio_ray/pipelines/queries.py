@@ -4966,26 +4966,30 @@ def events_daily_from_csv(sf_dir: str):
 
     src = Path(sf_dir) / "events.parquet"
     n_rows = pq.ParquetFile(str(src)).metadata.num_rows
-    cache = Path(f"/tmp/illumio_ray_testdata/csv_{Path(sf_dir).name}_{n_rows}")
+    cache = Path(
+        f"/tmp/illumio_ray_testdata/csvgz_{Path(sf_dir).name}_{n_rows}")
     marker = cache / "_complete"
     if not marker.exists():
         import shutil
         shutil.rmtree(cache, ignore_errors=True)
         cache.mkdir(parents=True)
         t = pq.read_table(str(src), columns=["ts", "value"])
-        # ISO timestamps with microseconds; 4 parts so the read is
-        # actually distributed
+        # ISO timestamps with microseconds; 4 gzipped parts so the read
+        # is distributed AND exercises decode-time decompression
         step = -(-t.num_rows // 4)
         for i in range(4):
             part = t.slice(i * step, step)
             if part.num_rows:
-                pacsv.write_csv(part, cache / f"events-{i}.csv")
+                with pa.CompressedOutputStream(
+                        str(cache / f"events-{i}.csv.gz"), "gzip") as f:
+                    pacsv.write_csv(part, f)
         marker.write_text("ok")
     convert = pacsv.ConvertOptions(column_types={
         "ts": pa.timestamp("us"), "value": pa.float64()})
     ds = _rd.read_csv(str(cache),
                       convert_options=convert,
-                      file_extensions=["csv"])
+                      arrow_open_stream_args={"compression": "gzip"},
+                      file_extensions=["gz"])
     ds = rel.time_bucket(ds, "ts", "day", out_col="day")
     agg = rel.grouped_agg(ds.select_columns(["day", "value"]), ["day"],
                           [("value", "count", "n_events"),

@@ -94,7 +94,7 @@ def test_hamming_dup_pairs_matches_brute_force():
 def test_png_codec_roundtrip_and_filters():
     from illumio_ray.ops import codecs
     rng = np.random.default_rng(83)
-    for shape in [(17, 23), (9, 13, 3), (5, 7, 4)]:
+    for shape in [(17, 23), (11, 9, 2), (9, 13, 3), (5, 7, 4)]:
         a = rng.integers(0, 256, shape, dtype=np.uint8)
         b = codecs.png_decode(codecs.png_encode(a))
         assert b.shape == a.shape and (b == a).all()
@@ -151,16 +151,42 @@ def test_gif_codec_roundtrip():
     pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
     frames = [rng.integers(0, 16, (13, 21), dtype=np.uint8)
               for _ in range(5)]
-    f2, pal2, delays = codecs.gif_decode(codecs.gif_encode(frames, pal,
+    f2, pals, delays = codecs.gif_decode(codecs.gif_encode(frames, pal,
                                                            delay_cs=7))
     assert len(f2) == 5 and delays == [7] * 5
-    assert (pal2[:16] == pal).all()
+    assert all((p[:16] == pal).all() for p in pals)
     for a, b in zip(frames, f2):
         assert (a == b).all()
     # big frame exercises LZW dict growth + the clear-reset path
     big = rng.integers(0, 16, (80, 120), dtype=np.uint8)
     g2, _, _ = codecs.gif_decode(codecs.gif_encode([big], pal))
     assert (g2[0] == big).all()
+
+
+def test_gif_decode_partial_frames_composite_on_previous():
+    """Delta-encoded GIFs (partial later frames, do-not-dispose)
+    composite onto the prior canvas — hand-built, since gif_encode emits
+    full frames."""
+    import struct
+
+    from illumio_ray.ops import codecs
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   np.uint8)
+    base = np.full((6, 8), 1, np.uint8)
+    full = codecs.gif_encode([base], pal, delay_cs=3)
+    # splice in a second, 2x2 partial frame at (x=5, y=2) of color 2
+    patch_indices = np.full((2, 2), 2, np.uint8)
+    lzw = codecs._lzw_encode(patch_indices.reshape(-1), 2)
+    block = (b"\x21\xf9\x04\x00" + struct.pack("<H", 9) + b"\x00\x00"
+             + b"\x2c" + struct.pack("<HHHHB", 5, 2, 2, 2, 0)
+             + bytes([2]) + codecs._sub_blocks(lzw))
+    spliced = full[:-1] + block + b"\x3b"
+    frames, pals, delays = codecs.gif_decode(spliced)
+    assert len(frames) == 2 and delays == [3, 9]
+    want = base.copy()
+    want[2:4, 5:7] = 2
+    assert (frames[0] == base).all()
+    assert (frames[1] == want).all()  # patch over the PREVIOUS canvas
 
 
 def test_multimodal_real_gif_frame_sampling():
@@ -173,7 +199,7 @@ def test_multimodal_real_gif_frame_sampling():
            .to_pandas().sort_values(["doc_id", "frame_no"])
            .reset_index(drop=True))
     for docid, pid in [(20, 2), (21, 7)]:
-        frames, pal, delays = codecs.gif_decode(
+        frames, pals, delays = codecs.gif_decode(
             payloads[0] if pid == 2 else payloads[1])
         rows = out[out.doc_id == docid]
         expect_idx = list(range(0, len(frames), 2))[:4]
@@ -181,7 +207,7 @@ def test_multimodal_real_gif_frame_sampling():
         assert (rows.n_frames == len(frames)).all()
         assert (rows.delay_cs == delays[0]).all()
         for _, r in rows.iterrows():
-            rgb = pal[frames[int(r.frame_no)]]
+            rgb = pals[int(r.frame_no)][frames[int(r.frame_no)]]
             assert r.frame_ahash == np.uint64(
                 codecs.ahash64(rgb)).astype(np.int64)
 
