@@ -237,7 +237,11 @@ def bench_scaling(sf: float, low: int, high: int) -> dict:
          f"ensure_pages_for_sf({sf}, base='{_synth_base()}')"],
         cwd=REPO, check=True)
     results = {}
+    env_per_level = {}
     for cpus in (low, high):
+        # per-level calibration: a co-tenant burst hitting ONE level
+        # silently skews efficiency either way — make it visible
+        env_per_level[cpus] = _env_evidence()
         best = None
         for _trial in range(3):  # best-of-N: absorbs residual cold effects
             out = subprocess.run(
@@ -264,6 +268,7 @@ def bench_scaling(sf: float, low: int, high: int) -> dict:
         "elapsed_sec_high": round(results[high]["elapsed_sec"], 3),
         "rows_routed": results[high]["rows_routed"],
         "env_before": env_before,
+        "env_per_level": env_per_level,
         "env_after": _env_evidence(),
     }
 
