@@ -5002,6 +5002,55 @@ def events_daily_from_csv(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("events_avg_value_from_avro", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(value) / count(*), 6) AS avg_value
+FROM events GROUP BY 1
+""")
+def events_avg_value_from_avro(sf_dir: str):
+    """Source-format roundtrip through the pure-stdlib Avro OCF
+    datasource (sources/avro.py — neither Ray Data nor this pyarrow
+    build ships an Avro codec): the events table converted once to two
+    deflate-block Avro files (cached, marker-keyed), read back
+    distributed block-by-block with decode-time column pruning,
+    aggregated — and the result must match the SQL oracle over the
+    ORIGINAL parquet. Third proof of the §2.10 extension surface
+    (ORC = columnar stripes, CSV.gz = compressed text, Avro = row
+    containers)."""
+    from ..sources.avro import read_avro, write_avro
+
+    src = Path(sf_dir) / "events.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path(
+        f"/tmp/illumio_ray_testdata/avro_{Path(sf_dir).name}_{n_rows}")
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        cache.mkdir(parents=True)
+        t = pq.read_table(str(src))
+        # two files of multiple 8192-row deflate blocks: the read is
+        # distributed across files AND streams block-by-block within one
+        half = -(-t.num_rows // 2)
+        for i in range(2):
+            part = t.slice(i * half, half)
+            if part.num_rows:
+                write_avro(part, cache / f"events-{i}.avro")
+        marker.write_text("ok")
+    ds = read_avro(str(cache), columns=["event_type", "value"])
+    agg = rel.grouped_agg(ds, ["event_type"],
+                          [("event_type", "count", "n"),
+                           ("value", "sum", "__sv")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "avg_value": round_col(
+                pc.divide(t["__sv"],
+                          pc.cast(t["n"], pa.float64())), 6),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("events_funnel_view_click_purchase", """
 WITH s0 AS (
   SELECT user_id, min(ts) AS t FROM events
@@ -5339,7 +5388,7 @@ _DRIVER_FIRST = [
     "events_cube_day_type", "doc_chars_dense_rank_by_lang",
     "events_value_winsorized", "events_by_type_skew_salted",
     "events_daily_from_csv", "pages_canonical_urls",
-    "events_unpivot_metrics",
+    "events_unpivot_metrics", "events_avg_value_from_avro",
 ]
 
 

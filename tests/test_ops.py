@@ -2202,6 +2202,46 @@ def test_read_orc_matches_parquet(tmp_path):
     assert len(pruned) == len(want)
 
 
+def test_read_avro_matches_parquet(tmp_path):
+    """Pure-stdlib Avro OCF datasource (no Avro codec anywhere in the
+    container): deflate-block roundtrip reproduces the parquet table
+    exactly (incl. nulls and timestamp-micros), reads stream block-by-
+    block across multiple files, and column pruning happens at decode."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from illumio_ray.sources.avro import read_avro, write_avro
+
+    src = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    # inject nulls to exercise the ["null", T] union branch
+    mask = pa.array([i % 7 == 0 for i in range(src.num_rows)])
+    src = src.set_column(
+        src.column_names.index("value"), "value",
+        pc.if_else(mask, pa.nulls(src.num_rows, pa.float64()),
+                   src["value"]))
+    d = tmp_path / "avro"
+    d.mkdir()
+    half = src.num_rows // 2
+    write_avro(src.slice(0, half), d / "a.avro", block_rows=512)
+    write_avro(src.slice(half), d / "b.avro", block_rows=512)
+
+    ds = read_avro(str(d)).materialize()
+    # 512-row blocks → each file yields multiple tables (streamed)
+    assert ds.num_blocks() >= 2
+    got = (ds.to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    want = src.to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want[got.columns])
+
+    pruned = read_avro(str(d), columns=["event_id", "value"]).to_pandas()
+    assert sorted(pruned.columns) == ["event_id", "value"]
+    assert len(pruned) == len(want)
+
+    # deterministic writer: same table → identical bytes
+    write_avro(src.slice(0, half), d / "a2.avro", block_rows=512)
+    assert (d / "a.avro").read_bytes() == (d / "a2.avro").read_bytes()
+
+
 def test_upsert_bucketed_replace_by_key_and_vacuum(tmp_path):
     """Keyed upsert rewrites only touched buckets, replaces by key,
     commits via the _HEAD pointer, and vacuum drops dead generations;
