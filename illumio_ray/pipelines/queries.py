@@ -30,8 +30,8 @@ from ..functions.rounding import round_col, round_np
 
 def _ts(iso: str) -> pa.Scalar:
     return pa.scalar(np.datetime64(iso, "us"), pa.timestamp("us"))
-from ..ops import (clustering, dedup, multimodal, relational as rel,
-                   similarity, textops)
+from ..ops import (clustering, dedup, graph, multimodal,
+                   relational as rel, similarity, textops)
 from ..sources import read_table
 from ..stages.enrich import broadcast_lookups
 from ..synth import ensure_pages_for_sf, sf_from_dir
@@ -5051,6 +5051,74 @@ def events_avg_value_from_avro(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _pagerank_oracle_sql(n_iter: int = 3) -> str:
+    """DuckDB PageRank oracle: the iteration unrolled as chained CTEs
+    (one dangling-mass scalar + one contribution aggregate + one rank
+    rebuild per round), exactly the ops/graph.py recurrence."""
+    cte = ["""
+edges AS (
+  SELECT DISTINCT o.o_custkey * 2 AS node_src, l.l_suppkey * 2 + 1 AS node_dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT node_src AS node FROM edges
+          UNION SELECT node_dst AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT node_src AS node, CAST(count(*) AS DOUBLE) AS d
+           FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(n_iter):
+        cte.append(f"""
+d{i} AS (SELECT COALESCE(sum(r{i}.r), 0) AS dm
+         FROM r{i} LEFT JOIN outdeg USING (node)
+         WHERE outdeg.node IS NULL),
+c{i + 1} AS (SELECT e.node_dst AS node, sum(r{i}.r / od.d) AS s
+             FROM edges e JOIN r{i} ON r{i}.node = e.node_src
+             JOIN outdeg od ON od.node = e.node_src GROUP BY 1),
+r{i + 1} AS (SELECT nd.node,
+                    0.15 / (SELECT n FROM nn)
+                    + 0.85 * (COALESCE(c{i + 1}.s, 0)
+                    + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS r
+             FROM nodes nd LEFT JOIN c{i + 1} USING (node))""")
+    return ("WITH " + ",".join(cte)
+            + f"\nSELECT node, ROUND(r * (SELECT n FROM nn), 6) AS rank_norm"
+              f" FROM r{n_iter}")
+
+
+@register("customer_supplier_pagerank", _pagerank_oracle_sql(3))
+def customer_supplier_pagerank(sf_dir: str):
+    """PageRank (3 iterations, damping 0.85, dangling mass
+    redistributed) over the customer→supplier trade graph — every
+    supplier is a dangling node, so the stochastic-matrix completion is
+    genuinely exercised. Edges come from a hash-partitioned
+    lineitem⋈orders join (parallel edges deduped inside the op via the
+    bucketed distinct — node keys ≈ rows, never a driver set);
+    ops/graph.pagerank in "auto" mode holds the rank vector driver-side
+    below 2M nodes and switches to the per-iteration rank⋈edges shuffle
+    above (both paths equivalence-tested). Output is
+    normalized (rank × n ⇒ uniform graph ≡ 1.0), keeping values O(1) at
+    any scale so the 6-digit oracle round sits far outside cross-engine
+    float-summation drift."""
+    ords = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_suppkey"]).map_batches(
+        lambda t: pa.table({"o_orderkey": t["l_orderkey"],
+                            "l_suppkey": t["l_suppkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = rel.hash_join(li, ords, on=["o_orderkey"], join_type="inner")
+    edges = j.map_batches(
+        lambda t: pa.table({
+            "node_src": pc.multiply(t["o_custkey"], pa.scalar(2)),
+            "node_dst": pc.add(pc.multiply(t["l_suppkey"], pa.scalar(2)),
+                               pa.scalar(1))}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    pr = graph.pagerank(edges, src="node_src", dst="node_dst", iters=3,
+                        damping=0.85, mode="auto", normalize=True)
+    return pr.map_batches(
+        lambda t: pa.table({"node": t["node"],
+                            "rank_norm": round_col(t["rank"], 6)}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("events_funnel_view_click_purchase", """
 WITH s0 AS (
   SELECT user_id, min(ts) AS t FROM events
@@ -5389,6 +5457,7 @@ _DRIVER_FIRST = [
     "events_value_winsorized", "events_by_type_skew_salted",
     "events_daily_from_csv", "pages_canonical_urls",
     "events_unpivot_metrics", "events_avg_value_from_avro",
+    "customer_supplier_pagerank",
 ]
 
 

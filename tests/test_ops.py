@@ -2358,8 +2358,18 @@ def test_pagerank_matches_dense_power_iteration():
     edges = pd.DataFrame({"src": np.concatenate([src, src[:50]]),
                           "dst": np.concatenate([dst, dst[:50]])})
 
-    got = (pagerank(rd.from_pandas(edges), iters=8)
+    eds = rd.from_pandas(edges)
+    got = (pagerank(eds, iters=8, mode="broadcast")
            .to_pandas().sort_values("node").reset_index(drop=True))
+    # shuffle mode: identical semantics, Dataset-resident ranks
+    got_sh = (pagerank(eds, iters=8, mode="shuffle")
+              .to_pandas().sort_values("node").reset_index(drop=True))
+    np.testing.assert_allclose(got_sh["rank"], got["rank"], atol=1e-13)
+    # normalize: rank × N, both modes
+    got_nm = (pagerank(eds, iters=8, mode="broadcast", normalize=True)
+              .to_pandas().sort_values("node").reset_index(drop=True))
+    np.testing.assert_allclose(got_nm["rank"], got["rank"] * len(got),
+                               rtol=1e-12)
 
     # dense reference
     uniq = set(zip(src.tolist(), dst.tolist()))
