@@ -49,6 +49,7 @@ HEADLINE_QUERIES = [
     "near_dup_components",
     "curation_kept_docs",
     "embedding_topk",
+    "customer_supplier_pagerank",
 ]
 
 

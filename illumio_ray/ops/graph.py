@@ -67,45 +67,52 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(cpus, n_edges // 250_000 + 1))
 
-    # node universe + out-degrees (once)
-    nodes = _distinct_rows_bucketed(
-        e.map_batches(lambda t: pa.table(
-            {"node": pa.array(np.concatenate([
+    # node universe AND out-degrees in ONE bucket exchange: every edge
+    # emits (src, 1) + (dst, 0); the grouped sum is the out-degree and
+    # its key set is exactly the node universe (outdeg 0 = dangling).
+    def endpoints(t: pa.Table) -> pa.Table:
+        ns = t.num_rows
+        return pa.table({
+            "node": pa.array(np.concatenate([
                 t["src"].to_numpy(zero_copy_only=False),
-                t["dst"].to_numpy(zero_copy_only=False)]), pa.int64())}),
-            batch_format="pyarrow", zero_copy_batch=True),
-        ["node"]).materialize()
-    n_nodes = nodes.count()
-    outdeg = drop_empty_blocks(grouped_agg(
-        e.select_columns(["src"]), ["src"], [("src", "count", "outdeg")],
-        mode="bucket"))
+                t["dst"].to_numpy(zero_copy_only=False)]), pa.int64()),
+            "__o": pa.array(np.concatenate([
+                np.ones(ns, np.int64), np.zeros(ns, np.int64)]))})
+
+    deg = drop_empty_blocks(grouped_agg(
+        e.map_batches(endpoints, batch_format="pyarrow",
+                      zero_copy_batch=True),
+        ["node"], [("__o", "sum", "outdeg")], mode="bucket"))
+    n_nodes = deg.count()
 
     if mode == "auto":
         mode = "broadcast" if n_nodes <= broadcast_limit else "shuffle"
     if mode == "broadcast":
-        return _pagerank_broadcast(e, nodes, outdeg, n_nodes, damping,
+        return _pagerank_broadcast(e, deg, n_nodes, damping,
                                    iters, normalize)
     if mode != "shuffle":
         raise ValueError(f"unknown pagerank mode: {mode}")
 
     # per-edge weight 1/outdeg(src), fixed across rounds
-    weighted = hash_join(e, outdeg, on=["src"],
-                         num_partitions=num_partitions).map_batches(
+    weighted = hash_join(
+        e,
+        deg.map_batches(lambda t: pa.table(
+            {"src": t["node"], "outdeg": t["outdeg"]}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        on=["src"], num_partitions=num_partitions).map_batches(
         lambda t: pa.table({
             "src": t["src"], "dst": t["dst"],
             "w": pc.divide(pa.array(np.ones(t.num_rows)),
                            pc.cast(t["outdeg"], pa.float64()))}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
 
-    # dangling flag rides the rank table: nodes LEFT JOIN outdeg once
-    ranks = hash_join(nodes, outdeg.map_batches(
-        lambda t: t.rename_columns(["node", "outdeg"]),
-        batch_format="pyarrow"), on=["node"], join_type="left_outer",
-        num_partitions=num_partitions).map_batches(
+    # dangling flag rides the rank table (outdeg 0 ⇒ dangling)
+    ranks = deg.map_batches(
         lambda t: pa.table({
             "node": t["node"],
             "rank": pa.array(np.full(t.num_rows, 1.0 / n_nodes)),
-            "dangling": pc.cast(pc.is_null(t["outdeg"]), pa.float64())}),
+            "dangling": pc.cast(pc.equal(t["outdeg"], pa.scalar(0)),
+                                pa.float64())}),
         batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     base = (1.0 - damping) / n_nodes
@@ -156,44 +163,57 @@ def pagerank(edges: rd.Dataset, src: str = "src", dst: str = "dst",
         batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _pagerank_broadcast(e: rd.Dataset, nodes: rd.Dataset,
-                        outdeg: rd.Dataset, n_nodes: int, damping: float,
+def _pagerank_broadcast(e: rd.Dataset, deg: rd.Dataset,
+                        n_nodes: int, damping: float,
                         iters: int, normalize: bool) -> rd.Dataset:
     """Broadcast-mode body: rank/out-degree vectors as driver numpy
-    arrays; per round one broadcast inner join over the (materialized,
-    deduplicated) edges + one bucketed grouped sum. Identical floats to
-    the shuffle path — contributions reduce through the same Arrow
-    group_by sum kernels."""
-    from .relational import broadcast_join, grouped_agg
+    arrays. Per round, ONE fused map over the (materialized,
+    deduplicated) edges — vectorized index_in lookup of rank/outdeg
+    against the broadcast node array, then a local Arrow group-by sum on
+    dst — whose O(in-degree-distinct) partials stream straight back to
+    the driver and accumulate into the dense contribution vector. No
+    per-round shuffle at all (the bucket exchange the shuffle path needs
+    is pointless when the reduce target already fits the driver)."""
+    from .relational import _BROADCAST_CACHE
 
-    node_arr = pa.concat_tables(
-        nodes.iter_batches(batch_format="pyarrow",
-                           batch_size=None))["node"].combine_chunks()
     deg_t = pa.concat_tables(
-        outdeg.iter_batches(batch_format="pyarrow", batch_size=None))
-    d = np.zeros(n_nodes, np.float64)
-    if deg_t.num_rows:
-        idx = pc.index_in(deg_t["src"], value_set=node_arr)
-        d[idx.to_numpy(zero_copy_only=False)] = \
-            deg_t["outdeg"].to_numpy(zero_copy_only=False)
+        deg.iter_batches(batch_format="pyarrow", batch_size=None))
+    node_arr = deg_t["node"].combine_chunks()
+    d = deg_t["outdeg"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64, copy=False)
     has_out = d > 0
     base = (1.0 - damping) / n_nodes
     r = np.full(n_nodes, 1.0 / n_nodes, np.float64)
+    node_ref = ray.put(node_arr)
     for _ in range(iters):
         w = np.zeros(n_nodes, np.float64)
         np.divide(r, d, out=w, where=has_out)
-        w_tbl = pa.table({"src": node_arr,
-                          "w": pa.array(w)}).filter(pa.array(has_out))
-        contrib = grouped_agg(
-            broadcast_join(e, w_tbl, on=["src"], join_type="inner"),
-            ["dst"], [("w", "sum", "csum")], mode="bucket")
-        c_t = pa.concat_tables(
-            contrib.iter_batches(batch_format="pyarrow", batch_size=None))
+        w_ref = ray.put(w)
+
+        def partial(t: pa.Table, _nr=node_ref, _wr=w_ref) -> pa.Table:
+            na = _BROADCAST_CACHE.get(_nr)
+            if na is None:
+                na = ray.get(_nr)
+                _BROADCAST_CACHE[_nr] = na
+            wv = ray.get(_wr)  # new per round; tiny (n_nodes floats)
+            si = pc.index_in(t["src"], value_set=na) \
+                .to_numpy(zero_copy_only=False)
+            loc = pa.table({"dst": t["dst"],
+                            "w": pa.array(wv[si])})
+            g = loc.group_by(["dst"]).aggregate([("w", "sum")])
+            return g.rename_columns(["dst", "csum"])
+
         c = np.zeros(n_nodes, np.float64)
-        if c_t.num_rows:
-            cidx = pc.index_in(c_t["dst"], value_set=node_arr)
-            c[cidx.to_numpy(zero_copy_only=False)] = \
-                c_t["csum"].to_numpy(zero_copy_only=False)
+        parts = e.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+        for b in parts.iter_batches(batch_format="pyarrow",
+                                    batch_size=None):
+            t = pa.table(b)
+            if not t.num_rows:
+                continue
+            cidx = pc.index_in(t["dst"], value_set=node_arr)
+            np.add.at(c, cidx.to_numpy(zero_copy_only=False),
+                      t["csum"].to_numpy(zero_copy_only=False))
         d_mass = float(r[~has_out].sum())
         r = base + damping * (c + d_mass / n_nodes)
     if normalize:

@@ -5098,13 +5098,24 @@ def customer_supplier_pagerank(sf_dir: str):
     normalized (rank × n ⇒ uniform graph ≡ 1.0), keeping values O(1) at
     any scale so the 6-digit oracle round sits far outside cross-engine
     float-summation drift."""
-    ords = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     li = read_table(sf_dir, "lineitem",
                     columns=["l_orderkey", "l_suppkey"]).map_batches(
         lambda t: pa.table({"o_orderkey": t["l_orderkey"],
                             "l_suppkey": t["l_suppkey"]}),
         batch_format="pyarrow", zero_copy_batch=True)
-    j = rel.hash_join(li, ords, on=["o_orderkey"], join_type="inner")
+    # broadcast-gated dimension join (standard repo pattern): the
+    # orderkey→custkey map broadcasts under 2M rows, hash-partitions above
+    n_orders = pq.ParquetFile(
+        str(Path(sf_dir) / "orders.parquet")).metadata.num_rows
+    if n_orders <= 2_000_000:
+        j = rel.broadcast_join(
+            li, pq.read_table(str(Path(sf_dir) / "orders.parquet"),
+                              columns=["o_orderkey", "o_custkey"]),
+            on=["o_orderkey"], join_type="inner")
+    else:
+        ords = read_table(sf_dir, "orders",
+                          columns=["o_orderkey", "o_custkey"])
+        j = rel.hash_join(li, ords, on=["o_orderkey"], join_type="inner")
     edges = j.map_batches(
         lambda t: pa.table({
             "node_src": pc.multiply(t["o_custkey"], pa.scalar(2)),
