@@ -178,13 +178,18 @@ def _pagerank_broadcast(e: rd.Dataset, deg: rd.Dataset,
 
     deg_t = pa.concat_tables(
         deg.iter_batches(batch_format="pyarrow", batch_size=None))
-    node_arr = deg_t["node"].combine_chunks()
+    # sorted node order: per-batch lookups become O(batch·log n)
+    # searchsorted against a once-shipped array (pc.index_in would
+    # rebuild its hash index of all n nodes in every batch)
+    nodes_np = deg_t["node"].to_numpy(zero_copy_only=False)
+    order = np.argsort(nodes_np, kind="stable")
+    nodes_np = np.ascontiguousarray(nodes_np[order])
     d = deg_t["outdeg"].to_numpy(zero_copy_only=False) \
-        .astype(np.float64, copy=False)
+        .astype(np.float64)[order]
     has_out = d > 0
     base = (1.0 - damping) / n_nodes
     r = np.full(n_nodes, 1.0 / n_nodes, np.float64)
-    node_ref = ray.put(node_arr)
+    node_ref = ray.put(nodes_np)
     for _ in range(iters):
         w = np.zeros(n_nodes, np.float64)
         np.divide(r, d, out=w, where=has_out)
@@ -196,8 +201,8 @@ def _pagerank_broadcast(e: rd.Dataset, deg: rd.Dataset,
                 na = ray.get(_nr)
                 _BROADCAST_CACHE[_nr] = na
             wv = ray.get(_wr)  # new per round; tiny (n_nodes floats)
-            si = pc.index_in(t["src"], value_set=na) \
-                .to_numpy(zero_copy_only=False)
+            si = np.searchsorted(
+                na, t["src"].to_numpy(zero_copy_only=False))
             loc = pa.table({"dst": t["dst"],
                             "w": pa.array(wv[si])})
             g = loc.group_by(["dst"]).aggregate([("w", "sum")])
@@ -211,11 +216,13 @@ def _pagerank_broadcast(e: rd.Dataset, deg: rd.Dataset,
             t = pa.table(b)
             if not t.num_rows:
                 continue
-            cidx = pc.index_in(t["dst"], value_set=node_arr)
-            np.add.at(c, cidx.to_numpy(zero_copy_only=False),
+            cidx = np.searchsorted(
+                nodes_np, t["dst"].to_numpy(zero_copy_only=False))
+            np.add.at(c, cidx,
                       t["csum"].to_numpy(zero_copy_only=False))
         d_mass = float(r[~has_out].sum())
         r = base + damping * (c + d_mass / n_nodes)
     if normalize:
         r = r * n_nodes
-    return rd.from_arrow(pa.table({"node": node_arr, "rank": pa.array(r)}))
+    return rd.from_arrow(pa.table({"node": pa.array(nodes_np, pa.int64()),
+                                   "rank": pa.array(r)}))

@@ -244,6 +244,55 @@ def _decode_block(buf: bytes, n_rows: int, kinds: list[tuple[str, str]],
     return cols
 
 
+class _Fwd:
+    """Forward-only buffered reader over the datasource stream: the file
+    is pulled in 1 MiB chunks, so only the current block's compressed
+    bytes (plus one read-ahead chunk) are ever resident — a multi-GB OCF
+    never materializes in the read task."""
+
+    _CHUNK = 1 << 20
+
+    def __init__(self, f):
+        self._f = f
+        self._buf = b""
+        self._pos = 0
+
+    def _fill(self, n: int) -> None:
+        while len(self._buf) - self._pos < n:
+            chunk = self._f.read(self._CHUNK)
+            if not chunk:
+                return
+            self._buf = self._buf[self._pos:] + chunk
+            self._pos = 0
+
+    def read_exact(self, n: int) -> bytes:
+        self._fill(n)
+        out = self._buf[self._pos:self._pos + n]
+        if len(out) != n:
+            raise ValueError("truncated Avro file")
+        self._pos += n
+        return out
+
+    def read_long(self) -> int | None:
+        """Zigzag varint; None on clean EOF at a value boundary."""
+        shift = 0
+        acc = 0
+        first = True
+        while True:
+            self._fill(1)
+            if self._pos >= len(self._buf):
+                if first:
+                    return None
+                raise ValueError("truncated varint in Avro file")
+            b = self._buf[self._pos]
+            self._pos += 1
+            first = False
+            acc |= (b & 0x7F) << shift
+            if not (b & 0x80):
+                return (acc >> 1) ^ -(acc & 1)
+            shift += 7
+
+
 class AvroDatasource(FileBasedDatasource):
     """Streams an Avro OCF block-by-block into Arrow tables."""
 
@@ -255,24 +304,24 @@ class AvroDatasource(FileBasedDatasource):
         self._columns = columns
 
     def _read_stream(self, f, path: str):
-        data = f.readall() if hasattr(f, "readall") else f.read()
-        if data[:4] != _MAGIC:
+        r = _Fwd(f)
+        if r.read_exact(4) != _MAGIC:
             raise ValueError(f"not an Avro OCF: {path}")
-        pos = 4
         meta: dict[str, bytes] = {}
         while True:
-            n, pos = _read_long(data, pos)
+            n = r.read_long()
+            if n is None:
+                raise ValueError(f"truncated Avro header: {path}")
             if n == 0:
                 break
             if n < 0:  # spec: negative count means byte-size follows
                 n = -n
-                _, pos = _read_long(data, pos)
+                r.read_long()
             for _ in range(n):
-                k, pos = _read_bytes(data, pos)
-                v, pos = _read_bytes(data, pos)
+                k = r.read_exact(r.read_long())
+                v = r.read_exact(r.read_long())
                 meta[k.decode()] = v
-        sync = data[pos:pos + 16]
-        pos += 16
+        sync = r.read_exact(16)
 
         avro_schema = json.loads(meta["avro.schema"])
         codec = meta.get("avro.codec", b"null").decode()
@@ -283,14 +332,14 @@ class AvroDatasource(FileBasedDatasource):
             arrow_schema = pa.schema(
                 [f for f in arrow_schema if f.name in keep])
 
-        while pos < len(data):
-            n_rows, pos = _read_long(data, pos)
-            size, pos = _read_long(data, pos)
-            payload = data[pos:pos + size]
-            pos += size
-            if data[pos:pos + 16] != sync:
+        while True:
+            n_rows = r.read_long()
+            if n_rows is None:  # clean EOF after a sync marker
+                return
+            size = r.read_long()
+            payload = r.read_exact(size)
+            if r.read_exact(16) != sync:
                 raise ValueError(f"sync marker mismatch in {path}")
-            pos += 16
             if codec == "deflate":
                 payload = zlib.decompress(payload, -15)
             elif codec != "null":
