@@ -4520,14 +4520,69 @@ def events_zorder_range_count(sf_dir: str):
                            ["event_type"], [("event_type", "count", "n")])
 
 
-@register("supplier_pagerank_top10", None)  # iterative → rows-only
+_PAGERANK_EDGES_SQL = """
+  SELECT DISTINCT o.o_custkey * 2 AS node_src, l.l_suppkey * 2 + 1 AS node_dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+
+def _pagerank_oracle_sql(n_iter: int = 3,
+                         edges_sql: str = _PAGERANK_EDGES_SQL,
+                         final_sql: str | None = None) -> str:
+    """DuckDB PageRank oracle: the iteration unrolled as chained CTEs
+    (one dangling-mass scalar + one contribution aggregate + one rank
+    rebuild per round), exactly the ops/graph.py recurrence.
+    ``final_sql`` selects from r{n_iter} (default: full normalized
+    rank vector)."""
+    cte = [f"""
+edges AS ({edges_sql}
+),
+nodes AS (SELECT node_src AS node FROM edges
+          UNION SELECT node_dst AS node FROM edges),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+outdeg AS (SELECT node_src AS node, CAST(count(*) AS DOUBLE) AS d
+           FROM edges GROUP BY 1),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""]
+    for i in range(n_iter):
+        cte.append(f"""
+d{i} AS (SELECT COALESCE(sum(r{i}.r), 0) AS dm
+         FROM r{i} LEFT JOIN outdeg USING (node)
+         WHERE outdeg.node IS NULL),
+c{i + 1} AS (SELECT e.node_dst AS node, sum(r{i}.r / od.d) AS s
+             FROM edges e JOIN r{i} ON r{i}.node = e.node_src
+             JOIN outdeg od ON od.node = e.node_src GROUP BY 1),
+r{i + 1} AS (SELECT nd.node,
+                    0.15 / (SELECT n FROM nn)
+                    + 0.85 * (COALESCE(c{i + 1}.s, 0)
+                    + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS r
+             FROM nodes nd LEFT JOIN c{i + 1} USING (node))""")
+    if final_sql is None:
+        final_sql = (f"SELECT node, ROUND(r * (SELECT n FROM nn), 6) "
+                     f"AS rank_norm FROM r{n_iter}")
+    return "WITH " + ",".join(cte) + "\n" + final_sql
+
+
+_TOP10_EDGES_SQL = """
+  SELECT DISTINCT o.o_custkey AS node_src,
+         l.l_suppkey + 10000000 AS node_dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"""
+
+_TOP10_FINAL_SQL = """
+SELECT CAST(node - 10000000 AS BIGINT) AS s_suppkey,
+       ROUND(r * (SELECT n FROM nn), 6) AS rank_norm
+FROM r8 WHERE node >= 10000000
+ORDER BY rank_norm DESC, s_suppkey LIMIT 10"""
+
+
+@register("supplier_pagerank_top10",
+          _pagerank_oracle_sql(8, _TOP10_EDGES_SQL, _TOP10_FINAL_SQL))
 def supplier_pagerank_top10(sf_dir: str):
     """Distributed PageRank (ops/graph.py) over the customer→supplier
     purchase graph (orders ⋈ lineitem edges, suppliers offset into a
-    disjoint id space): top-10 suppliers by rank. The iterative-join
-    family — each round one hash join + one bucketed grouped sum over
-    (node, float) rows; exactness vs a dense power iteration is pinned
-    by test."""
+    disjoint id space): top-10 suppliers by normalized rank, 8 power
+    rounds, oracled by the unrolled-CTE SQL (both sides order by the
+    ROUNDED rank + suppkey so the LIMIT boundary can't flip on
+    last-ulp float drift). Exactness vs a dense power iteration is
+    also pinned by test."""
     from ..functions.rounding import round_col
     from ..ops.graph import pagerank
 
@@ -4543,15 +4598,15 @@ def supplier_pagerank_top10(sf_dir: str):
             "dst": pc.add(pc.cast(t["l_suppkey"], pa.int64()),
                           pa.scalar(OFF, pa.int64()))}),
         batch_format="pyarrow", zero_copy_batch=True)
-    ranks = pagerank(edges, iters=8)
+    ranks = pagerank(edges, iters=8, normalize=True)
     sup = ranks.map_batches(
         lambda t: (lambda f: pa.table({
             "s_suppkey": pc.subtract(f["node"], pa.scalar(OFF, pa.int64())),
-            "rank": round_col(f["rank"], 9)}))(
+            "rank_norm": round_col(f["rank"], 6)}))(
             t.filter(pc.greater_equal(t["node"],
                                       pa.scalar(OFF, pa.int64())))),
         batch_format="pyarrow", zero_copy_batch=True)
-    return sup.sort(["rank", "s_suppkey"],
+    return sup.sort(["rank_norm", "s_suppkey"],
                     descending=[True, False]).limit(10)
 
 
@@ -5051,39 +5106,6 @@ def events_avg_value_from_avro(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _pagerank_oracle_sql(n_iter: int = 3) -> str:
-    """DuckDB PageRank oracle: the iteration unrolled as chained CTEs
-    (one dangling-mass scalar + one contribution aggregate + one rank
-    rebuild per round), exactly the ops/graph.py recurrence."""
-    cte = ["""
-edges AS (
-  SELECT DISTINCT o.o_custkey * 2 AS node_src, l.l_suppkey * 2 + 1 AS node_dst
-  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-),
-nodes AS (SELECT node_src AS node FROM edges
-          UNION SELECT node_dst AS node FROM edges),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
-outdeg AS (SELECT node_src AS node, CAST(count(*) AS DOUBLE) AS d
-           FROM edges GROUP BY 1),
-r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM nodes)"""]
-    for i in range(n_iter):
-        cte.append(f"""
-d{i} AS (SELECT COALESCE(sum(r{i}.r), 0) AS dm
-         FROM r{i} LEFT JOIN outdeg USING (node)
-         WHERE outdeg.node IS NULL),
-c{i + 1} AS (SELECT e.node_dst AS node, sum(r{i}.r / od.d) AS s
-             FROM edges e JOIN r{i} ON r{i}.node = e.node_src
-             JOIN outdeg od ON od.node = e.node_src GROUP BY 1),
-r{i + 1} AS (SELECT nd.node,
-                    0.15 / (SELECT n FROM nn)
-                    + 0.85 * (COALESCE(c{i + 1}.s, 0)
-                    + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS r
-             FROM nodes nd LEFT JOIN c{i + 1} USING (node))""")
-    return ("WITH " + ",".join(cte)
-            + f"\nSELECT node, ROUND(r * (SELECT n FROM nn), 6) AS rank_norm"
-              f" FROM r{n_iter}")
-
-
 @register("customer_supplier_pagerank", _pagerank_oracle_sql(3))
 def customer_supplier_pagerank(sf_dir: str):
     """PageRank (3 iterations, damping 0.85, dangling mass
@@ -5468,7 +5490,7 @@ _DRIVER_FIRST = [
     "events_value_winsorized", "events_by_type_skew_salted",
     "events_daily_from_csv", "pages_canonical_urls",
     "events_unpivot_metrics", "events_avg_value_from_avro",
-    "customer_supplier_pagerank",
+    "customer_supplier_pagerank", "supplier_pagerank_top10",
 ]
 
 
