@@ -5152,6 +5152,75 @@ def customer_supplier_pagerank(sf_dir: str):
         batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("embedding_stats_from_avro", """
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       ROUND(sum(CAST(embedding[1] AS DOUBLE)) / count(*), 6) AS avg_first,
+       ROUND(sum(list_sum(list_transform(embedding,
+                                         x -> CAST(x AS DOUBLE))))
+             / count(*), 6) AS avg_sum
+FROM embeddings GROUP BY 1
+""")
+def embedding_stats_from_avro(sf_dir: str):
+    """Avro ARRAY roundtrip: the embeddings table (list<float> vectors)
+    through the OCF datasource — written once as multi-block deflate
+    Avro (cached, marker-keyed), read back distributed, per-label vector
+    stats computed vectorized over the Arrow list offsets (first
+    component + per-row float64 sum via np.add.reduceat, no Python loop
+    over rows) — matching the SQL oracle over the ORIGINAL parquet.
+    Exercises the union-null + item-block array encoding end to end."""
+    from ..sources.avro import read_avro, write_avro
+
+    src = Path(sf_dir) / "embeddings.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path(
+        f"/tmp/illumio_ray_testdata/avroemb_{Path(sf_dir).name}_{n_rows}")
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        cache.mkdir(parents=True)
+        t = pq.read_table(str(src), columns=["vec_id", "embedding", "label"])
+        half = -(-t.num_rows // 2)
+        for i in range(2):
+            part = t.slice(i * half, half)
+            if part.num_rows:
+                write_avro(part, cache / f"emb-{i}.avro", block_rows=1024)
+        marker.write_text("ok")
+    ds = read_avro(str(cache), columns=["embedding", "label"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks() \
+            if isinstance(t["embedding"], pa.ChunkedArray) else t["embedding"]
+        offs = emb.offsets.to_numpy(zero_copy_only=False)
+        if (np.diff(offs) == 0).any():
+            # np.add.reduceat misbehaves on zero-length segments; the
+            # embeddings table has none — fail loudly over guessing
+            raise ValueError("empty/null embedding rows unsupported here")
+        vals = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        first = vals[offs[:-1]]
+        sums = np.add.reduceat(vals, offs[:-1])
+        return pa.table({"label": t["label"],
+                         "__f": pa.array(first),
+                         "__s": pa.array(sums)})
+
+    agg = rel.grouped_agg(ds.map_batches(stats, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                          ["label"],
+                          [("label", "count", "n"),
+                           ("__f", "sum", "__sf"),
+                           ("__s", "sum", "__ss")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "label": t["label"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "avg_first": round_col(
+                pc.divide(t["__sf"], pc.cast(t["n"], pa.float64())), 6),
+            "avg_sum": round_col(
+                pc.divide(t["__ss"], pc.cast(t["n"], pa.float64())), 6),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("events_funnel_view_click_purchase", """
 WITH s0 AS (
   SELECT user_id, min(ts) AS t FROM events
@@ -5491,6 +5560,7 @@ _DRIVER_FIRST = [
     "events_daily_from_csv", "pages_canonical_urls",
     "events_unpivot_metrics", "events_avg_value_from_avro",
     "customer_supplier_pagerank", "supplier_pagerank_top10",
+    "embedding_stats_from_avro",
 ]
 
 

@@ -96,6 +96,11 @@ def _avro_schema_for(schema: pa.Schema, name: str = "row") -> dict:
             if f.type.unit != "us":
                 raise ValueError(f"only timestamp[us] supported: {f}")
             t: object = {"type": "long", "logicalType": "timestamp-micros"}
+        elif pa.types.is_list(f.type):
+            it = f.type.value_type
+            if it not in _ARROW_TO_AVRO:
+                raise ValueError(f"unsupported Avro array item type: {f}")
+            t = {"type": "array", "items": _ARROW_TO_AVRO[it]}
         elif f.type in _ARROW_TO_AVRO:
             t = _ARROW_TO_AVRO[f.type]
         else:
@@ -105,41 +110,66 @@ def _avro_schema_for(schema: pa.Schema, name: str = "row") -> dict:
 
 
 def _field_kinds(avro_schema: dict) -> list[tuple[str, str]]:
-    """[(field_name, primitive_kind)] with unions/logical types resolved.
-    Kind is the wire primitive ('long' for timestamp-micros)."""
+    """[(field_name, wire_kind)] with unions/logical types resolved.
+    Kind is the wire primitive ('long' for timestamp-micros) or
+    'array:<item_kind>' for arrays."""
     kinds = []
     for f in avro_schema["fields"]:
         t = f["type"]
         if isinstance(t, list):  # ["null", T]
             t = [x for x in t if x != "null"][0]
         if isinstance(t, dict):
-            t = t["type"]
+            if t.get("type") == "array":
+                t = f"array:{t['items']}"
+            else:
+                t = t["type"]
         kinds.append((f["name"], t))
     return kinds
 
 
 def _arrow_type_for(avro_schema: dict) -> pa.Schema:
+    prim = {"int": pa.int32(), "long": pa.int64(),
+            "float": pa.float32(), "double": pa.float64(),
+            "string": pa.string(), "bytes": pa.binary(),
+            "boolean": pa.bool_()}
     out = []
     for f in avro_schema["fields"]:
         t = f["type"]
         if isinstance(t, list):
             t = [x for x in t if x != "null"][0]
         logical = None
+        items = None
         if isinstance(t, dict):
             logical = t.get("logicalType")
+            items = t.get("items")
             t = t["type"]
         if logical == "timestamp-micros":
             at: pa.DataType = pa.timestamp("us")
+        elif t == "array":
+            at = pa.list_(prim[items])
         else:
-            at = {"int": pa.int32(), "long": pa.int64(),
-                  "float": pa.float32(), "double": pa.float64(),
-                  "string": pa.string(), "bytes": pa.binary(),
-                  "boolean": pa.bool_()}[t]
+            at = prim[t]
         out.append(pa.field(f["name"], at))
     return pa.schema(out)
 
 
 # --------------------------------------------------------------- writer
+
+def _write_prim(body: io.BytesIO, kind: str, v) -> None:
+    if kind in ("long", "int"):
+        _write_long(body, int(v))
+    elif kind == "double":
+        body.write(struct.pack("<d", v))
+    elif kind == "float":
+        body.write(struct.pack("<f", v))
+    elif kind == "string":
+        _write_bytes(body, v.encode())
+    elif kind == "bytes":
+        _write_bytes(body, v)
+    elif kind == "boolean":
+        body.write(b"\x01" if v else b"\x00")
+    else:  # pragma: no cover - guarded by _avro_schema_for
+        raise ValueError(kind)
 
 def write_avro(table: pa.Table, path: str | Path,
                block_rows: int = 8192, codec: str = "deflate") -> None:
@@ -176,20 +206,21 @@ def write_avro(table: pa.Table, path: str | Path,
                     _write_long(body, 0)  # union branch: null
                     continue
                 _write_long(body, 1)  # union branch: value
-                if kind in ("long", "int"):
-                    _write_long(body, int(v))
-                elif kind == "double":
-                    body.write(struct.pack("<d", v))
-                elif kind == "float":
-                    body.write(struct.pack("<f", v))
-                elif kind == "string":
-                    _write_bytes(body, v.encode())
-                elif kind == "bytes":
-                    _write_bytes(body, v)
-                elif kind == "boolean":
-                    body.write(b"\x01" if v else b"\x00")
-                else:  # pragma: no cover - guarded by _avro_schema_for
-                    raise ValueError(kind)
+                if kind.startswith("array:"):
+                    # one item block (count, items) + 0 terminator; item
+                    # elements are non-nullable (arrow list validity is
+                    # row-level via the union branch above)
+                    ik = kind[6:]
+                    if len(v):
+                        _write_long(body, len(v))
+                        for item in v:
+                            if item is None:
+                                raise ValueError(
+                                    "null array element unsupported")
+                            _write_prim(body, ik, item)
+                    _write_long(body, 0)
+                else:
+                    _write_prim(body, kind, v)
         payload = body.getvalue()
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
@@ -206,6 +237,24 @@ def write_avro(table: pa.Table, path: str | Path,
 
 # --------------------------------------------------------------- reader
 
+def _read_prim(buf: bytes, pos: int, kind: str,
+               want: bool) -> tuple[object, int]:
+    if kind in ("long", "int"):
+        return _read_long(buf, pos)
+    if kind == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if kind == "float":
+        return struct.unpack_from("<f", buf, pos)[0], pos + 4
+    if kind == "string":
+        raw, pos = _read_bytes(buf, pos)
+        return (raw.decode() if want else None), pos
+    if kind == "bytes":
+        return _read_bytes(buf, pos)
+    if kind == "boolean":
+        return buf[pos] == 1, pos + 1
+    raise ValueError(kind)  # pragma: no cover
+
+
 def _decode_block(buf: bytes, n_rows: int, kinds: list[tuple[str, str]],
                   keep: set[str] | None) -> dict[str, list]:
     """Decode one uncompressed block body into per-column Python lists.
@@ -221,24 +270,26 @@ def _decode_block(buf: bytes, n_rows: int, kinds: list[tuple[str, str]],
                 if want:
                     cols[name].append(None)
                 continue
-            if kind in ("long", "int"):
-                v, pos = _read_long(buf, pos)
-            elif kind == "double":
-                v = struct.unpack_from("<d", buf, pos)[0]
-                pos += 8
-            elif kind == "float":
-                v = struct.unpack_from("<f", buf, pos)[0]
-                pos += 4
-            elif kind == "string":
-                raw, pos = _read_bytes(buf, pos)
-                v = raw.decode() if want else None
-            elif kind == "bytes":
-                v, pos = _read_bytes(buf, pos)
-            elif kind == "boolean":
-                v = buf[pos] == 1
-                pos += 1
-            else:  # pragma: no cover
-                raise ValueError(kind)
+            if kind.startswith("array:"):
+                ik = kind[6:]
+                items: list = []
+                while True:
+                    cnt, pos = _read_long(buf, pos)
+                    if cnt == 0:
+                        break
+                    bsize = None
+                    if cnt < 0:  # spec: negative count → byte size follows
+                        cnt = -cnt
+                        bsize, pos = _read_long(buf, pos)
+                    if not want and bsize is not None:
+                        pos += bsize
+                        continue
+                    for _i in range(cnt):
+                        iv, pos = _read_prim(buf, pos, ik, want)
+                        items.append(iv)
+                v: object = items
+            else:
+                v, pos = _read_prim(buf, pos, kind, want)
             if want:
                 cols[name].append(v)
     return cols

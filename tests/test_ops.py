@@ -2242,6 +2242,43 @@ def test_read_avro_matches_parquet(tmp_path):
     assert (d / "a.avro").read_bytes() == (d / "a2.avro").read_bytes()
 
 
+def test_read_avro_array_roundtrip(tmp_path):
+    """Avro ARRAY encoding (one item block + 0 terminator) roundtrips
+    list<float> embedding vectors — including a null row and an empty
+    vector — and decode-time pruning can skip past array fields."""
+    import pyarrow.parquet as pq
+
+    from illumio_ray.sources.avro import read_avro, write_avro
+
+    src = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    emb = src["embedding"].combine_chunks().to_pylist()
+    emb[3] = None        # row-level null → union branch 0
+    emb[7] = []          # empty vector → bare 0 terminator
+    src = src.set_column(
+        src.column_names.index("embedding"), "embedding",
+        pa.array(emb, pa.list_(pa.float32())))
+    d = tmp_path / "avro_arr"
+    d.mkdir()
+    write_avro(src, d / "e.avro", block_rows=128)
+
+    # ragged lists with nulls defeat Ray's tensor-extension pandas cast;
+    # compare in Arrow (which is also the hot-path batch format)
+    got = pa.concat_tables(
+        read_avro(str(d)).iter_batches(batch_size=None,
+                                       batch_format="pyarrow")
+    ).sort_by("vec_id")
+    want = src.sort_by("vec_id")
+    assert got["embedding"].to_pylist() == want["embedding"].to_pylist()
+    assert got["embedding"].to_pylist()[3] is None
+    assert got["vec_id"].to_pylist() == want["vec_id"].to_pylist()
+    assert got["label"].to_pylist() == want["label"].to_pylist()
+
+    # pruning a query that skips the array column still walks past it
+    pruned = read_avro(str(d), columns=["vec_id", "label"]).to_pandas()
+    assert sorted(pruned.columns) == ["label", "vec_id"]
+    assert len(pruned) == src.num_rows
+
+
 def test_upsert_bucketed_replace_by_key_and_vacuum(tmp_path):
     """Keyed upsert rewrites only touched buckets, replaces by key,
     commits via the _HEAD pointer, and vacuum drops dead generations;
