@@ -61,9 +61,19 @@ def read_bucket(out_dir: str | Path, bucket: int,
 
 
 def _bucket_schema(out_dir: str | Path) -> pa.Schema:
-    import pyarrow.dataset as pads
+    """Data-file schema of a bucketed layout (NO __bucket field), from
+    one live file's footer. pyarrow dataset discovery can't be used
+    here: the ``__bucket=`` hive dirs start with '_', which the default
+    ``ignore_prefixes`` silently excludes — discovery over the layout
+    root returns an EMPTY schema, which then crashes the empty-bucket
+    fallback paths (sparse probe/join buckets), not the common case."""
+    import pyarrow.parquet as pq
 
-    return pads.dataset(str(Path(out_dir)), partitioning="hive").schema
+    for bdir in sorted(Path(out_dir).glob("__bucket=*")):
+        files = _live_files(bdir)
+        if files:
+            return pq.read_schema(str(files[0]))
+    raise FileNotFoundError(f"no data files in bucketed layout {out_dir}")
 
 
 @ray.remote
@@ -75,7 +85,7 @@ def _join_bucket(dir_a: str, dir_b: str, bucket: int, on: list[str],
 
     def _empty(schema: pa.Schema, cols: list[str] | None) -> pa.Table:
         t = schema.empty_table()
-        return t.select(cols) if cols else t.drop_columns(["__bucket"])
+        return t.select(cols) if cols else t
 
     if a.num_rows == 0:
         a = _empty(schema_a, cols_a)
@@ -229,7 +239,8 @@ def _lookup_bucket(layout_dir: str, bucket: int, key_col: str,
     if t.num_rows == 0:
         sch = _bucket_schema(layout_dir)
         t = sch.empty_table()
-        t = t.select(cols) if cols else t.drop_columns(["__bucket"])
+        if cols:
+            t = t.select(cols)
     t = t.filter(pc.is_in(t[key_col], value_set=pa.array(keys)))
     return t.select(columns) if columns is not None else t
 

@@ -5221,6 +5221,134 @@ def embedding_stats_from_avro(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("docs_search_and", """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT doc_id FROM tok
+WHERE term IN ('customer','merge','scan')
+GROUP BY doc_id HAVING count(DISTINCT term) = 3
+""")
+def docs_search_and(sf_dir: str):
+    """Persisted inverted index (ops/search.py): posting rows bucketed by
+    stable_hash64(term) once (cached marker-keyed per tier + token
+    scheme), then an AND-of-terms search that opens ONLY the ≤3 buckets
+    the probe terms hash into — never the corpus. Intersection =
+    count-distinct-terms-per-doc == #terms over the fetched postings."""
+    from ..ops import search
+
+    src = Path(sf_dir) / "documents.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path("/tmp/illumio_ray_testdata/"
+                 f"termidx_{Path(sf_dir).name}_{n_rows}_"
+                 f"{search._TOKEN_SCHEME}")
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        search.build_term_index(docs, "doc_id", "text", cache,
+                                num_buckets=32)
+        marker.write_text("ok")
+    return search.search_terms(cache, ["customer", "merge", "scan"],
+                               mode="and")
+
+
+_EVENT_RULES_SQL_CASES = [
+    ("type_known",
+     "event_type NOT IN ('click','view','purchase','signup')"),
+    ("value_le_100", "value > 100"),
+    ("user_lt_100", "user_id > 99"),
+    ("props_object", "NOT regexp_matches(props, '^\\{')"),
+]
+
+
+def _event_rules():
+    from ..ops.validate import Rule
+    return [
+        Rule("type_known", "event_type", "enum",
+             {"values": ["click", "view", "purchase", "signup"]}),
+        Rule("value_le_100", "value", "range", {"hi": 100.0}),
+        Rule("user_lt_100", "user_id", "range", {"hi": 99}),
+        Rule("props_object", "props", "regex", {"pattern": r"^\{"}),
+    ]
+
+
+@register("events_validation_report", "\nUNION ALL ".join(
+    [f"""SELECT '{n}' AS rule,
+       CAST(sum(CASE WHEN {cond} THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS n_rows FROM events"""
+     for n, cond in _EVENT_RULES_SQL_CASES]
+    + ["""SELECT '__valid_rows' AS rule,
+       CAST(sum(CASE WHEN """ + " OR ".join(
+        f"({c})" for _, c in _EVENT_RULES_SQL_CASES) + """
+       THEN 0 ELSE 1 END) AS BIGINT) AS violations,
+       CAST(count(*) AS BIGINT) AS n_rows FROM events"""]))
+def events_validation_report(sf_dir: str):
+    """Declarative data-quality gate, report surface (ops/validate.py —
+    the reference's drop-invalid policy made declarative, ≙ the parse
+    loop's malformed-line counters in app/log_processor.py): four rules
+    (enum / two ranges / regex) checked in ONE vectorized pass, per-batch
+    partial counts combined on the driver (bounded: O(#rules)), plus the
+    trailing '__valid_rows' row counting rows that violate nothing."""
+    from ..ops import validate as val
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_type", "value", "user_id", "props"])
+    return val.report(ev, _event_rules())
+
+
+@register("events_quarantine", """
+SELECT event_id,
+       concat_ws(',',
+         CASE WHEN event_type NOT IN ('click','view','purchase','signup')
+              THEN 'type_known' END,
+         CASE WHEN value > 100 THEN 'value_le_100' END,
+         CASE WHEN user_id > 99 THEN 'user_lt_100' END,
+         CASE WHEN NOT regexp_matches(props, '^\\{')
+              THEN 'props_object' END) AS reasons
+FROM events
+WHERE event_type NOT IN ('click','view','purchase','signup')
+   OR value > 100 OR user_id > 99
+   OR NOT regexp_matches(props, '^\\{')
+""")
+def events_quarantine(sf_dir: str):
+    """Quarantine side of the validation split (the dead-letter stream):
+    invalid rows keep a `reasons` csv naming every violated rule in
+    declaration order — vectorized binary_join_element_wise with
+    null-skip, exactly SQL concat_ws semantics. The valid side is the
+    same annotated materialization filtered the other way (checks run
+    once for both consumers)."""
+    from ..ops import validate as val
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value",
+                             "user_id", "props"])
+    _, quar = val.split(ev, _event_rules())
+    return quar.select_columns(["event_id", "reasons"])
+
+
+@register("events_unique_key_check", """
+SELECT CAST(count(*) - count(DISTINCT event_id) AS BIGINT) AS n_dup_rows
+FROM events
+""")
+def events_unique_key_check(sf_dir: str):
+    """Cross-row expectation: primary-key uniqueness via a bucketed
+    grouped count (#keys ≈ #rows ⇒ bucket mode), violations = Σ(count−1)
+    — rows in excess of each key's first occurrence. 0 here (event_id IS
+    unique); the unit test synthesizes duplicates to prove detection.
+    Null keys would count as a group on the Ray side but are excluded by
+    SQL COUNT(DISTINCT) — no nulls exist in any key column at any tier
+    (same pinned-oracle caveat as edit_distance_pairs)."""
+    from ..ops import validate as val
+
+    ev = read_table(sf_dir, "events", columns=["event_id"])
+    n = val.unique_violations(ev, ["event_id"])
+    return pa.table({"n_dup_rows": pa.array([n], pa.int64())})
+
+
 @register("events_funnel_view_click_purchase", """
 WITH s0 AS (
   SELECT user_id, min(ts) AS t FROM events
@@ -5560,7 +5688,9 @@ _DRIVER_FIRST = [
     "events_daily_from_csv", "pages_canonical_urls",
     "events_unpivot_metrics", "events_avg_value_from_avro",
     "customer_supplier_pagerank", "supplier_pagerank_top10",
-    "embedding_stats_from_avro",
+    "embedding_stats_from_avro", "docs_search_and",
+    "events_validation_report", "events_quarantine",
+    "events_unique_key_check",
 ]
 
 

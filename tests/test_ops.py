@@ -2674,3 +2674,100 @@ def test_chunk_word_windows_overlap_and_coverage():
     assert d1.iloc[2].chunk == " ".join(f"w{i}" for i in range(80, 100))
     assert list(out[out.doc_id == 2].chunk) == ["solo"]
     assert 3 not in set(out.doc_id)  # NULL text dropped
+
+
+def test_validation_gate_annotate_split_report():
+    """Declarative expectations: per-rule vectorized violation masks,
+    concat_ws-style reasons, split into valid/quarantine, bounded
+    report counts, and the cross-row unique-key check."""
+    from illumio_ray.ops import validate as val
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4, 5, 5], pa.int64()),
+        "kind": pa.array(["a", "b", "zz", "a", None, "a"]),
+        "v": pa.array([1.0, 150.0, 50.0, None, 5.0, 1.0]),
+        "s": pa.array(["{x}", "{y}", "nope", "{z}", "{w}", "{q}"]),
+    })
+    rules = [
+        val.Rule("kind_enum", "kind", "enum", {"values": ["a", "b"]}),
+        val.Rule("v_range", "v", "range", {"lo": 0.0, "hi": 100.0}),
+        val.Rule("s_obj", "s", "regex", {"pattern": r"^\{"}),
+        val.Rule("kind_nn", "kind", "not_null"),
+    ]
+    ds = rd.from_arrow(t)
+
+    ann = val.annotate(ds, rules).to_pandas().sort_values("id")
+    # row 3: enum + regex both violated, reasons in declaration order
+    bad3 = ann[ann.id == 3].iloc[0]
+    assert not bad3.is_valid and bad3.reasons == "kind_enum,s_obj"
+    # null v passes the range check; null kind violates enum? no —
+    # nulls only fail not_null (SQL semantics)
+    r4 = ann[ann.id == 4].iloc[0]
+    assert r4.is_valid and r4.reasons == ""
+    r5s = ann[ann.id == 5]
+    assert set(r5s.is_valid) == {True, False}
+    assert list(r5s[~r5s.is_valid].reasons) == ["kind_nn"]
+
+    valid, quar = val.split(ds, rules)
+    vd, qd = valid.to_pandas(), quar.to_pandas()
+    assert sorted(vd.id) == [1, 4, 5]  # ids 5,5 -> one valid (kind 'a')
+    assert sorted(qd.id) == [2, 3, 5]
+    assert "reasons" in qd.columns and "is_valid" not in qd.columns
+
+    rep = val.report(ds, rules).to_pandas().set_index("rule")
+    assert rep.loc["kind_enum", "violations"] == 1
+    assert rep.loc["v_range", "violations"] == 1
+    assert rep.loc["s_obj", "violations"] == 1
+    assert rep.loc["kind_nn", "violations"] == 1
+    assert rep.loc["__valid_rows", "violations"] == 3
+    assert (rep.n_rows == 6).all()
+
+    assert val.unique_violations(ds, ["id"]) == 1
+    assert val.unique_violations(ds, ["id", "s"]) == 0
+
+
+def test_term_index_search_and_or(tmp_path):
+    """Inverted-index layout: AND/OR term search matches a brute-force
+    tokenization, probes only term buckets, and refuses a stale scheme."""
+    import json
+
+    from illumio_ray.ops import search
+
+    docs = {1: "Apple banana cherry", 2: "banana cherry", 3: "apple!",
+            4: "cherry apple BANANA banana", 5: "durian"}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    }))
+    layout = tmp_path / "idx"
+    search.build_term_index(ds, "doc_id", "text", layout, num_buckets=8)
+
+    def brute(terms, mode):
+        toks = {d: set(t.lower().replace("!", " ").split())
+                for d, t in docs.items()}
+        if mode == "and":
+            return sorted(d for d, s in toks.items()
+                          if all(x in s for x in terms))
+        return sorted(d for d, s in toks.items()
+                      if any(x in s for x in terms))
+
+    for terms, mode in [(["apple", "banana"], "and"),
+                        (["apple", "banana"], "or"),
+                        (["cherry"], "and"),
+                        (["durian", "apple"], "and"),
+                        (["missing"], "and"),
+                        # duplicate probe terms must not break the
+                        # count==len(terms) intersection
+                        (["apple", "apple", "banana"], "and")]:
+        got = sorted(search.search_terms(layout, terms, mode)
+                     ["doc_id"].to_pylist())
+        assert got == brute(set(terms), mode), (terms, mode)
+
+    meta = json.loads((layout / "_meta.json").read_text())
+    meta["scheme"] = "other-v0"
+    (layout / "_meta.json").write_text(json.dumps(meta))
+    try:
+        search.search_terms(layout, ["apple"])
+        raise AssertionError("stale scheme accepted")
+    except ValueError as e:
+        assert "rebuild" in str(e)
