@@ -5221,6 +5221,53 @@ def embedding_stats_from_avro(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("events_late_by_batch", """
+WITH b AS (
+  SELECT event_id, ts,
+         event_id // 100
+           + CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS batch
+  FROM events
+), mx AS (
+  SELECT batch, max(ts) AS mts FROM b GROUP BY 1
+), wm AS (
+  SELECT batch,
+         max(mts) OVER (ORDER BY batch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 1 MINUTE AS wmark
+  FROM mx
+)
+SELECT b.batch,
+       CAST(count(*) FILTER (WHERE b.ts < wm.wmark) AS BIGINT) AS n_late,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM b JOIN wm USING (batch) GROUP BY 1
+""")
+def events_late_by_batch(sf_dir: str):
+    """Event-time watermark over an arrival-ordered stream
+    (ops/streaming.py — the §2.9 semantic the reference's poll loop
+    leaves implicit): arrival batches are the poll units (synthesized
+    deterministically: event_id//100, with every 13th event demoted one
+    batch — the 'row arrives one poll late' phenomenon); watermark
+    before each batch = prefix-max event ts of prior batches − 1 min;
+    rows older than their batch's starting watermark are LATE. Driver
+    state is O(#batches) only (unit maxima + prefix max); the late flag
+    is a broadcast searchsorted map, no shuffle. Null event times would
+    flag late on the Ray side but drop from the SQL FILTER — none exist
+    at any tier (pinned-oracle caveat, same as edit_distance_pairs)."""
+    from ..ops import streaming
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def add_batch(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        b = eid // 100 + (eid % 13 == 0)
+        return pa.table({"batch": pa.array(b.astype(np.int64)),
+                         "ts": t["ts"]})
+
+    withb = ev.map_batches(add_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return streaming.late_report(withb, "ts", "batch", lateness_sec=60.0)
+
+
 @register("docs_search_and", """
 WITH tok AS (
   SELECT DISTINCT doc_id,
@@ -5690,7 +5737,7 @@ _DRIVER_FIRST = [
     "customer_supplier_pagerank", "supplier_pagerank_top10",
     "embedding_stats_from_avro", "docs_search_and",
     "events_validation_report", "events_quarantine",
-    "events_unique_key_check",
+    "events_unique_key_check", "events_late_by_batch",
 ]
 
 

@@ -2771,3 +2771,39 @@ def test_term_index_search_and_or(tmp_path):
         raise AssertionError("stale scheme accepted")
     except ValueError as e:
         assert "rebuild" in str(e)
+
+
+def test_watermark_late_rows_and_report():
+    """Watermark semantics: unit 0 never late; a row is late iff its
+    event ts is older than (prefix-max ts of PRIOR units − lateness);
+    the unit's own max never affects its own rows."""
+    from illumio_ray.ops import streaming
+
+    def us(sec):
+        return np.datetime64("2024-01-01", "us") + np.timedelta64(
+            int(sec * 1_000_000), "us")
+
+    rows = [  # (unit, ts_sec)
+        (0, 100), (0, 50),          # first unit: no watermark yet
+        (1, 101), (1, 94), (1, 89),  # wm before 1 = 100-10=90 → 89 late
+        (2, 30), (2, 200),           # wm before 2 = 101-10=91 → 30 late
+        (3, 150),                    # wm before 3 = 200-10=190 → late
+    ]
+    t = pa.table({
+        "u": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([us(r[1]) for r in rows], pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(t)
+    flagged = (streaming.flag_late_rows(ds, "ts", "u", lateness_sec=10.0)
+               .to_pandas().sort_values(["u", "ts"]))
+    assert list(flagged.is_late) == [
+        False, False,        # unit 0: ts 50,100 — no watermark yet
+        True, False, False,  # unit 1 (wm 90): ts 89 late; 94,101 fine
+        True, False,         # unit 2 (wm 91): ts 30 late; 200 fine
+        True,                # unit 3 (wm 190): ts 150 late
+    ]
+
+    rep = (streaming.late_report(ds, "ts", "u", lateness_sec=10.0)
+           .to_pandas().sort_values("u"))
+    assert list(rep.n_late) == [0, 1, 1, 1]
+    assert list(rep.n_rows) == [2, 3, 2, 1]
