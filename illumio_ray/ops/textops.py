@@ -856,34 +856,42 @@ def pack_sequences(ds: rd.Dataset, budget: int,
     The FFD loop is per-row Python by nature (each placement depends on
     every earlier one) — it is a packing algorithm, not a row transform;
     cost is O(n·open_bins) per block on integer arrays."""
-    def fn(t: pa.Table) -> pa.Table:
-        ids = t[id_col].to_pylist()
-        toks = t[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((np.asarray(ids, dtype=object), -toks))
-        bins: list[list[int]] = []   # row indexes per bin
-        loads: list[int] = []
-        for i in order:
-            need = int(toks[i])
-            for b, load in enumerate(loads):
-                if load + need <= budget:
-                    bins[b].append(i)
-                    loads[b] += need
-                    break
-            else:
-                bins.append([i])
-                loads.append(need)
-        out_id, out_bin, out_tok = [], [], []
-        for rows in bins:
-            tag = str(min(ids[i] for i in rows))
-            for i in rows:
-                out_id.append(ids[i])
-                out_bin.append(tag)
-                out_tok.append(int(toks[i]))
-        return pa.table({id_col: pa.array(out_id, t[id_col].type),
-                         "bin_id": pa.array(out_bin, pa.string()),
-                         "n_tokens": pa.array(out_tok, pa.int64())})
+    return ds.map_batches(
+        lambda t: pack_table(t, budget, token_col, id_col),
+        batch_format="pyarrow", zero_copy_batch=True)
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+def pack_table(t: pa.Table, budget: int, token_col: str = "n_tokens",
+               id_col: str = "doc_id") -> pa.Table:
+    """The FFD packing kernel over one in-memory table (the per-block
+    body of ``pack_sequences``, also driven directly by the corpus-export
+    shard tasks). Bin tags are min-id-in-bin: unique ids ⇒ bins packed in
+    separate chunks can never collide."""
+    ids = t[id_col].to_pylist()
+    toks = t[token_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((np.asarray(ids, dtype=object), -toks))
+    bins: list[list[int]] = []   # row indexes per bin
+    loads: list[int] = []
+    for i in order:
+        need = int(toks[i])
+        for b, load in enumerate(loads):
+            if load + need <= budget:
+                bins[b].append(i)
+                loads[b] += need
+                break
+        else:
+            bins.append([i])
+            loads.append(need)
+    out_id, out_bin, out_tok = [], [], []
+    for rows in bins:
+        tag = str(min(ids[i] for i in rows))
+        for i in rows:
+            out_id.append(ids[i])
+            out_bin.append(tag)
+            out_tok.append(int(toks[i]))
+    return pa.table({id_col: pa.array(out_id, t[id_col].type),
+                     "bin_id": pa.array(out_bin, pa.string()),
+                     "n_tokens": pa.array(out_tok, pa.int64())})
 
 
 # ---------------------------------------------------------------------------

@@ -5221,6 +5221,37 @@ def embedding_stats_from_avro(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("corpus_export_shards", None)
+def corpus_export_shards(sf_dir: str):
+    """Corpus export capstone (pipelines/export.py): documents + token
+    counts → stable_hash64 shard assignment (deterministic global
+    shuffle) → staged hive write → per-shard Ray task (hash-order, FFD
+    packing in bounded chunks, content-addressed shard file + sidecar)
+    → manifest commit. Rows-only: the shard split is stable_hash64,
+    not SQL-expressible; the unit suite asserts exactly-once membership
+    across shards, per-bin budget bounds, and crash-resume."""
+    import shutil
+    import tempfile
+
+    from ..ops.textops import add_token_counts
+    from .export import export_training_shards
+
+    docs = add_token_counts(
+        read_table(sf_dir, "documents", columns=["doc_id", "text"]))
+    out = Path(tempfile.mkdtemp(prefix="illumio_export_"))
+    try:
+        stats = export_training_shards(docs, out, num_shards=4,
+                                       pack_budget=512)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return pa.table({
+        "shard": pa.array([s["shard"] for s in stats], pa.int64()),
+        "n_docs": pa.array([s["n_docs"] for s in stats], pa.int64()),
+        "n_tokens": pa.array([s["n_tokens"] for s in stats], pa.int64()),
+        "n_bins": pa.array([s["n_bins"] for s in stats], pa.int64()),
+    })
+
+
 @register("events_late_by_batch", """
 WITH b AS (
   SELECT event_id, ts,

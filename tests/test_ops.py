@@ -2807,3 +2807,58 @@ def test_watermark_late_rows_and_report():
            .to_pandas().sort_values("u"))
     assert list(rep.n_late) == [0, 1, 1, 1]
     assert list(rep.n_rows) == [2, 3, 2, 1]
+
+
+def test_export_training_shards_exactly_once_and_resume(tmp_path):
+    """Corpus export: every doc lands in exactly one shard file, every
+    bin respects the token budget, the manifest is the commit point,
+    and a crash after staging re-runs only the missing shards."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from illumio_ray.pipelines.export import export_training_shards
+
+    n = 200
+    rng = np.random.RandomState(7)
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array([f"doc {i}" for i in range(n)]),
+        "n_tokens": pa.array(rng.randint(1, 90, n).astype(np.int64)),
+    })
+    out = tmp_path / "export"
+    stats = export_training_shards(rd.from_arrow(docs), out,
+                                   num_shards=3, pack_budget=128)
+    assert [s["shard"] for s in stats] == [0, 1, 2]
+    assert sum(s["n_docs"] for s in stats) == n
+
+    seen: list[int] = []
+    for s in stats:
+        t = pq.read_table(out / f"shard-{s['shard']:05d}.parquet")
+        assert t.num_rows == s["n_docs"]
+        seen.extend(t["doc_id"].to_pylist())
+        df = t.to_pandas()
+        bin_sums = df.groupby("bin_id").n_tokens.sum()
+        assert (bin_sums <= 128).all()
+        assert len(bin_sums) == s["n_bins"]
+        assert int(df.n_tokens.sum()) == s["n_tokens"]
+    assert sorted(seen) == list(range(n))  # exactly once across shards
+
+    # completed export: second call is a manifest no-op
+    again = export_training_shards(rd.from_arrow(docs), out,
+                                   num_shards=3, pack_budget=128)
+    assert again == stats
+
+    # crash simulation: staging committed, shard 1 not — resume rebuilds
+    # ONLY shard 1 (other shard files untouched)
+    (out / "_manifest.json").unlink()
+    (out / "shard-00001.json").unlink()
+    (out / "shard-00001.parquet").unlink()
+    mtime0 = (out / "shard-00000.parquet").stat().st_mtime_ns
+    resumed = export_training_shards(rd.from_arrow(docs), out,
+                                     num_shards=3, pack_budget=128)
+    assert resumed == stats
+    assert (out / "shard-00001.parquet").exists()
+    assert (out / "shard-00000.parquet").stat().st_mtime_ns == mtime0
+    assert json.loads((out / "_manifest.json").read_text())[
+        "shards"] == stats
