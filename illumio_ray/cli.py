@@ -280,6 +280,25 @@ def cmd_curate(args) -> int:
     return 0
 
 
+def cmd_export(args) -> int:
+    import ray
+
+    owns_session = not ray.is_initialized()
+    _ray_init()
+    import ray.data as rd
+
+    from .pipelines.export import export_training_shards
+
+    docs = rd.read_parquet(args.docs)
+    stats = export_training_shards(docs, args.out,
+                                   num_shards=args.num_shards,
+                                   pack_budget=args.pack_budget)
+    print(json.dumps({"out": str(args.out), "shards": stats}, indent=1))
+    if owns_session:
+        ray.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="illumio_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -373,6 +392,17 @@ def main(argv=None) -> int:
                     help="ExactSubstr-style stride-1 duplicated-span "
                     "removal on the kept docs (keep-first, merged spans)")
     cp.set_defaults(fn=cmd_curate)
+
+    xp = sub.add_parser("export", help="corpus export: shuffled, packed "
+                        "training shards + manifest (resumable)")
+    xp.add_argument("--docs", required=True,
+                    help="kept-docs parquet (needs doc_id + n_tokens, "
+                    "e.g. a curate run's kept/ dir)")
+    xp.add_argument("--out", required=True)
+    xp.add_argument("--num-shards", type=int, default=16)
+    xp.add_argument("--pack-budget", type=int, default=2048,
+                    help="max tokens per packed training sequence")
+    xp.set_defaults(fn=cmd_export)
 
     args = ap.parse_args(argv)
     return args.fn(args)

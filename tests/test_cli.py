@@ -207,3 +207,29 @@ def test_run_cli_writes_run_log(tmp_path):
               if not isinstance(h, logging.NullHandler)]:
         lg.removeHandler(h)
         h.close()
+
+
+def test_export_cli_shards_and_manifest(tmp_path, capsys):
+    """`export` subcommand: packed shard files + manifest from a kept-docs
+    parquet; stats JSON printed."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+        "text": pa.array([f"d{i}" for i in range(120)]),
+        "n_tokens": pa.array((np.arange(120) % 60 + 1).astype(np.int64)),
+    })
+    src = tmp_path / "kept.parquet"
+    pq.write_table(docs, str(src))
+    out = tmp_path / "shards"
+    assert main(["export", "--docs", str(src), "--out", str(out),
+                 "--num-shards", "2", "--pack-budget", "64"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert sum(s["n_docs"] for s in rep["shards"]) == 120
+    assert (out / "_manifest.json").exists()
+    got = pads.dataset(
+        [str(out / f"shard-{i:05d}.parquet") for i in range(2)]
+    ).to_table()
+    assert sorted(got["doc_id"].to_pylist()) == list(range(120))
