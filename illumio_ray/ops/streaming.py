@@ -44,6 +44,8 @@ def _unit_watermarks(ds: rd.Dataset, ts_col: str, unit_col: str,
         .astype(np.int64)
     order = np.argsort(units, kind="stable")
     units, mxs = units[order], mxs[order]
+    if len(units) == 0:  # empty input: nothing to flag
+        return units, np.empty(0, np.int64)
     prefix = np.maximum.accumulate(mxs)
     wm = np.empty(len(units), np.int64)
     wm[0] = np.iinfo(np.int64).min
@@ -63,6 +65,9 @@ def flag_late_rows(ds: rd.Dataset, ts_col: str, unit_col: str,
                                  int(lateness_sec * 1_000_000))
 
     def fn(t: pa.Table) -> pa.Table:
+        if len(units) == 0:
+            return t.append_column(
+                out_col, pa.array(np.zeros(t.num_rows, bool)))
         u = t[unit_col].to_numpy(zero_copy_only=False)
         idx = np.searchsorted(units, u)
         ts = t[ts_col].to_numpy(zero_copy_only=False) \
