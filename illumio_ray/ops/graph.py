@@ -198,6 +198,10 @@ def _pagerank_broadcast(e: rd.Dataset, deg: rd.Dataset,
         def partial(t: pa.Table, _nr=node_ref, _wr=w_ref) -> pa.Table:
             na = _BROADCAST_CACHE.get(_nr)
             if na is None:
+                # one-entry bound, same contract as relational.py's
+                # broadcast helpers — without the clear, each pagerank
+                # call leaks one node array per worker process
+                _BROADCAST_CACHE.clear()
                 na = ray.get(_nr)
                 _BROADCAST_CACHE[_nr] = na
             wv = ray.get(_wr)  # new per round; tiny (n_nodes floats)
@@ -206,7 +210,9 @@ def _pagerank_broadcast(e: rd.Dataset, deg: rd.Dataset,
             loc = pa.table({"dst": t["dst"],
                             "w": pa.array(wv[si])})
             g = loc.group_by(["dst"]).aggregate([("w", "sum")])
-            return g.rename_columns(["dst", "csum"])
+            # select by NAME: pyarrow has shifted key/aggregate column
+            # order across versions (why grouped_agg does the same)
+            return pa.table({"dst": g["dst"], "csum": g["w_sum"]})
 
         c = np.zeros(n_nodes, np.float64)
         parts = e.map_batches(partial, batch_format="pyarrow",

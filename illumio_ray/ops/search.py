@@ -77,16 +77,24 @@ def search_terms(layout_dir: str | Path, terms: list[str],
     into; the intersection is a count-distinct-terms-per-doc over the
     fetched posting rows (≪ corpus — bounded by the probed terms'
     document frequency)."""
+    import re
+
     meta = json.loads((Path(layout_dir) / "_meta.json").read_text())
     if meta["scheme"] != _TOKEN_SCHEME:
         raise ValueError(
             f"layout scheme {meta['scheme']!r} != reader {_TOKEN_SCHEME!r}"
             " — rebuild the index")
-    terms = sorted(set(terms))
-    hits = bucketed_lookup(layout_dir, "term", terms, meta["num_buckets"],
-                           columns=["term", "doc_id"])
     if mode not in ("and", "or"):
         raise ValueError(f"unknown search mode: {mode}")
+    # probes go through the SAME pinned tokenization as the index —
+    # a raw "GDPR" / "foo-bar" probe would hash to a term that cannot
+    # exist in the layout and silently return nothing
+    terms = sorted({t for raw in terms
+                    for t in re.split(r"[^a-z0-9]+", str(raw).lower()) if t})
+    if not terms:
+        return pa.table({"doc_id": pa.array([], pa.int64())})
+    hits = bucketed_lookup(layout_dir, "term", terms, meta["num_buckets"],
+                           columns=["term", "doc_id"])
     per_doc = grouped_agg(hits, ["doc_id"],
                           [("term", "count", "__c")], mode="bucket")
     out = []

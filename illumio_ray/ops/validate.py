@@ -37,9 +37,11 @@ from .relational import filter_batches, grouped_agg
 class Rule:
     """One expectation over one column. ``kind`` ∈ not_null | range |
     enum | regex; params is kind-specific (range: lo/hi inclusive,
-    either may be None; enum: allowed values; regex: full-match
-    pattern). A row VIOLATES the rule when the check fails; nulls only
-    violate not_null (SQL semantics: a null never fails a value check)."""
+    either may be None; enum: allowed values; regex: SEARCH-semantics
+    pattern — it matches anywhere in the value, like DuckDB's
+    regexp_matches; anchor with ^…$ for a full match). A row VIOLATES
+    the rule when the check fails; nulls only violate not_null (SQL
+    semantics: a null never fails a value check)."""
     name: str
     column: str
     kind: str

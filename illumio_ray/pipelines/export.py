@@ -105,13 +105,21 @@ def export_training_shards(kept: rd.Dataset, out_dir: str | Path,
 
     staging = out / "staging"
     staged_marker = staging / _STAGED
+    # staging is only reusable for the SAME shard split: a resume with a
+    # different num_shards must restage (and drop all shard artifacts)
+    if staged_marker.exists() and staged_marker.read_text() != str(num_shards):
+        staged_marker.unlink()
     if not staged_marker.exists():
         import shutil
         shutil.rmtree(staging, ignore_errors=True)
-        # drop any sidecars from a staging-era crash: shard membership
-        # is only trustworthy once staging is marker-committed
-        for p in out.glob("shard-*.json"):
-            p.unlink()
+        # drop every shard artifact from a staging-era crash (a re-run
+        # may use different num_shards — stale shard files beside the
+        # new manifest would feed consumers duplicated docs); shard
+        # membership is only trustworthy once staging is marker-committed
+        for pat in ("shard-*.json", "shard-*.parquet",
+                    ".shard-*.tmp"):
+            for p in out.glob(pat):
+                p.unlink()
 
         def assign(t: pa.Table) -> pa.Table:
             s = (stable_hash64(t[id_col]) % np.uint64(num_shards)) \
@@ -121,7 +129,7 @@ def export_training_shards(kept: rd.Dataset, out_dir: str | Path,
         kept.map_batches(assign, batch_format="pyarrow",
                          zero_copy_batch=True) \
             .write_parquet(str(staging), partition_cols=["__shard"])
-        staged_marker.write_text("ok")
+        staged_marker.write_text(str(num_shards))
 
     refs = [_pack_shard.remote(str(staging), str(out), s, pack_budget,
                                id_col, token_col)

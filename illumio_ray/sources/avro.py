@@ -309,12 +309,21 @@ class _Fwd:
         self._pos = 0
 
     def _fill(self, n: int) -> None:
-        while len(self._buf) - self._pos < n:
+        if len(self._buf) - self._pos >= n:
+            return
+        # gather chunks and join ONCE: growing bytes by `buf + chunk`
+        # per 1 MiB refill re-copies the accumulated prefix every
+        # iteration — O(block²) memcpy on tens-of-MB blocks
+        parts = [self._buf[self._pos:]]
+        have = len(parts[0])
+        while have < n:
             chunk = self._f.read(self._CHUNK)
             if not chunk:
-                return
-            self._buf = self._buf[self._pos:] + chunk
-            self._pos = 0
+                break
+            parts.append(chunk)
+            have += len(chunk)
+        self._buf = b"".join(parts)
+        self._pos = 0
 
     def read_exact(self, n: int) -> bytes:
         self._fill(n)
@@ -343,6 +352,16 @@ class _Fwd:
                 return (acc >> 1) ^ -(acc & 1)
             shift += 7
 
+    def read_long_req(self) -> int:
+        """read_long, but EOF is a format error (use at positions where
+        the spec guarantees a value follows — a None returned into e.g.
+        read_exact(None) would surface as a TypeError, not the reader's
+        'truncated' contract)."""
+        v = self.read_long()
+        if v is None:
+            raise ValueError("truncated Avro file")
+        return v
+
 
 class AvroDatasource(FileBasedDatasource):
     """Streams an Avro OCF block-by-block into Arrow tables."""
@@ -367,10 +386,10 @@ class AvroDatasource(FileBasedDatasource):
                 break
             if n < 0:  # spec: negative count means byte-size follows
                 n = -n
-                r.read_long()
+                r.read_long_req()
             for _ in range(n):
-                k = r.read_exact(r.read_long())
-                v = r.read_exact(r.read_long())
+                k = r.read_exact(r.read_long_req())
+                v = r.read_exact(r.read_long_req())
                 meta[k.decode()] = v
         sync = r.read_exact(16)
 
@@ -387,7 +406,7 @@ class AvroDatasource(FileBasedDatasource):
             n_rows = r.read_long()
             if n_rows is None:  # clean EOF after a sync marker
                 return
-            size = r.read_long()
+            size = r.read_long_req()
             payload = r.read_exact(size)
             if r.read_exact(16) != sync:
                 raise ValueError(f"sync marker mismatch in {path}")

@@ -2743,19 +2743,26 @@ def test_term_index_search_and_or(tmp_path):
     search.build_term_index(ds, "doc_id", "text", layout, num_buckets=8)
 
     def brute(terms, mode):
+        import re
+
         toks = {d: set(t.lower().replace("!", " ").split())
                 for d, t in docs.items()}
+        canon = {c for t in terms
+                 for c in re.split(r"[^a-z0-9]+", t.lower()) if c}
         if mode == "and":
             return sorted(d for d, s in toks.items()
-                          if all(x in s for x in terms))
+                          if all(x in s for x in canon))
         return sorted(d for d, s in toks.items()
-                      if any(x in s for x in terms))
+                      if any(x in s for x in canon))
 
     for terms, mode in [(["apple", "banana"], "and"),
                         (["apple", "banana"], "or"),
                         (["cherry"], "and"),
                         (["durian", "apple"], "and"),
                         (["missing"], "and"),
+                        # probes are canonicalized with the index's
+                        # tokenization: "Apple!" == "apple"
+                        (["Apple!"], "and"),
                         # duplicate probe terms must not break the
                         # count==len(terms) intersection
                         (["apple", "apple", "banana"], "and")]:
