@@ -1491,6 +1491,23 @@ def embedding_ann_lsh(sf_dir: str):
     return similarity.lsh_topk(ds, _query_vec(sf_dir), 10)
 
 
+@register("embedding_topk_pq", None)  # approximate → rows-only
+def embedding_topk_pq(sf_dir: str):
+    """Product-quantized ANN (similarity.PQCodec): 64-dim float32
+    vectors → 8 uint8 codes (32× RAM compression — the property that
+    lets a 10^12-vector index fit cluster memory), queries scored by
+    ADC lookup-table sums over the codes without decoding. Approximate
+    → rows-only; recall@10 vs brute force is pinned by
+    tests/test_ops.py::test_pq_topk_recall_and_compression."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    sample = similarity.vecs_from_arrow(
+        pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
+                      columns=["embedding"])["embedding"].combine_chunks())
+    codec = similarity.PQCodec(sample, m=8, k=64)
+    codes = similarity.add_pq_codes(ds, codec)
+    return similarity.pq_topk_codes(codes, codec, _query_vec(sf_dir), 10)
+
+
 @register("embedding_ann_ivf", None)  # approximate → rows-only
 def embedding_ann_ivf(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])

@@ -2869,3 +2869,37 @@ def test_export_training_shards_exactly_once_and_resume(tmp_path):
     assert (out / "shard-00000.parquet").stat().st_mtime_ns == mtime0
     assert json.loads((out / "_manifest.json").read_text())[
         "shards"] == stats
+
+
+def test_pq_topk_recall_and_compression():
+    """Product quantization: 32x-compressed codes + ADC scoring recover
+    most of the exact top-k on clustered data; codes are m uint8."""
+    rng = np.random.default_rng(11)
+    q = rng.standard_normal(32)
+    near = q[None, :] + 0.05 * rng.standard_normal((10, 32))
+    far = rng.standard_normal((300, 32)) * 3
+    vecs = np.vstack([near, far])
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    ds = rd.from_pandas(df)
+
+    codec = similarity.PQCodec(vecs, m=8, k=64)
+    assert codec.codebooks.shape == (8, 64, 4)
+    codes = similarity.add_pq_codes(ds, codec).materialize()
+    sch = codes.schema()
+    base = getattr(sch, "base_schema", sch)
+    assert base.field("pq_code").type == pa.list_(pa.uint8(), 8)  # 8 B/vec
+
+    exact = set(similarity.brute_force_topk(ds, q, 10).to_pandas().vec_id)
+    approx = set(similarity.pq_topk_codes(codes, codec, q, 10)
+                 .to_pandas().vec_id)
+    assert exact == set(range(10))
+    recall = len(exact & approx) / 10
+    assert recall >= 0.7, f"PQ recall too low: {recall}"
+
+    # ADC score equals the reconstructed-vector inner product
+    lut = codec.lut(q)
+    c0 = codec.encode(vecs[:1])[0]
+    recon = np.concatenate([codec.codebooks[j, c0[j]] for j in range(8)])
+    qn = q / np.linalg.norm(q)
+    assert abs(lut[np.arange(8), c0].sum() - recon @ qn) < 1e-9
