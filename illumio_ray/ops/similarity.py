@@ -586,3 +586,67 @@ def pq_topk_codes(codes: rd.Dataset, codec: PQCodec,
                                zero_copy_batch=True)
     return scored.sort(["score", id_col],
                        descending=[True, False]).limit(k)
+
+
+def ivfpq_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
+               n_cells: int = 16, nprobe: int = 4, m: int = 8,
+               pq_k: int = 64, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               train_sample_rows: int = 4096) -> rd.Dataset:
+    """IVF+PQ — the standard web-scale index layout: an IVF coarse
+    quantizer prunes to ``nprobe`` cells (at scale: partition-pruned
+    reads of a cell-partitioned CODE layout), then ADC over uint8 PQ
+    codes scores only the surviving rows. Corpus float vectors are
+    touched exactly once (encode); queries read m bytes/vector from
+    ≈ nprobe/n_cells of the corpus. Both quantizers train driver-side
+    on one bounded sample. Approximate twice over (cell pruning × PQ
+    distortion) — recall pinned by the unit test."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+
+    sample = ds.limit(train_sample_rows).take_batch(
+        train_sample_rows, batch_format="pyarrow")
+    svecs = vecs_from_arrow(sample[vec_col])
+    index = IVFIndex(svecs, n_cells=n_cells)
+    codec = PQCodec(svecs, m=m, k=pq_k)
+    probes = index.probe_cells(q, nprobe)
+    iref, cref, lref = ray.put(index), ray.put(codec), ray.put(codec.lut(q))
+
+    def encode_probed(t: pa.Table) -> pa.Table:
+        """Filter to probed cells and replace floats with codes — the
+        one pass that reads vectors (≙ the build step of a persisted
+        IVFPQ layout)."""
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col],
+                             "pq_code": pa.array([], pa.list_(pa.uint8(), m))})
+        idx, cdc = ray.get(iref), ray.get(cref)
+        v = _normalize(vecs_from_arrow(t[vec_col]))
+        mask = np.isin(idx.assign(v), probes)
+        codes = cdc.encode(v[mask])
+        ids = t[id_col].combine_chunks().filter(pa.array(mask))
+        return pa.table({
+            id_col: ids,
+            "pq_code": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), m),
+        })
+
+    def adc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col],
+                             "score": pa.array([], pa.float64())})
+        lut = ray.get(lref)
+        c = t["pq_code"].combine_chunks()
+        arr = c.values.to_numpy(zero_copy_only=False).reshape(len(c), m)
+        sims = round_np(lut[np.arange(m)[None, :], arr].sum(axis=1), 6)
+        ids = t[id_col].combine_chunks()
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False),
+                            -sims))[:k]
+        i = pa.array(order, pa.int64())
+        return pa.table({id_col: ids.take(i),
+                         "score": pa.array(sims[order], pa.float64())})
+
+    scored = ds.map_batches(encode_probed, batch_format="pyarrow",
+                            zero_copy_batch=True) \
+        .map_batches(adc, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["score", id_col],
+                       descending=[True, False]).limit(k)

@@ -1508,6 +1508,17 @@ def embedding_topk_pq(sf_dir: str):
     return similarity.pq_topk_codes(codes, codec, _query_vec(sf_dir), 10)
 
 
+@register("embedding_topk_ivfpq", None)  # approximate → rows-only
+def embedding_topk_ivfpq(sf_dir: str):
+    """IVF+PQ combined (the standard web-scale vector-index layout):
+    coarse cells prune the scan to nprobe/n_cells of the corpus, ADC
+    over uint8 codes scores the survivors — queries read m bytes per
+    candidate vector. Recall pinned by test_ivfpq_topk_recall."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.ivfpq_topk(ds, _query_vec(sf_dir), 10,
+                                 n_cells=16, nprobe=6, m=8, pq_k=64)
+
+
 @register("embedding_ann_ivf", None)  # approximate → rows-only
 def embedding_ann_ivf(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])

@@ -2903,3 +2903,22 @@ def test_pq_topk_recall_and_compression():
     recon = np.concatenate([codec.codebooks[j, c0[j]] for j in range(8)])
     qn = q / np.linalg.norm(q)
     assert abs(lut[np.arange(8), c0].sum() - recon @ qn) < 1e-9
+
+
+def test_ivfpq_topk_recall():
+    """IVF cell pruning + PQ ADC combined still recovers the clustered
+    neighbors (approximate twice over)."""
+    rng = np.random.default_rng(23)
+    q = rng.standard_normal(32)
+    near = q[None, :] + 0.05 * rng.standard_normal((10, 32))
+    far = rng.standard_normal((400, 32)) * 3
+    vecs = np.vstack([near, far])
+    df = pd.DataFrame({"vec_id": range(len(vecs)),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    ds = rd.from_pandas(df)
+    exact = set(similarity.brute_force_topk(ds, q, 10).to_pandas().vec_id)
+    approx = set(similarity.ivfpq_topk(ds, q, 10, n_cells=8, nprobe=3,
+                                       m=8, pq_k=32).to_pandas().vec_id)
+    assert exact == set(range(10))
+    recall = len(exact & approx) / 10
+    assert recall >= 0.7, f"IVFPQ recall too low: {recall}"
