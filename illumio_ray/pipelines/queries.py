@@ -5327,6 +5327,62 @@ def events_late_by_batch(sf_dir: str):
     return streaming.late_report(withb, "ts", "batch", lateness_sec=60.0)
 
 
+@register("events_hourly_ontime", """
+WITH b AS (
+  SELECT event_id, ts,
+         event_id // 100
+           + CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS batch
+  FROM events
+), mx AS (
+  SELECT batch, max(ts) AS mts FROM b GROUP BY 1
+), wm AS (
+  SELECT batch,
+         max(mts) OVER (ORDER BY batch
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 1 MINUTE AS wmark
+  FROM mx
+)
+SELECT date_trunc('hour', b.ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_ontime
+FROM b JOIN wm USING (batch)
+WHERE wm.wmark IS NULL OR b.ts >= wm.wmark
+GROUP BY 1
+""")
+def events_hourly_ontime(sf_dir: str):
+    """The windowed aggregate a streaming engine emits from watermarked
+    input: hourly counts over ON-TIME rows only (late arrivals go to the
+    late_report dead-letter side, not the window results). Composition:
+    flag_late_rows (broadcast searchsorted, no shuffle) → vectorized
+    filter → hourly grouped count (bounded key space → driver combine)."""
+    from ..ops import streaming
+
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def add_batch(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        b = eid // 100 + (eid % 13 == 0)
+        return pa.table({"batch": pa.array(b.astype(np.int64)),
+                         "ts": t["ts"]})
+
+    withb = ev.map_batches(add_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    flagged = streaming.flag_late_rows(withb, "ts", "batch",
+                                       lateness_sec=60.0)
+    ontime = rel.filter_batches(flagged,
+                                lambda t: pc.invert(t["is_late"]))
+
+    def hour_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "hour": pc.floor_temporal(t["ts"], unit="hour"),
+            "__n": pa.array(np.ones(t.num_rows, np.int64)),
+        })
+
+    return rel.grouped_agg(
+        ontime.map_batches(hour_rows, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["hour"], [("__n", "sum", "n_ontime")], mode="driver")
+
+
 @register("docs_search_and", """
 WITH tok AS (
   SELECT DISTINCT doc_id,
@@ -5797,6 +5853,7 @@ _DRIVER_FIRST = [
     "embedding_stats_from_avro", "docs_search_and",
     "events_validation_report", "events_quarantine",
     "events_unique_key_check", "events_late_by_batch",
+    "events_hourly_ontime",
 ]
 
 
