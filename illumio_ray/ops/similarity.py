@@ -497,6 +497,10 @@ class PQCodec:
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         self.m, self.dsub = m, dim // m
+        if k > 256:
+            # codes are uint8 — a larger codebook would silently wrap
+            # argmin indices and corrupt every code
+            raise ValueError(f"k={k} exceeds uint8 code range (max 256)")
         self.k = min(k, n)
         rng = np.random.default_rng(seed)
         self.codebooks = np.empty((m, self.k, self.dsub))
@@ -543,13 +547,19 @@ def add_pq_codes(ds: rd.Dataset, codec: PQCodec,
     compressed index rows (what you'd write once and scan forever)."""
     ref = ray.put(codec)
 
+    m = codec.m
+
     def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                id_col: t[id_col],
+                "pq_code": pa.array([], pa.list_(pa.uint8(), m))})
         codec_ = ray.get(ref)
         codes = codec_.encode(vecs_from_arrow(t[vec_col]))
         return pa.table({
             id_col: t[id_col],
             "pq_code": pa.FixedSizeListArray.from_arrays(
-                pa.array(codes.ravel(), pa.uint8()), codec_.m),
+                pa.array(codes.ravel(), pa.uint8()), m),
         })
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -564,6 +574,9 @@ def pq_topk_codes(codes: rd.Dataset, codec: PQCodec,
     shape/tie-break as brute_force_topk."""
     lut = codec.lut(query_vec)
     ref = ray.put(lut)
+    m = codec.m  # capture the int, NOT the codec — the closure would
+    # otherwise ship the full codebooks into every task spec, defeating
+    # the ray.put of the (much smaller) LUT
 
     def score(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -572,9 +585,9 @@ def pq_topk_codes(codes: rd.Dataset, codec: PQCodec,
         lut_ = ray.get(ref)
         c = t["pq_code"].combine_chunks()
         arr = c.values.to_numpy(zero_copy_only=False) \
-            .reshape(len(c), codec.m)
+            .reshape(len(c), m)
         sims = round_np(
-            lut_[np.arange(codec.m)[None, :], arr].sum(axis=1), 6)
+            lut_[np.arange(m)[None, :], arr].sum(axis=1), 6)
         ids = t[id_col].combine_chunks()
         order = np.lexsort((ids.to_numpy(zero_copy_only=False),
                             -sims))[:k]
@@ -610,7 +623,7 @@ def ivfpq_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
     index = IVFIndex(svecs, n_cells=n_cells)
     codec = PQCodec(svecs, m=m, k=pq_k)
     probes = index.probe_cells(q, nprobe)
-    iref, cref, lref = ray.put(index), ray.put(codec), ray.put(codec.lut(q))
+    iref, cref = ray.put(index), ray.put(codec)
 
     def encode_probed(t: pa.Table) -> pa.Table:
         """Filter to probed cells and replace floats with codes — the
@@ -630,23 +643,8 @@ def ivfpq_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
                 pa.array(codes.ravel(), pa.uint8()), m),
         })
 
-    def adc(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return pa.table({id_col: t[id_col],
-                             "score": pa.array([], pa.float64())})
-        lut = ray.get(lref)
-        c = t["pq_code"].combine_chunks()
-        arr = c.values.to_numpy(zero_copy_only=False).reshape(len(c), m)
-        sims = round_np(lut[np.arange(m)[None, :], arr].sum(axis=1), 6)
-        ids = t[id_col].combine_chunks()
-        order = np.lexsort((ids.to_numpy(zero_copy_only=False),
-                            -sims))[:k]
-        i = pa.array(order, pa.int64())
-        return pa.table({id_col: ids.take(i),
-                         "score": pa.array(sims[order], pa.float64())})
-
-    scored = ds.map_batches(encode_probed, batch_format="pyarrow",
-                            zero_copy_batch=True) \
-        .map_batches(adc, batch_format="pyarrow", zero_copy_batch=True)
-    return scored.sort(["score", id_col],
-                       descending=[True, False]).limit(k)
+    cand = ds.map_batches(encode_probed, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    # ADC scoring + local-top-k + global reduce is exactly the PQ query
+    # path — one implementation, shared tie-break and rounding
+    return pq_topk_codes(cand, codec, query_vec, k, id_col)

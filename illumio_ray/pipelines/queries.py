@@ -1500,9 +1500,11 @@ def embedding_topk_pq(sf_dir: str):
     → rows-only; recall@10 vs brute force is pinned by
     tests/test_ops.py::test_pq_topk_recall_and_compression."""
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # bounded training sample (same cap as the IVF family) — the codec
+    # must never pull the full corpus to the driver
     sample = similarity.vecs_from_arrow(
-        pq.read_table(str(Path(sf_dir) / "embeddings.parquet"),
-                      columns=["embedding"])["embedding"].combine_chunks())
+        ds.limit(4096).take_batch(4096, batch_format="pyarrow")
+        ["embedding"])
     codec = similarity.PQCodec(sample, m=8, k=64)
     codes = similarity.add_pq_codes(ds, codec)
     return similarity.pq_topk_codes(codes, codec, _query_vec(sf_dir), 10)
@@ -5280,7 +5282,11 @@ def corpus_export_shards(sf_dir: str):
     })
 
 
-@register("events_late_by_batch", """
+# Shared across the watermark family: the synthetic arrival-batch
+# formula (event_id//100, every 13th event demoted one poll) is a
+# cross-side contract between the Ray helper and BOTH SQL oracles —
+# keep it in exactly one place per side.
+_EVENTS_BATCH_WM_CTE = """
 WITH b AS (
   SELECT event_id, ts,
          event_id // 100
@@ -5295,7 +5301,24 @@ WITH b AS (
            - INTERVAL 1 MINUTE AS wmark
   FROM mx
 )
-SELECT b.batch,
+"""
+
+
+def _events_with_arrival_batch(sf_dir: str) -> rd.Dataset:
+    """(batch, ts) with the deterministic arrival-batch assignment."""
+    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
+
+    def add_batch(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        b = eid // 100 + (eid % 13 == 0)
+        return pa.table({"batch": pa.array(b.astype(np.int64)),
+                         "ts": t["ts"]})
+
+    return ev.map_batches(add_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@register("events_late_by_batch", _EVENTS_BATCH_WM_CTE + """SELECT b.batch,
        CAST(count(*) FILTER (WHERE b.ts < wm.wmark) AS BIGINT) AS n_late,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM b JOIN wm USING (batch) GROUP BY 1
@@ -5314,34 +5337,11 @@ def events_late_by_batch(sf_dir: str):
     at any tier (pinned-oracle caveat, same as edit_distance_pairs)."""
     from ..ops import streaming
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
-
-    def add_batch(t: pa.Table) -> pa.Table:
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
-        b = eid // 100 + (eid % 13 == 0)
-        return pa.table({"batch": pa.array(b.astype(np.int64)),
-                         "ts": t["ts"]})
-
-    withb = ev.map_batches(add_batch, batch_format="pyarrow",
-                           zero_copy_batch=True)
+    withb = _events_with_arrival_batch(sf_dir)
     return streaming.late_report(withb, "ts", "batch", lateness_sec=60.0)
 
 
-@register("events_hourly_ontime", """
-WITH b AS (
-  SELECT event_id, ts,
-         event_id // 100
-           + CASE WHEN event_id % 13 = 0 THEN 1 ELSE 0 END AS batch
-  FROM events
-), mx AS (
-  SELECT batch, max(ts) AS mts FROM b GROUP BY 1
-), wm AS (
-  SELECT batch,
-         max(mts) OVER (ORDER BY batch
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-           - INTERVAL 1 MINUTE AS wmark
-  FROM mx
-)
+@register("events_hourly_ontime", _EVENTS_BATCH_WM_CTE + """
 SELECT date_trunc('hour', b.ts) AS hour,
        CAST(count(*) AS BIGINT) AS n_ontime
 FROM b JOIN wm USING (batch)
@@ -5356,17 +5356,8 @@ def events_hourly_ontime(sf_dir: str):
     filter → hourly grouped count (bounded key space → driver combine)."""
     from ..ops import streaming
 
-    ev = read_table(sf_dir, "events", columns=["event_id", "ts"])
-
-    def add_batch(t: pa.Table) -> pa.Table:
-        eid = t["event_id"].to_numpy(zero_copy_only=False)
-        b = eid // 100 + (eid % 13 == 0)
-        return pa.table({"batch": pa.array(b.astype(np.int64)),
-                         "ts": t["ts"]})
-
-    withb = ev.map_batches(add_batch, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    flagged = streaming.flag_late_rows(withb, "ts", "batch",
+    flagged = streaming.flag_late_rows(_events_with_arrival_batch(sf_dir),
+                                       "ts", "batch",
                                        lateness_sec=60.0)
     ontime = rel.filter_batches(flagged,
                                 lambda t: pc.invert(t["is_late"]))
