@@ -5374,6 +5374,27 @@ def events_hourly_ontime(sf_dir: str):
         ["hour"], [("__n", "sum", "n_ontime")], mode="driver")
 
 
+def _term_index_for(sf_dir: str) -> Path:
+    """Build (or reuse, marker-keyed per tier + token scheme) the
+    persisted term index over the documents table."""
+    from ..ops import search
+
+    src = Path(sf_dir) / "documents.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path("/tmp/illumio_ray_testdata/"
+                 f"termidx_{Path(sf_dir).name}_{n_rows}_"
+                 f"{search._TOKEN_SCHEME}")
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+        search.build_term_index(docs, "doc_id", "text", cache,
+                                num_buckets=32)
+        marker.write_text("ok")
+    return cache
+
+
 @register("docs_search_and", """
 WITH tok AS (
   SELECT DISTINCT doc_id,
@@ -5392,21 +5413,65 @@ def docs_search_and(sf_dir: str):
     count-distinct-terms-per-doc == #terms over the fetched postings."""
     from ..ops import search
 
-    src = Path(sf_dir) / "documents.parquet"
-    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
-    cache = Path("/tmp/illumio_ray_testdata/"
-                 f"termidx_{Path(sf_dir).name}_{n_rows}_"
-                 f"{search._TOKEN_SCHEME}")
-    marker = cache / "_complete"
-    if not marker.exists():
-        import shutil
-        shutil.rmtree(cache, ignore_errors=True)
-        docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-        search.build_term_index(docs, "doc_id", "text", cache,
-                                num_buckets=32)
-        marker.write_text("ok")
-    return search.search_terms(cache, ["customer", "merge", "scan"],
-                               mode="and")
+    return search.search_terms(_term_index_for(sf_dir),
+                               ["customer", "merge", "scan"], mode="and")
+
+
+_IDX_BM25_TERMS = ("table", "value", "spark", "merge")
+_IDX_BM25_DF = ",\n         ".join(
+    f"CAST(count(DISTINCT CASE WHEN term = '{t}' THEN doc_id END)"
+    f" AS BIGINT) AS df_{j}" for j, t in enumerate(_IDX_BM25_TERMS))
+_IDX_BM25_TF = ",\n         ".join(
+    f"MAX(CASE WHEN term = '{t}' THEN tf ELSE 0 END) AS tf_{j}"
+    for j, t in enumerate(_IDX_BM25_TERMS))
+# identical operation order and e0 DOUBLE literals as ops/search.py's
+# bm25_search kernel (same discipline as doc_bm25_scores)
+_IDX_BM25_SCORE = "\n  + ".join(
+    f"ln((n - df_{j} + 0.5e0) / (df_{j} + 0.5e0) + 1.0e0)"
+    f" * (tf_{j} * (1.2e0 + 1)) / (tf_{j} + 1.2e0 *"
+    f" (1 - 0.75e0 + 0.75e0 * dl / avgdl))"
+    for j in range(len(_IDX_BM25_TERMS)))
+
+
+@register("docs_bm25_from_index", f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n,
+         (SELECT CAST(sum(tf) AS DOUBLE) FROM tf)
+           / (SELECT count(*) FROM documents) AS avgdl,
+         {_IDX_BM25_DF}
+  FROM tf
+), piv AS (
+  SELECT t.doc_id, d.dl,
+         {_IDX_BM25_TF}
+  FROM tf t JOIN dl d USING (doc_id)
+  WHERE t.term IN ('table','value','spark','merge')
+  GROUP BY 1, 2
+)
+SELECT doc_id, ROUND({_IDX_BM25_SCORE}, 6) AS bm25
+FROM piv, stats
+""")
+def docs_bm25_from_index(sf_dir: str):
+    """Ranked retrieval FROM the persisted term index (the thing a
+    search engine actually does, vs doc_bm25_scores' corpus scan): BM25
+    of every document matching ≥1 probe term computed from posting rows
+    alone — per-term df counted over the fetched postings, N/avgdl from
+    the layout meta, the corpus text never read. Per-term components are
+    exact (one posting per (doc, term)) and the final sum runs in fixed
+    term order, so the doubles match the pivoted SQL oracle
+    bit-for-bit before ROUND."""
+    from ..ops import search
+
+    return search.bm25_search(_term_index_for(sf_dir),
+                              list(_IDX_BM25_TERMS))
 
 
 _EVENT_RULES_SQL_CASES = [
@@ -5844,7 +5909,7 @@ _DRIVER_FIRST = [
     "embedding_stats_from_avro", "docs_search_and",
     "events_validation_report", "events_quarantine",
     "events_unique_key_check", "events_late_by_batch",
-    "events_hourly_ontime",
+    "events_hourly_ontime", "docs_bm25_from_index",
 ]
 
 

@@ -2922,3 +2922,40 @@ def test_ivfpq_topk_recall():
     assert exact == set(range(10))
     recall = len(exact & approx) / 10
     assert recall >= 0.7, f"IVFPQ recall too low: {recall}"
+
+
+def test_bm25_search_matches_bruteforce(tmp_path):
+    """BM25 from posting rows == the textbook formula computed by hand;
+    docs matching no probe term are absent."""
+    import math
+
+    from illumio_ray.ops import search
+
+    docs = {1: "apple banana apple", 2: "banana cherry",
+            3: "durian", 4: "apple apple apple banana cherry"}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values())),
+    }))
+    layout = tmp_path / "idx"
+    search.build_term_index(ds, "doc_id", "text", layout, num_buckets=4)
+
+    terms = ["apple", "cherry"]
+    got = (search.bm25_search(layout, terms).to_pandas()
+           .set_index("doc_id").bm25.to_dict())
+    assert set(got) == {1, 2, 4}  # doc 3 matches neither term
+
+    toks = {d: t.split() for d, t in docs.items()}
+    n = len(docs)
+    avgdl = sum(len(w) for w in toks.values()) / n
+    k1, b = 1.2, 0.75
+    for d in (1, 2, 4):
+        want = 0.0
+        for t in terms:
+            tf = toks[d].count(t)
+            df = sum(1 for w in toks.values() if t in w)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            dl = len(toks[d])
+            want += idf * (tf * (k1 + 1)) / (
+                tf + k1 * (1 - b + b * dl / avgdl))
+        assert abs(got[d] - round(want, 6)) < 2e-6, (d, got[d], want)
