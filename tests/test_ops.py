@@ -2959,3 +2959,30 @@ def test_bm25_search_matches_bruteforce(tmp_path):
             want += idf * (tf * (k1 + 1)) / (
                 tf + k1 * (1 - b + b * dl / avgdl))
         assert abs(got[d] - round(want, 6)) < 2e-6, (d, got[d], want)
+
+
+def test_export_reshard_restages_and_drops_stale_files(tmp_path):
+    """Resume with a DIFFERENT num_shards must restage and remove every
+    stale shard artifact — no phantom files beside the new manifest."""
+    import pyarrow.parquet as pq
+
+    from illumio_ray.pipelines.export import export_training_shards
+
+    docs = pa.table({
+        "doc_id": pa.array(np.arange(90, dtype=np.int64)),
+        "text": pa.array([f"d{i}" for i in range(90)]),
+        "n_tokens": pa.array((np.arange(90) % 40 + 1).astype(np.int64)),
+    })
+    out = tmp_path / "export"
+    export_training_shards(rd.from_arrow(docs), out,
+                           num_shards=3, pack_budget=96)
+    # crash before manifest, then re-export with a different split
+    (out / "_manifest.json").unlink()
+    stats = export_training_shards(rd.from_arrow(docs), out,
+                                   num_shards=2, pack_budget=96)
+    assert [s["shard"] for s in stats] == [0, 1]
+    files = sorted(p.name for p in out.glob("shard-*.parquet"))
+    assert files == ["shard-00000.parquet", "shard-00001.parquet"]
+    got = pa.concat_tables(
+        pq.read_table(out / f) for f in files)
+    assert sorted(got["doc_id"].to_pylist()) == list(range(90))
