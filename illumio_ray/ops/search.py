@@ -94,6 +94,72 @@ def build_term_index(ds: rd.Dataset, id_col: str, text_col: str,
     return str(out_dir)
 
 
+_SEGMENTS = "_segments.json"
+
+
+def append_term_index(layout_dir: str | Path, ds: rd.Dataset,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      num_buckets: int = 64) -> str:
+    """Incremental index maintenance, Lucene-style: NEW documents become
+    a new immutable segment (its own buckets + meta) and the readers
+    merge across segments — existing segments are never rewritten, so
+    an append costs O(new docs), not O(corpus). ``_segments.json`` is
+    the commit point (atomic replace); a crash mid-append leaves an
+    inert segment dir and the previous listing intact.
+
+    Caller contract: appended docs are NEW ids (re-crawls need a
+    delete+merge compaction this layout doesn't implement — documented
+    limitation, same single-writer assumption as upsert_bucketed)."""
+    root = Path(layout_dir)
+    root.mkdir(parents=True, exist_ok=True)
+    segs = _segment_names(root)
+    name = f"segment-{len(segs):03d}"
+    build_term_index(ds, id_col, text_col, root / name, num_buckets)
+    tmp = root / (_SEGMENTS + ".tmp")
+    tmp.write_text(json.dumps({"segments": segs + [name]}))
+    tmp.replace(root / _SEGMENTS)
+    return str(root / name)
+
+
+def _segment_names(root: Path) -> list[str]:
+    f = root / _SEGMENTS
+    if f.exists():
+        return json.loads(f.read_text())["segments"]
+    return []
+
+
+def _segment_dirs(layout_dir: str | Path) -> list[Path]:
+    """Segment dirs of a layout: the committed listing for a segmented
+    index, or the layout itself (single-segment build_term_index)."""
+    root = Path(layout_dir)
+    names = _segment_names(root)
+    if names:
+        return [root / n for n in names]
+    if (root / "_meta.json").exists():
+        return [root]
+    raise FileNotFoundError(f"no term index at {layout_dir}")
+
+
+def _merged_meta_and_hits(layout_dir: str | Path, terms: list[str],
+                          columns: list[str]) -> tuple[dict, rd.Dataset]:
+    """(summed meta, union of per-segment posting fetches) — each
+    segment is probed with its own bucket count; corpus stats add."""
+    metas, parts = [], []
+    for d in _segment_dirs(layout_dir):
+        meta = json.loads((d / "_meta.json").read_text())
+        if meta["scheme"] != _TOKEN_SCHEME:
+            raise ValueError(
+                f"layout scheme {meta['scheme']!r} != reader "
+                f"{_TOKEN_SCHEME!r} — rebuild the index")
+        metas.append(meta)
+        parts.append(bucketed_lookup(d, "term", terms,
+                                     meta["num_buckets"], columns=columns))
+    hits = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    merged = {"n_docs": sum(m.get("n_docs", 0) for m in metas),
+              "dl_sum": sum(m.get("dl_sum", 0) for m in metas)}
+    return merged, hits
+
+
 def search_terms(layout_dir: str | Path, terms: list[str],
                  mode: str = "and") -> pa.Table:
     """→ (doc_id,) of documents matching the terms ("and": all of them,
@@ -103,11 +169,6 @@ def search_terms(layout_dir: str | Path, terms: list[str],
     document frequency)."""
     import re
 
-    meta = json.loads((Path(layout_dir) / "_meta.json").read_text())
-    if meta["scheme"] != _TOKEN_SCHEME:
-        raise ValueError(
-            f"layout scheme {meta['scheme']!r} != reader {_TOKEN_SCHEME!r}"
-            " — rebuild the index")
     if mode not in ("and", "or"):
         raise ValueError(f"unknown search mode: {mode}")
     # probes go through the SAME pinned tokenization as the index —
@@ -117,8 +178,8 @@ def search_terms(layout_dir: str | Path, terms: list[str],
                     for t in re.split(r"[^a-z0-9]+", str(raw).lower()) if t})
     if not terms:
         return pa.table({"doc_id": pa.array([], pa.int64())})
-    hits = bucketed_lookup(layout_dir, "term", terms, meta["num_buckets"],
-                           columns=["term", "doc_id"])
+    _, hits = _merged_meta_and_hits(layout_dir, terms,
+                                    columns=["term", "doc_id"])
     per_doc = grouped_agg(hits, ["doc_id"],
                           [("term", "count", "__c")], mode="bucket")
     out = []
@@ -151,11 +212,6 @@ def bm25_search(layout_dir: str | Path, terms: list[str],
 
     from ..functions.rounding import round_np
 
-    meta = json.loads((Path(layout_dir) / "_meta.json").read_text())
-    if meta["scheme"] != _TOKEN_SCHEME:
-        raise ValueError(
-            f"layout scheme {meta['scheme']!r} != reader {_TOKEN_SCHEME!r}"
-            " — rebuild the index")
     canon: list[str] = []
     for raw in terms:
         for t in re.split(r"[^a-z0-9]+", str(raw).lower()):
@@ -166,12 +222,12 @@ def bm25_search(layout_dir: str | Path, terms: list[str],
             "doc_id": pa.array([], pa.int64()),
             "bm25": pa.array([], pa.float64())}))
     m = len(canon)
+    meta, hits = _merged_meta_and_hits(layout_dir, canon,
+                                       columns=["term", "doc_id",
+                                                "tf", "dl"])
     n_docs, dl_sum = meta["n_docs"], meta["dl_sum"]
     avgdl = dl_sum / n_docs
-
-    hits = bucketed_lookup(layout_dir, "term", canon, meta["num_buckets"],
-                           columns=["term", "doc_id", "tf", "dl"]) \
-        .materialize()  # read buckets once: df pass + score pass
+    hits = hits.materialize()  # read buckets once: df pass + score pass
 
     # df per term: per-batch partial counts, driver combine (≤ m keys)
     dft = grouped_agg(hits.select_columns(["term"]), ["term"],

@@ -5417,6 +5417,46 @@ def docs_search_and(sf_dir: str):
                                ["customer", "merge", "scan"], mode="and")
 
 
+@register("docs_search_and_segmented", """
+WITH tok AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+)
+SELECT doc_id FROM tok
+WHERE term IN ('customer','merge','scan')
+GROUP BY doc_id HAVING count(DISTINCT term) = 3
+""")
+def docs_search_and_segmented(sf_dir: str):
+    """Incremental index maintenance (ops/search.py::append_term_index,
+    Lucene-style): the corpus arrives in TWO appends, each an immutable
+    segment committed via the _segments.json listing; searches merge
+    per-segment posting fetches and must equal the single-build result —
+    the oracle is the SAME SQL as docs_search_and, so the equivalence is
+    value-hash-checked, not just asserted in a unit test."""
+    from ..ops import search
+
+    src = Path(sf_dir) / "documents.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path("/tmp/illumio_ray_testdata/"
+                 f"termidxseg_{Path(sf_dir).name}_{n_rows}_"
+                 f"{search._TOKEN_SCHEME}")
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        docs = pq.read_table(str(src), columns=["doc_id", "text"])
+        half = -(-docs.num_rows // 2)
+        for i in range(2):
+            part = docs.slice(i * half, half)
+            if part.num_rows:
+                search.append_term_index(cache, rd.from_arrow(part),
+                                         num_buckets=16)
+        marker.write_text("ok")
+    return search.search_terms(cache, ["customer", "merge", "scan"],
+                               mode="and")
+
+
 _IDX_BM25_TERMS = ("table", "value", "spark", "merge")
 _IDX_BM25_DF = ",\n         ".join(
     f"CAST(count(DISTINCT CASE WHEN term = '{t}' THEN doc_id END)"
@@ -5910,6 +5950,7 @@ _DRIVER_FIRST = [
     "events_validation_report", "events_quarantine",
     "events_unique_key_check", "events_late_by_batch",
     "events_hourly_ontime", "docs_bm25_from_index",
+    "docs_search_and_segmented",
 ]
 
 

@@ -2986,3 +2986,43 @@ def test_export_reshard_restages_and_drops_stale_files(tmp_path):
     got = pa.concat_tables(
         pq.read_table(out / f) for f in files)
     assert sorted(got["doc_id"].to_pylist()) == list(range(90))
+
+
+def test_term_index_segment_append_equivalence(tmp_path):
+    """Lucene-style segment appends: an index built in two appends gives
+    IDENTICAL AND/OR search results and BM25 scores to a single-segment
+    build over the same corpus; the listing file is the commit point."""
+    import json
+
+    from illumio_ray.ops import search
+
+    docs = {i: f"apple banana w{i} " + ("cherry " * (i % 3))
+            for i in range(1, 21)}
+
+    def mk(ids):
+        return rd.from_arrow(pa.table({
+            "doc_id": pa.array(list(ids), pa.int64()),
+            "text": pa.array([docs[i] for i in ids]),
+        }))
+
+    single = tmp_path / "one"
+    search.build_term_index(mk(range(1, 21)), "doc_id", "text", single,
+                            num_buckets=4)
+    seg = tmp_path / "seg"
+    search.append_term_index(seg, mk(range(1, 11)), num_buckets=4)
+    search.append_term_index(seg, mk(range(11, 21)), num_buckets=8)
+    assert json.loads((seg / "_segments.json").read_text())["segments"] \
+        == ["segment-000", "segment-001"]
+
+    for terms, mode in [(["apple", "cherry"], "and"), (["cherry"], "or")]:
+        a = sorted(search.search_terms(single, terms, mode)
+                   ["doc_id"].to_pylist())
+        b = sorted(search.search_terms(seg, terms, mode)
+                   ["doc_id"].to_pylist())
+        assert a == b and a, (terms, mode)
+
+    one = (search.bm25_search(single, ["apple", "cherry"]).to_pandas()
+           .set_index("doc_id").bm25.to_dict())
+    two = (search.bm25_search(seg, ["apple", "cherry"]).to_pandas()
+           .set_index("doc_id").bm25.to_dict())
+    assert one == two  # corpus stats sum across segments exactly
