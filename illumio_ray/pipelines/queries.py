@@ -26,6 +26,7 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from ..functions.rounding import round_col, round_np
+from ..schema import HOST_RE
 
 
 def _ts(iso: str) -> pa.Scalar:
@@ -5251,6 +5252,65 @@ def embedding_stats_from_avro(sf_dir: str):
         }), batch_format="pyarrow", zero_copy_batch=True)
 
 
+@register("pages_from_warc", f"""
+SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS url_host,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes,
+       max(warc_ts) AS last_crawl
+FROM read_parquet('{PAGES_GLOB}')
+GROUP BY 1
+""")
+def pages_from_warc(sf_dir: str):
+    """Source-format roundtrip through the WARC datasource
+    (sources/warc.py — Common Crawl's native container, gzip member per
+    record, pure stdlib): the pages table written once as one `.warc.gz`
+    per source parquet file (cached, marker-keyed), read back distributed
+    record-by-record, aggregated per host — and the result must match the
+    SQL oracle over the ORIGINAL parquet, including microsecond
+    WARC-Date fidelity and exact payload byte counts. Fourth §2.10
+    extension-surface proof, and the one matching the flagship's input
+    domain (a crawl archive IS the upstream of `url, warc_ts, html`)."""
+    from ..sources.warc import read_warc, write_warc
+
+    info = _pages(sf_dir)
+    files = sorted(Path(info["pages_dir"]).glob("*.parquet"))
+    n_rows = sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+    cache = Path(
+        f"/tmp/illumio_ray_testdata/warc_{Path(sf_dir).name}_{n_rows}")
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        cache.mkdir(parents=True)
+        for i, fp in enumerate(files):
+            t = pq.read_table(str(fp), columns=["url", "warc_ts", "html"])
+            write_warc(t, cache / f"part-{i:04d}.warc.gz")
+        marker.write_text("ok")
+    ds = read_warc(str(cache))
+
+    def prep(t: pa.Table) -> pa.Table:
+        host = pc.struct_field(
+            pc.extract_regex(t["url"], HOST_RE), "url_host")
+        return pa.table({
+            "url_host": host,
+            "__b": pc.binary_length(t["html"]),
+            "warc_ts": t["warc_ts"],
+        })
+
+    agg = rel.grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["url_host"],
+        [("__b", "count", "n"), ("__b", "sum", "html_bytes"),
+         ("warc_ts", "max", "last_crawl")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "url_host": t["url_host"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "html_bytes": pc.cast(t["html_bytes"], pa.int64()),
+            "last_crawl": t["last_crawl"],
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("corpus_export_shards", None)
 def corpus_export_shards(sf_dir: str):
     """Corpus export capstone (pipelines/export.py): documents + token
@@ -5950,7 +6010,7 @@ _DRIVER_FIRST = [
     "events_validation_report", "events_quarantine",
     "events_unique_key_check", "events_late_by_batch",
     "events_hourly_ontime", "docs_bm25_from_index",
-    "docs_search_and_segmented",
+    "docs_search_and_segmented", "pages_from_warc",
 ]
 
 

@@ -2279,6 +2279,68 @@ def test_read_avro_array_roundtrip(tmp_path):
     assert len(pruned) == src.num_rows
 
 
+def test_read_warc_roundtrip_and_edge_cases(tmp_path):
+    """WARC datasource (Common Crawl container, gzip member per record):
+    exact (url, warc_ts, html) roundtrip across multiple files including
+    empty bodies, payloads containing the CRLFCRLF separator, non-UTF8
+    html bytes, and microsecond WARC-Dates; warcinfo records are
+    skipped; plain uncompressed .warc and second-granularity dates
+    parse; column pruning projects at decode."""
+    from illumio_ray.sources.warc import read_warc, write_warc
+
+    t1 = pa.table({
+        "url": ["https://a.example.com/x", "http://b.example.org/y?q=1"],
+        "warc_ts": pa.array([1727791624878628, 0], pa.int64()).cast(
+            pa.timestamp("us")),
+        "html": [b"<html><body>hi</body></html>", b""],
+    })
+    t2 = pa.table({
+        "url": ["https://c.io/"],
+        "warc_ts": pa.array([1700000000000001], pa.int64()).cast(
+            pa.timestamp("us")),
+        # body embeds the HTTP header separator AND non-UTF8 bytes:
+        # Content-Length framing must carry it through intact
+        "html": [b"<html>\xff\xfe\r\n\r\ntrailing</html>"],
+    })
+    d = tmp_path / "warc"
+    d.mkdir()
+    assert write_warc(t1, d / "p0.warc.gz") == 2
+    assert write_warc(t2, d / "p1.warc.gz") == 1
+
+    got = (read_warc(str(d)).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    want = (pa.concat_tables([t1, t2]).to_pandas()
+            .sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+    # deterministic writer: same table → identical bytes (written OUTSIDE
+    # the read dir so the pruning read below still sees 3 records)
+    write_warc(t1, tmp_path / "p0b.warc.gz")
+    assert ((d / "p0.warc.gz").read_bytes()
+            == (tmp_path / "p0b.warc.gz").read_bytes())
+
+    # plain .warc (no gzip) + second-granularity WARC-Date both parse
+    plain = tmp_path / "plain"
+    plain.mkdir()
+    raw = gzip_decompress((d / "p1.warc.gz").read_bytes())
+    raw = raw.replace(b".000001Z", b"Z")  # WARC 1.0 style, no fraction
+    (plain / "p.warc").write_bytes(raw)
+    got2 = read_warc(str(plain)).to_pandas()
+    assert list(got2["url"]) == ["https://c.io/"]
+    assert got2["warc_ts"][0].microsecond == 0
+
+    pruned = read_warc(str(d), columns=["url"]).to_pandas()
+    assert list(pruned.columns) == ["url"] and len(pruned) == 3
+    with pytest.raises(ValueError, match="unknown WARC columns"):
+        read_warc(str(d), columns=["nope"])
+
+
+def gzip_decompress(b: bytes) -> bytes:
+    import gzip as _gz
+    import io as _io
+    return _gz.GzipFile(fileobj=_io.BytesIO(b)).read()
+
+
 def test_upsert_bucketed_replace_by_key_and_vacuum(tmp_path):
     """Keyed upsert rewrites only touched buckets, replaces by key,
     commits via the _HEAD pointer, and vacuum drops dead generations;
