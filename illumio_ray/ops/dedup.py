@@ -87,6 +87,153 @@ def _distinct_rows_bucketed(ds: rd.Dataset, cols: list[str],
 
 
 # ---------------------------------------------------------------------------
+# incremental exact dedup vs a persisted content index
+# ---------------------------------------------------------------------------
+
+_CONTENT_INDEX_META = "_content_index_meta.json"
+
+
+def _content_bucket(col, num_buckets: int) -> pa.Array:
+    b = (stable_hash64(col) % np.uint64(num_buckets)).astype(np.int32)
+    return pa.array(b, pa.int32())
+
+
+def build_content_index(ds: rd.Dataset, id_col: str, content_col: str,
+                        out_dir: str, *, n_rows: int | None = None,
+                        num_buckets: int | None = None) -> dict:
+    """Persist the distinct-content index of a committed corpus: one row
+    per DISTINCT content value (its min-id representative), hive-bucketed
+    by ``stable_hash64(content) % num_buckets`` (pinned hash — the layout
+    survives library upgrades, same contract as bucketing.write_bucketed).
+
+    The content itself is stored, not just its hash: membership probes
+    compare strings, so a 64-bit collision can never drop a distinct doc
+    (the same birthday-bound reasoning as exact_dedup). Index size is
+    the distinct corpus — the storage cost of exactness."""
+    import json
+    from pathlib import Path
+
+    from .relational import adaptive_bucket_count
+
+    nb = num_buckets or adaptive_bucket_count(n_rows)
+    rep = exact_dedup(ds.select_columns([id_col, content_col]),
+                      content_col, id_col)
+
+    def add_b(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _content_bucket(t[content_col], nb))
+
+    rep.map_batches(add_b, batch_format="pyarrow",
+                    zero_copy_batch=True).write_parquet(
+        str(out_dir), partition_cols=["__b"])
+    meta = {"num_buckets": nb, "id_col": id_col, "content_col": content_col}
+    Path(out_dir, _CONTENT_INDEX_META).write_text(json.dumps(meta))
+    return meta
+
+
+def append_to_content_index(accepted: rd.Dataset, index_dir: str) -> dict:
+    """Commit an ACCEPTED batch (the exact_dedup_incremental output —
+    already distinct within itself and vs the index) into the index:
+    write its rows into the same bucket dirs (Ray names parquet files
+    uniquely per job, so appends never clobber)."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(index_dir, _CONTENT_INDEX_META).read_text())
+    nb, id_col, content_col = (meta["num_buckets"], meta["id_col"],
+                               meta["content_col"])
+
+    def add_b(t: pa.Table) -> pa.Table:
+        return t.append_column("__b", _content_bucket(t[content_col], nb))
+
+    accepted.select_columns([id_col, content_col]).map_batches(
+        add_b, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        str(index_dir), partition_cols=["__b"])
+    return meta
+
+
+def exact_dedup_incremental(new_ds: rd.Dataset, index_dir: str) -> rd.Dataset:
+    """New-batch rows that survive exact dedup against BOTH the persisted
+    corpus index and the batch itself (min-id representative per distinct
+    content, exact_dedup semantics). The production incremental-ingest
+    shape: the batch hashes its own content values, reads ONLY the index
+    bucket dirs those hash into (partition pruning — untouched buckets
+    cost nothing), and membership is an exact string compare in-bucket.
+    New ids must be disjoint from indexed ids (append-only contract).
+
+    ≙ the reference's processed-keys anti-join (app/s3_manager.py
+    manifest check) lifted from file keys to content values. The group
+    stage is Arrow-native end to end: a null-padded union routed through
+    pandas would corrupt int64 ids to float64 (see CLAUDE.md), so both
+    union sides are built with identical, fully-typed schemas."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(index_dir, _CONTENT_INDEX_META).read_text())
+    nb, id_col, content_col = (meta["num_buckets"], meta["id_col"],
+                               meta["content_col"])
+
+    out_schema = new_ds.schema()  # ray Schema: .names + arrow .types
+    names = list(out_schema.names)
+    types = dict(zip(names, out_schema.types))
+
+    def tag_new(t: pa.Table) -> pa.Table:
+        t = t.select(names)  # pin column order so union sides align
+        t = t.append_column("__b", _content_bucket(t[content_col], nb))
+        return t.append_column("__new",
+                               pa.array(np.ones(t.num_rows, np.int8)))
+
+    new_rows = new_ds.map_batches(tag_new, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+    touched = sorted(new_rows.unique("__b"))
+    files = [str(f) for b in touched
+             for f in sorted(Path(index_dir, f"__b={b}").glob("*.parquet"))]
+
+    if files:
+        old = rd.read_parquet(files, columns=[content_col])
+
+        def tag_old(t: pa.Table) -> pa.Table:
+            # identical schema to the new side — ride-along columns as
+            # TYPED nulls, ids included (never used: old rows only feed
+            # the membership set)
+            cols = {n: (t[content_col] if n == content_col
+                        else pa.nulls(t.num_rows, types[n]))
+                    for n in names}
+            tt = pa.table(cols)
+            tt = tt.append_column("__b",
+                                  _content_bucket(t[content_col], nb))
+            return tt.append_column(
+                "__new", pa.array(np.zeros(t.num_rows, np.int8)))
+
+        rows = old.map_batches(tag_old, batch_format="pyarrow",
+                               zero_copy_batch=True).union(new_rows)
+    else:
+        rows = new_rows
+
+    def keep_fresh(t: pa.Table) -> pa.Table:
+        isnew = pc.equal(t["__new"], 1)
+        seen = pc.unique(t.filter(pc.invert(isnew))[content_col])
+        fresh = t.filter(isnew)
+        if len(seen):
+            member = pc.is_in(fresh[content_col], value_set=seen)
+            fresh = fresh.filter(pc.invert(pc.fill_null(member, False)))
+        if fresh.num_rows == 0:
+            return fresh.drop_columns(["__b", "__new"])
+        # min-id representative per content within the batch: sort by id,
+        # keep the first occurrence of each dictionary code (nulls form
+        # one group, matching exact_dedup / drop_duplicates semantics)
+        fresh = fresh.sort_by(id_col)
+        codes = pc.fill_null(
+            fresh[content_col].combine_chunks().dictionary_encode().indices,
+            -1).to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(codes, return_index=True)
+        fresh = fresh.take(pa.array(np.sort(first_idx), pa.int64()))
+        return fresh.drop_columns(["__b", "__new"])
+
+    return rows.groupby("__b").map_groups(keep_fresh,
+                                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # tokenization / shingling helpers (per-batch, numpy-vectorized core)
 # ---------------------------------------------------------------------------
 

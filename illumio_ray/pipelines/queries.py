@@ -998,6 +998,72 @@ def dedup_exact_q(sf_dir: str):
     return dedup.exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
 
 
+@register("dedup_exact_incremental", """
+WITH batch AS (
+  SELECT doc_id + 100000 AS doc_id, text
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text || ' (v2)'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 300000, text || ' (v2)'
+  FROM documents WHERE doc_id % 14 = 0
+)
+SELECT doc_id FROM (
+  SELECT b.doc_id,
+         row_number() OVER (PARTITION BY b.text ORDER BY b.doc_id) AS rn
+  FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM documents c WHERE c.text = b.text)
+) WHERE rn = 1
+""")
+def dedup_exact_incremental(sf_dir: str):
+    """Incremental exact dedup vs a PERSISTED corpus index
+    (dedup.build_content_index / exact_dedup_incremental): the committed
+    documents table is indexed once (cached, marker-keyed — distinct
+    contents hive-bucketed by stable_hash64), then an arriving batch —
+    one-third exact copies of committed docs, plus novel ' (v2)' texts
+    that also duplicate each other within the batch — reads ONLY the
+    index buckets its own contents hash into. Survivors = novel contents'
+    min-id representatives; the SQL oracle states the same with
+    NOT EXISTS + a window rank."""
+    src = Path(sf_dir) / "documents.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path(
+        f"/tmp/illumio_ray_testdata/cidx_{Path(sf_dir).name}_{n_rows}")
+    idx = cache / "index"
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        cache.mkdir(parents=True)
+        committed = read_table(sf_dir, "documents",
+                               columns=["doc_id", "text"])
+        dedup.build_content_index(committed, "doc_id", "text", str(idx),
+                                  n_rows=n_rows)
+        marker.write_text("ok")
+
+    def make_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for mod, shift, suffix in ((3, 100000, ""), (7, 200000, " (v2)"),
+                                   (14, 300000, " (v2)")):
+            m = ids % mod == 0
+            sub = t.filter(pa.array(m))
+            txt = (sub["text"] if not suffix else
+                   pc.binary_join_element_wise(sub["text"], suffix, ""))
+            parts.append(pa.table({
+                "doc_id": pc.add(sub["doc_id"], shift),
+                "text": pc.cast(txt, pa.string()),
+            }))
+        return pa.concat_tables(parts)
+
+    batch = read_table(sf_dir, "documents",
+                       columns=["doc_id", "text"]).map_batches(
+        make_batch, batch_format="pyarrow", zero_copy_batch=True)
+    kept = dedup.exact_dedup_incremental(batch, str(idx))
+    return kept.select_columns(["doc_id"])
+
+
 @register("doc_fingerprints", None)  # hash64 not SQL-expressible → rows-only
 def doc_fingerprints(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -6011,6 +6077,7 @@ _DRIVER_FIRST = [
     "events_unique_key_check", "events_late_by_batch",
     "events_hourly_ontime", "docs_bm25_from_index",
     "docs_search_and_segmented", "pages_from_warc",
+    "dedup_exact_incremental",
 ]
 
 

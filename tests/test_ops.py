@@ -1719,6 +1719,48 @@ def test_incremental_index_append_round_trip(tmp_path):
     assert set(zip(pb_pairs.id_a, pb_pairs.id_b)) == {(0, 3), (2, 3)}
 
 
+def test_exact_dedup_incremental_equals_batch_restricted(tmp_path):
+    """exact_dedup_incremental vs a persisted content index == exact_dedup
+    over (committed ∪ batch) restricted to batch ids — including
+    batch-internal duplicates (min-id representative kept), exact copies
+    of committed docs (dropped), ride-along columns preserved with their
+    dtypes (int64 ids never float-corrupted by the union), and
+    append-then-reingest idempotence."""
+    from illumio_ray.ops import dedup
+
+    committed = pa.table({
+        "doc_id": pa.array(range(120), pa.int64()),
+        "text": pa.array([f"doc text {i % 40}" for i in range(120)]),
+        "lang": pa.array(["en"] * 120),
+    })
+    batch = pa.table({
+        "doc_id": pa.array(range(1000, 1055), pa.int64()),
+        "text": pa.array([f"doc text {i % 40}" for i in range(30)]
+                         + [f"novel {i % 9}" for i in range(25)]),
+        "lang": pa.array(["en"] * 55),
+    })
+    idx = str(tmp_path / "cidx")
+    dedup.build_content_index(rd.from_arrow(committed), "doc_id", "text",
+                              idx, num_buckets=16)
+    kept = (dedup.exact_dedup_incremental(rd.from_arrow(batch), idx)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert kept["doc_id"].dtype == np.int64  # union never pandas-padded
+
+    union = rd.from_arrow(pa.concat_tables([committed, batch]))
+    ref = dedup.exact_dedup(union, "text", "doc_id").to_pandas()
+    ref = (ref[ref.doc_id >= 1000]
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(kept[["doc_id", "text", "lang"]],
+                                  ref[["doc_id", "text", "lang"]])
+    assert len(kept) == 9  # the 9 distinct novel texts
+
+    # commit the survivors; the same batch then yields nothing new
+    dedup.append_to_content_index(
+        rd.from_arrow(pa.Table.from_pandas(kept)), idx)
+    again = dedup.exact_dedup_incremental(rd.from_arrow(batch), idx)
+    assert again.count() == 0
+
+
 def _ref_segment_dedup(docs: pd.DataFrame, k: int):
     """Pure-python keep-first segment dedup reference."""
     segs = []  # (doc_id, seg_idx, seg)
