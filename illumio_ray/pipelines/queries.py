@@ -139,6 +139,106 @@ def pages_canonical_urls(sf_dir: str):
     return textops.canonicalize_urls(pages).select_columns(
         ["url", "canon_url"])
 
+@register("pages_latest_per_canonical", f"""
+WITH base AS (
+  SELECT url, warc_ts FROM read_parquet('{PAGES_GLOB}')
+),
+snap2 AS (
+  SELECT regexp_replace(url, '^(https?://)', '\\1www.')
+           || '?utm_source=rss' AS url,
+         warc_ts + CASE WHEN length(url) % 2 = 0
+                        THEN INTERVAL 1 HOUR
+                        ELSE INTERVAL '-1' HOUR END AS warc_ts
+  FROM base
+),
+all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM snap2),
+u AS (
+  SELECT url, warc_ts,
+         lower(regexp_extract(url,
+               '^([Hh][Tt][Tt][Pp][Ss]?)://', 1)) AS scheme,
+         lower(regexp_extract(url,
+               '^[Hh][Tt][Tt][Pp][Ss]?://([^/?#]+)', 1)) AS host0,
+         regexp_extract(
+           regexp_replace(regexp_replace(url, '#.*', ''), '\\?.*', ''),
+           '^[Hh][Tt][Tt][Pp][Ss]?://[^/?#]+(/.*)?$', 1) AS path0
+  FROM all_rows
+),
+c AS (
+  SELECT url, warc_ts,
+         scheme || '://' ||
+         regexp_replace(
+           CASE WHEN scheme = 'http'
+                THEN regexp_replace(host0, ':80$', '')
+                ELSE regexp_replace(host0, ':443$', '') END,
+           '^www\\.', '') ||
+         regexp_replace(coalesce(path0, ''), '/+$', '') AS canon_url
+  FROM u
+)
+SELECT canon_url, arg_max(url, warc_ts) AS last_url,
+       max(warc_ts) AS last_ts, CAST(count(*) AS BIGINT) AS n_visits
+FROM c GROUP BY 1
+""")
+def pages_latest_per_canonical(sf_dir: str):
+    """Crawl-revisit dedup — keep the NEWEST capture per canonical URL
+    (what a multi-snapshot web crawl does before any content dedup): a
+    deterministic second snapshot is synthesized (every url revisited as
+    its 'www.' + '?utm_source=rss' variant, ±1 h by url length), both
+    snapshots canonicalize (textops.canonicalize_urls — same regex
+    chain as the oracle), and the per-canonical latest capture is a
+    PARTIALIZABLE arg_max: each batch reduces to one candidate row per
+    canonical present plus a visit-count partial, and only those enter
+    the keyed-bucket exchange (#canonicals ≈ #rows → keyed_window's
+    hash-bucket partition, never one Ray group per url)."""
+    info = _pages(sf_dir)
+    pages = rd.read_parquet(info["pages_dir"], columns=["url", "warc_ts"])
+
+    def with_revisits(t: pa.Table) -> pa.Table:
+        url2 = pc.binary_join_element_wise(
+            pc.replace_substring_regex(t["url"], r"^(https?://)",
+                                       r"\1www."),
+            "?utm_source=rss", "")
+        delta = pc.if_else(
+            pc.equal(pc.bit_wise_and(pc.utf8_length(t["url"]), 1), 0),
+            pa.scalar(3_600_000_000, pa.duration("us")),
+            pa.scalar(-3_600_000_000, pa.duration("us")))
+        snap2 = pa.table({
+            "url": pc.cast(url2, pa.string()),
+            "warc_ts": pc.add(t["warc_ts"], delta),
+        })
+        return pa.concat_tables([t.select(["url", "warc_ts"]), snap2])
+
+    all_rows = pages.map_batches(with_revisits, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    canon = textops.canonicalize_urls(all_rows)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["canon_url", "warc_ts"])
+        g = df.groupby("canon_url", sort=False)
+        last = g.tail(1).set_index("canon_url")
+        return pd.DataFrame({
+            "canon_url": last.index.to_numpy(),
+            "last_url": last["url"].to_numpy(),
+            "last_ts": last["warc_ts"].to_numpy(),
+            "n_visits": g.size().loc[last.index].to_numpy(),
+        })
+
+    partials = canon.map_batches(partial, batch_format="pandas")
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["canon_url", "last_ts"])
+        gg = g.groupby("canon_url", sort=False)
+        last = gg.tail(1).set_index("canon_url")
+        return pd.DataFrame({
+            "canon_url": last.index.to_numpy(),
+            "last_url": last["last_url"].to_numpy(),
+            "last_ts": last["last_ts"].to_numpy(),
+            "n_visits": gg["n_visits"].sum().loc[last.index].to_numpy(),
+        })
+
+    return rel.keyed_window(partials, "canon_url", combine,
+                            n_rows=pages.count() * 2)
+
+
 @register("pages_routed", _ROUTED_CTE + """
 SELECT url, lang, url_host, title, page_event, extracted_text, n_tokens,
        host_category, event_class
@@ -6077,7 +6177,7 @@ _DRIVER_FIRST = [
     "events_unique_key_check", "events_late_by_batch",
     "events_hourly_ontime", "docs_bm25_from_index",
     "docs_search_and_segmented", "pages_from_warc",
-    "dedup_exact_incremental",
+    "dedup_exact_incremental", "pages_latest_per_canonical",
 ]
 
 

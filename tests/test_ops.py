@@ -2383,6 +2383,50 @@ def gzip_decompress(b: bytes) -> bytes:
     return _gz.GzipFile(fileobj=_io.BytesIO(b)).read()
 
 
+def test_warc_codec_property_roundtrip(tmp_path):
+    """Hypothesis: ANY binary body (including WARC/HTTP framing bytes,
+    CRLFs, gzip magic) and any microsecond timestamp roundtrip the
+    write_warc → record-iterator path byte-exactly — Content-Length
+    framing, not sentinel scanning, delimits payloads. Codec-level (no
+    Ray session needed per example)."""
+    import gzip as _gz
+    import io as _io
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from illumio_ray.sources.warc import (_iter_records, _parse_warc_date,
+                                          write_warc)
+
+    body = st.binary(max_size=400)
+    ts = st.integers(min_value=0, max_value=4_102_444_800_000_000)  # ≤ 2100
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(st.lists(st.tuples(body, ts), min_size=1, max_size=8))
+    def check(rows):
+        t = pa.table({
+            "url": pa.array([f"https://h.example/{i}"
+                             for i in range(len(rows))]),
+            "warc_ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+                pa.timestamp("us")),
+            "html": pa.array([r[0] for r in rows], pa.binary()),
+        })
+        p = tmp_path / "prop.warc.gz"
+        write_warc(t, p)
+        stream = _io.BufferedReader(
+            _gz.GzipFile(fileobj=_io.BytesIO(p.read_bytes())))
+        got = []
+        for h, payload in _iter_records(stream):
+            if h[b"warc-type"] != b"response":
+                continue
+            sep = payload.find(b"\r\n\r\n")
+            got.append((payload[sep + 4:],
+                        _parse_warc_date(h[b"warc-date"])))
+        assert got == rows
+
+    check()
+
+
 def test_upsert_bucketed_replace_by_key_and_vacuum(tmp_path):
     """Keyed upsert rewrites only touched buckets, replaces by key,
     commits via the _HEAD pointer, and vacuum drops dead generations;
