@@ -47,6 +47,77 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """WARC crawl archive → canonical pages parquet staging.
+
+    The real upstream of the flagship's `url, warc_ts, html` input is a
+    crawl archive; this converts `.warc.gz` (or plain `.warc`) response
+    records into the canonical pages schema in ONE distributed streaming
+    pass: utf8-validate the payload, extract the body text (same BODY_RE
+    the flagship routes on), language-ID it (heuristic n-gram stage, or
+    a constant with --no-lang-id), and write hive-free parquet parts the
+    `run` shard planner can footer-count. Drop-invalid policy matches
+    the jsonl source: a bad record drops the record, never the file."""
+    _ray_init()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .ops.textops import add_lang_id
+    from .schema import BODY_RE, PAGES_SCHEMA
+    from .sources.warc import read_warc
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        try:
+            html_s = pc.cast(t["html"], pa.string())
+        except pa.ArrowInvalid:
+            # rare path: batch has non-utf8 payloads — keep only rows
+            # that decode (vectorized bulk stays Arrow)
+            ok = [i for i, v in enumerate(t["html"].to_pylist())
+                  if v is not None and _utf8_ok(v)]
+            t = t.take(pa.array(ok, pa.int64()))
+            html_s = pc.cast(t["html"], pa.string())
+        body = pc.struct_field(
+            pc.extract_regex(html_s, BODY_RE), "extracted_text")
+        keep = pc.is_valid(body)
+        t = pa.table({
+            "url": t["url"], "warc_ts": t["warc_ts"], "html": t["html"],
+            "text": body,
+        }).filter(keep)
+        return t
+
+    ds = read_warc(args.warc_dir).map_batches(
+        to_pages, batch_format="pyarrow", zero_copy_batch=True)
+    if args.no_lang_id:
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "lang", pa.array([args.default_lang] * t.num_rows)),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        ds = add_lang_id(ds).map_batches(
+            lambda t: pa.table(
+                {**{n: t[n] for n in ("url", "warc_ts", "html", "text")},
+                 "lang": t["lang_pred"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(lambda t: t.select(PAGES_SCHEMA.names)
+                        .cast(PAGES_SCHEMA),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    out = str(Path(args.out) / "pages")
+    ds.write_parquet(out)
+    import pyarrow.parquet as pq
+    n = sum(pq.ParquetFile(str(f)).metadata.num_rows
+            for f in Path(out).glob("*.parquet"))
+    print(json.dumps({"pages_dir": out, "rows_written": n}))
+    return 0
+
+
+def _utf8_ok(b: bytes) -> bool:
+    try:
+        b.decode("utf-8")
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
 def cmd_run(args) -> int:
     # config file + env fill any flag the user left unset (precedence:
     # flag > ILLUMIO_RAY_* env > ini > default — ≙ reference app/config.py)
@@ -350,6 +421,18 @@ def main(argv=None) -> int:
     rp.add_argument("--max-mps", type=float, default=None,
                     help="per-connection message rate ceiling for --siem")
     rp.set_defaults(fn=cmd_run)
+
+    gp = sub.add_parser("ingest",
+                        help="WARC crawl archive → canonical pages parquet")
+    gp.add_argument("--warc-dir", required=True,
+                    help="dir (or file) of .warc.gz / .warc response records")
+    gp.add_argument("--out", required=True,
+                    help="staging dir; pages parquet lands in OUT/pages/")
+    gp.add_argument("--no-lang-id", action="store_true",
+                    help="skip the heuristic language-ID stage and stamp "
+                         "--default-lang instead")
+    gp.add_argument("--default-lang", default="und")
+    gp.set_defaults(fn=cmd_ingest)
 
     tp = sub.add_parser("stats", help="report over a finished run")
     tp.add_argument("--out", required=True)

@@ -233,3 +233,52 @@ def test_export_cli_shards_and_manifest(tmp_path, capsys):
         [str(out / f"shard-{i:05d}.parquet") for i in range(2)]
     ).to_table()
     assert sorted(got["doc_id"].to_pylist()) == list(range(120))
+
+
+def test_ingest_warc_then_run_flagship(tmp_path, capsys):
+    """Crawl-archive loop: pages → write_warc → `ingest` (utf8-gate, body
+    extract, constant lang) → canonical pages parquet → `run` routes the
+    staged corpus exactly once. text equals the body extract byte-for-byte
+    (the flagship's own byte-identity invariant downstream)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from illumio_ray.sources.warc import write_warc
+
+    info = synth_pages(tmp_path / "in", rows=400, num_files=2)
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    for i, fp in enumerate(sorted(glob.glob(info["pages_dir"]
+                                            + "/*.parquet"))):
+        t = pq.read_table(fp, columns=["url", "warc_ts", "html"])
+        write_warc(t, wdir / f"p{i}.warc.gz")
+
+    staged = tmp_path / "staged"
+    assert main(["ingest", "--warc-dir", str(wdir), "--out", str(staged),
+                 "--no-lang-id", "--default-lang", "xx"]) == 0
+    rep = json.loads(capsys.readouterr().out)
+
+    import duckdb
+    con = duckdb.connect()
+    n_body = con.execute(
+        f"SELECT count(*) FROM read_parquet('{info['pages_dir']}/*.parquet')"
+        " WHERE regexp_matches(decode(html), '<body>.*?</body>')"
+    ).fetchone()[0]
+    assert rep["rows_written"] == n_body
+    sp = f"{staged}/pages/*.parquet"
+    bad = con.execute(
+        f"SELECT count(*) FROM read_parquet('{sp}') WHERE lang != 'xx' OR "
+        "text IS DISTINCT FROM "
+        "regexp_extract(decode(html), '<body>(.*?)</body>', 1)"
+    ).fetchone()[0]
+    assert bad == 0
+
+    out = tmp_path / "out"
+    assert main(["run", "--pages-dir", rep["pages_dir"],
+                 "--lang", info["lookup_lang"], "--host", info["lookup_host"],
+                 "--out", str(out), "--num-shards", "2"]) == 0
+    m = json.loads(capsys.readouterr().out)
+    assert m["rows_routed"] == n_body
+    urls = _routed_urls(out)
+    assert len(urls) == len(set(urls)) == n_body
