@@ -4267,6 +4267,82 @@ def doc_lm_nll(sf_dir: str):
     return textops.bigram_lm_nll(ds)
 
 
+@register("doc_ccnet_buckets", """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
+big AS (
+  SELECT doc_id, L[i] AS w1, L[i+1] AS w2
+  FROM toks, UNNEST(range(1, len(L))) AS t(i)
+),
+cb AS (SELECT w1, w2, count(*) AS c12 FROM big GROUP BY 1, 2),
+cu AS (SELECT w1, SUM(c12) AS c1 FROM cb GROUP BY 1),
+v AS (
+  SELECT count(DISTINCT w) AS vsz FROM (
+    SELECT L[i] AS w FROM toks, UNNEST(range(1, len(L) + 1)) AS t(i))
+),
+scored AS (
+  SELECT b.doc_id, ROUND(avg(-ln((c12 + 1.0) / (c1 + vsz))), 6) AS nll
+  FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
+  GROUP BY b.doc_id
+),
+pr AS (
+  SELECT d.lang, s.nll,
+         ROUND(percent_rank() OVER (PARTITION BY d.lang ORDER BY s.nll),
+               6) AS pr
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       CASE WHEN pr < 0.333333 THEN 'head'
+            WHEN pr < 0.666667 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       ROUND(avg(nll), 6) AS avg_nll
+FROM pr GROUP BY 1, 2
+""")
+def doc_ccnet_buckets(sf_dir: str):
+    """CCNet's corpus partition (Wenzek et al. 2020): per language, split
+    documents into head/middle/tail thirds by LM score — the step that
+    turns a raw crawl into quality tiers before sampling. Composition of
+    two already-oracled primitives, both bit-parity at their boundaries:
+    the add-one bigram NLL (broadcast model, row-local scoring, rounded
+    to 6) and the exact per-group percent_rank (histogram-to-driver +
+    broadcast searchsorted — no shuffle anywhere in the whole pipeline).
+    Thresholds compare the ROUNDED pr on both engines, so bucket
+    membership can never drift on a ULP."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    scored = textops.add_bigram_lm_nll(ds)
+
+    def drop_unscored(t: pa.Table) -> pa.Table:
+        ok = pc.is_valid(t["nll"])
+        return pa.table({"lang": t["lang"].filter(ok),
+                         "nll": t["nll"].filter(ok)})
+
+    scored = scored.map_batches(drop_unscored, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    ranked = rel.grouped_percent_rank(scored, "lang", "nll")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pr = t["pr"]
+        bucket = pc.if_else(
+            pc.less(pr, 0.333333), pa.scalar("head"),
+            pc.if_else(pc.less(pr, 0.666667), pa.scalar("middle"),
+                       pa.scalar("tail")))
+        return pa.table({"lang": t["lang"], "bucket": bucket,
+                         "nll": t["nll"]})
+
+    buckets = ranked.map_batches(bucketize, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+    agg = rel.grouped_agg(buckets, ["lang", "bucket"],
+                          [("nll", "count", "n_docs"),
+                           ("nll", "sum", "__s")])
+    return agg.map_batches(
+        lambda t: pa.table({
+            "lang": t["lang"], "bucket": t["bucket"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "avg_nll": round_col(
+                pc.divide(t["__s"], pc.cast(t["n_docs"], pa.float64())), 6),
+        }), batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("doc_dsir_weights", """
 WITH toks AS (SELECT doc_id, string_split(text, ' ') AS L FROM documents),
 big AS (
@@ -6178,6 +6254,7 @@ _DRIVER_FIRST = [
     "events_hourly_ontime", "docs_bm25_from_index",
     "docs_search_and_segmented", "pages_from_warc",
     "dedup_exact_incremental", "pages_latest_per_canonical",
+    "doc_ccnet_buckets",
 ]
 
 
