@@ -234,6 +234,211 @@ def exact_dedup_incremental(new_ds: rd.Dataset, index_dir: str) -> rd.Dataset:
 
 
 # ---------------------------------------------------------------------------
+# sharded Bloom index — the 10^12-doc scale path of incremental dedup
+# ---------------------------------------------------------------------------
+
+_BLOOM_META = "_bloom_index_meta.json"
+_BLOOM_SCHEME = "stable-double-v1"  # bump when bit positions change
+_BLOOM_SHARD_BITS = 1 << 27         # 128 Mbit = 16 MB per shard file
+
+
+def _bloom_hashes(col, num_shards: int) -> tuple[np.ndarray, np.ndarray,
+                                                 np.ndarray]:
+    """(shard, h1, h2) per value — stable_hash64 double hashing (persisted
+    layout → pinned hash, per the artifact table in functions/hashing.py).
+    A content value's k bit positions all live in ONE shard."""
+    h1 = stable_hash64(col, seed=1)
+    h2 = stable_hash64(col, seed=2)
+    return (h1 % np.uint64(num_shards)).astype(np.int32), h1, h2
+
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int, int]:
+    """(num_shards, bits_per_shard, k) for a target capacity/fpp."""
+    n_items = max(n_items, 1)
+    m_total = int(max(64, -n_items * np.log(fpp) / (np.log(2) ** 2)))
+    num_shards = max(1, -(-m_total // _BLOOM_SHARD_BITS))
+    m_shard = -(-m_total // num_shards)
+    k = max(1, int(round(m_total / n_items * np.log(2))))
+    return num_shards, m_shard, k
+
+
+def _bloom_set_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                    k: int, m: int) -> None:
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    bits[((h1[None, :] + i * h2[None, :]) % np.uint64(m))
+         .astype(np.int64).ravel()] = True
+
+
+def _bloom_member(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                  k: int, m: int) -> np.ndarray:
+    if len(h1) == 0:
+        return np.zeros(0, dtype=bool)
+    i = np.arange(k, dtype=np.uint64)[:, None]
+    return bits[((h1[None, :] + i * h2[None, :]) % np.uint64(m))
+                .astype(np.int64)].all(axis=0)
+
+
+def build_bloom_index(ds: rd.Dataset, content_col: str, out_dir: str, *,
+                      n_items: int, fpp: float = 1e-3) -> dict:
+    """Persist a SHARDED Bloom membership filter over a corpus's content
+    values — the scale path of incremental dedup for corpora where even
+    the distinct-content index (build_content_index) is too large:
+    O(n·ln(1/fpp)) BITS total (~14 bits/doc at fpp=1e-3, ~1.8 GB per
+    10^9 docs), sharded into ≤16 MB files by hash so neither building
+    nor probing ever loads the whole filter anywhere.
+
+    Build shape: one narrow (shard, h1, h2) exchange — 20 bytes/doc, no
+    content bytes move — then one task per shard sets its own bits and
+    writes them; the driver holds meta only. The trade vs the exact
+    index (documented, the CCNet/Dolma-style 'acceptable loss'): a
+    NOVEL doc is falsely dropped at ~fpp; a SEEN doc always drops (no
+    false negatives). ``n_items`` is the planned TOTAL corpus capacity
+    (a Bloom filter cannot grow: over-filling degrades fpp, it never
+    drops seen docs)."""
+    import json
+    from pathlib import Path
+
+    num_shards, m_shard, k = _bloom_params(n_items, fpp)
+
+    def expand(t: pa.Table) -> pa.Table:
+        col = t[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sh, h1, h2 = _bloom_hashes(col, num_shards)
+        return pa.table({"__s": pa.array(sh, pa.int32()),
+                         "__h1": pa.array(h1, pa.uint64()),
+                         "__h2": pa.array(h2, pa.uint64())})
+
+    rows = ds.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_shard(t: pa.Table) -> pa.Table:
+        s = int(t["__s"][0].as_py())
+        bits = np.zeros(m_shard, dtype=bool)
+        _bloom_set_bits(bits, t["__h1"].to_numpy(zero_copy_only=False),
+                        t["__h2"].to_numpy(zero_copy_only=False), k, m_shard)
+        tmp = out / f".bloom_{s:05d}.npy.tmp"
+        with open(tmp, "wb") as fh:  # np.save on a PATH appends .npy
+            np.save(fh, np.packbits(bits))
+        tmp.replace(out / f"bloom_{s:05d}.npy")
+        return pa.table({"shard": pa.array([s], pa.int32()),
+                         "set_bits": pa.array([int(bits.sum())], pa.int64())})
+
+    stats = rows.groupby("__s").map_groups(
+        write_shard, batch_format="pyarrow").materialize()
+    meta = {"num_shards": num_shards, "m_shard": m_shard, "k": k,
+            "fpp": fpp, "n_items": n_items, "scheme": _BLOOM_SCHEME,
+            "shards_written": stats.count()}
+    Path(out_dir, _BLOOM_META).write_text(json.dumps(meta))
+    return meta
+
+
+def append_to_bloom_index(accepted: rd.Dataset, index_dir: str,
+                          content_col: str) -> dict:
+    """OR an accepted batch's bits into the existing shard files (tmp +
+    atomic rename per shard; missing shards are created). SINGLE-WRITER,
+    like the lineage manifest protocol — two concurrent appends to one
+    shard lose one writer's bits."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(index_dir, _BLOOM_META).read_text())
+    if meta.get("scheme") != _BLOOM_SCHEME:
+        raise ValueError(
+            f"bloom index at {index_dir} was built with scheme "
+            f"{meta.get('scheme')!r}; this build expects {_BLOOM_SCHEME!r}")
+    num_shards, m_shard, k = (meta["num_shards"], meta["m_shard"], meta["k"])
+    out = Path(index_dir)
+
+    def expand(t: pa.Table) -> pa.Table:
+        col = t[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sh, h1, h2 = _bloom_hashes(col, num_shards)
+        return pa.table({"__s": pa.array(sh, pa.int32()),
+                         "__h1": pa.array(h1, pa.uint64()),
+                         "__h2": pa.array(h2, pa.uint64())})
+
+    def or_shard(t: pa.Table) -> pa.Table:
+        s = int(t["__s"][0].as_py())
+        f = out / f"bloom_{s:05d}.npy"
+        bits = (np.unpackbits(np.load(f))[:m_shard].astype(bool)
+                if f.exists() else np.zeros(m_shard, dtype=bool))
+        _bloom_set_bits(bits, t["__h1"].to_numpy(zero_copy_only=False),
+                        t["__h2"].to_numpy(zero_copy_only=False), k, m_shard)
+        tmp = out / f".bloom_{s:05d}.npy.tmp"
+        with open(tmp, "wb") as fh:  # np.save on a PATH appends .npy
+            np.save(fh, np.packbits(bits))
+        tmp.replace(f)
+        return pa.table({"shard": pa.array([s], pa.int32())})
+
+    (accepted.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)
+     .groupby("__s").map_groups(or_shard,
+                                batch_format="pyarrow").materialize())
+    return meta
+
+
+def bloom_dedup_incremental(new_ds: rd.Dataset, index_dir: str,
+                            content_col: str, id_col: str) -> rd.Dataset:
+    """exact_dedup_incremental's Bloom-index sibling: new-batch rows whose
+    content is bloom-NEGATIVE vs the committed corpus, reduced to min-id
+    representatives within the batch. One (shard-of-hash) exchange; each
+    group task loads exactly ONE ≤16 MB shard file — never the filter,
+    never the corpus. False-negative-free (a committed content always
+    drops); novel contents are falsely dropped at ~fpp — the documented
+    trade vs the exact content index."""
+    import json
+    from pathlib import Path
+
+    meta = json.loads(Path(index_dir, _BLOOM_META).read_text())
+    if meta.get("scheme") != _BLOOM_SCHEME:
+        raise ValueError(
+            f"bloom index at {index_dir} was built with scheme "
+            f"{meta.get('scheme')!r}; this build expects {_BLOOM_SCHEME!r}")
+    num_shards, m_shard, k = (meta["num_shards"], meta["m_shard"], meta["k"])
+    out = Path(index_dir)
+    names = list(new_ds.schema().names)
+
+    def tag(t: pa.Table) -> pa.Table:
+        t = t.select(names)
+        col = t[content_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        sh, h1, h2 = _bloom_hashes(col, num_shards)
+        t = t.append_column("__s", pa.array(sh, pa.int32()))
+        t = t.append_column("__h1", pa.array(h1, pa.uint64()))
+        return t.append_column("__h2", pa.array(h2, pa.uint64()))
+
+    rows = new_ds.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def keep_fresh(t: pa.Table) -> pa.Table:
+        s = int(t["__s"][0].as_py())
+        f = out / f"bloom_{s:05d}.npy"
+        if f.exists():
+            bits = np.unpackbits(np.load(f))[:m_shard].astype(bool)
+            seen = _bloom_member(
+                bits, t["__h1"].to_numpy(zero_copy_only=False),
+                t["__h2"].to_numpy(zero_copy_only=False), k, m_shard)
+            t = t.filter(pa.array(~seen))
+        t = t.drop_columns(["__s", "__h1", "__h2"])
+        if t.num_rows == 0:
+            return t
+        t = t.sort_by(id_col)
+        codes = pc.fill_null(
+            t[content_col].combine_chunks().dictionary_encode().indices,
+            -1).to_numpy(zero_copy_only=False)
+        _, first_idx = np.unique(codes, return_index=True)
+        return t.take(pa.array(np.sort(first_idx), pa.int64()))
+
+    return rows.groupby("__s").map_groups(keep_fresh,
+                                          batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # tokenization / shingling helpers (per-batch, numpy-vectorized core)
 # ---------------------------------------------------------------------------
 

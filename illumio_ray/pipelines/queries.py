@@ -1164,6 +1164,53 @@ def dedup_exact_incremental(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+@register("dedup_bloom_incremental", None)  # bloom fp rate → rows-only
+def dedup_bloom_incremental(sf_dir: str):
+    """Bloom-index sibling of dedup_exact_incremental — the 10^12-doc
+    scale path where even the distinct-content index is too large to
+    store: membership vs the committed corpus is a sharded Bloom filter
+    (~14 bits/doc), probed via one shard-of-hash exchange where each
+    group task loads exactly ONE ≤16 MB bit file. Same synthetic batch
+    as the exact query; rows-only because a novel doc is falsely dropped
+    at ~fpp by design (no false negatives; unit test pins both sides of
+    that contract + the multi-shard layout)."""
+    src = Path(sf_dir) / "documents.parquet"
+    n_rows = pq.ParquetFile(str(src)).metadata.num_rows
+    cache = Path(
+        f"/tmp/illumio_ray_testdata/bloomidx_{Path(sf_dir).name}_{n_rows}")
+    idx = cache / "index"
+    marker = cache / "_complete"
+    if not marker.exists():
+        import shutil
+        shutil.rmtree(cache, ignore_errors=True)
+        cache.mkdir(parents=True)
+        committed = read_table(sf_dir, "documents", columns=["text"])
+        dedup.build_bloom_index(committed, "text", str(idx),
+                                n_items=max(n_rows * 4, 1000), fpp=1e-4)
+        marker.write_text("ok")
+
+    def make_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for mod, shift, suffix in ((3, 100000, ""), (7, 200000, " (v2)"),
+                                   (14, 300000, " (v2)")):
+            m = ids % mod == 0
+            sub = t.filter(pa.array(m))
+            txt = (sub["text"] if not suffix else
+                   pc.binary_join_element_wise(sub["text"], suffix, ""))
+            parts.append(pa.table({
+                "doc_id": pc.add(sub["doc_id"], shift),
+                "text": pc.cast(txt, pa.string()),
+            }))
+        return pa.concat_tables(parts)
+
+    batch = read_table(sf_dir, "documents",
+                       columns=["doc_id", "text"]).map_batches(
+        make_batch, batch_format="pyarrow", zero_copy_batch=True)
+    kept = dedup.bloom_dedup_incremental(batch, str(idx), "text", "doc_id")
+    return kept.select_columns(["doc_id"])
+
+
 @register("doc_fingerprints", None)  # hash64 not SQL-expressible → rows-only
 def doc_fingerprints(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])

@@ -1761,6 +1761,61 @@ def test_exact_dedup_incremental_equals_batch_restricted(tmp_path):
     assert again.count() == 0
 
 
+def test_bloom_dedup_incremental_sharded(tmp_path, monkeypatch):
+    """Sharded Bloom incremental dedup (the 10^12-doc path where even the
+    distinct-content index is too large): NO false negatives (every
+    committed content drops), novel contents survive as min-id
+    representatives at tiny fpp, bits shard across multiple ≤cap files
+    (forced here via a small shard cap), probing a missing index raises
+    on scheme mismatch, and append-then-reingest is idempotent."""
+    import json
+
+    from illumio_ray.ops import dedup
+
+    monkeypatch.setattr(dedup, "_BLOOM_SHARD_BITS", 1 << 12)
+    committed = pa.table({
+        "doc_id": pa.array(range(1500), pa.int64()),
+        "text": pa.array([f"committed text number {i}" for i in range(1500)]),
+    })
+    batch = pa.table({
+        "doc_id": pa.array(range(10000, 10700), pa.int64()),
+        "text": pa.array([f"committed text number {i}" for i in range(400)]
+                         + [f"novel {i % 120}" for i in range(300)]),
+    })
+    idx = str(tmp_path / "bloom")
+    meta = dedup.build_bloom_index(rd.from_arrow(committed), "text", idx,
+                                   n_items=4000, fpp=1e-4)
+    assert meta["num_shards"] > 1  # the sharded path actually exercised
+    assert meta["shards_written"] == meta["num_shards"]
+
+    kept = (dedup.bloom_dedup_incremental(rd.from_arrow(batch), idx,
+                                          "text", "doc_id").to_pandas())
+    ctexts = set(committed["text"].to_pylist())
+    assert not any(t in ctexts for t in kept.text)  # no false negatives
+    assert kept.text.is_unique                      # one rep per content
+    assert kept.doc_id.dtype == np.int64
+    # novel distinct = 120; fp losses at 1e-4 over 120 probes ≈ none, but
+    # the CONTRACT is only one-sided — allow a tiny shortfall
+    assert 118 <= len(kept) <= 120
+    # min-id representative: 'novel 0' appeared first at batch offset 400
+    assert int(kept[kept.text == "novel 0"].doc_id.iloc[0]) == 10400
+
+    dedup.append_to_bloom_index(
+        rd.from_arrow(pa.Table.from_pandas(kept)), idx, "text")
+    again = dedup.bloom_dedup_incremental(rd.from_arrow(batch), idx,
+                                          "text", "doc_id")
+    assert again.count() == 0
+
+    # scheme guard: a future bit-layout bump must refuse stale indexes
+    mp = tmp_path / "bloom" / "_bloom_index_meta.json"
+    m = json.loads(mp.read_text())
+    m["scheme"] = "ancient-v0"
+    mp.write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="scheme"):
+        dedup.bloom_dedup_incremental(rd.from_arrow(batch), idx,
+                                      "text", "doc_id")
+
+
 def _ref_segment_dedup(docs: pd.DataFrame, k: int):
     """Pure-python keep-first segment dedup reference."""
     segs = []  # (doc_id, seg_idx, seg)
