@@ -48,7 +48,8 @@ def cmd_synth(args) -> int:
 
 
 def cmd_ingest(args) -> int:
-    """WARC crawl archive → canonical pages parquet staging.
+    """Crawl archive (WARC, or JSONL via --format jsonl) → canonical
+    pages parquet staging.
 
     The real upstream of the flagship's `url, warc_ts, html` input is a
     crawl archive; this converts `.warc.gz` (or plain `.warc`) response
@@ -65,6 +66,21 @@ def cmd_ingest(args) -> int:
     from .ops.textops import add_lang_id
     from .schema import BODY_RE, PAGES_SCHEMA
     from .sources.warc import read_warc
+
+    if args.format == "jsonl":
+        # jsonl already carries the full canonical schema (incl. text and
+        # lang) — stage it as-is, same drop-invalid-line policy
+        from .sources.jsonl import read_pages_jsonl
+
+        ds = read_pages_jsonl(args.warc_dir,
+                              html_encoding=args.html_encoding)
+        out = str(Path(args.out) / "pages")
+        ds.write_parquet(out)
+        import pyarrow.parquet as pq
+        n = sum(pq.ParquetFile(str(f)).metadata.num_rows
+                for f in Path(out).glob("*.parquet"))
+        print(json.dumps({"pages_dir": out, "rows_written": n}))
+        return 0
 
     def to_pages(t: pa.Table) -> pa.Table:
         try:
@@ -425,12 +441,17 @@ def main(argv=None) -> int:
     gp = sub.add_parser("ingest",
                         help="WARC crawl archive → canonical pages parquet")
     gp.add_argument("--warc-dir", required=True,
-                    help="dir (or file) of .warc.gz / .warc response records")
+                    help="dir (or file) of crawl records (.warc.gz / .warc, "
+                         "or .jsonl[.gz] with --format jsonl)")
     gp.add_argument("--out", required=True,
                     help="staging dir; pages parquet lands in OUT/pages/")
+    gp.add_argument("--format", choices=["warc", "jsonl"], default="warc")
+    gp.add_argument("--html-encoding", choices=["base64", "utf8"],
+                    default="base64",
+                    help="jsonl only: how the html field is encoded")
     gp.add_argument("--no-lang-id", action="store_true",
-                    help="skip the heuristic language-ID stage and stamp "
-                         "--default-lang instead")
+                    help="warc only: skip the heuristic language-ID stage "
+                         "and stamp --default-lang instead")
     gp.add_argument("--default-lang", default="und")
     gp.set_defaults(fn=cmd_ingest)
 

@@ -282,3 +282,39 @@ def test_ingest_warc_then_run_flagship(tmp_path, capsys):
     assert m["rows_routed"] == n_body
     urls = _routed_urls(out)
     assert len(urls) == len(set(urls)) == n_body
+
+
+def test_ingest_jsonl_stages_canonical_pages(tmp_path, capsys):
+    """`ingest --format jsonl` stages a gzipped-JSONL crawl drop (the
+    reference's wire-in format) into canonical pages parquet, keeping the
+    drop-invalid-line policy."""
+    import base64
+    import gzip as _gz
+
+    rows = [
+        {"url": "https://a/1", "warc_ts": "2024-10-01T00:00:01",
+         "html": base64.b64encode(b"<body>hi</body>").decode(),
+         "text": "hi", "lang": "en"},
+        {"url": "https://a/2", "warc_ts": 1727740800000000,
+         "html": base64.b64encode(b"<body>yo</body>").decode(),
+         "text": "yo", "lang": "de"},
+    ]
+    src = tmp_path / "drop"
+    src.mkdir()
+    with _gz.open(src / "pages.jsonl.gz", "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{broken\n")  # malformed -> dropped, not fatal
+    staged = tmp_path / "staged"
+    assert main(["ingest", "--format", "jsonl", "--warc-dir", str(src),
+                 "--out", str(staged)]) == 0
+    rep = json.loads(capsys.readouterr().out)
+    assert rep["rows_written"] == 2
+
+    import duckdb
+    got = duckdb.connect().execute(
+        f"SELECT url, lang, decode(html) FROM "
+        f"read_parquet('{staged}/pages/*.parquet') ORDER BY url"
+    ).fetchall()
+    assert got == [("https://a/1", "en", "<body>hi</body>"),
+                   ("https://a/2", "de", "<body>yo</body>")]
