@@ -74,13 +74,7 @@ def cmd_ingest(args) -> int:
 
         ds = read_pages_jsonl(args.warc_dir,
                               html_encoding=args.html_encoding)
-        out = str(Path(args.out) / "pages")
-        ds.write_parquet(out)
-        import pyarrow.parquet as pq
-        n = sum(pq.ParquetFile(str(f)).metadata.num_rows
-                for f in Path(out).glob("*.parquet"))
-        print(json.dumps({"pages_dir": out, "rows_written": n}))
-        return 0
+        return _stage_pages(ds, args.out)
 
     def to_pages(t: pa.Table) -> pa.Table:
         try:
@@ -117,12 +111,27 @@ def cmd_ingest(args) -> int:
     ds = ds.map_batches(lambda t: t.select(PAGES_SCHEMA.names)
                         .cast(PAGES_SCHEMA),
                         batch_format="pyarrow", zero_copy_batch=True)
-    out = str(Path(args.out) / "pages")
-    ds.write_parquet(out)
+    return _stage_pages(ds, args.out)
+
+
+def _stage_pages(ds, out_dir: str) -> int:
+    """Write the staged pages parquet and report. REFUSES a non-empty
+    target: write_parquet appends uniquely-named files, so re-running
+    into stale parts would silently double-stage every page for the
+    downstream `run`."""
+    out = Path(out_dir) / "pages"
+    stale = sorted(out.glob("*.parquet")) if out.exists() else []
+    if stale:
+        print(f"error: {out} already holds {len(stale)} parquet part(s); "
+              "remove them or choose a fresh --out (re-ingesting next to "
+              "stale parts would duplicate pages downstream)",
+              file=sys.stderr)
+        return 1
+    ds.write_parquet(str(out))
     import pyarrow.parquet as pq
     n = sum(pq.ParquetFile(str(f)).metadata.num_rows
-            for f in Path(out).glob("*.parquet"))
-    print(json.dumps({"pages_dir": out, "rows_written": n}))
+            for f in out.glob("*.parquet"))
+    print(json.dumps({"pages_dir": str(out), "rows_written": n}))
     return 0
 
 

@@ -238,8 +238,9 @@ def exact_dedup_incremental(new_ds: rd.Dataset, index_dir: str) -> rd.Dataset:
 # ---------------------------------------------------------------------------
 
 _BLOOM_META = "_bloom_index_meta.json"
-_BLOOM_SCHEME = "stable-double-v1"  # bump when bit positions change
+_BLOOM_SCHEME = "stable-double-packed-v2"  # bump when bit layout changes
 _BLOOM_SHARD_BITS = 1 << 27         # 128 Mbit = 16 MB per shard file
+_POPCOUNT = np.array([bin(i).count("1") for i in range(256)], np.uint16)
 
 
 def _bloom_hashes(col, num_shards: int) -> tuple[np.ndarray, np.ndarray,
@@ -262,20 +263,28 @@ def _bloom_params(n_items: int, fpp: float) -> tuple[int, int, int]:
     return num_shards, m_shard, k
 
 
-def _bloom_set_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
-                    k: int, m: int) -> None:
+def _bloom_idx(h1: np.ndarray, h2: np.ndarray, k: int,
+               m: int) -> np.ndarray:
     i = np.arange(k, dtype=np.uint64)[:, None]
-    bits[((h1[None, :] + i * h2[None, :]) % np.uint64(m))
-         .astype(np.int64).ravel()] = True
+    return ((h1[None, :] + i * h2[None, :]) % np.uint64(m)).astype(np.int64)
 
 
-def _bloom_member(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+def _bloom_set_bits(packed: np.ndarray, h1: np.ndarray, h2: np.ndarray,
+                    k: int, m: int) -> None:
+    """Set bits in a PACKED uint8 array (LSB-first within each byte) —
+    the in-memory form matches the on-disk file, so no task ever holds
+    the 8× unpacked bool expansion of a shard."""
+    idx = _bloom_idx(h1, h2, k, m).ravel()
+    np.bitwise_or.at(packed, idx >> 3,
+                     np.left_shift(1, idx & 7).astype(np.uint8))
+
+
+def _bloom_member(packed: np.ndarray, h1: np.ndarray, h2: np.ndarray,
                   k: int, m: int) -> np.ndarray:
     if len(h1) == 0:
         return np.zeros(0, dtype=bool)
-    i = np.arange(k, dtype=np.uint64)[:, None]
-    return bits[((h1[None, :] + i * h2[None, :]) % np.uint64(m))
-                .astype(np.int64)].all(axis=0)
+    idx = _bloom_idx(h1, h2, k, m)
+    return (((packed[idx >> 3] >> (idx & 7)) & 1) == 1).all(axis=0)
 
 
 def build_bloom_index(ds: rd.Dataset, content_col: str, out_dir: str, *,
@@ -316,15 +325,16 @@ def build_bloom_index(ds: rd.Dataset, content_col: str, out_dir: str, *,
 
     def write_shard(t: pa.Table) -> pa.Table:
         s = int(t["__s"][0].as_py())
-        bits = np.zeros(m_shard, dtype=bool)
-        _bloom_set_bits(bits, t["__h1"].to_numpy(zero_copy_only=False),
+        packed = np.zeros((m_shard + 7) // 8, dtype=np.uint8)
+        _bloom_set_bits(packed, t["__h1"].to_numpy(zero_copy_only=False),
                         t["__h2"].to_numpy(zero_copy_only=False), k, m_shard)
         tmp = out / f".bloom_{s:05d}.npy.tmp"
         with open(tmp, "wb") as fh:  # np.save on a PATH appends .npy
-            np.save(fh, np.packbits(bits))
+            np.save(fh, packed)
         tmp.replace(out / f"bloom_{s:05d}.npy")
         return pa.table({"shard": pa.array([s], pa.int32()),
-                         "set_bits": pa.array([int(bits.sum())], pa.int64())})
+                         "set_bits": pa.array(
+                             [int(_POPCOUNT[packed].sum())], pa.int64())})
 
     stats = rows.groupby("__s").map_groups(
         write_shard, batch_format="pyarrow").materialize()
@@ -364,13 +374,13 @@ def append_to_bloom_index(accepted: rd.Dataset, index_dir: str,
     def or_shard(t: pa.Table) -> pa.Table:
         s = int(t["__s"][0].as_py())
         f = out / f"bloom_{s:05d}.npy"
-        bits = (np.unpackbits(np.load(f))[:m_shard].astype(bool)
-                if f.exists() else np.zeros(m_shard, dtype=bool))
-        _bloom_set_bits(bits, t["__h1"].to_numpy(zero_copy_only=False),
+        packed = (np.load(f).copy() if f.exists()
+                  else np.zeros((m_shard + 7) // 8, dtype=np.uint8))
+        _bloom_set_bits(packed, t["__h1"].to_numpy(zero_copy_only=False),
                         t["__h2"].to_numpy(zero_copy_only=False), k, m_shard)
         tmp = out / f".bloom_{s:05d}.npy.tmp"
         with open(tmp, "wb") as fh:  # np.save on a PATH appends .npy
-            np.save(fh, np.packbits(bits))
+            np.save(fh, packed)
         tmp.replace(f)
         return pa.table({"shard": pa.array([s], pa.int32())})
 
@@ -419,9 +429,9 @@ def bloom_dedup_incremental(new_ds: rd.Dataset, index_dir: str,
         s = int(t["__s"][0].as_py())
         f = out / f"bloom_{s:05d}.npy"
         if f.exists():
-            bits = np.unpackbits(np.load(f))[:m_shard].astype(bool)
+            packed = np.load(f)
             seen = _bloom_member(
-                bits, t["__h1"].to_numpy(zero_copy_only=False),
+                packed, t["__h1"].to_numpy(zero_copy_only=False),
                 t["__h2"].to_numpy(zero_copy_only=False), k, m_shard)
             t = t.filter(pa.array(~seen))
         t = t.drop_columns(["__s", "__h1", "__h2"])

@@ -165,18 +165,20 @@ u AS (
 ),
 c AS (
   SELECT url, warc_ts,
-         scheme || '://' ||
-         regexp_replace(
-           CASE WHEN scheme = 'http'
-                THEN regexp_replace(host0, ':80$', '')
-                ELSE regexp_replace(host0, ':443$', '') END,
-           '^www\\.', '') ||
-         regexp_replace(coalesce(path0, ''), '/+$', '') AS canon_url
+         CASE WHEN scheme = '' OR host0 = '' THEN NULL ELSE
+           scheme || '://' ||
+           regexp_replace(
+             CASE WHEN scheme = 'http'
+                  THEN regexp_replace(host0, ':80$', '')
+                  ELSE regexp_replace(host0, ':443$', '') END,
+             '^www\\.', '') ||
+           regexp_replace(coalesce(path0, ''), '/+$', '')
+         END AS canon_url
   FROM u
 )
 SELECT canon_url, arg_max(url, warc_ts) AS last_url,
        max(warc_ts) AS last_ts, CAST(count(*) AS BIGINT) AS n_visits
-FROM c GROUP BY 1
+FROM c WHERE canon_url IS NOT NULL GROUP BY 1
 """)
 def pages_latest_per_canonical(sf_dir: str):
     """Crawl-revisit dedup — keep the NEWEST capture per canonical URL
@@ -212,6 +214,10 @@ def pages_latest_per_canonical(sf_dir: str):
     canon = textops.canonicalize_urls(all_rows)
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # unparseable urls (null canon) are not dedup-keyable: dropped
+        # EXPLICITLY here, and by the oracle's NULL guard + WHERE — not
+        # silently by pandas groupby(dropna=True)
+        df = df[df["canon_url"].notna()]
         df = df.sort_values(["canon_url", "warc_ts"])
         g = df.groupby("canon_url", sort=False)
         last = g.tail(1).set_index("canon_url")
@@ -1098,6 +1104,32 @@ def dedup_exact_q(sf_dir: str):
     return dedup.exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
 
 
+def _incremental_probe_batch(sf_dir: str) -> rd.Dataset:
+    """The synthetic arriving batch BOTH incremental-dedup queries probe
+    with (one definition — the exact and bloom variants must stay
+    identical): exact copies of committed docs (doc_id%3, +100000),
+    novel ' (v2)' texts (doc_id%7, +200000), and batch-internal
+    duplicates of those novels (doc_id%14, +300000)."""
+    def make_batch(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        parts = []
+        for mod, shift, suffix in ((3, 100000, ""), (7, 200000, " (v2)"),
+                                   (14, 300000, " (v2)")):
+            m = ids % mod == 0
+            sub = t.filter(pa.array(m))
+            txt = (sub["text"] if not suffix else
+                   pc.binary_join_element_wise(sub["text"], suffix, ""))
+            parts.append(pa.table({
+                "doc_id": pc.add(sub["doc_id"], shift),
+                "text": pc.cast(txt, pa.string()),
+            }))
+        return pa.concat_tables(parts)
+
+    return read_table(sf_dir, "documents",
+                      columns=["doc_id", "text"]).map_batches(
+        make_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("dedup_exact_incremental", """
 WITH batch AS (
   SELECT doc_id + 100000 AS doc_id, text
@@ -1142,24 +1174,7 @@ def dedup_exact_incremental(sf_dir: str):
                                   n_rows=n_rows)
         marker.write_text("ok")
 
-    def make_batch(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        parts = []
-        for mod, shift, suffix in ((3, 100000, ""), (7, 200000, " (v2)"),
-                                   (14, 300000, " (v2)")):
-            m = ids % mod == 0
-            sub = t.filter(pa.array(m))
-            txt = (sub["text"] if not suffix else
-                   pc.binary_join_element_wise(sub["text"], suffix, ""))
-            parts.append(pa.table({
-                "doc_id": pc.add(sub["doc_id"], shift),
-                "text": pc.cast(txt, pa.string()),
-            }))
-        return pa.concat_tables(parts)
-
-    batch = read_table(sf_dir, "documents",
-                       columns=["doc_id", "text"]).map_batches(
-        make_batch, batch_format="pyarrow", zero_copy_batch=True)
+    batch = _incremental_probe_batch(sf_dir)
     kept = dedup.exact_dedup_incremental(batch, str(idx))
     return kept.select_columns(["doc_id"])
 
@@ -1177,7 +1192,8 @@ def dedup_bloom_incremental(sf_dir: str):
     src = Path(sf_dir) / "documents.parquet"
     n_rows = pq.ParquetFile(str(src)).metadata.num_rows
     cache = Path(
-        f"/tmp/illumio_ray_testdata/bloomidx_{Path(sf_dir).name}_{n_rows}")
+        f"/tmp/illumio_ray_testdata/bloomidx_"
+        f"{dedup._BLOOM_SCHEME}_{Path(sf_dir).name}_{n_rows}")
     idx = cache / "index"
     marker = cache / "_complete"
     if not marker.exists():
@@ -1189,24 +1205,7 @@ def dedup_bloom_incremental(sf_dir: str):
                                 n_items=max(n_rows * 4, 1000), fpp=1e-4)
         marker.write_text("ok")
 
-    def make_batch(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        parts = []
-        for mod, shift, suffix in ((3, 100000, ""), (7, 200000, " (v2)"),
-                                   (14, 300000, " (v2)")):
-            m = ids % mod == 0
-            sub = t.filter(pa.array(m))
-            txt = (sub["text"] if not suffix else
-                   pc.binary_join_element_wise(sub["text"], suffix, ""))
-            parts.append(pa.table({
-                "doc_id": pc.add(sub["doc_id"], shift),
-                "text": pc.cast(txt, pa.string()),
-            }))
-        return pa.concat_tables(parts)
-
-    batch = read_table(sf_dir, "documents",
-                       columns=["doc_id", "text"]).map_batches(
-        make_batch, batch_format="pyarrow", zero_copy_batch=True)
+    batch = _incremental_probe_batch(sf_dir)
     kept = dedup.bloom_dedup_incremental(batch, str(idx), "text", "doc_id")
     return kept.select_columns(["doc_id"])
 
@@ -4331,30 +4330,32 @@ scored AS (
   FROM big b JOIN cb USING (w1, w2) JOIN cu USING (w1) CROSS JOIN v
   GROUP BY b.doc_id
 ),
-pr AS (
-  SELECT d.lang, s.nll,
-         ROUND(percent_rank() OVER (PARTITION BY d.lang ORDER BY s.nll),
-               6) AS pr
-  FROM scored s JOIN documents d USING (doc_id)
+ld AS (
+  SELECT d.lang, s.nll FROM scored s JOIN documents d USING (doc_id)
+),
+th AS (
+  SELECT lang, quantile_disc(nll, 0.3333333333333333) AS t1,
+         quantile_disc(nll, 0.6666666666666666) AS t2
+  FROM ld GROUP BY 1
 )
 SELECT lang,
-       CASE WHEN pr < 0.333333 THEN 'head'
-            WHEN pr < 0.666667 THEN 'middle'
+       CASE WHEN nll <= t1 THEN 'head'
+            WHEN nll <= t2 THEN 'middle'
             ELSE 'tail' END AS bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        ROUND(avg(nll), 6) AS avg_nll
-FROM pr GROUP BY 1, 2
+FROM ld JOIN th USING (lang) GROUP BY 1, 2
 """)
 def doc_ccnet_buckets(sf_dir: str):
     """CCNet's corpus partition (Wenzek et al. 2020): per language, split
     documents into head/middle/tail thirds by LM score — the step that
-    turns a raw crawl into quality tiers before sampling. Composition of
-    two already-oracled primitives, both bit-parity at their boundaries:
-    the add-one bigram NLL (broadcast model, row-local scoring, rounded
-    to 6) and the exact per-group percent_rank (histogram-to-driver +
-    broadcast searchsorted — no shuffle anywhere in the whole pipeline).
-    Thresholds compare the ROUNDED pr on both engines, so bucket
-    membership can never drift on a ULP."""
+    turns a raw crawl into quality tiers before sampling, done the way
+    CCNet itself does it: compute the two per-language score THRESHOLDS
+    (exact tertile quantiles via the shared-pass histogram refinement —
+    driver state O(languages), never one entry per document), broadcast
+    them, and bucket rows with two compares. The NLL is rounded to 6 at
+    its boundary and the thresholds are actual corpus values, so bucket
+    membership is bit-identical across engines."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     scored = textops.add_bigram_lm_nll(ds)
 
@@ -4364,19 +4365,24 @@ def doc_ccnet_buckets(sf_dir: str):
                          "nll": t["nll"].filter(ok)})
 
     scored = scored.map_batches(drop_unscored, batch_format="pyarrow",
-                                zero_copy_batch=True)
-    ranked = rel.grouped_percent_rank(scored, "lang", "nll")
+                                zero_copy_batch=True).materialize()
+    th = rel.exact_quantile_disc_by(scored, "lang", "nll", [1 / 3, 2 / 3])
+    langs = th["lang"].to_pylist()
+    t1 = np.asarray(th["q33"].to_pylist(), np.float64)
+    t2 = np.asarray(th["q67"].to_pylist(), np.float64)
+    lang_set = pa.array(langs)
 
     def bucketize(t: pa.Table) -> pa.Table:
-        pr = t["pr"]
-        bucket = pc.if_else(
-            pc.less(pr, 0.333333), pa.scalar("head"),
-            pc.if_else(pc.less(pr, 0.666667), pa.scalar("middle"),
-                       pa.scalar("tail")))
-        return pa.table({"lang": t["lang"], "bucket": bucket,
+        code = pc.index_in(t["lang"], value_set=lang_set) \
+            .to_numpy(zero_copy_only=False)
+        nll = t["nll"].to_numpy(zero_copy_only=False)
+        b = np.where(nll <= t1[code], "head",
+                     np.where(nll <= t2[code], "middle", "tail"))
+        return pa.table({"lang": t["lang"],
+                         "bucket": pa.array(b, pa.string()),
                          "nll": t["nll"]})
 
-    buckets = ranked.map_batches(bucketize, batch_format="pyarrow",
+    buckets = scored.map_batches(bucketize, batch_format="pyarrow",
                                  zero_copy_batch=True)
     agg = rel.grouped_agg(buckets, ["lang", "bucket"],
                           [("nll", "count", "n_docs"),

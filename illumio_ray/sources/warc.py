@@ -7,10 +7,10 @@ payload a WARC response record carries.
 
 Layout follows the Common Crawl convention: every record is its own
 gzip MEMBER, so a `.warc.gz` is a concatenation of independently
-compressed records and a reader can stream record-at-a-time without
-decompressing the whole file (stdlib ``gzip.GzipFile`` walks members
-transparently). Each file leads with a `warcinfo` record (skipped on
-read, like any non-response record).
+compressed records — the reader decompresses member-at-a-time and a
+corrupt/truncated record drops only its own member (resync at the next
+gzip magic, the standard crawl-archive recovery). Each file leads with
+a `warcinfo` record (skipped on read, like any non-response record).
 
 Built on ray.data's FileBasedDatasource: discovery/parallelism/
 filesystem come from the base class; this class only decodes. WARC is
@@ -57,7 +57,10 @@ def _parse_warc_date(raw: bytes) -> int:
 
 
 def _record(headers: list[tuple[bytes, bytes]], payload: bytes) -> bytes:
-    head = b"WARC/1.0" + _CRLF + b"".join(
+    # WARC/1.1, not 1.0: fractional-second WARC-Dates (which _warc_date
+    # always emits) only exist in 1.1 — a strict validator rejects them
+    # under a 1.0 version stamp
+    head = b"WARC/1.1" + _CRLF + b"".join(
         k + b": " + v + _CRLF for k, v in headers)
     return (head + b"Content-Length: " + str(len(payload)).encode() + _CRLF
             + _CRLF + payload + _CRLF + _CRLF)
@@ -117,6 +120,69 @@ def _iter_records(stream: io.BufferedIOBase):
         if len(payload) != clen:
             raise ValueError("truncated WARC record payload")
         yield headers, payload
+
+
+def _iter_member_records(buf: "_Buf"):
+    """Yield records from per-record-gzip-member WARC: each member
+    decompresses and parses INDEPENDENTLY, so a truncated/corrupt record
+    drops only itself — the standard crawl-archive recovery, and the
+    reason Common Crawl uses member-per-record.
+
+    A healthy member's byte length is taken from the inflater's own
+    accounting (never from magic scanning, which compressed bytes can
+    fake), so false magics inside healthy members are never visited. On
+    a corrupt member the scan resumes from the byte AFTER its start, so
+    every true member boundary downstream is eventually tried — the
+    gzip CRC trailer rejects misaligned attempts. Framing or field
+    defects inside one member drop the member, never the file."""
+    import zlib
+
+    _CH = 1 << 20
+    data = buf.read(_CH)
+    eof_in = len(data) < _CH  # _Buf.read returns short only at EOF
+    pos = 0
+    while pos < len(data) or not eof_in:
+        if pos >= len(data):
+            data = buf.read(_CH)
+            eof_in = len(data) < _CH
+            pos = 0
+            if not data:
+                return
+        d = zlib.decompressobj(31)
+        parts: list[bytes] = []
+        ok = False
+        try:
+            parts.append(d.decompress(data[pos:]))
+            while not d.eof and not eof_in:
+                chunk = buf.read(_CH)
+                eof_in = len(chunk) < _CH
+                data += chunk
+                parts.append(d.decompress(chunk))
+            ok = d.eof
+        except zlib.error:
+            ok = False
+        if ok:
+            consumed = (len(data) - pos) - len(d.unused_data)
+            member = io.BufferedReader(io.BytesIO(b"".join(parts)))
+            try:
+                yield from _iter_records(member)
+            except (ValueError, KeyError):
+                pass  # malformed record inside this member → drop member
+            pos += consumed
+        else:
+            i = data.find(b"\x1f\x8b\x08", pos + 1)
+            while i < 0 and not eof_in:
+                keep_from = max(pos + 1, len(data) - 2)
+                chunk = buf.read(_CH)
+                eof_in = len(chunk) < _CH
+                data += chunk
+                i = data.find(b"\x1f\x8b\x08", keep_from)
+            if i < 0:
+                return  # corrupt tail, no further member boundary
+            pos = i
+        if pos > _CH:  # bound resident memory to the unconsumed suffix
+            data = data[pos:]
+            pos = 0
 
 
 class _Buf:
@@ -186,15 +252,27 @@ class WARCDatasource(FileBasedDatasource):
                 raise ValueError(f"unknown WARC columns: {sorted(unknown)}")
         self._columns = columns
 
+    def _open_input_source(self, filesystem, path, **open_args):
+        # compression=None: keep the RAW bytes. pyarrow's default
+        # 'detect' would gunzip upstream as one continuous stream, whose
+        # inflater aborts the whole file on the first corrupt member —
+        # member-level decompression (and resync past bad members) is
+        # this reader's job.
+        open_args.pop("compression", None)
+        return filesystem.open_input_stream(path, compression=None,
+                                            **open_args)
+
     def _read_stream(self, f, path: str):
         # The stream may arrive raw OR already gunzipped (pyarrow
         # filesystems default compression='detect' on open), so sniff
-        # the magic instead of trusting the extension. Multi-member
-        # gzip: GzipFile walks member boundaries itself.
+        # the magic instead of trusting the extension. Gzipped input
+        # goes through the member-resyncing iterator (a corrupt record
+        # drops only its member — the jsonl drop-invalid-line policy at
+        # record granularity); a plain .warc has no resync points, so
+        # framing stays strict there and only FIELD defects drop.
         buf = _Buf(f)
-        stream = (io.BufferedReader(
-            gzip.GzipFile(fileobj=buf))  # type: ignore[arg-type]
-            if buf.peek2() == b"\x1f\x8b" else buf)
+        records = (_iter_member_records(buf)
+                   if buf.peek2() == b"\x1f\x8b" else _iter_records(buf))
         urls: list[str] = []
         ts: list[int] = []
         htmls: list[bytes] = []
@@ -209,14 +287,21 @@ class WARCDatasource(FileBasedDatasource):
             urls.clear(); ts.clear(); htmls.clear()
             return t.select(self._columns) if self._columns else t
 
-        for headers, payload in _iter_records(stream):
+        for headers, payload in records:
             if headers.get(b"warc-type") != b"response":
+                continue
+            try:
+                # field defects (odd WARC-Date formats, missing URI,
+                # non-utf8 URI) drop the record, never the file
+                url = headers[b"warc-target-uri"].decode()
+                t = _parse_warc_date(headers[b"warc-date"])
+            except (KeyError, ValueError, UnicodeDecodeError):
                 continue
             # payload = HTTP response: headers, blank line, body
             sep = payload.find(b"\r\n\r\n")
             body = payload[sep + 4:] if sep >= 0 else payload
-            urls.append(headers[b"warc-target-uri"].decode())
-            ts.append(_parse_warc_date(headers[b"warc-date"]))
+            urls.append(url)
+            ts.append(t)
             htmls.append(body)
             if len(urls) >= _BATCH_RECORDS:
                 yield flush()

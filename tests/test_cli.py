@@ -318,3 +318,8 @@ def test_ingest_jsonl_stages_canonical_pages(tmp_path, capsys):
     ).fetchall()
     assert got == [("https://a/1", "en", "<body>hi</body>"),
                    ("https://a/2", "de", "<body>yo</body>")]
+
+    # rerun guard: staging next to existing parts would double-stage
+    assert main(["ingest", "--format", "jsonl", "--warc-dir", str(src),
+                 "--out", str(staged)]) == 1
+    capsys.readouterr()

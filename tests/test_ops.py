@@ -2438,6 +2438,60 @@ def gzip_decompress(b: bytes) -> bytes:
     return _gz.GzipFile(fileobj=_io.BytesIO(b)).read()
 
 
+def test_read_warc_drops_corrupt_members_not_file(tmp_path):
+    """Drop-invalid policy at record granularity: a .warc.gz with a
+    truncated member, a garbage pseudo-member, and a record with an
+    unparseable WARC-Date still yields every healthy record — the reader
+    resyncs at the next gzip magic instead of aborting the file."""
+    import gzip as _gz
+
+    from illumio_ray.sources.warc import read_warc, write_warc
+
+    good = pa.table({
+        "url": [f"https://ok.example/{i}" for i in range(4)],
+        "warc_ts": pa.array([1700000000000000 + i for i in range(4)],
+                            pa.int64()).cast(pa.timestamp("us")),
+        "html": [f"<body>doc {i}</body>".encode() for i in range(4)],
+    })
+    whole = tmp_path / "w.warc.gz"
+    write_warc(good, whole)
+    blob = whole.read_bytes()
+    # split the file into its gzip members (magic-scan is exact here:
+    # deterministic payloads contain no 1f 8b 08)
+    magic = b"\x1f\x8b\x08"
+    starts = []
+    i = 0
+    while True:
+        j = blob.find(magic, i)
+        if j < 0:
+            break
+        starts.append(j)
+        i = j + 1
+    members = [blob[a:b] for a, b in zip(starts, starts[1:] + [len(blob)])]
+    assert len(members) == 5  # warcinfo + 4 responses
+
+    bad_date = _gz.compress(
+        b"WARC/1.1\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://bad.example/date\r\n"
+        b"WARC-Date: not-a-date\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n",
+        6, mtime=0)
+    corrupted = (members[0] + members[1]
+                 + members[2][:len(members[2]) // 2]  # truncated member
+                 + members[3]
+                 + b"\x1f\x8b\x08garbage-not-gzip"    # fake magic
+                 + bad_date
+                 + members[4])
+    (tmp_path / "c").mkdir()
+    (tmp_path / "c" / "mixed.warc.gz").write_bytes(corrupted)
+
+    got = read_warc(str(tmp_path / "c")).to_pandas().sort_values("url")
+    # records 0, 2, 3 survive; record 1 (truncated) and the bad-date one drop
+    assert list(got.url) == ["https://ok.example/0", "https://ok.example/2",
+                             "https://ok.example/3"]
+    assert list(got.html) == [b"<body>doc 0</body>", b"<body>doc 2</body>",
+                              b"<body>doc 3</body>"]
+
+
 def test_warc_codec_property_roundtrip(tmp_path):
     """Hypothesis: ANY binary body (including WARC/HTTP framing bytes,
     CRLFs, gzip magic) and any microsecond timestamp roundtrip the
