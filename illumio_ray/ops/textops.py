@@ -1241,3 +1241,32 @@ def canonicalize_urls(ds: rd.Dataset, url_col: str = "url",
         return t.append_column(out_col, canon)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def block_by_domain_suffix(ds: rd.Dataset, suffixes: list[str],
+                           url_col: str = "url",
+                           keep_blocked: bool = False) -> rd.Dataset:
+    """Domain-suffix blocklist filter — the URL-level curation gate a web
+    corpus runs before any content work (RefinedWeb/Dolma block whole
+    domains by suffix list). A row is blocked when its url host (ports
+    stripped, case-folded) equals a suffix or ends with ".<suffix>" —
+    subdomains of a blocked domain block too, but "notexample.com" does
+    NOT match "example.com". Row-local Arrow kernels; the suffix list is
+    a broadcast constant (at real scale, ship a large list via ray.put
+    and match against a reversed-host sorted array instead of the OR
+    chain). Rows with no parseable host are kept (no host to block on).
+
+    ``keep_blocked=True`` inverts the filter (audit view)."""
+    sfx = [s.lower().lstrip(".") for s in suffixes]
+
+    def fn(t: pa.Table) -> pa.Table:
+        host = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(t[url_col], r"^[Hh][Tt][Tt][Pp][Ss]?://"
+                                         r"(?P<h>[^/?#:]+)"), "h"))
+        blocked = pa.array(np.zeros(t.num_rows, bool))
+        for s in sfx:
+            hit = pc.or_(pc.equal(host, s), pc.ends_with(host, "." + s))
+            blocked = pc.or_(blocked, pc.fill_null(hit, False))
+        return t.filter(blocked if keep_blocked else pc.invert(blocked))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -245,6 +245,47 @@ def pages_latest_per_canonical(sf_dir: str):
                             n_rows=pages.count() * 2)
 
 
+@register("pages_blocklist_filtered", f"""
+WITH h AS (
+  SELECT url, lower(regexp_extract(url, '^https?://([^/?#:]+)', 1)) AS host
+  FROM read_parquet('{PAGES_GLOB}')
+)
+SELECT host AS url_host, CAST(count(*) AS BIGINT) AS n
+FROM h
+WHERE NOT (host = 'example-malware.com'
+           OR host LIKE '%.example-malware.com'
+           OR host = 'host001.example-social.com'
+           OR host LIKE '%.host001.example-social.com')
+GROUP BY 1
+""")
+def pages_blocklist_filtered(sf_dir: str):
+    """URL-level blocklist gate (the curation stage RefinedWeb/Dolma run
+    before any content work): drop every page whose host is, or is a
+    subdomain of, a blocklisted domain — one whole domain family
+    (example-malware.com) plus one exact host — then count survivors
+    per host. Row-local suffix matching (textops.block_by_domain_suffix);
+    the oracle states the identical host-equality/LIKE-suffix predicate."""
+    info = _pages(sf_dir)
+    pages = rd.read_parquet(info["pages_dir"], columns=["url"])
+    kept = textops.block_by_domain_suffix(
+        pages, ["example-malware.com", "host001.example-social.com"])
+
+    def host_of(t: pa.Table) -> pa.Table:
+        h = pc.utf8_lower(pc.struct_field(
+            pc.extract_regex(t["url"], r"^[Hh][Tt][Tt][Pp][Ss]?://"
+                                       r"(?P<h>[^/?#:]+)"), "h"))
+        return pa.table({"url_host": h})
+
+    agg = rel.grouped_agg(
+        kept.map_batches(host_of, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["url_host"], [("url_host", "count", "n")])
+    return agg.map_batches(
+        lambda t: pa.table({"url_host": t["url_host"],
+                            "n": pc.cast(t["n"], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 @register("pages_routed", _ROUTED_CTE + """
 SELECT url, lang, url_host, title, page_event, extracted_text, n_tokens,
        host_category, event_class
@@ -6307,7 +6348,7 @@ _DRIVER_FIRST = [
     "events_hourly_ontime", "docs_bm25_from_index",
     "docs_search_and_segmented", "pages_from_warc",
     "dedup_exact_incremental", "pages_latest_per_canonical",
-    "doc_ccnet_buckets",
+    "doc_ccnet_buckets", "pages_blocklist_filtered",
 ]
 
 

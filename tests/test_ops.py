@@ -2492,6 +2492,28 @@ def test_read_warc_drops_corrupt_members_not_file(tmp_path):
                               b"<body>doc 3</body>"]
 
 
+def test_block_by_domain_suffix_semantics():
+    """Suffix blocking: exact domain and subdomains block; a host that
+    merely ENDS with the blocked string (notexample.com) does not;
+    matching is case/port-insensitive; unparseable urls are kept;
+    keep_blocked inverts into the audit view."""
+    from illumio_ray.ops import textops
+
+    urls = ["https://example.com/a",          # exact → blocked
+            "https://sub.example.com/b",      # subdomain → blocked
+            "https://notexample.com/c",       # suffix-string only → kept
+            "https://EXAMPLE.com:443/d",      # case+port → blocked
+            "not a url",                      # unparseable → kept
+            "https://fine.org/e"]
+    ds = rd.from_arrow(pa.table({"url": urls}))
+    kept = textops.block_by_domain_suffix(ds, ["example.com"]).to_pandas()
+    assert sorted(kept.url) == ["https://fine.org/e",
+                                "https://notexample.com/c", "not a url"]
+    blocked = textops.block_by_domain_suffix(
+        ds, ["example.com"], keep_blocked=True).to_pandas()
+    assert len(blocked) == 3 and set(blocked.url) | set(kept.url) == set(urls)
+
+
 def test_warc_codec_property_roundtrip(tmp_path):
     """Hypothesis: ANY binary body (including WARC/HTTP framing bytes,
     CRLFs, gzip magic) and any microsecond timestamp roundtrip the
