@@ -5611,8 +5611,10 @@ def pages_from_warc(sf_dir: str):
     info = _pages(sf_dir)
     files = sorted(Path(info["pages_dir"]).glob("*.parquet"))
     n_rows = sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
+    # cache keyed on the writer format version: the reader tolerates old
+    # layouts, but a stale cache must not mask writer changes at the gate
     cache = Path(
-        f"/tmp/illumio_ray_testdata/warc_{Path(sf_dir).name}_{n_rows}")
+        f"/tmp/illumio_ray_testdata/warc_v2_{Path(sf_dir).name}_{n_rows}")
     marker = cache / "_complete"
     if not marker.exists():
         import shutil
