@@ -205,6 +205,79 @@ def upsert_bucketed(layout_dir: str | Path, new_ds: rd.Dataset,
             "rows_replaced": sum(s["replaced"] for s in stats)}
 
 
+@ray.remote
+def _merge_bucket(layout_dir: str, incoming_dir: str, bucket: int,
+                  key_col: str, sum_cols: list[str], token: str) -> dict:
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    new = read_bucket(incoming_dir, bucket)
+    if new.num_rows == 0:
+        return {"bucket": bucket, "keys": 0, "skipped": False}
+    bdir = _bucket_dir(layout_dir, bucket)
+    gen = f"gen-{token}.parquet"
+    head = bdir / "_HEAD"
+    if head.exists() and head.read_text() == gen:
+        # this token's delta already committed here — retry-safe no-op
+        return {"bucket": bucket, "keys": 0, "skipped": True}
+    old = read_bucket_live(layout_dir, bucket)
+    cols = [key_col, *sum_cols]
+    both = (pa.concat_tables([old.select(cols), new.select(cols)],
+                             promote_options="default")
+            if old.num_rows else new.select(cols))
+    g = both.group_by([key_col]).aggregate([(c, "sum") for c in sum_cols])
+    merged = pa.table({key_col: g[key_col],
+                       **{c: g[f"{c}_sum"] for c in sum_cols}})
+    bdir.mkdir(parents=True, exist_ok=True)
+    tmp = bdir / (gen + ".tmp")
+    pq.write_table(merged, tmp)
+    os.replace(tmp, bdir / gen)            # file visible, not yet live
+    head_tmp = bdir / f"_HEAD.{token}.tmp"
+    head_tmp.write_text(gen)
+    os.replace(head_tmp, bdir / "_HEAD")   # commit point
+    return {"bucket": bucket, "keys": merged.num_rows, "skipped": False}
+
+
+def merge_bucketed(layout_dir: str | Path, delta_ds: rd.Dataset,
+                   key_col: str, num_buckets: int, sum_cols: list[str],
+                   token: str | None = None) -> dict:
+    """ADDITIVE merge of a delta batch into a persisted keyed aggregate
+    layout (rows = key + counter columns): per key, counters SUM with
+    the live row instead of replacing it — incremental aggregate
+    maintenance across runs, the persisted generalization of the
+    flagship's per-run sidecar combine. Only touched buckets rewrite
+    (one Ray task per bucket, _HEAD-pointer commit like upsert).
+
+    Unlike replace-by-key, addition is NOT naturally idempotent, so each
+    merge carries a ``token`` naming its exact delta batch: a bucket
+    whose _HEAD already points at this token's generation skips (Ray
+    task retries and whole-call reruns after a crash fold each delta
+    exactly once). Callers doing crash-recovery MUST rerun with the SAME
+    token and the SAME delta. Single-writer, like the rest of the
+    layout protocol."""
+    import shutil
+    import uuid
+
+    token = token or uuid.uuid4().hex[:12]
+    incoming = Path(layout_dir) / f"_incoming-{token}"
+    shutil.rmtree(incoming, ignore_errors=True)  # crashed-run leftovers
+    write_bucketed(delta_ds, key_col, num_buckets, incoming)
+    try:
+        touched = sorted(int(p.name.split("=", 1)[1])
+                         for p in incoming.glob("__bucket=*"))
+        refs = [_merge_bucket.remote(str(layout_dir), str(incoming), b,
+                                     key_col, list(sum_cols), token)
+                for b in touched]
+        stats = ray.get(refs)
+    finally:
+        shutil.rmtree(incoming, ignore_errors=True)
+    return {"token": token, "buckets_touched": len(stats),
+            "buckets_skipped": sum(1 for s in stats if s["skipped"]),
+            "live_keys_in_touched": sum(s["keys"] for s in stats)}
+
+
 def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
     """Delete non-live generation files left by completed upserts.
 

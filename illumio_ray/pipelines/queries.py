@@ -1251,6 +1251,65 @@ def dedup_bloom_incremental(sf_dir: str):
     return kept.select_columns(["doc_id"])
 
 
+@register("events_user_totals_merged", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM events GROUP BY 1
+""")
+def events_user_totals_merged(sf_dir: str):
+    """Incremental aggregate maintenance across batches
+    (bucketing.merge_bucketed): the first half of the events (by
+    event_id) aggregates into a persisted keyed layout; the second
+    half's partial aggregate folds in ADDITIVELY (per-key counter sums,
+    token-keyed exactly-once bucket commits, only touched buckets
+    rewritten) — and the layout's live rows must equal the one-shot SQL
+    aggregate over the whole table. The persisted generalization of the
+    flagship's per-run sidecar combine."""
+    import shutil
+    import tempfile
+
+    from ..ops import bucketing
+
+    src = Path(sf_dir) / "events.parquet"
+    n = pq.ParquetFile(str(src)).metadata.num_rows
+    half = n // 2
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "value"])
+
+    def part(lo: bool) -> rd.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            m = (pc.less(t["event_id"], half) if lo
+                 else pc.greater_equal(t["event_id"], half))
+            return t.filter(m).select(["user_id", "value"])
+
+        ds = ev.map_batches(f, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return rel.grouped_agg(
+            ds, ["user_id"],
+            [("user_id", "count", "n_events"),
+             ("value", "sum", "sum_value")], mode="auto")
+
+    lay = Path(tempfile.mkdtemp(prefix="merge_gate_")) / "agg"
+    try:
+        bucketing.write_bucketed(part(True), "user_id", 16, lay)
+        bucketing.merge_bucketed(lay, part(False), "user_id", 16,
+                                 ["n_events", "sum_value"],
+                                 token="gate-merge")
+        from ..ops.bucketing import _bucket_dir, _live_files
+        files = [str(f) for b in range(16)
+                 if _bucket_dir(lay, b).exists()
+                 for f in _live_files(_bucket_dir(lay, b))]
+        out = rd.read_parquet(files).map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": round_col(t["sum_value"], 6),
+            }), batch_format="pyarrow", zero_copy_batch=True).materialize()
+    finally:
+        shutil.rmtree(lay.parent, ignore_errors=True)
+    return out
+
+
 @register("doc_fingerprints", None)  # hash64 not SQL-expressible → rows-only
 def doc_fingerprints(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
@@ -6351,6 +6410,7 @@ _DRIVER_FIRST = [
     "docs_search_and_segmented", "pages_from_warc",
     "dedup_exact_incremental", "pages_latest_per_canonical",
     "doc_ccnet_buckets", "pages_blocklist_filtered",
+    "events_user_totals_merged",
 ]
 
 

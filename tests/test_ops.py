@@ -3305,3 +3305,49 @@ def test_term_index_segment_append_equivalence(tmp_path):
     two = (search.bm25_search(seg, ["apple", "cherry"]).to_pandas()
            .set_index("doc_id").bm25.to_dict())
     assert one == two  # corpus stats sum across segments exactly
+
+
+def test_merge_bucketed_additive_and_token_idempotent(tmp_path):
+    """Additive aggregate maintenance: counters SUM with live rows per
+    key (new keys insert), only touched buckets rewrite, and re-merging
+    the SAME token (task retry / crash rerun) folds the delta exactly
+    once; a new token folds again."""
+    import pyarrow.parquet as pq
+
+    from illumio_ray.ops import bucketing
+
+    base = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "n": pa.array([10, 20, 30], pa.int64()),
+                     "v": pa.array([1.0, 2.0, 3.0], pa.float64())})
+    lay = tmp_path / "agg"
+    bucketing.write_bucketed(rd.from_arrow(base), "k", 8, lay)
+
+    delta = pa.table({"k": pa.array([2, 3, 4], pa.int64()),
+                      "n": pa.array([5, 5, 5], pa.int64()),
+                      "v": pa.array([0.5, 0.5, 0.5], pa.float64())})
+    r1 = bucketing.merge_bucketed(lay, rd.from_arrow(delta), "k", 8,
+                                  ["n", "v"], token="batch-001")
+    assert r1["buckets_skipped"] == 0
+
+    def live() -> dict:
+        rows = {}
+        for b in range(8):
+            t = bucketing.read_bucket_live(lay, b)
+            for r in t.to_pylist():
+                rows[r["k"]] = (r["n"], round(r["v"], 9))
+        return rows
+
+    want = {1: (10, 1.0), 2: (25, 2.5), 3: (35, 3.5), 4: (5, 0.5)}
+    assert live() == want
+
+    # same token again → every touched bucket skips, totals unchanged
+    r2 = bucketing.merge_bucketed(lay, rd.from_arrow(delta), "k", 8,
+                                  ["n", "v"], token="batch-001")
+    assert r2["buckets_skipped"] == r2["buckets_touched"] > 0
+    assert live() == want
+
+    # a NEW token folds the delta once more
+    bucketing.merge_bucketed(lay, rd.from_arrow(delta), "k", 8,
+                             ["n", "v"], token="batch-002")
+    assert live() == {1: (10, 1.0), 2: (30, 3.0), 3: (40, 4.0),
+                      4: (10, 1.0)}
