@@ -278,6 +278,19 @@ def merge_bucketed(layout_dir: str | Path, delta_ds: rd.Dataset,
             "live_keys_in_touched": sum(s["keys"] for s in stats)}
 
 
+def live_parquet_files(layout_dir: str | Path,
+                       num_buckets: int) -> list[str]:
+    """The layout's live parquet files (one per existing bucket, honoring
+    _HEAD) — hand these to ray.data.read_parquet for a distributed scan
+    of the committed state."""
+    files: list[str] = []
+    for b in range(num_buckets):
+        bdir = _bucket_dir(layout_dir, b)
+        if bdir.exists():
+            files += [str(f) for f in _live_files(bdir)]
+    return files
+
+
 def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
     """Delete non-live generation files left by completed upserts.
 

@@ -1295,10 +1295,7 @@ def events_user_totals_merged(sf_dir: str):
         bucketing.merge_bucketed(lay, part(False), "user_id", 16,
                                  ["n_events", "sum_value"],
                                  token="gate-merge")
-        from ..ops.bucketing import _bucket_dir, _live_files
-        files = [str(f) for b in range(16)
-                 if _bucket_dir(lay, b).exists()
-                 for f in _live_files(_bucket_dir(lay, b))]
+        files = bucketing.live_parquet_files(lay, 16)
         out = rd.read_parquet(files).map_batches(
             lambda t: pa.table({
                 "user_id": t["user_id"],
