@@ -395,6 +395,100 @@ def q1_pricing_summary(sf_dir: str):
     return agg.map_batches(final, batch_format="pyarrow")
 
 
+@register("q1_incremental_refresh", """
+WITH li AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+         l_discount, l_shipdate
+  FROM lineitem WHERE l_orderkey % 7 != 0
+  UNION ALL
+  SELECT l_returnflag, l_linestatus, l_quantity, l_extendedprice,
+         l_discount, l_shipdate
+  FROM lineitem WHERE l_orderkey % 5 = 0
+)
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM li WHERE l_shipdate <= TIMESTAMP '1998-09-02' GROUP BY 1, 2
+""")
+def q1_incremental_refresh(sf_dir: str):
+    """Incremental VIEW maintenance over the TPC-H refresh-function shape:
+    Q1's per-(returnflag, linestatus) aggregate is materialized once from
+    the base lineitem, then an RF1-style INSERT stream (orderkey%5
+    copies) folds in as positive partials and an RF2-style DELETE stream
+    (orderkey%7) as NEGATED partials — three merge_bucketed calls, each
+    touching only the buckets its delta hits, no base rescan. Averages
+    derive from the maintained (sum, count) pair. The oracle recomputes
+    the same final state from scratch over the modified table."""
+    import shutil
+    import tempfile
+
+    from ..ops import bucketing
+
+    cutoff = _ts("1998-09-02")
+    cols = ["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount", "l_shipdate"]
+
+    def partials(mod: int, keep_eq: bool, sign: float) -> rd.Dataset:
+        def prep(t: pa.Table) -> pa.Table:
+            ids = t["l_orderkey"].to_numpy(zero_copy_only=False)
+            m = (ids % mod == 0) if keep_eq else (ids % mod != 0)
+            t = t.filter(pc.and_(pa.array(m),
+                                 pc.less_equal(t["l_shipdate"], cutoff)))
+            grp = pc.binary_join_element_wise(
+                t["l_returnflag"], t["l_linestatus"], "|")
+            s = pa.scalar(sign)
+            return pa.table({
+                "grp": pc.cast(grp, pa.string()),
+                "sum_qty_raw": pc.multiply(t["l_quantity"], s),
+                "sum_base_raw": pc.multiply(t["l_extendedprice"], s),
+                "sum_disc_raw": pc.multiply(
+                    pc.multiply(t["l_extendedprice"],
+                                pc.subtract(pa.scalar(1.0),
+                                            t["l_discount"])), s),
+                "count_order": pa.array(
+                    np.full(t.num_rows, int(sign), np.int64)),
+            })
+
+        ds = read_table(sf_dir, "lineitem", columns=cols).map_batches(
+            prep, batch_format="pyarrow", zero_copy_batch=True)
+        return rel.grouped_agg(ds, ["grp"], [
+            ("sum_qty_raw", "sum", "sum_qty_raw"),
+            ("sum_base_raw", "sum", "sum_base_raw"),
+            ("sum_disc_raw", "sum", "sum_disc_raw"),
+            ("count_order", "sum", "count_order"),
+        ])
+
+    sums = ["sum_qty_raw", "sum_base_raw", "sum_disc_raw", "count_order"]
+    lay = Path(tempfile.mkdtemp(prefix="q1_ivm_")) / "agg"
+    try:
+        # base materialization (every row), then the two refresh streams
+        bucketing.write_bucketed(partials(1, True, 1.0), "grp", 4, lay)
+        bucketing.merge_bucketed(lay, partials(5, True, 1.0), "grp", 4,
+                                 sums, token="rf1-insert")
+        bucketing.merge_bucketed(lay, partials(7, True, -1.0), "grp", 4,
+                                 sums, token="rf2-delete")
+        out = rd.read_parquet(
+            bucketing.live_parquet_files(lay, 4)).map_batches(
+            lambda t: pa.table({
+                "l_returnflag": pc.utf8_slice_codeunits(t["grp"], 0, 1),
+                "l_linestatus": pc.utf8_slice_codeunits(t["grp"], 2, 3),
+                "sum_qty": round_col(t["sum_qty_raw"], 2),
+                "sum_base_price": round_col(t["sum_base_raw"], 2),
+                "sum_disc_price": round_col(t["sum_disc_raw"], 2),
+                "avg_qty": round_col(
+                    pc.divide(t["sum_qty_raw"],
+                              pc.cast(t["count_order"], pa.float64())), 6),
+                "count_order": pc.cast(t["count_order"], pa.int64()),
+            }), batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+    finally:
+        shutil.rmtree(lay.parent, ignore_errors=True)
+    return out
+
+
 @register("q6_revenue", """
 SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
 FROM lineitem
@@ -6407,7 +6501,7 @@ _DRIVER_FIRST = [
     "docs_search_and_segmented", "pages_from_warc",
     "dedup_exact_incremental", "pages_latest_per_canonical",
     "doc_ccnet_buckets", "pages_blocklist_filtered",
-    "events_user_totals_merged",
+    "events_user_totals_merged", "q1_incremental_refresh",
 ]
 
 
