@@ -118,25 +118,54 @@ def bucketed_join(dir_a: str | Path, dir_b: str | Path, on: list[str],
 # keyed upsert (incremental maintenance of a bucketed layout)
 # ---------------------------------------------------------------------------
 #
-# Each bucket directory gains generation files (gen-K-<token>.parquet) plus
+# Each bucket directory gains generation files (gen-<token>.parquet) plus
 # a _HEAD pointer naming the live file. _HEAD is replaced with os.replace —
 # the single atomic commit point per bucket (same philosophy as the
 # lineage manifests: files first, pointer last; ≙ app/state
 # write-temp-then-rename). A crash mid-upsert leaves inert tmp/gen files
 # and the previous _HEAD intact. Buckets never written by write_bucketed's
-# original layout have no _HEAD; readers then fall back to "all parquet
-# files in the dir" (the freshly-written layout is gen 0).
+# original layout have no _HEAD; readers then fall back to "all NON-gen
+# parquet files in the dir" (the freshly-written layout is gen 0) — a
+# gen file is NEVER live until a _HEAD names it, so a crash or Ray task
+# retry between the gen rename and the _HEAD commit re-reads the same
+# base state it started from instead of double-counting its own output.
+#
+# _HEAD format: first line = live gen filename; every further line = a
+# merge token already folded into that state (the applied-token ledger
+# _merge_bucket's idempotence check reads — one short line per merge,
+# trimmed by rewriting the layout, negligible next to the data files).
 
 def _bucket_dir(layout_dir: str | Path, bucket: int) -> Path:
     return Path(layout_dir) / f"__bucket={bucket}"
 
 
-def _live_files(bdir: Path) -> list[Path]:
+def _read_head(bdir: Path) -> tuple[str | None, list[str]]:
+    """(live filename or None, applied merge tokens) from _HEAD."""
     head = bdir / "_HEAD"
-    if head.exists():
-        name = head.read_text().strip()
-        return [bdir / name] if name else []
-    return sorted(p for p in bdir.glob("*.parquet"))
+    if not head.exists():
+        return None, []
+    lines = head.read_text().splitlines()
+    live = lines[0].strip() if lines else ""
+    return live or None, [ln.strip() for ln in lines[1:] if ln.strip()]
+
+
+def _commit_head(bdir: Path, gen: str, tokens: list[str],
+                 tmp_tag: str) -> None:
+    import os
+
+    head_tmp = bdir / f"_HEAD.{tmp_tag}.tmp"
+    head_tmp.write_text("\n".join([gen, *tokens]))
+    os.replace(head_tmp, bdir / "_HEAD")   # commit point
+
+
+def _live_files(bdir: Path) -> list[Path]:
+    live, _ = _read_head(bdir)
+    if (bdir / "_HEAD").exists():
+        return [bdir / live] if live else []
+    # no _HEAD: the write_bucketed base layout is live; gen files are
+    # renamed-but-uncommitted upsert/merge output and must stay invisible
+    return sorted(p for p in bdir.glob("*.parquet")
+                  if not p.name.startswith("gen-"))
 
 
 # read_bucket honors _HEAD directly; the alias keeps the intent-revealing
@@ -171,9 +200,10 @@ def _upsert_bucket(layout_dir: str, incoming_dir: str, bucket: int,
     tmp = bdir / (gen + ".tmp")
     pq.write_table(merged, tmp)
     os.replace(tmp, bdir / gen)            # file visible, not yet live
-    head_tmp = bdir / f"_HEAD.{token}.tmp"
-    head_tmp.write_text(gen)
-    os.replace(head_tmp, bdir / "_HEAD")   # commit point
+    # replace-by-key is idempotent per delta, but the merge-token ledger
+    # must survive an interleaved upsert or a replayed merge re-adds
+    _, applied = _read_head(bdir)
+    _commit_head(bdir, gen, applied, token)
     return {"bucket": bucket, "added": new.num_rows, "replaced": replaced}
 
 
@@ -218,9 +248,10 @@ def _merge_bucket(layout_dir: str, incoming_dir: str, bucket: int,
         return {"bucket": bucket, "keys": 0, "skipped": False}
     bdir = _bucket_dir(layout_dir, bucket)
     gen = f"gen-{token}.parquet"
-    head = bdir / "_HEAD"
-    if head.exists() and head.read_text() == gen:
-        # this token's delta already committed here — retry-safe no-op
+    _, applied = _read_head(bdir)
+    if token in applied:
+        # this token's delta already folded into the live state — replays
+        # of ANY earlier delta (not just the latest) are retry-safe no-ops
         return {"bucket": bucket, "keys": 0, "skipped": True}
     old = read_bucket_live(layout_dir, bucket)
     cols = [key_col, *sum_cols]
@@ -234,9 +265,7 @@ def _merge_bucket(layout_dir: str, incoming_dir: str, bucket: int,
     tmp = bdir / (gen + ".tmp")
     pq.write_table(merged, tmp)
     os.replace(tmp, bdir / gen)            # file visible, not yet live
-    head_tmp = bdir / f"_HEAD.{token}.tmp"
-    head_tmp.write_text(gen)
-    os.replace(head_tmp, bdir / "_HEAD")   # commit point
+    _commit_head(bdir, gen, [*applied, token], token)
     return {"bucket": bucket, "keys": merged.num_rows, "skipped": False}
 
 
@@ -251,12 +280,13 @@ def merge_bucketed(layout_dir: str | Path, delta_ds: rd.Dataset,
     (one Ray task per bucket, _HEAD-pointer commit like upsert).
 
     Unlike replace-by-key, addition is NOT naturally idempotent, so each
-    merge carries a ``token`` naming its exact delta batch: a bucket
-    whose _HEAD already points at this token's generation skips (Ray
-    task retries and whole-call reruns after a crash fold each delta
-    exactly once). Callers doing crash-recovery MUST rerun with the SAME
-    token and the SAME delta. Single-writer, like the rest of the
-    layout protocol."""
+    merge carries a ``token`` naming its exact delta batch: every bucket
+    _HEAD carries the ledger of tokens folded into its live state, and a
+    bucket whose ledger already holds this token skips — Ray task
+    retries, whole-call reruns after a crash, AND replays of an EARLIER
+    delta after later merges all fold each delta exactly once. Callers
+    doing crash-recovery MUST rerun with the SAME token and the SAME
+    delta. Single-writer, like the rest of the layout protocol."""
     import shutil
     import uuid
 
@@ -304,13 +334,20 @@ def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
     removed = 0
     for b in range(num_buckets):
         bdir = _bucket_dir(layout_dir, b)
-        if not bdir.exists() or not (bdir / "_HEAD").exists():
+        if not bdir.exists():
             continue
-        live = {p.name for p in _live_files(bdir)}
-        for p in bdir.glob("*.parquet*"):
-            if p.name not in live:
-                p.unlink()
-                removed += 1
+        if (bdir / "_HEAD").exists():
+            live = {p.name for p in _live_files(bdir)}
+            doomed = [p for p in bdir.glob("*.parquet*")
+                      if p.name not in live]
+        else:
+            # no _HEAD: base files are live; any gen file here is
+            # renamed-but-never-committed crash debris (invisible to
+            # readers by the _live_files contract)
+            doomed = list(bdir.glob("gen-*.parquet*"))
+        for p in doomed:
+            p.unlink()
+            removed += 1
     return removed
 
 

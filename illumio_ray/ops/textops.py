@@ -1243,9 +1243,21 @@ def canonicalize_urls(ds: rd.Dataset, url_col: str = "url",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def extract_host(urls: pa.Array | pa.ChunkedArray):
+    """Lowercase host of each http(s) URL, port stripped; null when the
+    value doesn't parse as an http(s) URL. The ONE host-extraction
+    kernel — the blocklist gate and any host-grouping query must share
+    it (two hand-synced copies of the regex is how a filter and its
+    grouping key silently diverge)."""
+    return pc.utf8_lower(pc.struct_field(
+        pc.extract_regex(urls, r"^[Hh][Tt][Tt][Pp][Ss]?://"
+                               r"(?P<h>[^/?#:]+)"), "h"))
+
+
 def block_by_domain_suffix(ds: rd.Dataset, suffixes: list[str],
                            url_col: str = "url",
-                           keep_blocked: bool = False) -> rd.Dataset:
+                           keep_blocked: bool = False,
+                           host_col: str | None = None) -> rd.Dataset:
     """Domain-suffix blocklist filter — the URL-level curation gate a web
     corpus runs before any content work (RefinedWeb/Dolma block whole
     domains by suffix list). A row is blocked when its url host (ports
@@ -1256,17 +1268,19 @@ def block_by_domain_suffix(ds: rd.Dataset, suffixes: list[str],
     and match against a reversed-host sorted array instead of the OR
     chain). Rows with no parseable host are kept (no host to block on).
 
-    ``keep_blocked=True`` inverts the filter (audit view)."""
+    ``keep_blocked=True`` inverts the filter (audit view). ``host_col``
+    appends the extracted host to the output (consumers grouping by host
+    reuse this pass instead of re-running the regex)."""
     sfx = [s.lower().lstrip(".") for s in suffixes]
 
     def fn(t: pa.Table) -> pa.Table:
-        host = pc.utf8_lower(pc.struct_field(
-            pc.extract_regex(t[url_col], r"^[Hh][Tt][Tt][Pp][Ss]?://"
-                                         r"(?P<h>[^/?#:]+)"), "h"))
+        host = extract_host(t[url_col])
         blocked = pa.array(np.zeros(t.num_rows, bool))
         for s in sfx:
             hit = pc.or_(pc.equal(host, s), pc.ends_with(host, "." + s))
             blocked = pc.or_(blocked, pc.fill_null(hit, False))
+        if host_col is not None:
+            t = t.append_column(host_col, host)
         return t.filter(blocked if keep_blocked else pc.invert(blocked))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

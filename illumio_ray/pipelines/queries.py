@@ -247,12 +247,14 @@ def pages_latest_per_canonical(sf_dir: str):
 
 @register("pages_blocklist_filtered", f"""
 WITH h AS (
-  SELECT url, lower(regexp_extract(url, '^https?://([^/?#:]+)', 1)) AS host
+  SELECT url, nullif(lower(regexp_extract(url,
+           '^[Hh][Tt][Tt][Pp][Ss]?://([^/?#:]+)', 1)), '') AS host
   FROM read_parquet('{PAGES_GLOB}')
 )
 SELECT host AS url_host, CAST(count(*) AS BIGINT) AS n
 FROM h
-WHERE NOT (host = 'example-malware.com'
+WHERE host IS NULL
+   OR NOT (host = 'example-malware.com'
            OR host LIKE '%.example-malware.com'
            OR host = 'host001.example-social.com'
            OR host LIKE '%.host001.example-social.com')
@@ -263,23 +265,22 @@ def pages_blocklist_filtered(sf_dir: str):
     before any content work): drop every page whose host is, or is a
     subdomain of, a blocklisted domain — one whole domain family
     (example-malware.com) plus one exact host — then count survivors
-    per host. Row-local suffix matching (textops.block_by_domain_suffix);
-    the oracle states the identical host-equality/LIKE-suffix predicate."""
+    per host. Row-local suffix matching (textops.block_by_domain_suffix,
+    which also emits the host so the grouping key comes from the SAME
+    extraction the filter used); the oracle states the identical
+    case-insensitive host extraction (null when unparseable, like
+    extract_host) and the identical equality/LIKE-suffix predicate,
+    including keep-when-no-host."""
     info = _pages(sf_dir)
     pages = rd.read_parquet(info["pages_dir"], columns=["url"])
     kept = textops.block_by_domain_suffix(
-        pages, ["example-malware.com", "host001.example-social.com"])
+        pages, ["example-malware.com", "host001.example-social.com"],
+        host_col="url_host")
 
-    def host_of(t: pa.Table) -> pa.Table:
-        h = pc.utf8_lower(pc.struct_field(
-            pc.extract_regex(t["url"], r"^[Hh][Tt][Tt][Pp][Ss]?://"
-                                       r"(?P<h>[^/?#:]+)"), "h"))
-        return pa.table({"url_host": h})
-
-    agg = rel.grouped_agg(
-        kept.map_batches(host_of, batch_format="pyarrow",
-                         zero_copy_batch=True),
-        ["url_host"], [("url_host", "count", "n")])
+    # count url (never null), not url_host: arrow's hash count skips
+    # nulls, and unparseable-url rows survive the gate with a NULL host —
+    # the oracle's count(*) must see them
+    agg = rel.grouped_agg(kept, ["url_host"], [("url", "count", "n")])
     return agg.map_batches(
         lambda t: pa.table({"url_host": t["url_host"],
                             "n": pc.cast(t["n"], pa.int64())}),
@@ -425,50 +426,70 @@ def q1_incremental_refresh(sf_dir: str):
     import shutil
     import tempfile
 
+    import ray
+
     from ..ops import bucketing
 
     cutoff = _ts("1998-09-02")
     cols = ["l_orderkey", "l_returnflag", "l_linestatus", "l_quantity",
             "l_extendedprice", "l_discount", "l_shipdate"]
 
-    def partials(mod: int, keep_eq: bool, sign: float) -> rd.Dataset:
-        def prep(t: pa.Table) -> pa.Table:
-            ids = t["l_orderkey"].to_numpy(zero_copy_only=False)
-            m = (ids % mod == 0) if keep_eq else (ids % mod != 0)
-            t = t.filter(pc.and_(pa.array(m),
-                                 pc.less_equal(t["l_shipdate"], cutoff)))
-            grp = pc.binary_join_element_wise(
-                t["l_returnflag"], t["l_linestatus"], "|")
+    # ONE lineitem scan emits all three signed partial streams (base,
+    # RF1 insert, RF2 delete) tagged by a stream column; the combined
+    # grouped_agg leaves O(groups × 3) rows — the full table is read
+    # exactly once, matching the 'no base rescan' contract.
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        ids = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        full = pa.table({
+            "grp": pc.cast(pc.binary_join_element_wise(
+                t["l_returnflag"], t["l_linestatus"], "|"), pa.string()),
+            "q": t["l_quantity"],
+            "b": t["l_extendedprice"],
+            "d": pc.multiply(t["l_extendedprice"],
+                             pc.subtract(pa.scalar(1.0), t["l_discount"])),
+        })
+        parts = []
+        for stream, mask, sign in (("base", None, 1.0),
+                                   ("rf1", ids % 5 == 0, 1.0),
+                                   ("rf2", ids % 7 == 0, -1.0)):
+            sub = full if mask is None else full.filter(pa.array(mask))
             s = pa.scalar(sign)
-            return pa.table({
-                "grp": pc.cast(grp, pa.string()),
-                "sum_qty_raw": pc.multiply(t["l_quantity"], s),
-                "sum_base_raw": pc.multiply(t["l_extendedprice"], s),
-                "sum_disc_raw": pc.multiply(
-                    pc.multiply(t["l_extendedprice"],
-                                pc.subtract(pa.scalar(1.0),
-                                            t["l_discount"])), s),
+            parts.append(pa.table({
+                "stream": pa.array([stream] * sub.num_rows, pa.string()),
+                "grp": sub["grp"],
+                "sum_qty_raw": pc.multiply(sub["q"], s),
+                "sum_base_raw": pc.multiply(sub["b"], s),
+                "sum_disc_raw": pc.multiply(sub["d"], s),
                 "count_order": pa.array(
-                    np.full(t.num_rows, int(sign), np.int64)),
-            })
+                    np.full(sub.num_rows, int(sign), np.int64)),
+            }))
+        return pa.concat_tables(parts)
 
-        ds = read_table(sf_dir, "lineitem", columns=cols).map_batches(
-            prep, batch_format="pyarrow", zero_copy_batch=True)
-        return rel.grouped_agg(ds, ["grp"], [
-            ("sum_qty_raw", "sum", "sum_qty_raw"),
-            ("sum_base_raw", "sum", "sum_base_raw"),
-            ("sum_disc_raw", "sum", "sum_disc_raw"),
-            ("count_order", "sum", "count_order"),
-        ])
+    ds = read_table(sf_dir, "lineitem", columns=cols).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = rel.grouped_agg(ds, ["stream", "grp"], [
+        ("sum_qty_raw", "sum", "sum_qty_raw"),
+        ("sum_base_raw", "sum", "sum_base_raw"),
+        ("sum_disc_raw", "sum", "sum_disc_raw"),
+        ("count_order", "sum", "count_order"),
+    ])
+    # tiny by construction: #(returnflag,linestatus) groups × 3 streams
+    small = pa.concat_tables(ray.get(agg.to_arrow_refs()),
+                             promote_options="default")
+
+    def stream_ds(name: str) -> rd.Dataset:
+        return rd.from_arrow(
+            small.filter(pc.equal(small["stream"], name)).drop(["stream"]))
 
     sums = ["sum_qty_raw", "sum_base_raw", "sum_disc_raw", "count_order"]
     lay = Path(tempfile.mkdtemp(prefix="q1_ivm_")) / "agg"
     try:
-        # base materialization (every row), then the two refresh streams
-        bucketing.write_bucketed(partials(1, True, 1.0), "grp", 4, lay)
-        bucketing.merge_bucketed(lay, partials(5, True, 1.0), "grp", 4,
+        # base materialization, then the two refresh streams fold in
+        bucketing.write_bucketed(stream_ds("base"), "grp", 4, lay)
+        bucketing.merge_bucketed(lay, stream_ds("rf1"), "grp", 4,
                                  sums, token="rf1-insert")
-        bucketing.merge_bucketed(lay, partials(7, True, -1.0), "grp", 4,
+        bucketing.merge_bucketed(lay, stream_ds("rf2"), "grp", 4,
                                  sums, token="rf2-delete")
         out = rd.read_parquet(
             bucketing.live_parquet_files(lay, 4)).map_batches(
@@ -5756,15 +5777,16 @@ def pages_from_warc(sf_dir: str):
     WARC-Date fidelity and exact payload byte counts. Fourth §2.10
     extension-surface proof, and the one matching the flagship's input
     domain (a crawl archive IS the upstream of `url, warc_ts, html`)."""
-    from ..sources.warc import read_warc, write_warc
+    from ..sources.warc import WRITER_VERSION, read_warc, write_warc
 
     info = _pages(sf_dir)
     files = sorted(Path(info["pages_dir"]).glob("*.parquet"))
     n_rows = sum(pq.ParquetFile(str(f)).metadata.num_rows for f in files)
-    # cache keyed on the writer format version: the reader tolerates old
+    # cache keyed on the writer format version (defined NEXT TO write_warc
+    # so a format change can't forget the bump): the reader tolerates old
     # layouts, but a stale cache must not mask writer changes at the gate
-    cache = Path(
-        f"/tmp/illumio_ray_testdata/warc_v2_{Path(sf_dir).name}_{n_rows}")
+    cache = Path(f"/tmp/illumio_ray_testdata/"
+                 f"warc_v{WRITER_VERSION}_{Path(sf_dir).name}_{n_rows}")
     marker = cache / "_complete"
     if not marker.exists():
         import shutil

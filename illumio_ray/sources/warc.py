@@ -66,6 +66,12 @@ def _record(headers: list[tuple[bytes, bytes]], payload: bytes) -> bytes:
             + _CRLF + payload + _CRLF + _CRLF)
 
 
+# Bump whenever write_warc's output bytes change for the same input —
+# derived caches key on it (same pattern as _SHINGLE_SCHEME in
+# ops/dedup.py), so a stale cache can never mask a writer change.
+WRITER_VERSION = 2
+
+
 def write_warc(table: pa.Table, path) -> int:
     """Write (url, warc_ts, html) rows as a per-record-gzip-member
     `.warc.gz` (Common Crawl layout). Deterministic bytes for a given

@@ -2512,6 +2512,14 @@ def test_block_by_domain_suffix_semantics():
     blocked = textops.block_by_domain_suffix(
         ds, ["example.com"], keep_blocked=True).to_pandas()
     assert len(blocked) == 3 and set(blocked.url) | set(kept.url) == set(urls)
+    # host_col emits the SAME extraction the filter used (port stripped,
+    # lowercase, null when unparseable)
+    with_host = textops.block_by_domain_suffix(
+        ds, ["example.com"], host_col="h").to_pandas()
+    got = dict(zip(with_host.url, with_host.h))
+    assert got["https://fine.org/e"] == "fine.org"
+    assert got["https://notexample.com/c"] == "notexample.com"
+    assert pd.isna(got["not a url"])
 
 
 def test_warc_codec_property_roundtrip(tmp_path):
@@ -3349,5 +3357,71 @@ def test_merge_bucketed_additive_and_token_idempotent(tmp_path):
     # a NEW token folds the delta once more
     bucketing.merge_bucketed(lay, rd.from_arrow(delta), "k", 8,
                              ["n", "v"], token="batch-002")
-    assert live() == {1: (10, 1.0), 2: (30, 3.0), 3: (40, 4.0),
-                      4: (10, 1.0)}
+    after_two = {1: (10, 1.0), 2: (30, 3.0), 3: (40, 4.0), 4: (10, 1.0)}
+    assert live() == after_two
+
+    # replaying an EARLIER delta after later merges also skips: the
+    # applied-token ledger in _HEAD remembers every folded token, not
+    # just the latest (daemon crash-recovery replaying its ledger)
+    r3 = bucketing.merge_bucketed(lay, rd.from_arrow(delta), "k", 8,
+                                  ["n", "v"], token="batch-001")
+    assert r3["buckets_skipped"] == r3["buckets_touched"] > 0
+    assert live() == after_two
+
+
+def test_merge_bucketed_gen_rename_crash_window_is_retry_safe(tmp_path):
+    """A crash (or Ray task retry) BETWEEN the gen-file rename and the
+    _HEAD commit must not double-count: in a bucket with no _HEAD (plain
+    write_bucketed base — exactly how q1_incremental_refresh seeds its
+    layout), the renamed-but-uncommitted gen file is invisible to
+    readers, so the retry recomputes base+delta from base, not from
+    base+delta."""
+    import pyarrow.parquet as pq
+
+    from illumio_ray.ops import bucketing
+
+    base = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                     "n": pa.array([10, 20, 30], pa.int64())})
+    delta = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "n": pa.array([1, 1, 1], pa.int64())})
+    lay = tmp_path / "agg"
+    bucketing.write_bucketed(rd.from_arrow(base), "k", 4, lay)
+
+    # simulate the crash window: the crashed task's MERGED output
+    # (base+delta) exists under its gen name in every touched bucket,
+    # but no _HEAD was ever committed
+    from illumio_ray.functions.hashing import stable_hash64
+
+    dbuckets = (stable_hash64(delta["k"]) % np.uint64(4)).astype(int)
+    for b in sorted(set(dbuckets)):
+        bdir = lay / f"__bucket={b}"
+        t = bucketing.read_bucket(lay, b)
+        both = pa.concat_tables(
+            [t, delta.filter(pa.array(dbuckets == b))]) if t.num_rows \
+            else delta.filter(pa.array(dbuckets == b))
+        merged = both.group_by(["k"]).aggregate([("n", "sum")])
+        bdir.mkdir(parents=True, exist_ok=True)
+        pq.write_table(
+            pa.table({"k": merged["k"], "n": merged["n_sum"]}),
+            bdir / "gen-batch-001.parquet")
+        # uncommitted gen output is invisible: live view is still base
+        assert bucketing.read_bucket_live(lay, b).to_pydict() == \
+            t.to_pydict()
+
+    # the retry (same token, same delta) folds the delta exactly once
+    bucketing.merge_bucketed(lay, rd.from_arrow(delta), "k", 4,
+                             ["n"], token="batch-001")
+    rows = {}
+    for b in range(4):
+        for r in bucketing.read_bucket_live(lay, b).to_pylist():
+            rows[r["k"]] = r["n"]
+    assert rows == {1: 11, 2: 21, 3: 31}
+
+    # vacuum clears committed-generation leftovers AND any crash debris
+    # in no-_HEAD buckets without changing the live view
+    bucketing.vacuum_bucketed(lay, 4)
+    rows2 = {}
+    for b in range(4):
+        for r in bucketing.read_bucket_live(lay, b).to_pylist():
+            rows2[r["k"]] = r["n"]
+    assert rows2 == rows
