@@ -390,3 +390,88 @@ def bucketed_lookup(layout_dir: str | Path, key_col: str, keys: list,
     refs = [_lookup_bucket.remote(str(layout_dir), b, key_col, bks, columns)
             for b, bks in sorted(by_bucket.items())]
     return rd.from_arrow_refs(refs)
+
+
+# ---------------------------------------------------------------------------
+# CDC apply (keyed insert/update/delete stream → bucketed layout)
+# ---------------------------------------------------------------------------
+
+@ray.remote
+def _apply_bucket(layout_dir: str, incoming_dir: str, bucket: int,
+                  key_col: str, op_col: str, seq_col: str | None,
+                  token: str) -> dict:
+    import os
+
+    import pyarrow.parquet as pq
+
+    new = read_bucket(incoming_dir, bucket)
+    if new.num_rows == 0:
+        return {"bucket": bucket, "deleted": 0, "upserted": 0}
+    if seq_col is not None:
+        # last-change-wins per key: stable sort by (key, seq), keep the
+        # final row of each key run — vectorized, no per-key loop
+        new = new.sort_by([(key_col, "ascending"), (seq_col, "ascending")])
+        k = new[key_col].to_numpy(zero_copy_only=False)
+        last = np.empty(len(k), bool)
+        last[:-1] = k[:-1] != k[1:]
+        last[-1] = True
+        new = new.filter(pa.array(last))
+    old = read_bucket_live(layout_dir, bucket)
+    touched = pc.unique(new[key_col])
+    ups_mask = pc.equal(new[op_col], "U")
+    ups = new.filter(ups_mask)
+    n_del = int(new.num_rows - ups.num_rows)
+    if old.num_rows:
+        kept = old.filter(pc.invert(
+            pc.is_in(old[key_col], value_set=touched)))
+        merged = pa.concat_tables(
+            [kept, ups.select(old.column_names)],
+            promote_options="default")
+    else:
+        merged = ups.drop_columns(
+            [c for c in (op_col, seq_col) if c and c in ups.column_names])
+    bdir = _bucket_dir(layout_dir, bucket)
+    bdir.mkdir(parents=True, exist_ok=True)
+    gen = f"gen-{token}.parquet"
+    tmp = bdir / (gen + ".tmp")
+    pq.write_table(merged, tmp)
+    os.replace(tmp, bdir / gen)            # file visible, not yet live
+    _, applied = _read_head(bdir)
+    _commit_head(bdir, gen, applied, token)
+    return {"bucket": bucket, "deleted": n_del, "upserted": ups.num_rows}
+
+
+def apply_changes_bucketed(layout_dir: str | Path, changes: rd.Dataset,
+                           key_col: str, op_col: str, num_buckets: int,
+                           seq_col: str | None = None) -> dict:
+    """Apply a CDC change stream to a bucketed layout: each change row is
+    an upsert (``op_col == "U"``, full payload) or a delete (any other op
+    value; payload ignored). Completes the incremental-maintenance family
+    next to ``upsert_bucketed`` (replace-only) and ``merge_bucketed``
+    (additive): one Ray task per TOUCHED bucket, cost ∝ changed keys ×
+    bucket size, the driver holding counters only.
+
+    At most one change per key per call unless ``seq_col`` is given, in
+    which case the max-seq change wins deterministically (vectorized
+    last-per-key inside the bucket task). Replaying the SAME change set
+    is idempotent (delete of a gone key is a no-op, an upsert rewrites
+    the same row); interleaved writers are NOT supported — single-writer,
+    like the rest of the _HEAD protocol."""
+    import shutil
+    import uuid
+
+    token = uuid.uuid4().hex[:12]
+    incoming = Path(layout_dir) / f"_incoming-{token}"
+    write_bucketed(changes, key_col, num_buckets, incoming)
+    try:
+        touched = sorted(int(p.name.split("=", 1)[1])
+                         for p in incoming.glob("__bucket=*"))
+        refs = [_apply_bucket.remote(str(layout_dir), str(incoming), b,
+                                     key_col, op_col, seq_col, token)
+                for b in touched]
+        stats = ray.get(refs)
+    finally:
+        shutil.rmtree(incoming, ignore_errors=True)
+    return {"buckets_touched": len(stats),
+            "rows_deleted": sum(s["deleted"] for s in stats),
+            "rows_upserted": sum(s["upserted"] for s in stats)}

@@ -2047,3 +2047,126 @@ def funnel_counts(ds: rd.Dataset, user_col: str, ts_col: str,
     agg = agg.sort_by([("__i", "ascending")])
     return pa.table({"step": agg["step"],
                      "n_users": pc.cast(agg["n_users_sum"], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+def _local_skyline_idx(arr: np.ndarray) -> np.ndarray:
+    """Indices of the Pareto-maximal rows of a float64 (m, d) matrix.
+
+    A row p is dominated iff some q has q >= p on every column with at
+    least one strict >. Duplicate rows never dominate each other, so every
+    copy of a maximal point survives. d == 2 uses the classic sort scan
+    (O(m log m)); d > 2 falls back to chunked pairwise dominance (O(m²/64)
+    numpy ops — fine for per-block candidate sets, see ``skyline``)."""
+    m, d = arr.shape
+    if m == 0:
+        return np.empty(0, np.int64)
+    if d == 2:
+        # sort by (a desc, b desc); within equal a only the max-b value
+        # survives (same a, larger b dominates), then a strict running-max
+        # scan over b decides between distinct a's
+        order = np.lexsort((-arr[:, 1], -arr[:, 0]))
+        a, b = arr[order, 0], arr[order, 1]
+        new_a = np.empty(m, bool)
+        new_a[0] = True
+        new_a[1:] = a[1:] != a[:-1]
+        grp = np.cumsum(new_a) - 1                  # distinct-a group id
+        ga = b[new_a]        # per-a max b (b sorted desc within equal a)
+        # best b over all strictly-greater a: exclusive running max of ga
+        prev = np.concatenate(([-np.inf], np.maximum.accumulate(ga)[:-1]))
+        keep_sorted = (b > prev[grp]) & (b == ga[grp])
+        keep = np.zeros(m, bool)
+        keep[order] = keep_sorted
+        return np.flatnonzero(keep)
+    keep = np.ones(m, bool)
+    # chunked pairwise: for each chunk of candidate rows, test dominance
+    # against ALL rows (vectorized); dominated rows drop out of later
+    # chunks' comparisons only as an optimization-free correctness no-op
+    chunk = max(1, 2_000_000 // max(m, 1))
+    for s in range(0, m, chunk):
+        block = arr[s:s + chunk]                    # (c, d)
+        ge = (arr[None, :, :] >= block[:, None, :]).all(2)   # (c, m)
+        gt = (arr[None, :, :] > block[:, None, :]).any(2)
+        dominated = (ge & gt).any(1)
+        keep[s:s + chunk] = ~dominated
+    return np.flatnonzero(keep)
+
+
+def skyline(ds: rd.Dataset, cols: list[str],
+            maximize: list[bool] | None = None,
+            candidate_limit: int = 2_000_000) -> rd.Dataset:
+    """Pareto frontier (SQL NOT-EXISTS dominance): rows no other row
+    dominates on ``cols`` (>= everywhere, > somewhere; per-column
+    direction via ``maximize``). Null rows on any skyline column are
+    dropped first (SQL comparison-with-NULL semantics — mirror with
+    IS NOT NULL in the oracle).
+
+    Distributed shape: each block prunes to its LOCAL skyline over
+    distinct value tuples (a globally maximal point is maximal in its own
+    block, so the prune is lossless); only those candidates — O(frontier)
+    per block for real-valued data, not O(rows) — reach the driver, which
+    resolves the exact global frontier and broadcasts it back as an inner
+    join on the value tuple. The broadcast is gated at
+    ``candidate_limit`` total candidate rows (same order as the other
+    driver gates here); an adversarial corpus whose blocks are entirely
+    mutually non-dominated fails loudly rather than silently collecting.
+
+    Timestamps/dates participate as int64 epoch units (exact in float64
+    below 2^53 — microseconds until year 2255)."""
+    if maximize is None:
+        maximize = [True] * len(cols)
+    sign = np.array([1.0 if m else -1.0 for m in maximize])
+
+    def to_mat(t: pa.Table) -> np.ndarray:
+        mat = np.empty((t.num_rows, len(cols)))
+        for j, c in enumerate(cols):
+            col = t[c]
+            if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+                col = ts_as_us(col)
+            mat[:, j] = col.to_numpy(zero_copy_only=False).astype(np.float64)
+        return mat * sign
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        mask = np.ones(t.num_rows, bool)
+        for c in cols:
+            mask &= pc.is_valid(t[c]).to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(mask))
+        # distinct tuples only: duplicates carry no extra information for
+        # the frontier and inflate the driver gather
+        t = t.group_by(cols).aggregate([])
+        idx = _local_skyline_idx(to_mat(t))
+        return t.take(pa.array(idx, pa.int64()))
+
+    cand_parts = [pa.table(b) for b in ds.map_batches(
+        local, batch_format="pyarrow", zero_copy_batch=True,
+    ).iter_batches(batch_format="pyarrow")]
+    cand_parts = [p for p in cand_parts if p.num_rows]
+    if not cand_parts:
+        return ds.limit(0)
+    cand = pa.concat_tables(cand_parts, promote_options="default")
+    # the same value tuple can reach the gather from several blocks —
+    # distinct here, or the membership join below would duplicate rows
+    cand = cand.group_by(cols).aggregate([])
+    if cand.num_rows > candidate_limit:
+        raise ValueError(
+            f"skyline: {cand.num_rows} local-frontier candidates exceed "
+            f"candidate_limit={candidate_limit}; the data's frontier does "
+            "not fit the driver gather — raise the limit or reduce dims")
+    idx = _local_skyline_idx(to_mat(cand))
+    frontier = cand.take(pa.array(idx, pa.int64()))
+
+    def member(t: pa.Table) -> pa.Table:
+        # inner join on the value tuple: frontier tuples are distinct, so
+        # this is an exact semi-join keeping every original column
+        return t.join(frontier, keys=cols, join_type="inner"
+                      ).select(t.column_names)
+
+    out = filter_batches(ds, lambda t: pa.array(
+        np.logical_and.reduce([pc.is_valid(t[c]).to_numpy(
+            zero_copy_only=False) for c in cols])))
+    return out.map_batches(member, batch_format="pyarrow",
+                           zero_copy_batch=True)

@@ -6475,6 +6475,149 @@ def lineitem_price_qty_linreg(sf_dir: str):
                               ndigits=2)
 
 
+@register("orders_skyline", """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders o
+WHERE o_orderpriority = '1-URGENT'
+  AND o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM orders q
+    WHERE q.o_orderpriority = '1-URGENT'
+      AND q.o_totalprice >= o.o_totalprice
+      AND q.o_orderdate >= o.o_orderdate
+      AND (q.o_totalprice > o.o_totalprice
+           OR q.o_orderdate > o.o_orderdate))
+""")
+def orders_skyline(sf_dir: str):
+    """Pareto frontier (skyline) of urgent orders on (price, recency):
+    orders no other urgent order beats on BOTH o_totalprice and
+    o_orderdate — the multi-criteria shortlist shape (best trade-offs, no
+    scalarization). rel.skyline: per-block lossless frontier prune over
+    distinct value tuples, tiny driver resolve, broadcast inner join back;
+    the O(n²) NOT-EXISTS scan stays in the oracle only. Never empty: any
+    non-empty input has ≥ 1 maximal point at every sf tier."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_orderkey", "o_totalprice",
+                                 "o_orderdate", "o_orderpriority"])
+    urgent = rel.filter_batches(
+        orders, lambda t: pc.equal(t["o_orderpriority"], "1-URGENT"))
+    sky = rel.skyline(urgent, ["o_totalprice", "o_orderdate"])
+    return sky.select_columns(["o_orderkey", "o_totalprice", "o_orderdate"])
+
+
+@register("part_cooccur_triangles", """
+WITH e AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+deg AS (
+  SELECT v, count(*) AS d FROM (
+    SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) GROUP BY v),
+tri AS (
+  SELECT count(*) AS t FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+wd AS (SELECT CAST(SUM(d*(d-1)//2) AS BIGINT) AS w FROM deg)
+SELECT t AS n_triangles, w AS n_wedges,
+       ROUND(3.0 * t / w, 6) AS global_clustering FROM tri, wd
+""")
+def part_cooccur_triangles(sf_dir: str):
+    """Exact triangle census of the part co-purchase graph (parts sharing
+    an order): the graph-analytics shape beyond pagerank — multi-way
+    self-join with an id-ordered orientation so each triangle counts
+    once. graph.cooccurrence_edges builds the canonical a<b edge set
+    (vectorized basket pair emit, two bucket exchanges);
+    graph.triangle_stats closes wedges with two hash joins and reduces to
+    O(1) scalars (count, Σ C(deg,2), 3T/W). The O(n²)-ish self-joins stay
+    in the oracle; the Ray side never materializes wedges on the driver."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.triangle_stats(edges)
+
+
+@register("orders_cdc_applied", """
+WITH updated AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CASE WHEN o_orderkey % 101 = 0 AND o_orderkey % 97 != 0
+              THEN o_totalprice + 1000.0 ELSE o_totalprice
+         END AS o_totalprice,
+         o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 97 != 0),
+inserted AS (
+  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % 103 = 0)
+SELECT * FROM updated UNION ALL SELECT * FROM inserted
+""")
+def orders_cdc_applied(sf_dir: str):
+    """Change-data-capture apply: a keyed I/U/D stream folded into a
+    persisted bucketed layout (bucketing.apply_changes_bucketed — one Ray
+    task per TOUCHED bucket, deletes drop the key, upserts replace it,
+    inserts are upserts of fresh keys), then the full committed state
+    read back distributed via live_parquet_files. Deterministic change
+    set: delete orderkey%97==0, price+1000 for %101 (not deleted), insert
+    key+10M copies of %103. Idempotent per change set, so the marker-keyed
+    layout is safe to reuse across gate runs."""
+    import tempfile
+
+    from ..ops import bucketing
+
+    k = 16
+    base = (Path(tempfile.gettempdir()) / "illumio_ray_bucketed"
+            / f"{Path(sf_dir).name}-cdc-k{k}-v1")
+    marker = base / "_DONE"
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    if not marker.exists():
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        base.mkdir(parents=True, exist_ok=True)
+        orders = read_table(sf_dir, "orders", columns=cols)
+        bucketing.write_bucketed(orders, "o_orderkey", k, base / "orders")
+
+        def changes(t: pa.Table) -> pa.Table:
+            key = t["o_orderkey"].to_numpy(zero_copy_only=False)
+            parts = []
+            m_del = key % 97 == 0
+            if m_del.any():
+                d = t.filter(pa.array(m_del))
+                parts.append(d.append_column(
+                    "op", pa.array(["D"] * d.num_rows)))
+            m_upd = (key % 101 == 0) & ~m_del
+            if m_upd.any():
+                u = t.filter(pa.array(m_upd))
+                u = u.set_column(
+                    cols.index("o_totalprice"), "o_totalprice",
+                    pc.add(u["o_totalprice"], 1000.0))
+                parts.append(u.append_column(
+                    "op", pa.array(["U"] * u.num_rows)))
+            m_ins = key % 103 == 0
+            if m_ins.any():
+                i = t.filter(pa.array(m_ins))
+                i = i.set_column(0, "o_orderkey",
+                                 pc.add(i["o_orderkey"],
+                                        pa.scalar(10_000_000, pa.int64())))
+                i = i.set_column(cols.index("o_orderstatus"),
+                                 "o_orderstatus",
+                                 pa.array(["N"] * i.num_rows))
+                parts.append(i.append_column(
+                    "op", pa.array(["U"] * i.num_rows)))
+            if not parts:
+                return t.append_column("op", pa.array([], pa.string())
+                                       ).slice(0, 0)
+            return pa.concat_tables(parts)
+
+        ch = read_table(sf_dir, "orders", columns=cols).map_batches(
+            changes, batch_format="pyarrow", zero_copy_batch=True)
+        bucketing.apply_changes_bucketed(base / "orders", ch,
+                                         "o_orderkey", "op", k)
+        marker.write_text(f"k={k} v=1")
+    files = bucketing.live_parquet_files(base / "orders", k)
+    return rd.read_parquet(files, columns=cols)
+
+
 @register("doc_compression_ratio", None)  # zlib → not SQL-expressible
 def doc_compression_ratio(sf_dir: str):
     """Compressibility quality signal (zlib level 6 bytes ratio per doc):
@@ -6524,6 +6667,7 @@ _DRIVER_FIRST = [
     "dedup_exact_incremental", "pages_latest_per_canonical",
     "doc_ccnet_buckets", "pages_blocklist_filtered",
     "events_user_totals_merged", "q1_incremental_refresh",
+    "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
 ]
 
 

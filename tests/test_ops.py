@@ -3425,3 +3425,139 @@ def test_merge_bucketed_gen_rename_crash_window_is_retry_safe(tmp_path):
         for r in bucketing.read_bucket_live(lay, b).to_pylist():
             rows2[r["k"]] = r["n"]
     assert rows2 == rows
+
+
+def test_skyline_matches_bruteforce_with_ties_and_nulls():
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "rid": np.arange(n),
+        # small int domains force ties AND duplicate (a, b) tuples
+        "a": rng.integers(0, 12, n).astype(float),
+        "b": rng.integers(0, 12, n).astype(float),
+    })
+    df.loc[rng.choice(n, 10, replace=False), "a"] = np.nan
+    arr = df[["a", "b"]].to_numpy()
+    keep = []
+    for i in range(n):
+        if np.isnan(arr[i]).any():
+            continue  # null rows drop (SQL comparison semantics)
+        dominated = False
+        for j in range(n):
+            if j == i or np.isnan(arr[j]).any():
+                continue
+            if (arr[j] >= arr[i]).all() and (arr[j] > arr[i]).any():
+                dominated = True
+                break
+        if not dominated:
+            keep.append(i)
+    ds = rd.from_pandas(df.astype({"rid": "int64"})).repartition(5)
+    got = rel.skyline(ds, ["a", "b"]).to_pandas()
+    assert sorted(got.rid) == sorted(df.rid[keep])
+    # duplicates of a frontier tuple all survive (no strict dominance)
+    dup_mask = df.loc[keep].duplicated(subset=["a", "b"], keep=False)
+    if dup_mask.any():
+        assert set(df.rid[keep][dup_mask]) <= set(got.rid)
+
+
+def test_skyline_minimize_and_3d():
+    rng = np.random.default_rng(11)
+    n = 200
+    df = pd.DataFrame({
+        "rid": np.arange(n),
+        "x": rng.integers(0, 8, n).astype(float),
+        "y": rng.integers(0, 8, n).astype(float),
+        "z": rng.integers(0, 8, n).astype(float),
+    })
+    arr = df[["x", "y", "z"]].to_numpy()
+    sgn = np.array([1.0, -1.0, 1.0])   # maximize x, MINIMIZE y, maximize z
+    eff = arr * sgn
+    keep = [i for i in range(n)
+            if not any((eff[j] >= eff[i]).all() and (eff[j] > eff[i]).any()
+                       for j in range(n) if j != i)]
+    got = rel.skyline(rd.from_pandas(df).repartition(4), ["x", "y", "z"],
+                      maximize=[True, False, True]).to_pandas()
+    assert sorted(got.rid) == sorted(df.rid[keep])
+
+
+def test_triangle_stats_matches_bruteforce():
+    from itertools import combinations
+
+    from illumio_ray.ops import graph
+
+    rng = np.random.default_rng(13)
+    # random basket data: 40 groups, items drawn from 25
+    rows = []
+    for g in range(40):
+        items = rng.choice(25, size=rng.integers(1, 7), replace=False)
+        rows += [(g, int(i)) for i in items]
+    df = pd.DataFrame(rows, columns=["g", "i"])
+    edges = set()
+    for g, sub in df.groupby("g"):
+        for x, y in combinations(sorted(set(sub.i)), 2):
+            edges.add((x, y))
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    tri = sum(1 for x, y in edges for z in (adj[x] & adj[y]) if z > y)
+    wedges = sum(len(v) * (len(v) - 1) // 2 for v in adj.values())
+
+    eds = graph.cooccurrence_edges(rd.from_pandas(df).repartition(4),
+                                   "g", "i")
+    got_e = {tuple(r) for r in eds.to_pandas()[["a", "b"]].to_numpy()}
+    assert got_e == edges
+    stats = graph.triangle_stats(eds).to_pydict()
+    assert stats["n_triangles"] == [tri]
+    assert stats["n_wedges"] == [wedges]
+    if wedges:
+        assert stats["global_clustering"] == [round(3 * tri / wedges, 6)]
+
+
+def test_cooccurrence_edges_rejects_quadratic_basket():
+    df = pd.DataFrame({"g": [1] * 30, "i": range(30)})
+    with pytest.raises((ValueError, Exception)) as ei:
+        graph_mod = __import__("illumio_ray.ops.graph",
+                               fromlist=["cooccurrence_edges"])
+        graph_mod.cooccurrence_edges(rd.from_pandas(df), "g", "i",
+                                     max_group_items=10).materialize()
+    assert "quadratic" in str(ei.value) or "max_group_items" in str(ei.value)
+
+
+def test_apply_changes_bucketed_cdc_semantics(tmp_path):
+    from illumio_ray.ops import bucketing
+
+    base = pd.DataFrame({"k": np.arange(20, dtype=np.int64),
+                         "v": np.arange(20, dtype=np.int64) * 10})
+    layout = tmp_path / "layout"
+    bucketing.write_bucketed(rd.from_pandas(base), "k", 4, layout)
+
+    # delete 3/7, update 5 (v=555), insert 100 — plus a seq conflict on
+    # key 9: U(v=900, seq 1) then D(seq 2) → the delete wins
+    ch = pd.DataFrame({
+        "k":  np.array([3, 7, 5, 100, 9, 9], np.int64),
+        "v":  np.array([0, 0, 555, 1000, 900, 0], np.int64),
+        "op": ["D", "D", "U", "U", "U", "D"],
+        "seq": np.array([1, 1, 1, 1, 1, 2], np.int64),
+    })
+    stats = bucketing.apply_changes_bucketed(
+        layout, rd.from_pandas(ch), "k", "op", 4, seq_col="seq")
+    assert stats["rows_deleted"] == 3 and stats["rows_upserted"] == 2
+
+    def state() -> dict:
+        t = pa.concat_tables(
+            [bucketing.read_bucket_live(layout, b) for b in range(4)],
+            promote_options="default")
+        return dict(zip(t["k"].to_pylist(), t["v"].to_pylist()))
+
+    want = {k: v * 10 for k, v in zip(range(20), range(20))
+            if k not in (3, 7, 9)}
+    want[5] = 555
+    want[100] = 1000
+    got = state()
+    assert {k: got[k] for k in want} == want and set(got) == set(want)
+
+    # replaying the SAME change set is a no-op on the final state
+    bucketing.apply_changes_bucketed(
+        layout, rd.from_pandas(ch), "k", "op", 4, seq_col="seq")
+    assert state() == want
