@@ -1284,3 +1284,250 @@ def block_by_domain_suffix(ds: rd.Dataset, suffixes: list[str],
         return t.filter(blocked if keep_blocked else pc.invert(blocked))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece-style EM; Kudo 2018)
+# ---------------------------------------------------------------------------
+#
+# The second tokenizer-training family next to bpe_train: a subword vocab
+# fit by expectation-maximization over the word-frequency table instead of
+# greedy pair merges. Distributed shape:
+#   1. ONE bucket exchange builds the distinct (word, count) table
+#      (vocabulary ≪ corpus rows — the same bounded-vocab trade every
+#      word-level op here makes);
+#   2. seed candidates = all substrings ≤ seed_max_len of every distinct
+#      word, counted in a second bucket exchange, top-N kept (single
+#      chars always kept so every word stays segmentable);
+#   3. each EM round is ONE map_batches pass over the word table: the
+#      current piece log-probs ride in as a broadcast dict, each task
+#      runs the forward-backward lattice per DISTINCT word (cost
+#      O(len · seed_max_len) per word, never per corpus row) and emits
+#      expected-count partials bounded by the vocab size; the driver
+#      folds partials and renormalizes — O(vocab) driver state;
+#   4. between rounds the lowest-probability multi-char pieces prune
+#      until the vocab target, Viterbi segmentation ships as a row-local
+#      map (unigram_segment).
+
+_UNIGRAM_MAX_WORD = 32  # DP window per word; longer words truncate
+
+
+def _word_freq_table(ds: rd.Dataset, text_col: str) -> rd.Dataset:
+    """Distinct lowercase whitespace words with corpus counts (bucket
+    exchange — word keys ≈ vocabulary, far below rows)."""
+    from .relational import drop_empty_blocks, grouped_agg
+
+    def emit(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        words = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+").flatten()
+        words = words.filter(pc.not_equal(words, ""))
+        g = pa.table({"word": words}).group_by(["word"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"word": g["word"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    return drop_empty_blocks(grouped_agg(
+        ds.map_batches(emit, batch_format="pyarrow", zero_copy_batch=True),
+        ["word"], [("n", "sum", "n")], mode="bucket"))
+
+
+def _em_pass(words: rd.Dataset, logp: dict[str, float],
+             max_len: int) -> tuple[dict[str, float], float]:
+    """One E-step over the distributed word table → (expected piece
+    counts, corpus log-likelihood). Lattice forward-backward per distinct
+    word in log space; only vocab-bounded partials leave each task."""
+    import math
+
+    vref = ray.put(logp)
+
+    def partial(t: pa.Table, _v=vref) -> pa.Table:
+        lp = ray.get(_v)
+        exp_counts: dict[str, float] = {}
+        ll = 0.0
+        ws = t["word"].to_pylist()
+        ns = t["n"].to_numpy(zero_copy_only=False)
+        for w, n in zip(ws, ns):
+            w = w[:_UNIGRAM_MAX_WORD]
+            L = len(w)
+            NEG = -1e30
+            alpha = [NEG] * (L + 1)
+            alpha[0] = 0.0
+            edges = []  # (i, j, piece, logp)
+            for i in range(L):
+                if alpha[i] <= NEG:
+                    continue
+                for j in range(i + 1, min(i + max_len, L) + 1):
+                    p = w[i:j]
+                    l = lp.get(p)
+                    if l is None:
+                        continue
+                    edges.append((i, j, p, l))
+                    s = alpha[i] + l
+                    a = alpha[j]
+                    alpha[j] = s if a <= NEG else (
+                        max(a, s) + math.log1p(math.exp(-abs(a - s))))
+            if alpha[L] <= NEG:
+                continue  # unsegmentable (chars pruned) — skip, like SP
+            beta = [NEG] * (L + 1)
+            beta[L] = 0.0
+            for i, j, p, l in reversed(edges):
+                s = l + beta[j]
+                b = beta[i]
+                beta[i] = s if b <= NEG else (
+                    max(b, s) + math.log1p(math.exp(-abs(b - s))))
+            z = alpha[L]
+            ll += float(n) * z
+            for i, j, p, l in edges:
+                g = alpha[i] + l + beta[j] - z
+                if g > -30.0:
+                    exp_counts[p] = exp_counts.get(p, 0.0) + \
+                        float(n) * math.exp(g)
+        return pa.table({"piece": pa.array(list(exp_counts), pa.string()),
+                         "c": pa.array(list(exp_counts.values()),
+                                       pa.float64()),
+                         "ll": pa.array([ll] + [0.0] * (len(exp_counts) - 1)
+                                        if exp_counts else [],
+                                        pa.float64())})
+
+    counts: dict[str, float] = {}
+    total_ll = 0.0
+    parts = words.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    for b in parts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = pa.table(b)
+        for p, c in zip(t["piece"].to_pylist(),
+                        t["c"].to_numpy(zero_copy_only=False)):
+            counts[p] = counts.get(p, 0.0) + float(c)
+        if t.num_rows:
+            total_ll += float(np.sum(t["ll"].to_numpy(
+                zero_copy_only=False)))
+    return counts, total_ll
+
+
+def unigram_train(ds: rd.Dataset, text_col: str = "text",
+                  vocab_size: int = 400, seed_size: int = 2000,
+                  seed_max_len: int = 4, em_iters: int = 2,
+                  prune_frac: float = 0.25) -> list[dict]:
+    """Fit a unigram-LM subword vocabulary (Kudo 2018 / SentencePiece
+    shape) by EM + pruning. Returns [{piece, logp}] sorted by -logp then
+    piece — deterministic under any partitioning (all reductions are
+    order-free sums; ties in the prune break lexicographically)."""
+    import math
+
+    words = _word_freq_table(ds, text_col).materialize()
+
+    # seed: substring counts (one more bucket exchange), top seed_size +
+    # every single character (keeps all words segmentable)
+    from .relational import drop_empty_blocks, grouped_agg, topk
+
+    def subs(t: pa.Table) -> pa.Table:
+        out: dict[str, float] = {}
+        for w, n in zip(t["word"].to_pylist(),
+                        t["n"].to_numpy(zero_copy_only=False)):
+            w = w[:_UNIGRAM_MAX_WORD]
+            for i in range(len(w)):
+                for j in range(i + 1, min(i + seed_max_len, len(w)) + 1):
+                    p = w[i:j]
+                    out[p] = out.get(p, 0.0) + float(n)
+        return pa.table({"piece": pa.array(list(out), pa.string()),
+                         "c": pa.array(list(out.values()), pa.float64())})
+
+    sub_counts = drop_empty_blocks(grouped_agg(
+        words.map_batches(subs, batch_format="pyarrow",
+                          zero_copy_batch=True),
+        ["piece"], [("c", "sum", "c")], mode="bucket")).materialize()
+
+    from .relational import filter_batches
+
+    # chars come back via a distributed filter (the driver never holds
+    # the full substring table — only top-N + the bounded charset)
+    char_rows = filter_batches(
+        sub_counts,
+        lambda t: pc.equal(pc.utf8_length(t["piece"]), 1)).take_all()
+    chars = {r["piece"] for r in char_rows}
+    top = topk(sub_counts, ["c", "piece"], seed_size,
+               descending=[True, False]).take_all()
+    vocab = {r["piece"]: float(r["c"]) for r in top}
+    for r in char_rows:
+        vocab.setdefault(r["piece"], float(r["c"]))
+
+    def renorm(counts: dict[str, float]) -> dict[str, float]:
+        tot = sum(counts.values())
+        return {p: math.log(c / tot) for p, c in counts.items() if c > 0}
+
+    logp = renorm(vocab)
+    while True:
+        for _ in range(em_iters):
+            counts, _ll = _em_pass(words, logp, seed_max_len)
+            # characters never die mid-EM: floor them so every word stays
+            # reachable for the next pass
+            for ch in chars:
+                counts[ch] = max(counts.get(ch, 0.0), 1e-6)
+            logp = renorm(counts)
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        target_multi = max(0, vocab_size - len(chars))
+        if n_multi <= target_multi:
+            break
+        keep_multi = max(target_multi, int(n_multi * (1 - prune_frac)))
+        if keep_multi >= n_multi:
+            keep_multi = target_multi
+        ranked = sorted((p for p in logp if len(p) > 1),
+                        key=lambda p: (-logp[p], p))
+        kept = set(ranked[:keep_multi]) | chars
+        logp = renorm({p: math.exp(l) for p, l in logp.items()
+                       if p in kept})
+    counts, _ = _em_pass(words, logp, seed_max_len)
+    for ch in chars:
+        counts[ch] = max(counts.get(ch, 0.0), 1e-6)
+    logp = renorm(counts)
+    return [{"piece": p, "logp": float(l)}
+            for p, l in sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+
+def unigram_segment(ds: rd.Dataset, vocab: list[dict],
+                    id_col: str = "doc_id", text_col: str = "text",
+                    max_len: int = 4) -> rd.Dataset:
+    """Viterbi-segment each doc under a trained unigram vocab → (id,
+    n_pieces, nll). Row-local map, vocab broadcast once per task; ties
+    broken toward the LONGER piece (then lexicographically earlier),
+    pinned for tests."""
+    lp = {r["piece"]: float(r["logp"]) for r in vocab}
+    vref = ray.put(lp)
+
+    def seg(t: pa.Table, _v=vref) -> pa.Table:
+        v = ray.get(_v)
+        text = _string_array(t[text_col])
+        n_pieces = np.zeros(t.num_rows, np.int64)
+        nll = np.zeros(t.num_rows, np.float64)
+        for r, s in enumerate(text.to_pylist()):
+            if not s:
+                continue
+            tot_n, tot_l = 0, 0.0
+            for w in s.lower().split():
+                w = w[:_UNIGRAM_MAX_WORD]
+                L = len(w)
+                NEG = -1e30
+                best = [NEG] * (L + 1)
+                cnt = [0] * (L + 1)
+                best[0] = 0.0
+                for i in range(L):
+                    if best[i] <= NEG:
+                        continue
+                    for j in range(i + 1, min(i + max_len, L) + 1):
+                        l = v.get(w[i:j])
+                        if l is None:
+                            continue
+                        s2 = best[i] + l
+                        # strictly-better OR equal-score-longer-piece wins
+                        if s2 > best[j] + 1e-12:
+                            best[j], cnt[j] = s2, cnt[i] + 1
+                if best[L] > NEG:
+                    tot_n += cnt[L]
+                    tot_l -= best[L]
+            n_pieces[r] = tot_n
+            nll[r] = tot_l
+        return pa.table({id_col: t[id_col],
+                         "n_pieces": pa.array(n_pieces),
+                         "nll": pa.array(nll)})
+
+    return ds.map_batches(seg, batch_format="pyarrow", zero_copy_batch=True)

@@ -6618,6 +6618,23 @@ def orders_cdc_applied(sf_dir: str):
     return rd.read_parquet(files, columns=cols)
 
 
+@register("doc_unigram_tokens", None)  # EM lattice → not SQL-expressible
+def doc_unigram_tokens(sf_dir: str):
+    """Unigram-LM tokenizer (Kudo 2018 / SentencePiece family) trained by
+    distributed EM over the corpus word table, then Viterbi segmentation
+    per doc → (doc_id, n_pieces). The second trained-tokenizer family
+    next to corpus_bpe_merges: each EM round is one map_batches pass over
+    the distinct-word table with the piece log-probs broadcast, partials
+    bounded by the vocab. Deterministic under any partitioning (order-free
+    sums, lexicographic tie-breaks) — pinned by the partition-invariance
+    test."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = textops.unigram_train(docs, vocab_size=160, seed_size=600,
+                                  em_iters=2)
+    out = textops.unigram_segment(docs, vocab)
+    return out.select_columns(["doc_id", "n_pieces"])
+
+
 @register("doc_compression_ratio", None)  # zlib → not SQL-expressible
 def doc_compression_ratio(sf_dir: str):
     """Compressibility quality signal (zlib level 6 bytes ratio per doc):

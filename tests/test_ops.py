@@ -3561,3 +3561,51 @@ def test_apply_changes_bucketed_cdc_semantics(tmp_path):
     bucketing.apply_changes_bucketed(
         layout, rd.from_pandas(ch), "k", "op", 4, seq_col="seq")
     assert state() == want
+
+
+def test_unigram_train_em_improves_likelihood_and_is_partition_invariant():
+    from illumio_ray.ops import textops
+
+    rng = np.random.default_rng(3)
+    words = ["hello", "world", "hell", "low", "word", "held"]
+    texts = [" ".join(rng.choice(words, size=8)) for _ in range(60)]
+    df = pd.DataFrame({"doc_id": np.arange(60), "text": texts})
+
+    v1 = textops.unigram_train(rd.from_pandas(df).repartition(2),
+                               vocab_size=40, seed_size=80, em_iters=2)
+    v2 = textops.unigram_train(rd.from_pandas(df).repartition(7),
+                               vocab_size=40, seed_size=80, em_iters=2)
+    assert v1 == v2  # partitioning-independent
+    pieces = {r["piece"] for r in v1}
+    assert all(len(p) >= 1 for p in pieces)
+    # every corpus character survives (words stay segmentable)
+    assert set("helowrd") <= pieces
+
+    # EM raises (never lowers) the corpus log-likelihood it optimizes
+    words_tbl = textops._word_freq_table(rd.from_pandas(df), "text")
+    import math
+    lp = {r["piece"]: r["logp"] for r in v1}
+    c1, ll1 = textops._em_pass(words_tbl, lp, 4)
+    tot = sum(c1.values())
+    lp2 = {p: math.log(c / tot) for p, c in c1.items() if c > 0}
+    _, ll2 = textops._em_pass(words_tbl, lp2, 4)
+    assert ll2 >= ll1 - 1e-9
+
+
+def test_unigram_segment_viterbi_counts():
+    from illumio_ray.ops import textops
+
+    import math
+    # vocab where "ab" is cheap: "abab" → 2 pieces, "aba" → ab + a
+    vocab = [{"piece": "ab", "logp": math.log(0.6)},
+             {"piece": "a", "logp": math.log(0.25)},
+             {"piece": "b", "logp": math.log(0.15)}]
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["abab", "aba b", ""]})
+    out = textops.unigram_segment(
+        rd.from_pandas(df), vocab).to_pandas().set_index("doc_id")
+    assert out.loc[1, "n_pieces"] == 2
+    assert out.loc[2, "n_pieces"] == 3   # "ab"+"a" then "b"
+    assert out.loc[3, "n_pieces"] == 0 and out.loc[3, "nll"] == 0.0
+    exp1 = -2 * math.log(0.6)
+    assert abs(out.loc[1, "nll"] - exp1) < 1e-9
