@@ -420,7 +420,13 @@ def _apply_bucket(layout_dir: str, incoming_dir: str, bucket: int,
     touched = pc.unique(new[key_col])
     ups_mask = pc.equal(new[op_col], "U")
     ups = new.filter(ups_mask)
-    n_del = int(new.num_rows - ups.num_rows)
+    dels = new.filter(pc.invert(ups_mask))
+    # rows ACTUALLY removed by deletes (a delete of an absent key is a
+    # no-op and must not count — idempotent replays report 0)
+    n_del = (int(pc.sum(pc.cast(pc.is_in(
+        old[key_col], value_set=pc.unique(dels[key_col])),
+        pa.int64())).as_py() or 0)
+        if old.num_rows and dels.num_rows else 0)
     if old.num_rows:
         kept = old.filter(pc.invert(
             pc.is_in(old[key_col], value_set=touched)))

@@ -291,6 +291,10 @@ def cooccurrence_edges(ds: rd.Dataset, group_col: str, item_col: str,
         keep = lo != hi  # duplicate items cannot appear (distinct g,i)
         return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
 
+    # pin the distinct table: keyed_window's default bucket sizing calls
+    # count(), which would otherwise re-run the whole distinct exchange
+    # for the sizing pass and again for the real pass
+    gi = gi.materialize()
     pairs = keyed_window(gi, "g", emit_pairs, n_rows=n_rows)
     pairs = pairs.map_batches(
         lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
@@ -361,7 +365,9 @@ def triangle_stats(edges: rd.Dataset, a: str = "a", b: str = "b",
         batch_format="pyarrow", zero_copy_batch=True),
         on=["a", "b"], num_partitions=num_partitions)
     n_tri = int(closed.count())
-    gc = (round(3.0 * n_tri / n_wedges, ndigits)
+    # half-away-from-zero to match DuckDB ROUND (functions/rounding.py)
+    from ..functions.rounding import round_np
+    gc = (float(round_np(np.array([3.0 * n_tri / n_wedges]), ndigits)[0])
           if n_wedges else float("nan"))
     return pa.table({"n_triangles": pa.array([n_tri], pa.int64()),
                      "n_wedges": pa.array([n_wedges], pa.int64()),

@@ -2100,9 +2100,10 @@ def skyline(ds: rd.Dataset, cols: list[str],
             candidate_limit: int = 2_000_000) -> rd.Dataset:
     """Pareto frontier (SQL NOT-EXISTS dominance): rows no other row
     dominates on ``cols`` (>= everywhere, > somewhere; per-column
-    direction via ``maximize``). Null rows on any skyline column are
-    dropped first (SQL comparison-with-NULL semantics — mirror with
-    IS NOT NULL in the oracle).
+    direction via ``maximize``). Rows with a null OR NaN on any skyline
+    column are dropped first (SQL comparison-with-NULL semantics — mirror
+    with IS NOT NULL in the oracle; NaN is excluded explicitly because
+    the two prune kernels would otherwise disagree on it).
 
     Distributed shape: each block prunes to its LOCAL skyline over
     distinct value tuples (a globally maximal point is maximal in its own
@@ -2124,38 +2125,60 @@ def skyline(ds: rd.Dataset, cols: list[str],
         mat = np.empty((t.num_rows, len(cols)))
         for j, c in enumerate(cols):
             col = t[c]
-            if pa.types.is_timestamp(col.type) or pa.types.is_date(col.type):
+            if pa.types.is_timestamp(col.type):
                 col = ts_as_us(col)
+            elif pa.types.is_date32(col.type):
+                col = pc.cast(col, pa.int32())   # days; monotone is enough
+            elif pa.types.is_date64(col.type):
+                col = pc.cast(col, pa.int64())
             mat[:, j] = col.to_numpy(zero_copy_only=False).astype(np.float64)
         return mat * sign
 
-    def local(t: pa.Table) -> pa.Table:
-        t = t.select(cols)
+    def valid_mask(t: pa.Table) -> np.ndarray:
+        # null OR NaN on any skyline column drops the row (SQL comparison
+        # semantics; NaN would otherwise split behavior between the d==2
+        # sort kernel and the d>2 pairwise kernel)
         mask = np.ones(t.num_rows, bool)
         for c in cols:
-            mask &= pc.is_valid(t[c]).to_numpy(zero_copy_only=False)
-        t = t.filter(pa.array(mask))
+            col = t[c]
+            mask &= pc.is_valid(col).to_numpy(zero_copy_only=False)
+            if pa.types.is_floating(col.type):
+                mask &= ~pc.fill_null(pc.is_nan(col), False).to_numpy(
+                    zero_copy_only=False)
+        return mask
+
+    def local(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        t = t.filter(pa.array(valid_mask(t)))
         # distinct tuples only: duplicates carry no extra information for
         # the frontier and inflate the driver gather
         t = t.group_by(cols).aggregate([])
         idx = _local_skyline_idx(to_mat(t))
         return t.take(pa.array(idx, pa.int64()))
 
-    cand_parts = [pa.table(b) for b in ds.map_batches(
-        local, batch_format="pyarrow", zero_copy_batch=True,
-    ).iter_batches(batch_format="pyarrow")]
-    cand_parts = [p for p in cand_parts if p.num_rows]
+    cand_parts: list[pa.Table] = []
+    gathered = 0
+    for b in ds.map_batches(local, batch_format="pyarrow",
+                            zero_copy_batch=True,
+                            ).iter_batches(batch_format="pyarrow"):
+        p = pa.table(b)
+        if not p.num_rows:
+            continue
+        gathered += p.num_rows
+        if gathered > candidate_limit:
+            # raise BEFORE the gather grows past the gate, not after
+            raise ValueError(
+                f"skyline: local-frontier candidates exceed "
+                f"candidate_limit={candidate_limit}; the data's frontier "
+                "does not fit the driver gather — raise the limit or "
+                "reduce dims")
+        cand_parts.append(p)
     if not cand_parts:
         return ds.limit(0)
     cand = pa.concat_tables(cand_parts, promote_options="default")
     # the same value tuple can reach the gather from several blocks —
     # distinct here, or the membership join below would duplicate rows
     cand = cand.group_by(cols).aggregate([])
-    if cand.num_rows > candidate_limit:
-        raise ValueError(
-            f"skyline: {cand.num_rows} local-frontier candidates exceed "
-            f"candidate_limit={candidate_limit}; the data's frontier does "
-            "not fit the driver gather — raise the limit or reduce dims")
     idx = _local_skyline_idx(to_mat(cand))
     frontier = cand.take(pa.array(idx, pa.int64()))
 
@@ -2165,8 +2188,6 @@ def skyline(ds: rd.Dataset, cols: list[str],
         return t.join(frontier, keys=cols, join_type="inner"
                       ).select(t.column_names)
 
-    out = filter_batches(ds, lambda t: pa.array(
-        np.logical_and.reduce([pc.is_valid(t[c]).to_numpy(
-            zero_copy_only=False) for c in cols])))
+    out = filter_batches(ds, lambda t: pa.array(valid_mask(t.select(cols))))
     return out.map_batches(member, batch_format="pyarrow",
                            zero_copy_batch=True)

@@ -1486,12 +1486,16 @@ def unigram_train(ds: rd.Dataset, text_col: str = "text",
 
 def unigram_segment(ds: rd.Dataset, vocab: list[dict],
                     id_col: str = "doc_id", text_col: str = "text",
-                    max_len: int = 4) -> rd.Dataset:
+                    max_len: int | None = None) -> rd.Dataset:
     """Viterbi-segment each doc under a trained unigram vocab → (id,
     n_pieces, nll). Row-local map, vocab broadcast once per task; ties
     broken toward the LONGER piece (then lexicographically earlier),
-    pinned for tests."""
+    pinned for tests. ``max_len`` defaults to the longest vocab piece —
+    an independent value shorter than that would silently skip long
+    pieces in the DP inner loop."""
     lp = {r["piece"]: float(r["logp"]) for r in vocab}
+    if max_len is None:
+        max_len = max((len(p) for p in lp), default=1)
     vref = ray.put(lp)
 
     def seg(t: pa.Table, _v=vref) -> pa.Table:

@@ -6545,7 +6545,7 @@ WITH updated AS (
          o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 97 != 0),
 inserted AS (
-  SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+  SELECT o_orderkey + 1099511627776 AS o_orderkey, o_custkey,
          'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
   FROM orders WHERE o_orderkey % 103 = 0)
 SELECT * FROM updated UNION ALL SELECT * FROM inserted
@@ -6557,7 +6557,7 @@ def orders_cdc_applied(sf_dir: str):
     inserts are upserts of fresh keys), then the full committed state
     read back distributed via live_parquet_files. Deterministic change
     set: delete orderkey%97==0, price+1000 for %101 (not deleted), insert
-    key+10M copies of %103. Idempotent per change set, so the marker-keyed
+    key+2^40 copies of %103. Idempotent per change set, so the marker-keyed
     layout is safe to reuse across gate runs."""
     import tempfile
 
@@ -6565,7 +6565,7 @@ def orders_cdc_applied(sf_dir: str):
 
     k = 16
     base = (Path(tempfile.gettempdir()) / "illumio_ray_bucketed"
-            / f"{Path(sf_dir).name}-cdc-k{k}-v1")
+            / f"{Path(sf_dir).name}-cdc-k{k}-v2")
     marker = base / "_DONE"
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"]
@@ -6596,17 +6596,22 @@ def orders_cdc_applied(sf_dir: str):
             m_ins = key % 103 == 0
             if m_ins.any():
                 i = t.filter(pa.array(m_ins))
+                # 2^40 offset: beyond any reachable orderkey at ANY sf
+                # (dense keys collide with a small fixed offset once the
+                # table passes it, duplicating keys in the layout)
                 i = i.set_column(0, "o_orderkey",
                                  pc.add(i["o_orderkey"],
-                                        pa.scalar(10_000_000, pa.int64())))
+                                        pa.scalar(1 << 40, pa.int64())))
                 i = i.set_column(cols.index("o_orderstatus"),
                                  "o_orderstatus",
                                  pa.array(["N"] * i.num_rows))
                 parts.append(i.append_column(
                     "op", pa.array(["U"] * i.num_rows)))
             if not parts:
-                return t.append_column("op", pa.array([], pa.string())
-                                       ).slice(0, 0)
+                # slice BEFORE appending: append_column requires the new
+                # column's length to match the (non-empty) table
+                return t.slice(0, 0).append_column(
+                    "op", pa.array([], pa.string()))
             return pa.concat_tables(parts)
 
         ch = read_table(sf_dir, "orders", columns=cols).map_batches(

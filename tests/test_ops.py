@@ -3557,10 +3557,12 @@ def test_apply_changes_bucketed_cdc_semantics(tmp_path):
     got = state()
     assert {k: got[k] for k in want} == want and set(got) == set(want)
 
-    # replaying the SAME change set is a no-op on the final state
-    bucketing.apply_changes_bucketed(
+    # replaying the SAME change set is a no-op on the final state, and
+    # the stats reflect that (deletes of already-gone keys don't count)
+    stats2 = bucketing.apply_changes_bucketed(
         layout, rd.from_pandas(ch), "k", "op", 4, seq_col="seq")
     assert state() == want
+    assert stats2["rows_deleted"] == 0
 
 
 def test_unigram_train_em_improves_likelihood_and_is_partition_invariant():
