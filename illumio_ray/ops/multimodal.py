@@ -487,3 +487,61 @@ def synth_gif_payloads(ids: np.ndarray) -> list[bytes]:
             frames.append(fr)
         out.append(codecs.gif_encode(frames, pal, delay_cs=4 + i % 5))
     return out
+
+
+class KeyframeSelectGIF:
+    """Actor-pool stage: REAL animated-GIF payload → the top-k KEYFRAMES
+    by scene-change energy (mean |ΔRGB| vs the previous decoded frame;
+    frame 0 always scores +inf as the opening shot). The shot-boundary
+    selection a video-curation pass runs before embedding: only the
+    frames where the picture actually changes move downstream, not an
+    every-n-th blind sample. One row per kept frame with its change
+    energy and decoded-pixel ahash."""
+
+    def __init__(self, binary_col: str = "payload", k: int = 3):
+        from . import codecs
+        self.codecs = codecs
+        self.binary_col = binary_col
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx_rows: list[int] = []
+        frame_no: list[int] = []
+        energy: list[float] = []
+        hashes: list[int] = []
+        for i, buf in enumerate(batch[self.binary_col].to_pylist()):
+            frames, palettes, _delays = self.codecs.gif_decode(buf)
+            rgbs = [palettes[f_i][fr].astype(np.int16)
+                    for f_i, fr in enumerate(frames)]
+            if not rgbs:
+                continue
+            e = np.empty(len(rgbs))
+            e[0] = np.inf
+            for j in range(1, len(rgbs)):
+                e[j] = float(np.abs(rgbs[j] - rgbs[j - 1]).mean())
+            # top-k by (energy desc, frame asc) — deterministic ties
+            order = np.lexsort((np.arange(len(e)), -e))[:self.k]
+            for fno in sorted(int(x) for x in order):
+                idx_rows.append(i)
+                frame_no.append(fno)
+                energy.append(float(e[fno]) if np.isfinite(e[fno])
+                              else -1.0)  # opening frame sentinel
+                hashes.append(int(np.uint64(
+                    self.codecs.ahash64(palettes[fno][frames[fno]]))
+                    .astype(np.int64)))
+        out = batch.drop_columns([self.binary_col]) \
+            .take(pa.array(idx_rows, pa.int64()))
+        return (out
+                .append_column("frame_no", pa.array(frame_no, pa.int64()))
+                .append_column("change_energy",
+                               pa.array(energy, pa.float64()))
+                .append_column("frame_ahash", pa.array(hashes, pa.int64())))
+
+
+def gif_keyframes(ds: rd.Dataset, binary_col: str = "payload", k: int = 3,
+                  concurrency=(1, 4), batch_size: int = 32) -> rd.Dataset:
+    return ds.map_batches(
+        KeyframeSelectGIF,
+        fn_constructor_kwargs={"binary_col": binary_col, "k": k},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)

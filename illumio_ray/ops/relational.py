@@ -2191,3 +2191,52 @@ def skyline(ds: rd.Dataset, cols: list[str],
     out = filter_batches(ds, lambda t: pa.array(valid_mask(t.select(cols))))
     return out.map_batches(member, batch_format="pyarrow",
                            zero_copy_batch=True)
+
+
+def ewm_rolling_mean(ds: rd.Dataset, key_col: str, order_cols: list[str],
+                     value_col: str, alpha: float = 0.3, k: int = 16,
+                     out: str = "ewma", ndigits: int | None = 6,
+                     num_buckets: int | None = None,
+                     n_rows: int | None = None) -> rd.Dataset:
+    """Exponentially-weighted rolling mean per key over a bounded k-row
+    frame: for each row t (ordered by ``order_cols`` within the key),
+        ewma_t = Σ_{i<m} b^i·x_{t-i} / Σ_{i<m} b^i,  b = 1-alpha,
+    with m = min(k, rows so far) — the pandas ``ewm(adjust=True)``
+    recurrence truncated to a hard lookback so the weights are an
+    explicit finite sum BOTH engines can evaluate (the untruncated
+    recurrence needs SQL recursion whose pow(1/b, rn) terms overflow /
+    lose precision at depth; b^k here stays bounded). The smoothing the
+    log pipeline's rate dashboards want, expressed as one user-bucket
+    exchange + a per-key numpy convolution — python iterates KEYS inside
+    a bucket, never rows.
+
+    Output: input columns + ``out``; ``ndigits`` rounds half-away-from-
+    zero on both engines (None = raw floats)."""
+    from ..functions.rounding import round_np
+
+    b = 1.0 - alpha
+    w = b ** np.arange(k)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        x = g[value_col].to_numpy(np.float64)
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        res = np.empty(n, np.float64)
+        start = np.flatnonzero(np.concatenate(
+            ([True], keys[1:] != keys[:-1])))
+        bounds = np.append(start, n)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            xs = x[s:e]
+            m = len(xs)
+            # numerator: convolution with the weight kernel, causal part
+            num = np.convolve(xs, w)[:m]
+            mm = np.minimum(np.arange(1, m + 1), k)
+            den = (1.0 - b ** mm) / (1.0 - b)
+            res[s:e] = num / den
+        g = g.copy()
+        g[out] = round_np(res, ndigits) if ndigits is not None else res
+        return g
+
+    return keyed_window(ds, key_col, per_bucket,
+                        num_buckets=num_buckets, n_rows=n_rows)

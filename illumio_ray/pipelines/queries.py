@@ -3425,6 +3425,28 @@ def multimodal_gif_frames(sf_dir: str):
     return multimodal.gif_frame_sample(gifs, every_n=2, max_frames=4)
 
 
+@register("multimodal_gif_keyframes", None)  # real video decode → rows-only
+def multimodal_gif_keyframes(sf_dir: str):
+    """Shot-boundary keyframe selection over REAL animated GIFs: decode
+    every frame, score mean |ΔRGB| vs the previous frame, keep the top-k
+    scene changes per clip (frame 0 always kept as the opening shot).
+    The curation step that decides WHICH frames a video contributes to
+    embedding/dedup, vs multimodal_gif_frames' blind every-n-th sample.
+    Actor-pool stage, small batches, state in __init__."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(multimodal.synth_gif_payloads(ids),
+                                pa.binary())})
+
+    gifs = ds.map_batches(add_payload, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    return multimodal.gif_keyframes(gifs, k=3)
+
+
 @register("multimodal_wav_energy", None)  # real audio decode → rows-only
 def multimodal_wav_energy(sf_dir: str):
     """REAL audio decode (stdlib wave module): per-id PCM WAV tones →
@@ -6623,6 +6645,33 @@ def orders_cdc_applied(sf_dir: str):
     return rd.read_parquet(files, columns=cols)
 
 
+@register("events_user_ewma", """
+WITH o AS (SELECT event_id, user_id, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+j AS (SELECT a.user_id, a.event_id,
+             SUM(b.value * pow(0.7, a.rn - b.rn)) AS num,
+             SUM(pow(0.7, a.rn - b.rn)) AS den
+      FROM o a JOIN o b ON a.user_id = b.user_id
+                       AND b.rn BETWEEN a.rn - 15 AND a.rn
+      GROUP BY 1, 2)
+SELECT event_id, ROUND(num / den, 6) AS ewma FROM j
+""")
+def events_user_ewma(sf_dir: str):
+    """Per-user exponentially-weighted rolling mean (alpha 0.3, 16-row
+    frame) over event time — the smoothing a rate dashboard runs, as a
+    bounded-frame finite sum both engines evaluate exactly (see
+    rel.ewm_rolling_mean: one user-bucket exchange, per-key numpy
+    convolution, python touches keys never rows). The SQL oracle is the
+    equivalent banded self-join; 6-digit rounding sits far above the
+    summation-order drift at value magnitudes ~1e2."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "user_id", "value"])
+    outd = rel.ewm_rolling_mean(ev, "user_id", ["ts", "event_id"],
+                                "value", alpha=0.3, k=16)
+    return outd.select_columns(["event_id", "ewma"])
+
+
 @register("doc_unigram_tokens", None)  # EM lattice → not SQL-expressible
 def doc_unigram_tokens(sf_dir: str):
     """Unigram-LM tokenizer (Kudo 2018 / SentencePiece family) trained by
@@ -6690,6 +6739,7 @@ _DRIVER_FIRST = [
     "doc_ccnet_buckets", "pages_blocklist_filtered",
     "events_user_totals_merged", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
+    "events_user_ewma",
 ]
 
 

@@ -3611,3 +3611,53 @@ def test_unigram_segment_viterbi_counts():
     assert out.loc[3, "n_pieces"] == 0 and out.loc[3, "nll"] == 0.0
     exp1 = -2 * math.log(0.6)
     assert abs(out.loc[1, "nll"] - exp1) < 1e-9
+
+
+def test_ewm_rolling_mean_matches_reference():
+    rng = np.random.default_rng(5)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 5, n),
+        "ts": pd.to_datetime("2024-01-01") +
+              pd.to_timedelta(rng.permutation(n), unit="m"),
+        "value": rng.uniform(0, 100, n).round(2),
+    })
+    k, a, b = 4, 0.3, 0.7
+    out = rel.ewm_rolling_mean(
+        rd.from_pandas(df).repartition(6), "user_id",
+        ["ts", "event_id"], "value", alpha=a, k=k,
+        ndigits=None).to_pandas().set_index("event_id")
+    for uid, sub in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        xs = sub["value"].to_numpy()
+        for t in range(len(xs)):
+            m = min(k, t + 1)
+            ws = b ** np.arange(m)
+            want = float((ws * xs[t::-1][:m]).sum() / ws.sum())
+            got = out.loc[sub["event_id"].iloc[t], "ewma"]
+            assert abs(got - want) < 1e-9, (uid, t, got, want)
+
+
+def test_gif_keyframes_picks_scene_cuts():
+    from illumio_ray.ops import codecs
+
+    # 6-frame clip: frames 0-2 identical, HARD cut at 3, 3-5 identical
+    h, w = 8, 8
+    flat = np.zeros((h, w), np.uint8)
+    # patterned post-cut frame (uniform frames ahash identically — every
+    # pixel sits at its own mean)
+    bright = (np.indices((h, w)).sum(0) % 2).astype(np.uint8)
+    frames = [flat, flat, flat, bright, bright, bright]
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    payload = codecs.gif_encode(frames, pal, delay_cs=4)
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([payload], pa.binary())})
+    out = multimodal.gif_keyframes(
+        rd.from_arrow(t), k=2).to_pandas().sort_values("frame_no")
+    # opening frame + the single true cut at frame 3
+    assert out.frame_no.tolist() == [0, 3]
+    assert out.change_energy.tolist()[0] == -1.0   # opening sentinel
+    assert out.change_energy.tolist()[1] == 127.5  # half the pixels flip
+    # decoded-pixel hashes differ across the cut
+    assert out.frame_ahash.nunique() == 2
