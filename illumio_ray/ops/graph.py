@@ -372,3 +372,73 @@ def triangle_stats(edges: rd.Dataset, a: str = "a", b: str = "b",
     return pa.table({"n_triangles": pa.array([n_tri], pa.int64()),
                      "n_wedges": pa.array([n_wedges], pa.int64()),
                      "global_clustering": pa.array([gc], pa.float64())})
+
+
+def bfs_hops(edges: rd.Dataset, seeds: list[int], max_hops: int,
+             a: str = "a", b: str = "b", directed: bool = False,
+             num_partitions: int | None = None) -> rd.Dataset:
+    """Multi-source BFS → (node, hops): the minimum hop count from any
+    seed, up to ``max_hops`` (unreached nodes are absent). The reach /
+    influence-radius query over the co-occurrence graph.
+
+    Frontier iteration, materialized per round (the components-loop
+    lesson): each round is one hash join frontier⋈edges + one bucketed
+    distinct of the neighbor set + one left-outer join against the
+    settled table to drop already-labeled nodes. Only (node, hop) rows
+    ever move; driver state is O(1) counters. Frontiers shrink as the
+    graph saturates — the loop exits early when one empties."""
+    from .dedup import _distinct_rows_bucketed
+    from .relational import drop_empty_blocks, hash_join
+
+    e = edges.map_batches(
+        lambda t: pa.table({"src": pc.cast(t[a], pa.int64()),
+                            "dst": pc.cast(t[b], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    if not directed:
+        e = e.map_batches(
+            lambda t: pa.table({
+                "src": pa.array(np.concatenate([
+                    t["src"].to_numpy(zero_copy_only=False),
+                    t["dst"].to_numpy(zero_copy_only=False)]), pa.int64()),
+                "dst": pa.array(np.concatenate([
+                    t["dst"].to_numpy(zero_copy_only=False),
+                    t["src"].to_numpy(zero_copy_only=False)]), pa.int64())}),
+            batch_format="pyarrow", zero_copy_batch=True)
+    e = e.materialize()
+    n_edges = e.count()
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(cpus, n_edges // 250_000 + 1))
+
+    settled = rd.from_arrow(pa.table({
+        "node": pa.array(sorted(set(int(s) for s in seeds)), pa.int64()),
+        "hops": pa.array([0] * len(set(seeds)), pa.int64())})).materialize()
+    frontier = settled
+    for hop in range(1, max_hops + 1):
+        nbrs = hash_join(
+            frontier.map_batches(lambda t: pa.table({"src": t["node"]}),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True),
+            e, on=["src"], num_partitions=num_partitions).map_batches(
+            lambda t: pa.table({"node": t["dst"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+        cand = _distinct_rows_bucketed(nbrs, ["node"])
+        fresh = hash_join(
+            drop_empty_blocks(cand),
+            settled.map_batches(
+                lambda t: pa.table({
+                    "node": t["node"],
+                    "__s": pa.array(np.ones(t.num_rows, np.int8))}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            on=["node"], join_type="left_outer",
+            num_partitions=num_partitions)
+        frontier = fresh.map_batches(
+            lambda t, h=hop: pa.table({
+                "node": pc.cast(t["node"], pa.int64()),
+                "hops": pa.array(np.full(t.num_rows, h, np.int64))}
+            ).filter(pc.is_null(t["__s"])),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        if frontier.count() == 0:
+            break
+        settled = settled.union(frontier).materialize()
+    return settled

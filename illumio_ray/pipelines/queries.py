@@ -6672,6 +6672,36 @@ def events_user_ewma(sf_dir: str):
     return outd.select_columns(["event_id", "ewma"])
 
 
+@register("part_reach_hops", """
+WITH eu AS (
+  SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey <> l2.l_partkey),
+s AS (SELECT * FROM (VALUES (1), (2)) t(node)),
+h1 AS (SELECT DISTINCT eu.b AS node FROM eu JOIN s ON eu.a = s.node),
+h2 AS (SELECT DISTINCT eu.b AS node FROM eu JOIN h1 ON eu.a = h1.node),
+h3 AS (SELECT DISTINCT eu.b AS node FROM eu JOIN h2 ON eu.a = h2.node),
+all_h AS (
+  SELECT node, 0 AS h FROM s
+  UNION ALL SELECT node, 1 FROM h1
+  UNION ALL SELECT node, 2 FROM h2
+  UNION ALL SELECT node, 3 FROM h3)
+SELECT CAST(node AS BIGINT) AS node, CAST(MIN(h) AS BIGINT) AS hops
+FROM all_h GROUP BY node
+""")
+def part_reach_hops(sf_dir: str):
+    """Multi-source BFS (graph.bfs_hops): minimum hops from seed parts
+    {1, 2} through the co-purchase graph, capped at 3 — the influence-
+    radius query. Frontier rounds materialize; each is one hash join +
+    one bucketed distinct + one settled anti-join, with only (node, hop)
+    rows moving. The oracle unrolls reachable SETS per hop (bounded by
+    nodes, never path-enumerating) and takes MIN(h)."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.bfs_hops(edges, seeds=[1, 2], max_hops=3)
+
+
 @register("doc_unigram_tokens", None)  # EM lattice → not SQL-expressible
 def doc_unigram_tokens(sf_dir: str):
     """Unigram-LM tokenizer (Kudo 2018 / SentencePiece family) trained by
@@ -6739,7 +6769,7 @@ _DRIVER_FIRST = [
     "doc_ccnet_buckets", "pages_blocklist_filtered",
     "events_user_totals_merged", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
-    "events_user_ewma",
+    "events_user_ewma", "part_reach_hops",
 ]
 
 

@@ -3661,3 +3661,35 @@ def test_gif_keyframes_picks_scene_cuts():
     assert out.change_energy.tolist()[1] == 127.5  # half the pixels flip
     # decoded-pixel hashes differ across the cut
     assert out.frame_ahash.nunique() == 2
+
+
+def test_bfs_hops_matches_bruteforce():
+    from collections import deque
+
+    from illumio_ray.ops import graph
+
+    rng = np.random.default_rng(23)
+    edges = set()
+    while len(edges) < 60:
+        x, y = rng.integers(0, 30, 2)
+        if x != y:
+            edges.add((min(int(x), int(y)), max(int(x), int(y))))
+    adj = {}
+    for x, y in edges:
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    seeds, max_hops = [0, 17], 4
+    want = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if want[u] >= max_hops:
+            continue
+        for v in adj.get(u, ()):
+            if v not in want:
+                want[v] = want[u] + 1
+                q.append(v)
+    df = pd.DataFrame(sorted(edges), columns=["a", "b"])
+    got = graph.bfs_hops(rd.from_pandas(df).repartition(4),
+                         seeds=seeds, max_hops=max_hops).to_pandas()
+    assert dict(zip(got.node, got.hops)) == want
