@@ -6702,6 +6702,93 @@ def part_reach_hops(sf_dir: str):
     return graph.bfs_hops(edges, seeds=[1, 2], max_hops=3)
 
 
+@register("revenue_by_segment_ivm", """
+WITH o AS (
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 7 != 0
+  UNION ALL
+  SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 5 = 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM o JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment
+""")
+def revenue_by_segment_ivm(sf_dir: str):
+    """Incremental maintenance of a JOIN view: revenue-per-segment
+    (orders ⋈ customer dim) materialized once, then an insert stream
+    (orderkey%5 copies) and a delete stream (orderkey%7) fold in as
+    SIGNED partials — the dim join of each delta is a broadcast lookup
+    (zero shuffle), so maintaining the join view costs the same additive
+    merge_bucketed as the Q1 scalar view. One orders scan emits all three
+    signed streams; the oracle recomputes the final state from scratch
+    over the modified table."""
+    import shutil
+    import tempfile
+
+    import ray
+
+    from ..ops import bucketing
+
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    seg_tbl = pa.concat_tables(
+        cust.iter_batches(batch_format="pyarrow", batch_size=None))
+    seg_ref = ray.put(seg_tbl)  # dim broadcast: shipped once, not per task
+
+    def prep(t: pa.Table, _d=seg_ref) -> pa.Table:
+        dim = ray.get(_d)
+        j = t.join(dim, keys=["o_custkey"], right_keys=["c_custkey"],
+                   join_type="inner")
+        ids = j["o_orderkey"].to_numpy(zero_copy_only=False)
+        parts = []
+        for stream, mask, sign in (("base", None, 1.0),
+                                   ("rf1", ids % 5 == 0, 1.0),
+                                   ("rf2", ids % 7 == 0, -1.0)):
+            sub = j if mask is None else j.filter(pa.array(mask))
+            s = pa.scalar(sign)
+            parts.append(pa.table({
+                "stream": pa.array([stream] * sub.num_rows, pa.string()),
+                "c_mktsegment": sub["c_mktsegment"],
+                "total_raw": pc.multiply(sub["o_totalprice"], s),
+                "n_orders": pa.array(
+                    np.full(sub.num_rows, sign, np.float64)),
+            }))
+        return pa.concat_tables(parts)
+
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"]
+                    ).map_batches(prep, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+    agg = rel.grouped_agg(ds, ["stream", "c_mktsegment"], [
+        ("total_raw", "sum", "total_raw"),
+        ("n_orders", "sum", "n_orders"),
+    ])
+    small = pa.concat_tables(ray.get(agg.to_arrow_refs()),
+                             promote_options="default")
+
+    def stream_ds(name: str) -> rd.Dataset:
+        return rd.from_arrow(
+            small.filter(pc.equal(small["stream"], name)).drop(["stream"]))
+
+    sums = ["total_raw", "n_orders"]
+    lay = Path(tempfile.mkdtemp(prefix="rbs_ivm_")) / "agg"
+    try:
+        bucketing.write_bucketed(stream_ds("base"), "c_mktsegment", 2, lay)
+        bucketing.merge_bucketed(lay, stream_ds("rf1"), "c_mktsegment", 2,
+                                 sums, token="rf1-insert")
+        bucketing.merge_bucketed(lay, stream_ds("rf2"), "c_mktsegment", 2,
+                                 sums, token="rf2-delete")
+        out = rd.read_parquet(
+            bucketing.live_parquet_files(lay, 2)).map_batches(
+            lambda t: pa.table({
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.cast(pc.round(t["n_orders"]), pa.int64()),
+                "total_price": round_col(t["total_raw"], 2),
+            }), batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+    finally:
+        shutil.rmtree(lay.parent, ignore_errors=True)
+    return out
+
+
 @register("doc_unigram_tokens", None)  # EM lattice → not SQL-expressible
 def doc_unigram_tokens(sf_dir: str):
     """Unigram-LM tokenizer (Kudo 2018 / SentencePiece family) trained by
@@ -6769,7 +6856,7 @@ _DRIVER_FIRST = [
     "doc_ccnet_buckets", "pages_blocklist_filtered",
     "events_user_totals_merged", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
-    "events_user_ewma", "part_reach_hops",
+    "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
 ]
 
 
