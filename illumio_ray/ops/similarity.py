@@ -648,3 +648,108 @@ def ivfpq_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
     # ADC scoring + local-top-k + global reduce is exactly the PQ query
     # path — one implementation, shared tie-break and rounding
     return pq_topk_codes(cand, codec, query_vec, k, id_col)
+
+
+def kcenter_select(ds: rd.Dataset, k: int, id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   metric: str = "euclidean") -> pa.Table:
+    """Greedy k-center coreset (Gonzalez 2-approximation): repeatedly
+    pick the point FARTHEST from the centers chosen so far — the
+    diversity-subset selection an active-learning / data-pruning pass
+    runs over an embedding corpus. Returns (order, id, dist) — dist is
+    the point's distance to the previous centers at selection time
+    (center 0: inf sentinel → -1).
+
+    Distributed shape: the running min-distance-to-centers RIDES THE
+    DATASET as a column (materialized per round, the components-loop
+    lesson); each round is ONE map_batches pass that folds in the newest
+    center (broadcast, O(d)) plus a per-block argmax partial — the
+    driver only ever holds k centers and one row per block. k passes
+    total, never k×centers distance work (each pairwise distance is
+    computed exactly once). Deterministic: ties break to the smallest
+    id; center 0 is the smallest id in the corpus."""
+    if metric not in ("euclidean", "cosine"):
+        raise ValueError(f"unknown metric: {metric}")
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = vecs_from_arrow(t[vec_col])
+        if metric == "cosine":
+            v = _normalize(v)
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "v": pa.FixedSizeListArray.from_arrays(
+                pa.array(np.ascontiguousarray(v, np.float32).ravel(),
+                         pa.float32()), v.shape[1] if v.size else 0),
+            "dmin": pa.array(np.full(t.num_rows, np.inf))})
+
+    state = ds.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    first = state.min("id")
+    if first is None:
+        return pa.table({"order": pa.array([], pa.int64()),
+                         "id": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.float64())})
+    chosen: list[tuple[int, float]] = [(int(first), -1.0)]
+
+    def fold_and_top1(t: pa.Table, cref) -> pa.Table:
+        """Fold the newest center into dmin AND emit this block's argmax
+        (id, dmin, vector) — one fused pass, no second scan per round."""
+        cvec = ray.get(cref)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        if t.num_rows == 0:
+            return pa.table({"kind": pa.array([], pa.string()),
+                             "id": pa.array([], pa.int64()),
+                             "dmin": pa.array([], pa.float64()),
+                             "v": t["v"]})
+        d = len(cvec)
+        flat = t["v"].combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        v = flat.reshape(-1, d).astype(np.float64)
+        if metric == "euclidean":
+            dist = np.sqrt(np.maximum(
+                ((v - cvec[None, :]) ** 2).sum(1), 0.0))
+        else:
+            dist = 1.0 - v @ cvec
+        nd = np.minimum(t["dmin"].to_numpy(zero_copy_only=False), dist)
+        best = int(np.lexsort((ids, -nd))[0])  # farthest, min-id ties
+        state_rows = pa.table({
+            "kind": pa.array(["s"] * t.num_rows, pa.string()),
+            "id": t["id"], "dmin": pa.array(nd), "v": t["v"]})
+        top_row = pa.table({
+            "kind": pa.array(["t"], pa.string()),
+            "id": pa.array([ids[best]], pa.int64()),
+            "dmin": pa.array([nd[best]]),
+            "v": t["v"].combine_chunks().slice(best, 1)})
+        return pa.concat_tables([state_rows, top_row])
+
+    # center 0's vector: ONE filtered pull (later centers ride the
+    # per-round argmax partials — no extra scans)
+    c0 = state.map_batches(
+        lambda t: t.filter(pc.equal(t["id"],
+                                    pa.scalar(chosen[0][0], pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).take_all()
+    next_vec = np.asarray(c0[0]["v"], np.float64)
+
+    for _ in range(1, k):
+        cref = ray.put(next_vec)
+        both = state.map_batches(
+            lambda t, r=cref: fold_and_top1(t, r), batch_format="pyarrow",
+            zero_copy_batch=True).materialize()
+        state = both.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "s")).drop(["kind"]),
+            batch_format="pyarrow", zero_copy_batch=True).materialize()
+        tops = both.map_batches(
+            lambda t: t.filter(pc.equal(t["kind"], "t")),
+            batch_format="pyarrow", zero_copy_batch=True).take_all()
+        if not tops:
+            break
+        nxt = max(tops, key=lambda r: (r["dmin"], -r["id"]))
+        if nxt["dmin"] <= 0.0:
+            break  # every remaining point coincides with a center
+        chosen.append((int(nxt["id"]), float(nxt["dmin"])))
+        next_vec = np.asarray(nxt["v"], np.float64)
+
+    return pa.table({
+        "order": pa.array(range(len(chosen)), pa.int64()),
+        "id": pa.array([c for c, _ in chosen], pa.int64()),
+        "dist": pa.array([d for _, d in chosen], pa.float64())})

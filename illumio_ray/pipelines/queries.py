@@ -3263,6 +3263,19 @@ def embedding_kmeans_sizes(sf_dir: str):
                            ["cluster"], [("vec_id", "count", "n")])
 
 
+@register("embedding_kcenter_coreset", None)  # greedy argmax → rows-only
+def embedding_kcenter_coreset(sf_dir: str):
+    """Greedy k-center coreset (Gonzalez 2-approx) over the embedding
+    corpus: the diversity-subset selection a data-pruning / active-
+    learning pass runs. The running min-distance-to-centers rides the
+    dataset as a column; each of the k rounds is ONE fused pass folding
+    the newest (broadcast) center and emitting per-block argmax partials
+    — every pairwise distance computed exactly once, driver state O(k·d).
+    Deterministic (min-id ties, min-id start)."""
+    emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.kcenter_select(emb, k=12)
+
+
 @register("embedding_semdedup", None)  # iterative fit → rows-only
 def embedding_semdedup(sf_dir: str):
     """SemDeDup: k-means partition then within-cluster cosine near-dup

@@ -3693,3 +3693,35 @@ def test_bfs_hops_matches_bruteforce():
     got = graph.bfs_hops(rd.from_pandas(df).repartition(4),
                          seeds=seeds, max_hops=max_hops).to_pandas()
     assert dict(zip(got.node, got.hops)) == want
+
+
+def test_kcenter_select_matches_greedy_reference():
+    rng = np.random.default_rng(9)
+    n, d, k = 120, 8, 10
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    # plant exact duplicates: they must never be selected twice
+    vecs[7] = vecs[3]
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+
+    # pure-python greedy reference (same tie rules: min-id start/ties)
+    v64 = vecs.astype(np.float64)
+    centers = [0]
+    dmin = np.full(n, np.inf)
+    dists = [-1.0]
+    for _ in range(1, k):
+        dc = np.sqrt(((v64 - v64[centers[-1]][None, :]) ** 2).sum(1))
+        dmin = np.minimum(dmin, dc)
+        order = np.lexsort((np.arange(n), -dmin))
+        best = order[0]
+        if dmin[best] <= 0:
+            break
+        centers.append(int(best))
+        dists.append(float(dmin[best]))
+
+    got = similarity.kcenter_select(
+        rd.from_pandas(df).repartition(5), k=k).to_pydict()
+    assert got["id"] == centers
+    assert np.allclose(got["dist"][1:], dists[1:], atol=1e-9)
+    assert got["dist"][0] == -1.0
+    assert 7 not in got["id"] or 3 not in got["id"]  # dup picked once
