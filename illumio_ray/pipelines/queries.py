@@ -6328,6 +6328,38 @@ def events_user_rolling_mean(sf_dir: str):
     return rel.keyed_window(ds, "user_id", window)
 
 
+@register("events_user_rolling_median", """
+SELECT event_id,
+       ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+             6) AS roll_median
+FROM events
+""")
+def events_user_rolling_median(sf_dir: str):
+    """Bounded-frame rolling MEDIAN per key — the robust (outlier-immune)
+    smoothing next to the rolling mean; DuckDB's windowed median (even
+    frames average the middle pair = quantile_cont 0.5) matches pandas
+    rolling().median() exactly, so no rounding games are needed beyond
+    the shared 6-digit convention. Same user-bucket exchange via
+    rel.keyed_window."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        roll = (g.groupby("user_id", sort=False)["value"]
+                .rolling(7, min_periods=1).median()
+                .reset_index(drop=True))
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(),
+            "roll_median": round_np(roll.to_numpy(), 6),
+        })
+
+    return rel.keyed_window(ds, "user_id", window)
+
+
 @register("doc_chunk_windows", r"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents WHERE text IS NOT NULL),
@@ -6870,6 +6902,7 @@ _DRIVER_FIRST = [
     "events_user_totals_merged", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
     "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
+    "events_user_rolling_median",
 ]
 
 
