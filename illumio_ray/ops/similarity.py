@@ -315,7 +315,8 @@ def brute_force_topk_multi(ds: rd.Dataset, query_ids, query_mat: np.ndarray,
 def knn_join(left: rd.Dataset, right: rd.Dataset, k: int,
              left_id: str = "qid", right_id: str = "vec_id",
              left_vec: str = "embedding", right_vec: str = "embedding",
-             out_score: str = "score") -> rd.Dataset:
+             out_score: str = "score",
+             score_band: tuple[float, float] | None = None) -> rd.Dataset:
     """EXACT cosine k-NN JOIN: for EVERY left row, the top-k right rows by
     cosine (ties: score desc, right id asc) — both sides are Datasets,
     neither broadcasts to the driver. The semantic-dedup / RAG-linking
@@ -329,7 +330,14 @@ def knn_join(left: rd.Dataset, right: rd.Dataset, k: int,
     block + B_l x k) and shuffle volume is ZERO (each left block sees the
     whole right side, so no per-query reduce exists). O(L x R) flops is
     inherent to exactness; ``ivf_knn_join`` is the approximate path that
-    prunes the cross product to probed IVF cells."""
+    prunes the cross product to probed IVF cells.
+
+    ``score_band=(lo, hi)`` keeps only neighbors whose ROUNDED cosine
+    falls in [lo, hi] — hard-negative mining (near-but-not-duplicate
+    pairs for contrastive training): the band masks INSIDE the fold, so
+    the result is the top-k among in-band neighbors, not a post-filter
+    of the unbanded top-k. Rows with fewer than k in-band neighbors emit
+    fewer rows."""
     rrefs = right.select_columns([right_id, right_vec]).to_arrow_refs()
     rrefs_ref = ray.put(list(rrefs))
 
@@ -355,6 +363,9 @@ def knn_join(left: rd.Dataset, right: rd.Dataset, k: int,
             rids = blk[right_id].combine_chunks() \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
             s = round_np(q @ v.T, 6)                       # B x B_r
+            if score_band is not None:
+                s = np.where((s >= score_band[0]) & (s <= score_band[1]),
+                             s, -2.0)
             kk = min(k, s.shape[1])
             # block-local top-k (argpartition), then fold into the running
             # candidates and re-rank — candidates stay at <= 2k per row
@@ -370,11 +381,15 @@ def knn_join(left: rd.Dataset, right: rd.Dataset, k: int,
             return empty
         out_q = pc.take(qids, pa.array(np.repeat(np.arange(B), kk),
                                        pa.int64()))
-        return pa.table({
+        out = pa.table({
             left_id: out_q,
             right_id: pa.array(best_i.ravel(), pa.int64()),
             out_score: pa.array(best_s.ravel(), pa.float64()),
         })
+        if score_band is not None:
+            # drop band-masked sentinel slots (queries with < k in-band)
+            out = out.filter(pc.greater(out[out_score], -1.5))
+        return out
 
     return left.map_batches(score, batch_format="pyarrow",
                             zero_copy_batch=True)

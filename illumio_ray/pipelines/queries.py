@@ -5295,6 +5295,34 @@ def embedding_knn_join(sf_dir: str):
     return similarity.knn_join(left, right, 3)
 
 
+@register("embedding_hard_negatives", """
+WITH s AS (
+  SELECT a.vec_id AS qid, b.vec_id,
+         ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS score
+  FROM embeddings a, embeddings b)
+SELECT qid, vec_id, score FROM s
+WHERE score BETWEEN 0.15 AND 0.35
+QUALIFY row_number() OVER (PARTITION BY qid
+                           ORDER BY score DESC, vec_id) <= 2
+""")
+def embedding_hard_negatives(sf_dir: str):
+    """Hard-negative mining for contrastive training: each vector's top-2
+    neighbors whose cosine sits in the similar-but-not-duplicate band
+    [0.15, 0.35] (self-pairs land at 1.0 and fall out of the band by
+    construction). The band masks INSIDE knn_join's running fold —
+    top-k among in-band neighbors, not a post-filter of the unbanded
+    top-k — so queries short on in-band neighbors emit fewer rows
+    rather than wrong ones."""
+    left = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    left = left.map_batches(
+        lambda t: t.rename_columns(["qid", "embedding"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.knn_join(left, right, 2, score_band=(0.15, 0.35))
+
+
 @register("embedding_knn_join_ivf", None)  # approximate (recall-tested) → rows-only
 def embedding_knn_join_ivf(sf_dir: str):
     """Approximate k-NN join — both sides assign to IVF cells, left rows
@@ -6902,7 +6930,7 @@ _DRIVER_FIRST = [
     "events_user_totals_merged", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
     "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
-    "events_user_rolling_median",
+    "events_user_rolling_median", "embedding_hard_negatives",
 ]
 
 

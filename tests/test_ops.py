@@ -3725,3 +3725,30 @@ def test_kcenter_select_matches_greedy_reference():
     assert np.allclose(got["dist"][1:], dists[1:], atol=1e-9)
     assert got["dist"][0] == -1.0
     assert 7 not in got["id"] or 3 not in got["id"]  # dup picked once
+
+
+def test_knn_join_score_band_is_in_band_topk_not_postfilter():
+    rng = np.random.default_rng(31)
+    n, d = 40, 6
+    vecs = rng.normal(size=(n, d)).astype(np.float32)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": [v.tolist() for v in vecs]})
+    left = rd.from_pandas(
+        df.rename(columns={"vec_id": "qid"})).repartition(3)
+    right = rd.from_pandas(df).repartition(4)
+    lo, hi, k = 0.0, 0.6, 3
+    got = similarity.knn_join(left, right, k,
+                              score_band=(lo, hi)).to_pandas()
+
+    from illumio_ray.functions.rounding import round_np
+    v = vecs.astype(np.float64)
+    v = v / np.linalg.norm(v, axis=1, keepdims=True)
+    sims = round_np(v @ v.T, 6)
+    for q in range(n):
+        band = [(s, j) for j, s in enumerate(sims[q]) if lo <= s <= hi]
+        want = sorted(band, key=lambda t: (-t[0], t[1]))[:k]
+        sub = got[got.qid == q].sort_values(
+            ["score", "vec_id"], ascending=[False, True])
+        assert [(r.score, r.vec_id) for r in sub.itertuples()] == want
+        # in-band guarantee: every emitted score is inside the band
+        assert ((sub.score >= lo) & (sub.score <= hi)).all()
