@@ -6388,6 +6388,49 @@ def events_user_rolling_median(sf_dir: str):
     return rel.keyed_window(ds, "user_id", window)
 
 
+@register("events_user_trailing_day_mean", """
+SELECT event_id,
+       ROUND(avg(value) OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 24 HOUR PRECEDING
+                                        AND CURRENT ROW), 6) AS day_mean
+FROM events
+""")
+def events_user_trailing_day_mean(sf_dir: str):
+    """Time-RANGE rolling aggregate (trailing 24 h per user) — a distinct
+    frame semantics from every ROWS-based window here: the frame is
+    defined by the TIMESTAMP span, so it includes equal-ts peers and
+    varies in width with event density. Vectorized two-pointer kernel in
+    the user bucket: frame start via searchsorted(ts, ts−24h), sums via
+    prefix-sum differences — no per-row loop, exact RANGE-inclusive
+    bounds matching the SQL frame."""
+    from ..functions.rounding import round_np
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+    span = np.int64(24 * 3600 * 1_000_000)  # 24h in microseconds
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        out_id = g["event_id"].to_numpy()
+        res = np.empty(len(g))
+        pos = 0  # groups are contiguous slices of the sorted frame
+        for _, sub in g.groupby("user_id", sort=False):
+            ts = rel.ts_as_us(pa.Array.from_pandas(sub["ts"])).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            x = sub["value"].to_numpy(np.float64)
+            csum = np.concatenate(([0.0], np.cumsum(x)))
+            lo = np.searchsorted(ts, ts - span, side="left")
+            # RANGE frame includes ALL peers of the current ts (rows
+            # after this one in order, when timestamps tie)
+            hi = np.searchsorted(ts, ts, side="right")
+            res[pos:pos + len(sub)] = (csum[hi] - csum[lo]) / (hi - lo)
+            pos += len(sub)
+        return pd.DataFrame({"event_id": out_id,
+                             "day_mean": round_np(res, 6)})
+
+    return rel.keyed_window(ds, "user_id", window)
+
+
 @register("doc_chunk_windows", r"""
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
            FROM documents WHERE text IS NOT NULL),
@@ -6931,6 +6974,7 @@ _DRIVER_FIRST = [
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
     "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
     "events_user_rolling_median", "embedding_hard_negatives",
+    "events_user_trailing_day_mean",
 ]
 
 
