@@ -338,6 +338,11 @@ def knn_join(left: rd.Dataset, right: rd.Dataset, k: int,
     the result is the top-k among in-band neighbors, not a post-filter
     of the unbanded top-k. Rows with fewer than k in-band neighbors emit
     fewer rows."""
+    if score_band is not None and not (score_band[0] <= score_band[1]):
+        raise ValueError(
+            f"knn_join: score_band must be (lo, hi) with lo <= hi, got "
+            f"{score_band} — a reversed band would silently mask every "
+            "neighbor")
     rrefs = right.select_columns([right_id, right_vec]).to_arrow_refs()
     rrefs_ref = ray.put(list(rrefs))
 
@@ -685,6 +690,10 @@ def kcenter_select(ds: rd.Dataset, k: int, id_col: str = "vec_id",
     id; center 0 is the smallest id in the corpus."""
     if metric not in ("euclidean", "cosine"):
         raise ValueError(f"unknown metric: {metric}")
+    if k <= 0:
+        return pa.table({"order": pa.array([], pa.int64()),
+                         "id": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.float64())})
 
     def prep(t: pa.Table) -> pa.Table:
         v = vecs_from_arrow(t[vec_col])
@@ -750,9 +759,11 @@ def kcenter_select(ds: rd.Dataset, k: int, id_col: str = "vec_id",
         both = state.map_batches(
             lambda t, r=cref: fold_and_top1(t, r), batch_format="pyarrow",
             zero_copy_batch=True).materialize()
+        # ONE materialization per round: the kind-split stays lazy and
+        # fuses into the next round's fold / the tiny tops pull
         state = both.map_batches(
             lambda t: t.filter(pc.equal(t["kind"], "s")).drop(["kind"]),
-            batch_format="pyarrow", zero_copy_batch=True).materialize()
+            batch_format="pyarrow", zero_copy_batch=True)
         tops = both.map_batches(
             lambda t: t.filter(pc.equal(t["kind"], "t")),
             batch_format="pyarrow", zero_copy_batch=True).take_all()
