@@ -58,6 +58,26 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _read_coalesced(sf_dir: str, name: str, columns: list[str],
+                    max_rows: int = 2_000_000) -> rd.Dataset:
+    """read_table for EXCHANGE-HEAVY consumers: when the parquet footer
+    proves the table small, read it as max(8, cpus/2) blocks instead of
+    the reader's per-CPU split — a tiny corpus in dozens of blocks pays
+    the sort-exchange fixed cost per BLOCK PAIR in every downstream
+    groupby (measured: exact-dedup 3.5 s → 0.6 s at 5 k docs). Above
+    the gate the reader's own sizing stands (a real corpus needs its
+    parallelism); results are partitioning-independent either way."""
+    import ray
+
+    path = Path(sf_dir) / f"{name}.parquet"
+    n = pq.ParquetFile(str(path)).metadata.num_rows
+    kw = {}
+    if n <= max_rows:
+        kw["override_num_blocks"] = max(
+            8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    return read_table(sf_dir, name, columns=columns, **kw)
+
+
 def _pages(sf_dir: str) -> dict:
     """Synthesize (idempotent) the pages dataset matching this sf dir."""
     return ensure_pages_for_sf(sf_from_dir(sf_dir))
@@ -1256,7 +1276,7 @@ def doc_quality(sf_dir: str):
 SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
 """)
 def dedup_exact_q(sf_dir: str):
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
     return dedup.exact_dedup(ds, "text", "doc_id").select_columns(["doc_id"])
 
 
@@ -1443,7 +1463,7 @@ def near_dup_docs(sf_dir: str):
     the reduce-side join so the corpus text never lands on the driver."""
     path = str(Path(sf_dir) / "documents.parquet")
     n_docs = pq.ParquetFile(path).metadata.num_rows
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
     if n_docs <= dedup.BROADCAST_VERIFY_MAX_DOCS:
         docs = pq.read_table(path, columns=["doc_id", "text"])
         return dedup.near_dup_pairs(ds, docs, "doc_id", "text",
@@ -1456,7 +1476,7 @@ def near_dup_docs(sf_dir: str):
 
 @register("simhash_dup_groups", None)  # rows-only
 def simhash_groups(sf_dir: str):
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
     return dedup.simhash_dup_groups(ds, "doc_id", "text")
 
 
@@ -3740,7 +3760,7 @@ def near_dup_components(sf_dir: str):
     same closure as a recursive CTE over the same pair algebra."""
     path = str(Path(sf_dir) / "documents.parquet")
     n_docs = pq.ParquetFile(path).metadata.num_rows
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
     pairs = dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8,
                                       n_rows=n_docs * 256)
     comps = dedup.dup_components(pairs)
