@@ -5180,8 +5180,9 @@ def supplier_pagerank_top10(sf_dir: str):
     from ..ops.graph import pagerank
 
     OFF = 10_000_000
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
-    li = read_table(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    orders = _read_coalesced(sf_dir, "orders",
+                             ["o_orderkey", "o_custkey"])
+    li = _read_coalesced(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
     li = li.map_batches(
         lambda t: t.rename_columns(["o_orderkey", "l_suppkey"]),
         batch_format="pyarrow")
@@ -5741,8 +5742,8 @@ def customer_supplier_pagerank(sf_dir: str):
     normalized (rank × n ⇒ uniform graph ≡ 1.0), keeping values O(1) at
     any scale so the 6-digit oracle round sits far outside cross-engine
     float-summation drift."""
-    li = read_table(sf_dir, "lineitem",
-                    columns=["l_orderkey", "l_suppkey"]).map_batches(
+    li = _read_coalesced(sf_dir, "lineitem",
+                         ["l_orderkey", "l_suppkey"]).map_batches(
         lambda t: pa.table({"o_orderkey": t["l_orderkey"],
                             "l_suppkey": t["l_suppkey"]}),
         batch_format="pyarrow", zero_copy_batch=True)
