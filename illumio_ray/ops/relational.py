@@ -1536,35 +1536,21 @@ def snapshot_diff(old: rd.Dataset, new: rd.Dataset, keys: list[str],
 def grouped_linreg(ds: rd.Dataset, keys: list[str], x: str, y: str,
                    ndigits: int = 2) -> pa.Table:
     """Per-group ordinary-least-squares fit of ``y = slope·x + intercept``
-    as a PARTIALIZABLE aggregate (same shape as Pearson corr): each batch
-    contributes (n, Σx, Σy, Σxy, Σx²) per group, combined driver-side,
-    and the closed form runs over one tiny table. One pass, no shuffle.
-    Rounded half-away-from-zero to ``ndigits`` (matches SQL
-    ROUND(regr_slope(y, x), n))."""
+    (SQL regr_slope(y, x) / regr_intercept(y, x)), rounded
+    half-away-from-zero to ``ndigits``. Thin selection over
+    ops/stats.bivariate_stats — two shuffle-free centered passes whose
+    moments agree with SQL engines to ~1e-14 relative (the earlier
+    one-pass Σxy − Σx·Σy/n form cancelled catastrophically at 1e4-value
+    magnitudes and capped the safe rounding at 2 digits)."""
     from ..functions.rounding import round_np
+    from .stats import bivariate_stats
 
-    ds = with_columns(ds, {
-        "__xy": lambda t: pc.multiply(t[x], t[y]),
-        "__xx": lambda t: pc.multiply(t[x], t[x])},
-        keep=[*keys, x, y, "__xy", "__xx"])
-    agg = grouped_agg(ds, keys, [
-        (x, "count", "n"), (x, "sum", "sx"), (y, "sum", "sy"),
-        ("__xy", "sum", "sxy"), ("__xx", "sum", "sxx")]).take_all()
-    agg.sort(key=lambda a: tuple(a[k] for k in keys))
-    out: dict[str, list] = {k: [] for k in keys}
-    slopes, intercepts = [], []
-    for a in agg:
-        n = float(a["n"])
-        cov = a["sxy"] - a["sx"] * a["sy"] / n
-        vx = a["sxx"] - a["sx"] * a["sx"] / n
-        slope = cov / vx if vx else float("nan")
-        for k in keys:
-            out[k].append(a[k])
-        slopes.append(slope)
-        intercepts.append(a["sy"] / n - slope * a["sx"] / n)
-    cols: dict[str, pa.Array] = {k: pa.array(v) for k, v in out.items()}
-    cols["slope"] = pa.array(round_np(np.array(slopes), ndigits))
-    cols["intercept"] = pa.array(round_np(np.array(intercepts), ndigits))
+    t = bivariate_stats(ds, x, y, by=keys)
+    cols: dict[str, pa.Array] = {k: t[k] for k in keys}
+    for name in ("slope", "intercept"):
+        cols[name] = pa.array(round_np(
+            t[name].to_numpy(zero_copy_only=False), ndigits),
+            pa.float64(), from_pandas=True)
     return pa.table(cols)
 
 

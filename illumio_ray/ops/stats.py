@@ -1,0 +1,268 @@
+"""Bounded-state numeric statistics: bivariate moments (correlation,
+covariance, OLS regression) and equi-width histograms.
+
+Both operators are the textbook 100 TB shape: every pass is one
+``map_batches`` emitting O(groups)- or O(bins)-sized partials that the
+driver (or any reducer) combines by plain summation — no shuffle, no
+sort, driver memory independent of row count. They complement the
+reference's aggregate counters (app/log_processor.py:360-420 keeps
+bounded per-type dicts the same way) with the second-moment statistics
+a corpus-profiling pipeline needs.
+
+Numerical design: bivariate_stats is TWO-pass centered. Pass 1 gets the
+exact per-group means (first moments — no cancellation); pass 2 sums
+the centered products Σ(x−x̄)(y−ȳ) etc. Summing raw Σx², Σxy and
+subtracting n·x̄² at the end (one-pass textbook formula) cancels
+catastrophically at TPC-H price magnitudes (~1e4 values, ~1e8 squares);
+the centered two-pass form keeps ~1e-14 relative error, which is what
+lets the oracle queries round corr to 6 digits and match DuckDB's
+streaming implementation.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+__all__ = ["bivariate_stats", "histogram_equi_width"]
+
+
+def _stream_sum_partials(partials: rd.Dataset, keys: list[str]) -> pa.Table:
+    """Driver-combine: stream partial batches, group_by(keys).sum every
+    64 batches so driver memory stays O(groups) (same incremental fold
+    as relational.grouped_agg's driver mode)."""
+    acc: pa.Table | None = None
+    buf: list[pa.Table] = []
+    val_cols: list[str] | None = None
+
+    def fold(pieces: list[pa.Table]) -> pa.Table:
+        t = pa.concat_tables(pieces, promote_options="permissive")
+        g = t.group_by(keys).aggregate([(c, "sum") for c in val_cols])
+        return g.rename_columns(keys + val_cols)
+
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if not t.num_rows:
+            continue
+        if val_cols is None:
+            val_cols = [c for c in t.column_names if c not in keys]
+        buf.append(t)
+        if len(buf) >= 64:
+            acc = fold(buf + ([acc] if acc is not None else []))
+            buf = []
+    if buf or acc is not None:
+        acc = fold(buf + ([acc] if acc is not None else []))
+    return acc  # None ⇔ zero usable rows anywhere
+
+
+def bivariate_stats(ds: rd.Dataset, x_col: str, y_col: str,
+                    by: list[str] | None = None) -> pa.Table:
+    """Per-group bivariate moments of (x, y): returns one row per group
+    with ``n, mean_x, mean_y, var_x, var_y, covar_pop, covar_samp,
+    corr, slope, intercept, r2`` (slope/intercept/r2 regress y ON x,
+    matching SQL ``regr_slope(y, x)``).
+
+    SQL null semantics: a row participates only when BOTH x and y are
+    non-null (and non-NaN). Degenerate groups follow SQL: n == 1 →
+    covar_samp NULL; var_x == 0 or var_y == 0 → corr NULL; var_x == 0 →
+    slope/intercept/r2 NULL.
+
+    ``by`` keys must be BOUNDED (flags, types, languages): both passes
+    emit O(groups) rows per block and the result is a driver-side table.
+    Unbounded keys belong in grouped_agg's bucket mode, not here.
+    """
+    keys = list(by) if by else ["__g"]
+
+    def pass1(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        cols = ({k: t[k] for k in by} if by
+                else {"__g": pa.array(np.zeros(t.num_rows, np.int8))})
+        p = pa.table({**cols,
+                      "__n": pa.array(ok.astype(np.int64)),
+                      "__sx": pa.array(np.where(ok, x, 0.0)),
+                      "__sy": pa.array(np.where(ok, y, 0.0))})
+        g = p.group_by(keys).aggregate(
+            [("__n", "sum"), ("__sx", "sum"), ("__sy", "sum")])
+        return g.rename_columns(keys + ["__n", "__sx", "__sy"])
+
+    firsts = _stream_sum_partials(
+        ds.map_batches(pass1, batch_format="pyarrow", zero_copy_batch=True),
+        keys)
+    out_fields = ["n", "mean_x", "mean_y", "var_x", "var_y", "covar_pop",
+                  "covar_samp", "corr", "slope", "intercept", "r2"]
+
+    def _empty() -> pa.Table:  # zero usable (x, y) pairs anywhere
+        sch = ds.schema()  # ray.data Schema: parallel names/types lists
+        types = dict(zip(sch.names, sch.types))
+        cols = {k: pa.array([], types[k]) for k in (by or [])}
+        for f in out_fields:
+            cols[f] = pa.array([], pa.int64() if f == "n" else pa.float64())
+        return pa.table(cols)
+
+    if firsts is None:
+        return _empty()
+    # keep only groups with ≥1 usable pair (all-null groups vanish, as in
+    # SQL where corr over zero pairs is simply absent from GROUP BY HAVING
+    # count filters; callers wanting NULL rows can outer-join back)
+    firsts = firsts.filter(pc.greater(firsts["__n"], 0))
+    if not firsts.num_rows:
+        return _empty()
+    n_arr = firsts["__n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mx_arr = firsts["__sx"].to_numpy(zero_copy_only=False) / n_arr
+    my_arr = firsts["__sy"].to_numpy(zero_copy_only=False) / n_arr
+
+    # broadcast the per-group means; pc.index_in maps each row's key to
+    # its group slot (bounded groups → tiny lookup arrays in the closure)
+    if by:
+        key_struct = pc.binary_join_element_wise(
+            *[pc.cast(firsts[k], pa.string()) for k in by], "\x1f") \
+            if len(by) > 1 else pc.cast(firsts[by[0]], pa.string())
+        key_lookup = key_struct.combine_chunks()
+    else:
+        key_lookup = None
+
+    def pass2(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        if by:
+            rk = pc.binary_join_element_wise(
+                *[pc.cast(t[k], pa.string()) for k in by], "\x1f") \
+                if len(by) > 1 else pc.cast(t[by[0]], pa.string())
+            # a key missing from the lookup means its whole group had zero
+            # usable pairs (every row masked by `ok`) — index_in yields
+            # NULL there; park those rows on slot 0, `ok` zeroes them out
+            idx = pc.fill_null(pc.index_in(rk, key_lookup), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            idx = np.zeros(len(x), np.int64)
+        dx = np.where(ok, x - mx_arr[idx], 0.0)
+        dy = np.where(ok, y - my_arr[idx], 0.0)
+        cols = ({k: t[k] for k in by} if by
+                else {"__g": pa.array(np.zeros(t.num_rows, np.int8))})
+        p = pa.table({**cols,
+                      "__m2x": pa.array(dx * dx),
+                      "__m2y": pa.array(dy * dy),
+                      "__cxy": pa.array(dx * dy)})
+        g = p.group_by(keys).aggregate(
+            [("__m2x", "sum"), ("__m2y", "sum"), ("__cxy", "sum")])
+        return g.rename_columns(keys + ["__m2x", "__m2y", "__cxy"])
+
+    seconds = _stream_sum_partials(
+        ds.map_batches(pass2, batch_format="pyarrow", zero_copy_batch=True),
+        keys)
+    joined = firsts.join(seconds, keys=keys, join_type="inner")
+    joined = joined.sort_by([(k, "ascending") for k in keys])
+
+    n = joined["__n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = joined["__sx"].to_numpy(zero_copy_only=False)
+    sy = joined["__sy"].to_numpy(zero_copy_only=False)
+    m2x = joined["__m2x"].to_numpy(zero_copy_only=False)
+    m2y = joined["__m2y"].to_numpy(zero_copy_only=False)
+    cxy = joined["__cxy"].to_numpy(zero_copy_only=False)
+    mean_x, mean_y = sx / n, sy / n
+    var_x, var_y = m2x / n, m2y / n          # population, like regr_*/corr
+    covar_pop = cxy / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        covar_samp = np.where(n > 1, cxy / (n - 1), np.nan)
+        denom = np.sqrt(m2x * m2y)
+        corr = np.where(denom > 0, cxy / denom, np.nan)
+        slope = np.where(m2x > 0, cxy / m2x, np.nan)
+        intercept = np.where(m2x > 0, mean_y - slope * mean_x, np.nan)
+        r2 = np.where((m2x > 0) & (m2y > 0), corr * corr,
+                      np.where(m2x > 0, 1.0, np.nan))
+
+    def fcol(v: np.ndarray) -> pa.Array:
+        return pa.array(np.where(np.isnan(v), None, v), pa.float64(),
+                        from_pandas=True)
+
+    cols = {k: joined[k] for k in (by or [])}
+    cols.update({
+        "n": pc.cast(joined["__n"], pa.int64()),
+        "mean_x": fcol(mean_x), "mean_y": fcol(mean_y),
+        "var_x": fcol(var_x), "var_y": fcol(var_y),
+        "covar_pop": fcol(covar_pop), "covar_samp": fcol(covar_samp),
+        "corr": fcol(corr), "slope": fcol(slope),
+        "intercept": fcol(intercept), "r2": fcol(r2)})
+    return pa.table(cols)
+
+
+def histogram_equi_width(ds: rd.Dataset, col: str, num_bins: int,
+                         lo: float | None = None,
+                         hi: float | None = None) -> pa.Table:
+    """Equi-width histogram of a numeric column: returns non-empty
+    buckets as ``(bucket, bin_lo, bin_hi, n)``, bucket i covering
+    [lo + i·w, lo + (i+1)·w) with w = (hi − lo)/num_bins and the top
+    edge (x == hi) clamped into the last bucket (width_bucket LEAST
+    semantics). When lo/hi are omitted a first pass computes the exact
+    global min/max (nulls/NaN ignored); pass 2 is a fixed-length
+    np.bincount partial per block, summed on the driver — O(num_bins)
+    state end to end. Bin-edge arithmetic is the literal expression
+    ``floor((x − lo) / w)`` in float64 so an oracle using the same SQL
+    expression bit-matches the bucket assignment."""
+    if num_bins < 1:
+        raise ValueError("num_bins must be >= 1")
+
+    if lo is None or hi is None:
+        def nmm(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            if not len(v):
+                return pa.table({"lo": pa.array([], pa.float64()),
+                                 "hi": pa.array([], pa.float64())})
+            return pa.table({"lo": [float(v.min())], "hi": [float(v.max())]})
+
+        parts = [pa.table(b) for b in ds.map_batches(
+            nmm, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow")]
+        nonempty = [p for p in parts if p.num_rows]
+        if not nonempty:  # all-null column → empty histogram
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "bin_lo": pa.array([], pa.float64()),
+                             "bin_hi": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        allp = pa.concat_tables(nonempty)
+        if lo is None:
+            lo = float(pc.min(allp["lo"]).as_py())
+        if hi is None:
+            hi = float(pc.max(allp["hi"]).as_py())
+    lo, hi = float(lo), float(hi)
+    if hi < lo:
+        raise ValueError(f"histogram range inverted: hi {hi} < lo {lo}")
+    w = (hi - lo) / num_bins  # SAME expression as the SQL oracle
+
+    def counts(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & (v <= hi)]  # out-of-range (explicit lo/hi) dropped
+        if not len(v):
+            return pa.table({"b": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        if w > 0:
+            b = np.floor((v - lo) / w).astype(np.int64)
+            b = np.minimum(b, num_bins - 1)   # clamp x == hi
+        else:  # degenerate single-value range: everything in bucket 0
+            b = np.zeros(len(v), np.int64)
+        cnt = np.bincount(b, minlength=num_bins)
+        nz = np.flatnonzero(cnt)  # sparse (bucket, count) partial rows —
+        # safe under iter_batches re-slicing blocks at any row boundary
+        return pa.table({"b": pa.array(nz, pa.int64()),
+                         "c": pa.array(cnt[nz], pa.int64())})
+
+    total = np.zeros(num_bins, np.int64)
+    for b in ds.map_batches(counts, batch_format="pyarrow",
+                            zero_copy_batch=True
+                            ).iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if t.num_rows:
+            np.add.at(total, t["b"].to_numpy(zero_copy_only=False),
+                      t["c"].to_numpy(zero_copy_only=False))
+    nz = np.flatnonzero(total)
+    return pa.table({
+        "bucket": pa.array(nz, pa.int64()),
+        "bin_lo": pa.array(lo + nz.astype(np.float64) * w),
+        "bin_hi": pa.array(lo + (nz.astype(np.float64) + 1.0) * w),
+        "n": pa.array(total[nz], pa.int64())})

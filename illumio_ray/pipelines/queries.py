@@ -585,6 +585,64 @@ def top_orders(sf_dir: str):
     return rel.topk(ds, ["o_totalprice", "o_orderkey"], 10, descending=[True, False])
 
 
+@register("lineitem_qty_price_stats", """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n,
+       ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qp,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+FROM lineitem GROUP BY l_returnflag
+""")
+def lineitem_qty_price_stats(sf_dir: str):
+    """Per-flag bivariate moments (corr / covariance / OLS): two
+    shuffle-free centered passes, O(groups) partials per block, driver
+    combine (ops/stats.bivariate_stats). The 6-digit rounding is safe
+    because the two-pass centered sums agree with DuckDB's streaming
+    kernels to ~1e-10 even on 1e4-magnitude prices."""
+    from ..ops import stats as st
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    t = st.bivariate_stats(ds, "l_quantity", "l_extendedprice",
+                           by=["l_returnflag"])
+    return pa.table({
+        "l_returnflag": t["l_returnflag"],
+        "n": t["n"],
+        "corr_qp": round_col(t["corr"], 6),
+        "covar_qp": round_col(t["covar_samp"], 6),
+        "slope": round_col(t["slope"], 6),
+        "intercept": round_col(t["intercept"], 6),
+        "r2": round_col(t["r2"], 6)})
+
+
+@register("lineitem_price_histogram", """
+WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+            FROM lineitem),
+b AS (SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo)/20))
+                        AS BIGINT), 19) AS bucket, lo, hi
+      FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
+SELECT bucket,
+       ROUND(min(lo) + bucket * ((min(hi) - min(lo))/20), 6) AS bin_lo,
+       ROUND(min(lo) + (bucket + 1) * ((min(hi) - min(lo))/20), 6) AS bin_hi,
+       CAST(count(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+""")
+def lineitem_price_histogram(sf_dir: str):
+    """20-bin equi-width price histogram: min/max pass + O(bins)
+    bincount partials per block (ops/stats.histogram_equi_width). The
+    bucket expression floor((x-lo)/w) is evaluated in float64 on both
+    sides, so bucket assignment bit-matches the oracle."""
+    from ..ops import stats as st
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    t = st.histogram_equi_width(ds, "l_extendedprice", 20)
+    return pa.table({
+        "bucket": t["bucket"],
+        "bin_lo": round_col(t["bin_lo"], 6),
+        "bin_hi": round_col(t["bin_hi"], 6),
+        "n": t["n"]})
+
+
 @register("distinct_flags", """
 SELECT DISTINCT l_returnflag FROM lineitem
 """)
@@ -4368,36 +4426,18 @@ SELECT l_returnflag, ROUND(corr(l_quantity, l_extendedprice), 6) AS r
 FROM lineitem GROUP BY l_returnflag
 """)
 def lineitem_qty_price_corr(sf_dir: str):
-    """Per-group Pearson correlation as a PARTIALIZABLE aggregate: each
-    batch contributes (n, Σx, Σy, Σxy, Σx², Σy²) per group — six numbers,
-    combined driver-side — and r comes from the closed form. No shuffle,
-    no second pass over the facts."""
-    from ..functions.rounding import round_np
+    """Per-group Pearson correlation via the shared two-pass centered
+    moments (ops/stats.bivariate_stats — O(groups) partials per block,
+    driver combine, no shuffle)."""
+    from ..ops import stats as st
 
     ds = read_table(sf_dir, "lineitem",
                     columns=["l_returnflag", "l_quantity",
                              "l_extendedprice"])
-    ds = rel.with_columns(ds, {
-        "xy": lambda t: pc.multiply(t["l_quantity"], t["l_extendedprice"]),
-        "xx": lambda t: pc.multiply(t["l_quantity"], t["l_quantity"]),
-        "yy": lambda t: pc.multiply(t["l_extendedprice"],
-                                    t["l_extendedprice"])},
-        keep=["l_returnflag", "l_quantity", "l_extendedprice",
-              "xy", "xx", "yy"])
-    agg = rel.grouped_agg(ds, ["l_returnflag"], [
-        ("l_quantity", "count", "n"), ("l_quantity", "sum", "sx"),
-        ("l_extendedprice", "sum", "sy"), ("xy", "sum", "sxy"),
-        ("xx", "sum", "sxx"), ("yy", "sum", "syy")]).take_all()
-    flags, rs = [], []
-    for a in sorted(agg, key=lambda a: a["l_returnflag"]):
-        n = float(a["n"])
-        cov = a["sxy"] - a["sx"] * a["sy"] / n
-        vx = a["sxx"] - a["sx"] * a["sx"] / n
-        vy = a["syy"] - a["sy"] * a["sy"] / n
-        flags.append(a["l_returnflag"])
-        rs.append(cov / np.sqrt(vx * vy))
-    return pa.table({"l_returnflag": pa.array(flags, pa.string()),
-                     "r": pa.array(round_np(np.array(rs), 6))})
+    t = st.bivariate_stats(ds, "l_quantity", "l_extendedprice",
+                           by=["l_returnflag"])
+    return pa.table({"l_returnflag": t["l_returnflag"],
+                     "r": round_col(t["corr"], 6)})
 
 
 @register("ngram_jaccard_pairs_incr", r"""

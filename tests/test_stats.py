@@ -1,0 +1,138 @@
+"""ops/stats: bivariate moments + equi-width histogram.
+
+Every test checks against a plain-numpy reference computed on the same
+arrays, plus partition invariance (the driver-combined partials must be
+independent of block boundaries)."""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from illumio_ray.ops import stats
+
+
+def _toy(n=5000, seed=3, with_nulls=True):
+    rng = np.random.default_rng(seed)
+    g = rng.choice(["A", "B", "C"], n)
+    x = rng.normal(10, 3, n)
+    y = 2.5 * x + rng.normal(0, 4, n) + np.where(g == "B", 50.0, 0.0)
+    if with_nulls:
+        x[::37] = np.nan
+        y[::53] = np.nan
+    return pa.table({"g": g, "x": x, "y": y})
+
+
+def _np_ref(t: pa.Table):
+    """Reference grouped stats on the non-null pairs."""
+    df = t.to_pandas().dropna()
+    out = {}
+    for k, sub in df.groupby("g"):
+        xv, yv = sub["x"].values, sub["y"].values
+        mx, my = xv.mean(), yv.mean()
+        m2x = ((xv - mx) ** 2).sum()
+        m2y = ((yv - my) ** 2).sum()
+        cxy = ((xv - mx) * (yv - my)).sum()
+        slope = cxy / m2x
+        out[k] = {
+            "n": len(sub), "mean_x": mx, "mean_y": my,
+            "corr": cxy / np.sqrt(m2x * m2y),
+            "covar_samp": cxy / (len(sub) - 1),
+            "slope": slope, "intercept": my - slope * mx,
+            "r2": (cxy / np.sqrt(m2x * m2y)) ** 2}
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_bivariate_grouped_matches_numpy(nblocks):
+    t = _toy()
+    ds = rd.from_arrow(t).repartition(nblocks)
+    got = stats.bivariate_stats(ds, "x", "y", by=["g"]).to_pandas()
+    ref = _np_ref(t)
+    assert sorted(got["g"]) == sorted(ref)
+    for _, row in got.iterrows():
+        r = ref[row["g"]]
+        assert row["n"] == r["n"]
+        for f in ("mean_x", "mean_y", "corr", "covar_samp", "slope",
+                  "intercept", "r2"):
+            assert row[f] == pytest.approx(r[f], rel=1e-10), f
+
+
+def test_bivariate_global_equals_single_group():
+    t = _toy()
+    ds = rd.from_arrow(t).repartition(5)
+    glob = stats.bivariate_stats(ds, "x", "y").to_pandas()
+    assert list(glob.columns)[0] == "n" and len(glob) == 1
+    # global == grouped over a constant key
+    const = rd.from_arrow(t.set_column(
+        t.schema.get_field_index("g"), "g",
+        pa.array(["k"] * t.num_rows))).repartition(5)
+    gg = stats.bivariate_stats(const, "x", "y", by=["g"]).to_pandas()
+    for f in ("n", "corr", "slope", "intercept"):
+        assert glob[f][0] == pytest.approx(gg[f][0], rel=1e-12)
+
+
+def test_bivariate_sql_null_and_degenerate_semantics():
+    # group "a": all-null pairs -> absent; "b": n == 1 -> covar_samp NULL;
+    # "c": zero x-variance -> corr/slope/intercept/r2 NULL, covar defined
+    t = pa.table({
+        "g": ["a", "a", "b", "c", "c", "c"],
+        "x": pa.array([None, 1.0, 1.0, 2.0, 2.0, 2.0], pa.float64()),
+        "y": pa.array([5.0, None, 2.0, 1.0, 2.0, 3.0], pa.float64())})
+    got = stats.bivariate_stats(
+        rd.from_arrow(t).repartition(3), "x", "y", by=["g"]).to_pandas()
+    got = got.set_index("g")
+    assert "a" not in got.index
+    assert got.loc["b", "n"] == 1 and np.isnan(got.loc["b", "covar_samp"])
+    assert got.loc["c", "n"] == 3 and got.loc["c", "var_x"] == 0.0
+    for f in ("corr", "slope", "intercept", "r2"):
+        assert np.isnan(got.loc["c", f])
+    assert got.loc["c", "covar_pop"] == pytest.approx(0.0)
+
+
+def test_bivariate_all_null_returns_empty_with_schema():
+    t = pa.table({"g": ["a", "b"],
+                  "x": pa.array([None, None], pa.float64()),
+                  "y": pa.array([None, None], pa.float64())})
+    for by in (None, ["g"]):
+        got = stats.bivariate_stats(rd.from_arrow(t), "x", "y", by=by)
+        assert got.num_rows == 0
+        assert "corr" in got.column_names and "n" in got.column_names
+
+
+@pytest.mark.parametrize("nblocks", [1, 9])
+def test_histogram_matches_numpy(nblocks):
+    t = _toy()
+    ds = rd.from_arrow(t).repartition(nblocks)
+    got = stats.histogram_equi_width(ds, "x", 12).to_pandas()
+    xv = t["x"].to_numpy(zero_copy_only=False)
+    xv = xv[~np.isnan(xv)]
+    lo, hi = xv.min(), xv.max()
+    w = (hi - lo) / 12
+    b = np.minimum(np.floor((xv - lo) / w).astype(np.int64), 11)
+    ref = np.bincount(b, minlength=12)
+    nz = np.flatnonzero(ref)
+    assert list(got["bucket"]) == list(nz)
+    assert list(got["n"]) == list(ref[nz])
+    assert got["n"].sum() == len(xv)
+    assert got["bin_lo"][0] == pytest.approx(lo)
+    assert got["bin_hi"].iloc[-1] == pytest.approx(lo + 12 * w)
+
+
+def test_histogram_explicit_range_drops_out_of_range():
+    t = pa.table({"x": pa.array([-5.0, 0.0, 1.0, 2.5, 5.0, 99.0])})
+    got = stats.histogram_equi_width(
+        rd.from_arrow(t), "x", 5, lo=0.0, hi=5.0).to_pandas()
+    assert got["n"].sum() == 4            # -5 and 99 dropped
+    assert got.set_index("bucket").loc[4, "n"] == 1  # x == hi clamps into last
+
+
+def test_histogram_degenerate_and_empty():
+    one = rd.from_arrow(pa.table({"x": pa.array([7.0] * 5)}))
+    got = stats.histogram_equi_width(one, "x", 4).to_pandas()
+    assert len(got) == 1 and got["bucket"][0] == 0 and got["n"][0] == 5
+    nul = rd.from_arrow(pa.table({"x": pa.array([None, None], pa.float64())}))
+    assert stats.histogram_equi_width(nul, "x", 4).num_rows == 0
+    with pytest.raises(ValueError):
+        stats.histogram_equi_width(one, "x", 0)
+    with pytest.raises(ValueError):
+        stats.histogram_equi_width(one, "x", 4, lo=5.0, hi=1.0)
