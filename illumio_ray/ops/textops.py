@@ -1535,3 +1535,110 @@ def unigram_segment(ds: rd.Dataset, vocab: list[dict],
                          "nll": pa.array(nll)})
 
     return ds.map_batches(seg, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_pmi(ds: rd.Dataset, text_col: str = "text",
+               min_count: int = 2,
+               broadcast_vocab_max: int = 2_000_000) -> rd.Dataset:
+    """Pointwise mutual information of adjacent word bigrams:
+    pmi(w1,w2) = ln(n(w1,w2) * N / (n(w1) * n(w2))), N = total tokens —
+    the classic collocation-mining statistic (phrase detection for
+    tokenizer / n-gram vocab curation).
+
+    Scale shape: ONE pass over the text emits per-batch PARTIAL counts
+    for bigrams and unigrams unioned in a single narrow kind-tagged
+    table (documents text is never read twice and never re-exchanged);
+    the distributed reduce then moves O(types × blocks) partial rows
+    only. Unigram attach is broadcast-gated like curation's anti-join:
+    vocab ≤ ``broadcast_vocab_max`` rides to every task as one dict
+    (ray.put once), a larger vocab falls back to two hash joins
+    (w1 then w2) so nothing assumes the vocabulary fits in memory.
+    min_count prunes the bigram tail BEFORE the join/broadcast."""
+    from .relational import (drop_empty_blocks, filter_batches, grouped_agg,
+                             hash_join)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "kind": pd.Series([], dtype=np.int8),
+            "w1": pd.Series([], dtype=object),
+            "w2": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype=np.int64)})
+        words = df[text_col].dropna().str.split(" ")
+        lens = words.str.len().to_numpy()
+        if lens.sum() == 0:
+            return empty
+        flat = np.concatenate(words.to_numpy())
+        uni = pd.Series(flat).value_counts()
+        out = [pd.DataFrame({"kind": np.int8(1), "w1": uni.index,
+                             "w2": "", "n": uni.to_numpy()})]
+        if len(flat) > 1:
+            # adjacent pairs, masking the doc-boundary positions so no
+            # bigram spans two documents
+            valid = np.ones(len(flat) - 1, dtype=bool)
+            ends = np.cumsum(lens) - 1
+            valid[ends[:-1]] = False
+            bi = (pd.DataFrame({"w1": flat[:-1][valid],
+                                "w2": flat[1:][valid]})
+                  .groupby(["w1", "w2"], sort=False).size())
+            if len(bi):
+                idx = bi.index
+                out.append(pd.DataFrame({
+                    "kind": np.int8(0),
+                    "w1": idx.get_level_values(0).to_numpy(),
+                    "w2": idx.get_level_values(1).to_numpy(),
+                    "n": bi.to_numpy()}))
+        return pd.concat(out, ignore_index=True)
+
+    parts = ds.select_columns([text_col]).map_batches(
+        partial, batch_format="pandas")
+    # type space grows with data but ≪ token instances (Zipf) → shuffle
+    counts = grouped_agg(parts, ["kind", "w1", "w2"],
+                         [("n", "sum", "n")], mode="shuffle")
+    counts = counts.materialize()
+    uni = filter_batches(counts, lambda t: pc.equal(t["kind"], 1)) \
+        .select_columns(["w1", "n"])
+    bi = filter_batches(counts, lambda t: pc.and_(
+        pc.equal(t["kind"], 0), pc.greater_equal(t["n"], min_count))) \
+        .select_columns(["w1", "w2", "n"])
+    n_tok = float(uni.sum("n") or 0)
+
+    def finish(df: pd.DataFrame, n1, n2) -> pd.DataFrame:
+        pmi = np.log(df["n"].to_numpy(np.float64) * n_tok
+                     / (n1.astype(np.float64) * n2.astype(np.float64)))
+        from ..functions.rounding import round_np
+        return pd.DataFrame({"w1": df["w1"], "w2": df["w2"],
+                             "n_pair": df["n"].astype(np.int64),
+                             "pmi": round_np(pmi, 6)})
+
+    vocab_rows = uni.count()
+    if vocab_rows <= broadcast_vocab_max:
+        vt = uni.to_pandas()
+        ref = ray.put(dict(zip(vt["w1"], vt["n"].to_numpy())))
+
+        def score(df: pd.DataFrame) -> pd.DataFrame:
+            m = _BI_PMI_CACHE.get(ref)
+            if m is None:
+                _BI_PMI_CACHE.clear()
+                m = _BI_PMI_CACHE[ref] = ray.get(ref)
+            n1 = df["w1"].map(m).to_numpy(np.float64)
+            n2 = df["w2"].map(m).to_numpy(np.float64)
+            return finish(df, n1, n2)
+
+        return bi.map_batches(score, batch_format="pandas")
+
+    # counts came through a shuffle groupby → empty-schema blocks crash
+    # Ray 2.49's join; drop them before joining (perf playbook)
+    u1 = drop_empty_blocks(uni).map_batches(
+        lambda t: t.rename_columns(["w1", "__n1"]), batch_format="pyarrow")
+    u2 = drop_empty_blocks(uni).map_batches(
+        lambda t: t.rename_columns(["w2", "__n2"]), batch_format="pyarrow")
+    j1 = hash_join(drop_empty_blocks(bi), u1, on=["w1"])
+    # the join's own output partitions can be empty-schema too
+    joined = hash_join(drop_empty_blocks(j1), u2, on=["w2"])
+    return joined.map_batches(
+        lambda df: finish(df, df["__n1"].to_numpy(np.float64),
+                          df["__n2"].to_numpy(np.float64)),
+        batch_format="pandas")
+
+
+_BI_PMI_CACHE: dict = {}

@@ -6983,6 +6983,38 @@ def doc_unigram_tokens(sf_dir: str):
     return out.select_columns(["doc_id", "n_pieces"])
 
 
+@register("doc_bigram_pmi", """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         CAST(generate_subscripts(string_split(text, ' '), 1) AS BIGINT) AS ord
+  FROM documents WHERE text IS NOT NULL),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_tok FROM toks),
+uni AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+bi AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n_pair
+       FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.ord = a.ord + 1
+       GROUP BY 1, 2)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       ROUND(ln(n_pair * n_tok / (u1.n * u2.n)), 6) AS pmi
+FROM bi JOIN uni u1 ON bi.w1 = u1.w JOIN uni u2 ON bi.w2 = u2.w, tot
+WHERE n_pair >= 10
+ORDER BY pmi DESC, w1, w2
+LIMIT 30
+""")
+def doc_bigram_pmi(sf_dir: str):
+    """Collocation mining: PMI of adjacent word bigrams (phrase detection
+    for vocab curation — Church & Hanks 1990). One pass over text emits
+    kind-tagged unigram+bigram partial counts (text never read twice);
+    unigram attach is broadcast-gated with a hash-join fallback so the
+    vocabulary is never assumed to fit in memory
+    (ops/textops.py::bigram_pmi). Top-30 by (pmi desc, w1, w2) with the
+    ORDER BY on the ROUNDED pmi so the limit boundary is deterministic
+    cross-engine."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+    scored = textops.bigram_pmi(docs, min_count=10)
+    return rel.topk(scored, ["pmi", "w1", "w2"], 30,
+                    descending=[True, False, False])
+
+
 @register("doc_compression_ratio", None)  # zlib → not SQL-expressible
 def doc_compression_ratio(sf_dir: str):
     """Compressibility quality signal (zlib level 6 bytes ratio per doc):

@@ -3752,3 +3752,38 @@ def test_knn_join_score_band_is_in_band_topk_not_postfilter():
         assert [(r.score, r.vec_id) for r in sub.itertuples()] == want
         # in-band guarantee: every emitted score is inside the band
         assert ((sub.score >= lo) & (sub.score <= hi)).all()
+
+
+def test_bigram_pmi_matches_hand_counts_and_join_fallback():
+    from illumio_ray.ops import textops
+
+    # corpus engineered so "new york" is a strong collocation and doc
+    # boundaries never form bigrams
+    docs = pd.DataFrame({"doc_id": [1, 2, 3, 4],
+                         "text": ["new york is big",
+                                  "new york new york",
+                                  "big city is big",
+                                  None]})
+    ds = rd.from_pandas(docs).repartition(3)
+    got = textops.bigram_pmi(ds, min_count=2).to_pandas() \
+        .sort_values(["w1", "w2"]).reset_index(drop=True)
+
+    # hand counts: tokens=12; unigrams new=3,york=3,is=2,big=3,city=1
+    # bigrams with n>=2: (new,york)=3, (is,big)=2
+    import math
+    want = {("new", "york"): (3, round(math.log(3 * 12 / (3 * 3)), 6)),
+            ("is", "big"): (2, round(math.log(2 * 12 / (2 * 3)), 6))}
+    assert len(got) == len(want)
+    for r in got.itertuples():
+        n, pmi = want[(r.w1, r.w2)]
+        assert r.n_pair == n and abs(r.pmi - pmi) < 1e-9
+
+    # (york,new)=2 crosses doc2's repeats but never doc boundaries:
+    # present with n=2, and absent at min_count=3
+    got3 = textops.bigram_pmi(ds, min_count=3).to_pandas()
+    assert set(zip(got3.w1, got3.w2)) == {("new", "york")}
+
+    # hash-join fallback (vocab gate forced to 0) must agree exactly
+    gotj = textops.bigram_pmi(ds, min_count=2, broadcast_vocab_max=0) \
+        .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, gotj[got.columns])
