@@ -1424,6 +1424,57 @@ def keyed_window(ds: rd.Dataset, key_col: str,
     return bucketed.groupby("__b").map_groups(window_fn, batch_format="pandas")
 
 
+def scd2_history(ds: rd.Dataset, key_col: str, state_col: str,
+                 ts_col: str, order_cols: list[str] | None = None,
+                 num_buckets: int | None = None,
+                 n_rows: int | None = None) -> rd.Dataset:
+    """Slowly-changing-dimension type-2 history from a change-event
+    stream: per key, collapse consecutive rows with an unchanged
+    ``state_col`` and emit one validity interval per state run —
+    (key, state, valid_from, valid_to, is_current), valid_to NULL on the
+    open (current) interval. The warehouse-standard dimension-history
+    operator (Kimball SCD type 2), built on the same whole-key bucket
+    partition as sessionize: a key's rows never split across buckets, so
+    run detection is a single vectorized pass per bucket and no state
+    crosses the exchange. Ordering within a key is (ts, *order_cols) —
+    pass a unique tiebreaker (event id) for deterministic output under
+    equal timestamps."""
+    order_cols = list(order_cols or [])
+
+    def history(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, *order_cols])
+        k = g[key_col].to_numpy()
+        s = g[state_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        if len(k) == 0:
+            return pd.DataFrame({key_col: pd.Series([], dtype=g[key_col].dtype),
+                                 "state": pd.Series([], dtype=object),
+                                 "valid_from": pd.Series([], dtype=ts.dtype),
+                                 "valid_to": pd.Series([], dtype=ts.dtype),
+                                 "is_current": pd.Series([], dtype=bool)})
+        change = np.empty(len(k), dtype=bool)
+        change[0] = True
+        change[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        starts = np.flatnonzero(change)
+        vf = ts[starts]
+        ku = k[starts]
+        # valid_to = the NEXT change's valid_from when it belongs to the
+        # same key, else open interval
+        vt = np.empty(len(starts), dtype=ts.dtype)
+        same_key = np.empty(len(starts), dtype=bool)
+        same_key[:-1] = ku[1:] == ku[:-1]
+        same_key[-1] = False
+        vt[:-1] = vf[1:]
+        out = pd.DataFrame({key_col: ku, "state": s[starts],
+                            "valid_from": vf, "valid_to": vt,
+                            "is_current": ~same_key})
+        out.loc[~same_key, "valid_to"] = pd.NaT
+        return out
+
+    return keyed_window(ds, key_col, history, num_buckets=num_buckets,
+                        n_rows=n_rows)
+
+
 def ts_as_us(col) -> pa.ChunkedArray:
     """Timestamp column → int64 epoch-µs. Normalizes to µs BEFORE the int
     cast: a raw int64 cast yields the column's native unit (ns/ms/s), which

@@ -779,3 +779,77 @@ def kcenter_select(ds: rd.Dataset, k: int, id_col: str = "vec_id",
         "order": pa.array(range(len(chosen)), pa.int64()),
         "id": pa.array([c for c, _ in chosen], pa.int64()),
         "dist": pa.array([d for _, d in chosen], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss)
+# ---------------------------------------------------------------------------
+
+def random_projection_matrix(in_dim: int, out_dim: int,
+                             seed: int = 7) -> np.ndarray:
+    """Deterministic Gaussian JL matrix, rows scaled by 1/sqrt(out_dim)
+    so squared distances are preserved in expectation."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((out_dim, in_dim)) / np.sqrt(out_dim)
+
+
+def random_project(ds: rd.Dataset, vec_col: str = "embedding",
+                   out_dim: int = 8, seed: int = 7,
+                   out_col: str = "proj",
+                   in_dim: int | None = None) -> rd.Dataset:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    vector through one shared Gaussian matrix (ray.put once, one matmul
+    per batch). The standard pre-step that makes downstream ANN / dedup
+    / clustering exchanges move out_dim floats per row instead of the
+    full embedding — at 100 TB the exchange shrinks by in_dim/out_dim
+    while pairwise distances distort by only O(sqrt(log n / out_dim))."""
+    if in_dim is None:
+        sample = ds.take(1)
+        if not sample:
+            return ds
+        in_dim = len(sample[0][vec_col])
+    ref = ray.put(random_projection_matrix(in_dim, out_dim, seed))
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.list_(pa.float64())))
+        r = ray.get(ref)
+        m = vecs_from_arrow(t[vec_col]).astype(np.float64)
+        p = m @ r.T
+        return t.append_column(
+            out_col, pa.FixedSizeListArray.from_arrays(
+                pa.array(p.reshape(-1), pa.float64()), out_dim))
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def random_projection_topk(ds: rd.Dataset, query_vec: np.ndarray, k: int,
+                           out_dim: int = 8, seed: int = 7,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> rd.Dataset:
+    """Exact top-k by PROJECTED dot product <Rv, Rq>: the JL-compressed
+    similarity search (score desc, id asc — same tie contract as
+    brute_force_topk). Batch-local top-k prune before the global sort,
+    so only k rows per block reach the exchange."""
+    from ..functions.rounding import round_np
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    r = random_projection_matrix(len(q), out_dim, seed)
+    pq_ref = ray.put((r, r @ q))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: t[id_col],
+                             "score": pa.array([], pa.float64())})
+        rm, pquery = ray.get(pq_ref)
+        pv = vecs_from_arrow(t[vec_col]).astype(np.float64) @ rm.T
+        sims = round_np(pv @ pquery, 6)
+        ids = t[id_col].combine_chunks()
+        order = np.lexsort((ids.to_numpy(zero_copy_only=False), -sims))[:k]
+        idx = pa.array(order, pa.int64())
+        return pa.table({id_col: ids.take(idx),
+                         "score": pa.array(sims[order], pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)

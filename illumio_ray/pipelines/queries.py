@@ -31,7 +31,7 @@ from ..schema import HOST_RE
 
 def _ts(iso: str) -> pa.Scalar:
     return pa.scalar(np.datetime64(iso, "us"), pa.timestamp("us"))
-from ..ops import (clustering, dedup, graph, multimodal,
+from ..ops import (clustering, dedup, graph, multimodal, privacy,
                    relational as rel, similarity, textops)
 from ..sources import read_table
 from ..stages.enrich import broadcast_lookups
@@ -1986,6 +1986,42 @@ LIMIT 10
 def embedding_topk(sf_dir: str):
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     return similarity.brute_force_topk(ds, _query_vec(sf_dir), 10)
+
+
+def _rp_oracle_sql(in_dim: int = 64, out_dim: int = 8, seed: int = 7) -> str:
+    """SQL oracle for the JL-projected top-k: the SAME seeded projection
+    matrix the Ray op builds, inlined as literal rows so DuckDB scores
+    sum_j (v . R_j)(q . R_j) — the projection itself runs in SQL, not
+    just its result."""
+    r = similarity.random_projection_matrix(in_dim, out_dim, seed)
+    terms = []
+    for j in range(out_dim):
+        row = "[" + ", ".join(repr(float(x)) for x in r[j]) + "]"
+        terms.append(f"(list_dot_product(CAST(embedding AS DOUBLE[]), {row})"
+                     f" * list_dot_product(q.qe, {row}))")
+    expr = "\n     + ".join(terms)
+    return f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, ROUND({expr}, 6) AS score
+FROM embeddings, q
+ORDER BY score DESC, vec_id
+LIMIT 10
+"""
+
+
+@register("embedding_rp_topk", _rp_oracle_sql())
+def embedding_rp_topk(sf_dir: str):
+    """Johnson-Lindenstrauss random projection (Achlioptas 2003 family):
+    64-dim embeddings → 8 dims through one broadcast Gaussian matrix,
+    then exact top-10 by PROJECTED dot product <Rv, Rq>. The projection
+    is the exchange-shrinking pre-step for ANN/dedup at scale (8 floats
+    per row cross the wire instead of 64); distance distortion is pinned
+    by tests/test_ops.py. The oracle runs the SAME seeded matrix in SQL
+    (literal rows), so this is value-checked end to end, not rows-only."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return similarity.random_projection_topk(ds, _query_vec(sf_dir), 10,
+                                             out_dim=8, seed=7)
 
 
 @register("embedding_ann_lsh", None)  # approximate → rows-only
@@ -6983,6 +7019,119 @@ def doc_unigram_tokens(sf_dir: str):
     return out.select_columns(["doc_id", "n_pieces"])
 
 
+@register("events_k_anonymous", """
+SELECT event_id, user_id, event_type FROM (
+  SELECT event_id, user_id, event_type,
+         count(*) OVER (PARTITION BY user_id, event_type) AS gn
+  FROM events) WHERE gn >= 10
+""")
+def events_k_anonymous(sf_dir: str):
+    """k-anonymity release by suppression (Sweeney 2002): only rows whose
+    quasi-identifier tuple (user_id, event_type) occurs >= k times are
+    released. Group sizes via partial-combined grouped_agg, then a
+    broadcast-gated semi-join (hash-join fallback above 2M groups) —
+    ops/privacy.py::k_anonymize_suppress. k=10 keeps AND suppresses rows
+    at every sf tier (group-size min/max straddle 10 everywhere)."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "event_type"])
+    return privacy.k_anonymize_suppress(ds, ["user_id", "event_type"], 10)
+
+
+@register("events_k_anon_violations", """
+SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS group_n
+FROM events GROUP BY 1, 2 HAVING count(*) < 10
+""")
+def events_k_anon_violations(sf_dir: str):
+    """The audit side of the k-anonymity gate: quasi-id groups (with
+    sizes) violating k=10 — what a release pipeline reports instead of
+    silently dropping (ops/privacy.py::k_anonymity_violations)."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+    return privacy.k_anonymity_violations(ds, ["user_id", "event_type"], 10)
+
+
+@register("events_k_anon_generalized", """
+WITH lv AS (
+  SELECT l.w, event_type, floor(value / l.w) * l.w AS bin
+  FROM events CROSS JOIN (VALUES (1.0), (4.0), (16.0), (64.0),
+                                 (256.0), (1024.0)) l(w)),
+mn AS (SELECT w, min(cnt) AS min_n FROM (
+         SELECT w, event_type, bin, count(*) AS cnt
+         FROM lv GROUP BY 1, 2, 3) GROUP BY 1),
+best AS (SELECT min(w) AS w FROM mn WHERE min_n >= 10)
+SELECT event_type,
+       floor(value / best.w) * best.w AS bin_lo,
+       floor(value / best.w) * best.w + best.w AS bin_hi
+FROM events, best
+""")
+def events_k_anon_generalized(sf_dir: str):
+    """k-anonymity by generalization: coarsen the numeric quasi-identifier
+    (value) to the FINEST bin width from a power-of-4 ladder under which
+    every (event_type, bin) group reaches k=10. All ladder levels are
+    counted in ONE pass (per-batch partials emit narrow (level, type,
+    bin) keys), so level choice costs one aggregate, not len(ladder)
+    scans — ops/privacy.py::k_anonymize_generalize. Power-of-2 widths
+    keep floor(value/w)*w an exact IEEE op on both engines."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return privacy.k_anonymize_generalize(
+        ds, ["event_type"], "value", 10,
+        widths=[1, 4, 16, 64, 256, 1024])
+
+
+@register("events_scd2_history", """
+WITH o AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT user_id, state, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> state)
+SELECT user_id, state, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       lead(ts) OVER w IS NULL AS is_current
+FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def events_scd2_history(sf_dir: str):
+    """Slowly-changing-dimension type-2 build (Kimball): per user,
+    collapse consecutive identical event_type states into validity
+    intervals [valid_from, valid_to), NULL valid_to + is_current on the
+    open interval — the dimension-history operator every warehouse load
+    pipeline needs. Distributed on the sessionize bucket partition
+    (whole users per bucket, one vectorized run-detection pass per
+    bucket; ops/relational.py::scd2_history); event_id is the
+    deterministic tiebreaker under equal timestamps."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    return rel.scd2_history(ds, "user_id", "event_type", "ts",
+                            order_cols=["event_id"])
+
+
+@register("events_scd2_latest", """
+WITH o AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events),
+c AS (SELECT user_id, state, ts, event_id FROM o
+      WHERE prev IS NULL OR prev <> state)
+SELECT user_id, state, ts AS valid_from FROM (
+  SELECT user_id, state, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM c) WHERE rn = 1
+""")
+def events_scd2_latest(sf_dir: str):
+    """Current-dimension snapshot derived from the SCD2 history: the one
+    open (is_current) interval per key — what a serving layer reads
+    after each history rebuild. Same bucket partition as scd2_history;
+    just the is_current filter + projection on top."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts", "event_id"])
+    hist = rel.scd2_history(ds, "user_id", "event_type", "ts",
+                            order_cols=["event_id"])
+    return rel.filter_batches(hist, lambda t: t["is_current"]) \
+        .select_columns(["user_id", "state", "valid_from"])
+
+
 @register("doc_bigram_pmi", """
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS w,
@@ -7035,21 +7184,23 @@ def doc_compression_ratio(sf_dir: str):
 # entries ride beyond the window; scripts/contract_check.py still covers
 # the full registry locally), and front-load the queries registration order
 # left outside the window in rounds 1-2 so each gets its first driver row.
+# Exactly 50 names = the driver's window, ALL round-4 additions: the
+# round-1..3 queries verified in CORRECTNESS_r01..r03 (top3_lineitems…,
+# events_asof_view, pages_*, …) already carry driver-pass records and ride
+# the local replica gate from here on, freeing every slot for a family the
+# driver has never hashed. Same-family redundancies (second rolling-window
+# variant, percent vs dense rank, rollup vs cube, the k-anonymity audit
+# view) stay local-gate too.
 _DRIVER_FIRST = [
-    "top3_lineitems_per_flag", "events_asof_view", "events_daily_rate",
-    "orders_union_priority", "pages_ts_roundtrip", "top2_pages_per_host",
-    "orders_per_segment_bucketed", "customer_order_counts_bucketed",
-    "events_heavy_hitters",
-    "events_error_view_range_join", "doc_repetition", "pages_label_flatten",
-    "events_daily_delta", "doc_bpeish_tokens",
-    # round-4 additions occupy driver slots (VERDICT r03 item 8):
-    # the closure curation, BOTH directions of the partitioned as-of,
-    # and the exact k-NN join
+    # closure curation, partitioned as-of, exact k-NN join (VERDICT items)
     "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
+    # new operator families added late in round 4
+    "doc_bigram_pmi", "events_scd2_history", "events_k_anonymous",
+    "events_k_anon_generalized", "embedding_rp_topk",
     "events_value_mad_filtered", "events_funnel_view_click_purchase",
-    "pages_wire_grok", "doc_chars_percent_rank_by_lang",
+    "pages_wire_grok",
     "events_by_type_from_orc", "near_dup_keep_best_docs",
-    "docs_dup_spans_removed", "events_rollup_day_type",
+    "docs_dup_spans_removed",
     "orders_pivot_status_by_priority", "events_ntile_by_user",
     "events_cube_day_type", "doc_chars_dense_rank_by_lang",
     "events_value_winsorized", "events_by_type_skew_salted",
@@ -7058,7 +7209,7 @@ _DRIVER_FIRST = [
     "customer_supplier_pagerank", "supplier_pagerank_top10",
     "embedding_stats_from_avro", "docs_search_and",
     "events_validation_report", "events_quarantine",
-    "events_unique_key_check", "events_late_by_batch",
+    "events_late_by_batch",
     "events_hourly_ontime", "docs_bm25_from_index",
     "docs_search_and_segmented", "pages_from_warc",
     "dedup_exact_incremental", "pages_latest_per_canonical",
@@ -7066,8 +7217,8 @@ _DRIVER_FIRST = [
     "events_user_totals_merged", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
     "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
-    "events_user_rolling_median", "embedding_hard_negatives",
-    "events_user_trailing_day_mean",
+    "embedding_hard_negatives",
+    "events_user_trailing_day_mean", "events_scd2_latest",
 ]
 
 

@@ -3787,3 +3787,67 @@ def test_bigram_pmi_matches_hand_counts_and_join_fallback():
     gotj = textops.bigram_pmi(ds, min_count=2, broadcast_vocab_max=0) \
         .to_pandas().sort_values(["w1", "w2"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, gotj[got.columns])
+
+
+def test_scd2_history_intervals_and_current_flag():
+    ts = pd.to_datetime(["2026-01-01 00:00", "2026-01-01 01:00",
+                         "2026-01-01 02:00", "2026-01-01 03:00",
+                         "2026-01-01 00:30", "2026-01-01 00:30",
+                         "2026-01-01 04:00"])
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 1, 2, 2, 2],
+        "event_type": ["a", "a", "b", "a", "x", "y", "y"],
+        "ts": ts,
+        "event_id": [10, 11, 12, 13, 20, 21, 22],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    got = rel.scd2_history(ds, "user_id", "event_type", "ts",
+                           order_cols=["event_id"]).to_pandas() \
+        .sort_values(["user_id", "valid_from"]).reset_index(drop=True)
+
+    # user 1: a[00:00,02:00) b[02:00,03:00) a[03:00,open)
+    # user 2: equal-ts tie broken by event_id → x[00:30,00:30) y[00:30,open)
+    assert list(got.user_id) == [1, 1, 1, 2, 2]
+    assert list(got.state) == ["a", "b", "a", "x", "y"]
+    assert list(got.is_current) == [False, False, True, False, True]
+    assert got.valid_to.iloc[0] == ts[2]
+    assert got.valid_to.iloc[3] == ts[5]
+    assert pd.isna(got.valid_to.iloc[2]) and pd.isna(got.valid_to.iloc[4])
+    # exactly one current row per user
+    assert got[got.is_current].groupby("user_id").size().eq(1).all()
+
+
+def test_random_projection_distortion_and_topk():
+    rng = np.random.default_rng(3)
+    n, d = 80, 64
+    vecs = rng.standard_normal((n, d))
+    df = pd.DataFrame({"vec_id": range(n),
+                       "embedding": [v.tolist() for v in vecs]})
+    ds = rd.from_pandas(df).repartition(4)
+
+    # projection: right shape, deterministic, and JL-style distance
+    # preservation on average (out_dim=32 halves the dim)
+    out = similarity.random_project(ds, out_dim=32, seed=7).to_pandas() \
+        .sort_values("vec_id")
+    proj = np.stack(out["proj"].to_numpy())
+    assert proj.shape == (n, 32)
+    r = similarity.random_projection_matrix(d, 32, seed=7)
+    np.testing.assert_allclose(proj, vecs @ r.T, rtol=1e-12)
+
+    pd_sq = ((vecs[:40, None, :] - vecs[None, 40:, :]) ** 2).sum(-1)
+    pp_sq = ((proj[:40, None, :] - proj[None, 40:, :]) ** 2).sum(-1)
+    ratio = pp_sq / pd_sq
+    assert 0.85 < ratio.mean() < 1.15   # unbiased in expectation
+    # JL tail: nearly all pairs inside moderate distortion at out_dim=32
+    assert np.quantile(np.abs(ratio - 1), 0.99) < 1.0
+
+    # projected top-k equals the direct numpy computation, ties by id
+    from illumio_ray.functions.rounding import round_np
+    q = vecs[0]
+    got = similarity.random_projection_topk(ds, q, 5, out_dim=8,
+                                            seed=7).to_pandas()
+    r8 = similarity.random_projection_matrix(d, 8, seed=7)
+    sims = round_np((vecs @ r8.T) @ (r8 @ q), 6)
+    want = sorted(zip(-sims, range(n)))[:5]
+    assert [(s.score, s.vec_id) for s in got.itertuples()] == \
+        [(-s, i) for s, i in want]
