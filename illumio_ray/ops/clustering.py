@@ -369,3 +369,53 @@ def logreg_score_hashed(ds: rd.Dataset, w: np.ndarray, b: float,
                                pa.array(round_np(p, ndigits), pa.float64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def label_centroids(ds: rd.Dataset, label_col: str = "label",
+                    vec_col: str = "embedding") -> pa.Table:
+    """Per-label mean embedding (class centroids / mean pooling over a
+    list<float> column): the init step for nearest-centroid classifiers,
+    SemDeDup-style partitioning, and per-class drift monitors.
+
+    Scale shape mirrors kmeans_fit's partials: each batch scatter-adds
+    into ONE row per label present in the batch (labels × d floats +
+    counts), so the exchange and the driver combine are O(labels ×
+    blocks × d) — never O(rows). Assumes a BOUNDED label space (class
+    ids); for grows-with-data keys use a bucketed exchange instead.
+    Returns (label, centroid list<double>, n) sorted by label."""
+    def partials(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({label_col: pa.array([], pa.int64()),
+                             "__sums": pa.array([], pa.list_(pa.float64())),
+                             "__n": pa.array([], pa.int64())})
+        x = vecs_from_arrow(t[vec_col]).astype(np.float64)
+        labs = t[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labs, return_inverse=True)
+        ind = np.zeros((len(uniq), len(x)), np.float64)
+        ind[inv, np.arange(len(x))] = 1.0
+        sums = ind @ x
+        return pa.table({
+            label_col: pa.array(uniq.astype(np.int64), pa.int64()),
+            "__sums": pa.array(list(sums), pa.list_(pa.float64())),
+            "__n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+        })
+
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for batch in ds.map_batches(partials, batch_format="pyarrow",
+                                zero_copy_batch=True).iter_batches(
+                                    batch_format="pyarrow"):
+        labs = batch[label_col].to_numpy(zero_copy_only=False)
+        ns = batch["__n"].to_numpy(zero_copy_only=False)
+        sums = batch["__sums"]
+        for i, lab in enumerate(labs):
+            s = np.asarray(sums[i].as_py(), np.float64)
+            prev = acc.get(int(lab))
+            acc[int(lab)] = (prev[0] + s, prev[1] + int(ns[i])) if prev \
+                else (s, int(ns[i]))
+    labels = sorted(acc)
+    return pa.table({
+        label_col: pa.array(labels, pa.int64()),
+        "centroid": pa.array([(acc[l][0] / acc[l][1]).tolist()
+                              for l in labels], pa.list_(pa.float64())),
+        "n": pa.array([acc[l][1] for l in labels], pa.int64()),
+    })

@@ -73,6 +73,37 @@ def k_anonymity_violations(ds: rd.Dataset, quasi_cols: list[str],
                      batch_format="pyarrow")
 
 
+def l_diversity_report(ds: rd.Dataset, quasi_cols: list[str],
+                       sensitive_col: str, l: int) -> rd.Dataset:
+    """l-diversity audit (Machanavajjhala 2007): per quasi-id group, the
+    count of DISTINCT sensitive values and whether it reaches l —
+    k-anonymity's companion gate (a k-anonymous group whose sensitive
+    attribute is constant still leaks it). Emitted as a full report, not
+    just violations, so the release log always records every group.
+
+    Scale shape: distinct (quasi, sensitive) pairs via per-batch local
+    dedup + hash-bucket exchange (pair space ≈ rows — never one Ray
+    group per pair), then a partial-combined count per quasi group."""
+    from .dedup import _distinct_rows_bucketed
+
+    cols = [*quasi_cols, sensitive_col]
+
+    def local_dedup(t: pa.Table) -> pa.Table:
+        return t.select(cols).group_by(cols).aggregate([])
+
+    pairs = _distinct_rows_bucketed(
+        ds.select_columns(cols).map_batches(
+            local_dedup, batch_format="pyarrow", zero_copy_batch=True),
+        cols)
+    counts = grouped_agg(pairs, quasi_cols,
+                         [(sensitive_col, "count", "n_distinct")],
+                         mode="shuffle")
+    return counts.map_batches(
+        lambda t: t.append_column(
+            "diverse", pc.greater_equal(t["n_distinct"], l)),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def k_anonymize_generalize(ds: rd.Dataset, quasi_cols: list[str],
                            num_col: str, k: int,
                            widths: list[int]) -> rd.Dataset:

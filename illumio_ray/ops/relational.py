@@ -1424,6 +1424,55 @@ def keyed_window(ds: rd.Dataset, key_col: str,
     return bucketed.groupby("__b").map_groups(window_fn, batch_format="pandas")
 
 
+def cohort_retention(ds: rd.Dataset, key_col: str, ts_col: str) -> rd.Dataset:
+    """Cohort retention matrix — the canonical product-analytics rollup:
+    cohort = each key's first active day, day_n = days since that first
+    day, cell = DISTINCT active keys. Returns (cohort 'YYYY-MM-DD',
+    day_n, n_users).
+
+    Scale shape: activity collapses to distinct (key, day) via per-batch
+    local dedup + hash-bucket exchange BEFORE anything joins (events per
+    key-day never cross the wire twice); first-seen is a shuffle-mode
+    grouped min (key space grows with data); the key-aligned hash join
+    attaches cohorts; the final (cohort, day_n) aggregate is bounded
+    (cohorts × horizon) so it driver-combines."""
+    from .dedup import _distinct_rows_bucketed
+
+    def add_day(t: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor_temporal(
+            pc.cast(t[ts_col], pa.timestamp("us")), unit="day"), pa.date32())
+        return pa.table({key_col: t[key_col], "__d": d})
+
+    days = ds.select_columns([key_col, ts_col]).map_batches(
+        add_day, batch_format="pyarrow", zero_copy_batch=True)
+    act = _distinct_rows_bucketed(days, [key_col, "__d"])
+    first = grouped_agg(days, [key_col], [("__d", "min", "__cohort")],
+                        mode="shuffle")
+    joined = hash_join(drop_empty_blocks(act), drop_empty_blocks(first),
+                       on=[key_col])
+
+    def _epoch_days(col) -> pa.ChunkedArray:
+        # the pandas hop inside the bucketed distinct may widen date32 to
+        # timestamp — normalize either form to whole days since epoch
+        if pa.types.is_date32(col.type):
+            return pc.cast(pc.cast(col, pa.int32()), pa.int64())
+        return pc.divide(ts_as_us(col), 86_400_000_000)
+
+    def to_cell(t: pa.Table) -> pa.Table:
+        dn = pc.subtract(_epoch_days(t["__d"]), _epoch_days(t["__cohort"]))
+        cohort_ts = pc.cast(pc.cast(t["__cohort"], pa.date32()),
+                            pa.timestamp("s"))
+        return pa.table({
+            "cohort": pc.strftime(cohort_ts, format="%Y-%m-%d"),
+            "day_n": pc.cast(dn, pa.int64()),
+        })
+
+    cells = joined.map_batches(to_cell, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    return grouped_agg(cells, ["cohort", "day_n"],
+                       [("day_n", "count", "n_users")], mode="driver")
+
+
 def scd2_history(ds: rd.Dataset, key_col: str, state_col: str,
                  ts_col: str, order_cols: list[str] | None = None,
                  num_buckets: int | None = None,

@@ -7105,6 +7105,85 @@ def events_scd2_history(sf_dir: str):
                             order_cols=["event_id"])
 
 
+@register("embedding_label_centroids", """
+SELECT label, CAST(pos AS BIGINT) AS pos, ROUND(avg(v), 6) AS mean_v
+FROM (SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings)
+GROUP BY 1, 2
+""")
+def embedding_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class centroids / mean pooling over the
+    list<float> column) — nearest-centroid-classifier init and per-class
+    drift monitoring. Per-batch scatter-add partials keyed by label
+    (bounded class space), driver combine O(labels × blocks × d) —
+    ops/clustering.py::label_centroids. Emitted long-form (label, pos,
+    mean_v) to value-check every component against the SQL unnest."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    cents = clustering.label_centroids(ds)
+    labs, poss, vals = [], [], []
+    for i in range(cents.num_rows):
+        c = np.asarray(cents["centroid"][i].as_py(), np.float64)
+        labs.extend([cents["label"][i].as_py()] * len(c))
+        poss.extend(range(1, len(c) + 1))
+        vals.append(c)
+    return pa.table({
+        "label": pa.array(np.asarray(labs, np.int64)),
+        "pos": pa.array(np.asarray(poss, np.int64)),
+        "mean_v": pa.array(round_np(np.concatenate(vals), 6)
+                           if vals else np.array([], np.float64)),
+    })
+
+
+@register("events_cohort_retention", """
+WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+           FROM events GROUP BY 1),
+a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+j AS (SELECT f.cohort, datediff('day', f.cohort, a.d) AS day_n
+      FROM a JOIN f USING (user_id))
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(day_n AS BIGINT) AS day_n,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
+""")
+def events_cohort_retention(sf_dir: str):
+    """Cohort retention matrix (first-active-day cohorts × days-since ×
+    distinct active users) — the canonical product-analytics rollup over
+    an activity log. Activity collapses to distinct (user, day) via the
+    bucketed distinct BEFORE the cohort join, first-seen is a
+    shuffle-mode grouped min, and the final bounded (cohort, day_n) cell
+    count driver-combines — ops/relational.py::cohort_retention."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    return rel.cohort_retention(ds, "user_id", "ts")
+
+
+@register("events_l_diversity", """
+SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS d,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct,
+       count(DISTINCT user_id) >= 20 AS diverse
+FROM events GROUP BY event_type, CAST(ts AS DATE)
+""")
+def events_l_diversity(sf_dir: str):
+    """l-diversity audit (Machanavajjhala 2007), k-anonymity's companion
+    gate: per (event_type, day) quasi-group, the DISTINCT count of the
+    sensitive attribute (user_id) and whether it reaches l=20. Full
+    report, not just violations, so the result is non-empty at every sf
+    tier and the release log records every group —
+    ops/privacy.py::l_diversity_report."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_type", "ts", "user_id"])
+    days = ds.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "d": pc.strftime(pc.floor_temporal(
+                pc.cast(t["ts"], pa.timestamp("us")), unit="day"),
+                format="%Y-%m-%d"),
+            "user_id": t["user_id"],
+        }), batch_format="pyarrow", zero_copy_batch=True)
+    return privacy.l_diversity_report(days, ["event_type", "d"],
+                                      "user_id", 20)
+
+
 @register("events_scd2_latest", """
 WITH o AS (
   SELECT user_id, event_type AS state, ts, event_id,
@@ -7207,18 +7286,18 @@ _DRIVER_FIRST = [
     "events_daily_from_csv", "pages_canonical_urls",
     "events_unpivot_metrics", "events_avg_value_from_avro",
     "customer_supplier_pagerank", "supplier_pagerank_top10",
-    "embedding_stats_from_avro", "docs_search_and",
+    "embedding_label_centroids", "docs_search_and",
     "events_validation_report", "events_quarantine",
     "events_late_by_batch",
     "events_hourly_ontime", "docs_bm25_from_index",
-    "docs_search_and_segmented", "pages_from_warc",
+    "events_cohort_retention", "pages_from_warc",
     "dedup_exact_incremental", "pages_latest_per_canonical",
     "doc_ccnet_buckets", "pages_blocklist_filtered",
     "events_user_totals_merged", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
     "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
     "embedding_hard_negatives",
-    "events_user_trailing_day_mean", "events_scd2_latest",
+    "events_l_diversity", "events_scd2_latest",
 ]
 
 

@@ -99,3 +99,23 @@ def test_logreg_hashed_converges_and_is_partition_invariant():
                                     "text", "label",
                                     dim=1 << 12, epochs=6, lr=2.0)
     assert np.abs(w - w2).max() < 1e-12
+
+
+def test_label_centroids_match_numpy_groupby():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from illumio_ray.ops import clustering
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 5))
+    labs = rng.integers(0, 4, 60)
+    df = pd.DataFrame({"label": labs,
+                       "embedding": [v.tolist() for v in vecs]})
+    got = clustering.label_centroids(rd.from_pandas(df).repartition(4))
+    assert got["label"].to_pylist() == sorted(set(labs.tolist()))
+    for i, lab in enumerate(got["label"].to_pylist()):
+        want = vecs[labs == lab].mean(axis=0)
+        np.testing.assert_allclose(
+            np.asarray(got["centroid"][i].as_py()), want, atol=1e-12)
+        assert got["n"][i].as_py() == int((labs == lab).sum())

@@ -53,3 +53,33 @@ def test_k_anonymize_generalize_picks_finest_satisfying_width():
         ds, ["g"], "v", 99, widths=[1, 4]).to_pandas()
     assert gotn.bin_lo.isna().all() and gotn.bin_hi.isna().all()
     assert len(gotn) == 20
+
+
+def test_l_diversity_report_counts_distinct_sensitive():
+    df = pd.DataFrame({
+        "q": ["a", "a", "a", "b", "b"],
+        "s": [1, 1, 2, 3, 3],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    got = privacy.l_diversity_report(ds, ["q"], "s", 2).to_pandas() \
+        .sort_values("q").reset_index(drop=True)
+    assert list(got.q) == ["a", "b"]
+    assert list(got.n_distinct) == [2, 1]
+    assert list(got.diverse) == [True, False]
+
+
+def test_cohort_retention_matrix():
+    from illumio_ray.ops import relational as rel
+    ts = pd.to_datetime([
+        "2026-01-01 05:00", "2026-01-01 09:00", "2026-01-02 01:00",
+        "2026-01-02 02:00", "2026-01-03 07:00",
+        "2026-01-02 03:00", "2026-01-04 00:00",
+    ])
+    df = pd.DataFrame({"u": [1, 1, 1, 1, 1, 2, 2], "ts": ts})
+    ds = rd.from_pandas(df).repartition(3)
+    got = rel.cohort_retention(ds, "u", "ts").to_pandas() \
+        .sort_values(["cohort", "day_n"]).reset_index(drop=True)
+    # user1 cohort 01-01 active days 0,1,2; user2 cohort 01-02 days 0,2
+    want = [("2026-01-01", 0, 1), ("2026-01-01", 1, 1), ("2026-01-01", 2, 1),
+            ("2026-01-02", 0, 1), ("2026-01-02", 2, 1)]
+    assert [(r.cohort, r.day_n, r.n_users) for r in got.itertuples()] == want
