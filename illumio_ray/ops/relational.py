@@ -1430,47 +1430,60 @@ def cohort_retention(ds: rd.Dataset, key_col: str, ts_col: str) -> rd.Dataset:
     day, cell = DISTINCT active keys. Returns (cohort 'YYYY-MM-DD',
     day_n, n_users).
 
-    Scale shape: activity collapses to distinct (key, day) via per-batch
-    local dedup + hash-bucket exchange BEFORE anything joins (events per
-    key-day never cross the wire twice); first-seen is a shuffle-mode
-    grouped min (key space grows with data); the key-aligned hash join
-    attaches cohorts; the final (cohort, day_n) aggregate is bounded
-    (cohorts × horizon) so it driver-combines."""
-    from .dedup import _distinct_rows_bucketed
+    Scale shape: ONE exchange total. Events reduce per batch to distinct
+    (key, epoch-day) narrow ints, hash-partition by a bucket of keys
+    (whole keys per bucket, sessionize's partition), and each bucket
+    computes first-seen, day offsets AND partial (cohort, day_n) cell
+    counts locally — no join, no second shuffle. The final combine is
+    over the bounded cohorts × horizon cell table, so it
+    driver-combines. Cohort day rides the exchange as int32; the
+    'YYYY-MM-DD' label is minted on the driver-sized result."""
+    from ..functions.hashing import hash64
+
+    nb = adaptive_bucket_count(None)
 
     def add_day(t: pa.Table) -> pa.Table:
-        d = pc.cast(pc.floor_temporal(
-            pc.cast(t[ts_col], pa.timestamp("us")), unit="day"), pa.date32())
-        return pa.table({key_col: t[key_col], "__d": d})
+        d = pc.cast(pc.divide(ts_as_us(t[ts_col]), 86_400_000_000),
+                    pa.int32())
+        out = pa.table({key_col: t[key_col], "__d": d})
+        # local dedup before the exchange: at most one (key, day) row
+        # per batch crosses the wire
+        out = out.group_by([key_col, "__d"]).aggregate([])
+        b = (hash64(out[key_col]) % np.uint64(nb)).astype(np.int32)
+        return out.append_column("__b", pa.array(b, pa.int32()))
 
     days = ds.select_columns([key_col, ts_col]).map_batches(
         add_day, batch_format="pyarrow", zero_copy_batch=True)
-    act = _distinct_rows_bucketed(days, [key_col, "__d"])
-    first = grouped_agg(days, [key_col], [("__d", "min", "__cohort")],
-                        mode="shuffle")
-    joined = hash_join(drop_empty_blocks(act), drop_empty_blocks(first),
-                       on=[key_col])
 
-    def _epoch_days(col) -> pa.ChunkedArray:
-        # the pandas hop inside the bucketed distinct may widen date32 to
-        # timestamp — normalize either form to whole days since epoch
-        if pa.types.is_date32(col.type):
-            return pc.cast(pc.cast(col, pa.int32()), pa.int64())
-        return pc.divide(ts_as_us(col), 86_400_000_000)
+    def cell_partials(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates([key_col, "__d"])
+        first = g.groupby(key_col)["__d"].transform("min")
+        cells = (pd.DataFrame({"__cohort": first,
+                               "day_n": g["__d"] - first})
+                 .groupby(["__cohort", "day_n"], sort=False).size())
+        idx = cells.index
+        return pd.DataFrame({
+            "__cohort": idx.get_level_values(0).to_numpy(np.int32),
+            "day_n": idx.get_level_values(1).to_numpy(np.int64),
+            "n_p": cells.to_numpy(np.int64),
+        })
 
-    def to_cell(t: pa.Table) -> pa.Table:
-        dn = pc.subtract(_epoch_days(t["__d"]), _epoch_days(t["__cohort"]))
+    cells = days.groupby("__b").map_groups(cell_partials,
+                                           batch_format="pandas")
+    agg = grouped_agg(cells, ["__cohort", "day_n"],
+                      [("n_p", "sum", "n_users")], mode="driver")
+
+    def label(t: pa.Table) -> pa.Table:
         cohort_ts = pc.cast(pc.cast(t["__cohort"], pa.date32()),
                             pa.timestamp("s"))
         return pa.table({
             "cohort": pc.strftime(cohort_ts, format="%Y-%m-%d"),
-            "day_n": pc.cast(dn, pa.int64()),
+            "day_n": pc.cast(t["day_n"], pa.int64()),
+            "n_users": t["n_users"],
         })
 
-    cells = joined.map_batches(to_cell, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    return grouped_agg(cells, ["cohort", "day_n"],
-                       [("day_n", "count", "n_users")], mode="driver")
+    return agg.map_batches(label, batch_format="pyarrow",
+                           zero_copy_batch=True)
 
 
 def scd2_history(ds: rd.Dataset, key_col: str, state_col: str,

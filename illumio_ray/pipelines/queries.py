@@ -7149,10 +7149,11 @@ FROM j GROUP BY 1, 2
 def events_cohort_retention(sf_dir: str):
     """Cohort retention matrix (first-active-day cohorts × days-since ×
     distinct active users) — the canonical product-analytics rollup over
-    an activity log. Activity collapses to distinct (user, day) via the
-    bucketed distinct BEFORE the cohort join, first-seen is a
-    shuffle-mode grouped min, and the final bounded (cohort, day_n) cell
-    count driver-combines — ops/relational.py::cohort_retention."""
+    an activity log. ONE exchange: per-batch distinct (user, epoch-day)
+    narrow ints hash-partition by user bucket; first-seen, day offsets
+    and partial cells all compute bucket-locally (no join, no second
+    shuffle); the bounded (cohort, day_n) cell table driver-combines —
+    ops/relational.py::cohort_retention."""
     ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
     return rel.cohort_retention(ds, "user_id", "ts")
 
