@@ -50,6 +50,9 @@ HEADLINE_QUERIES = [
     "curation_kept_docs",
     "embedding_topk",
     "customer_supplier_pagerank",
+    # round-4 late additions (absent from BENCH_r03 and earlier)
+    "doc_bigram_pmi",
+    "events_cohort_retention",
 ]
 
 
