@@ -21,3 +21,10 @@ def round_np(x: np.ndarray, ndigits: int) -> np.ndarray:
     """Numpy round, half away from zero."""
     f = 10.0 ** ndigits
     return np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f
+
+
+def round_scalar(x: float, ndigits: int) -> float:
+    """Scalar round, half away from zero (Python round() is half-to-even
+    and would diverge from SQL ROUND on exact halves)."""
+    f = 10.0 ** ndigits
+    return float(np.sign(x) * np.floor(np.abs(x) * f + 0.5) / f)

@@ -25,7 +25,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["bivariate_stats", "histogram_equi_width"]
+from ..functions.rounding import round_scalar
+
+__all__ = ["bivariate_stats", "histogram_equi_width",
+           "seasonal_hod_anomalies", "welch_ttest_by"]
 
 
 def _stream_sum_partials(partials: rd.Dataset, keys: list[str]) -> pa.Table:
@@ -266,3 +269,141 @@ def histogram_equi_width(ds: rd.Dataset, col: str, num_bins: int,
         "bin_lo": pa.array(lo + nz.astype(np.float64) * w),
         "bin_hi": pa.array(lo + (nz.astype(np.float64) + 1.0) * w),
         "n": pa.array(total[nz], pa.int64())})
+
+
+def seasonal_hod_anomalies(ds: rd.Dataset, ts_col: str, key_col: str,
+                           k: int = 2) -> pa.Table:
+    """Seasonal rate-anomaly detection over an event stream (≙ the
+    reference's HealthReporter rate tracking, app/health_reporter.py,
+    upgraded from a global rate to a per-(key, hour-of-day) seasonal
+    baseline): count events per (key, day, hour-of-day), build the
+    per-(key, hod) mean/σ across days, and flag the cells whose count
+    deviates more than ``k``·σ from their seasonal baseline.
+
+    Scale shape: the only pass over the data emits per-batch
+    (key, day, hod) count partials — bounded keys (#keys × #days × 24),
+    so the combine is grouped_agg's driver mode and driver state is
+    independent of row count. The flag predicate is evaluated in INTEGER
+    arithmetic — (n·D − S)² > k²·(SS·D − S²) with S=Σn, SS=Σn², D=#days
+    observed for that (key, hod) — which is algebraically identical to
+    |n − μ| > k·σ_pop but has no float rounding, so the DuckDB oracle
+    (same integer predicate via HUGEINT) agrees exactly on borderline
+    cells. μ/σ are attached rounded, derivation-ordered identically to
+    the SQL. Cells with zero events are absent on both sides (observed
+    cells only — the baseline is over days where the cell appears)."""
+    from .relational import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        day = pc.floor_temporal(ts, unit="day")
+        hod = pc.cast(pc.hour(ts), pa.int64())
+        g = pa.table({key_col: t[key_col], "day": day, "hod": hod}) \
+            .group_by([key_col, "day", "hod"]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "day", "hod", "n_p"])
+
+    cells = grouped_agg(ds.map_batches(partial, batch_format="pyarrow",
+                                       zero_copy_batch=True),
+                        [key_col, "day", "hod"],
+                        [("n_p", "sum", "n")], mode="driver")
+    t = pa.concat_tables(
+        [pa.table(b) for b in cells.iter_batches(batch_format="pyarrow")])
+    df = t.to_pandas()
+    out_rows = []
+    # bounded table (#keys × #days × 24): exact Python-int statistics per
+    # (key, hod) slice — no overflow at any scale, no float predicate
+    for (key, hod), grp in df.groupby([key_col, "hod"], sort=True):
+        ns = [int(v) for v in grp["n"]]
+        d = len(ns)
+        s = sum(ns)
+        ss = sum(v * v for v in ns)
+        var_num = ss * d - s * s          # D²·σ²_pop, exact
+        for day, n in sorted(zip(grp["day"], ns)):
+            if (n * d - s) ** 2 > k * k * var_num:
+                mu = s / d                     # same expression as SQL
+                sigma = float(np.sqrt(float(var_num))) / d
+                out_rows.append((key, day, int(hod), n,
+                                 round_scalar(mu, 6),
+                                 round_scalar(sigma, 6)))
+    if not out_rows:
+        return pa.table({key_col: pa.array([], pa.string()),
+                         "day": pa.array([], pa.timestamp("us")),
+                         "hod": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "mu": pa.array([], pa.float64()),
+                         "sigma": pa.array([], pa.float64())})
+    keys, days, hods, nss, mus, sigmas = zip(*out_rows)
+    return pa.table({key_col: pa.array(list(keys)),
+                     "day": pa.array(list(days), pa.timestamp("us")),
+                     "hod": pa.array(list(hods), pa.int64()),
+                     "n": pa.array(list(nss), pa.int64()),
+                     "mu": pa.array(list(mus), pa.float64()),
+                     "sigma": pa.array(list(sigmas), pa.float64())})
+
+
+def welch_ttest_by(ds: rd.Dataset, key_col: str, val_col: str) -> pa.Table:
+    """Per-group two-sample Welch t-test of ``val_col`` for each key's
+    rows vs ALL OTHER rows (the group-vs-rest significance scan a corpus
+    A/B report runs per segment): t = (m₁−m₀)/√(v₁/n₁+v₀/n₀) with the
+    Welch–Satterthwaite df. Returns one row per key with n, t_stat, df.
+
+    Numerics: complement moments must NOT come from raw Σx/Σx² differences
+    (catastrophic cancellation). Pass 1 gets the exact global mean C; pass
+    2 sums SHIFTED moments Σ(x−C), Σ(x−C)² per key — then any subset's
+    sample variance is ((dd − d²/n)/(n−1)) and the complement's shifted
+    sums are exact differences of per-key partials, all deviations
+    O(σ)-sized. Both passes are bounded-key driver combines (O(#keys)
+    driver state, no shuffle)."""
+    from .relational import grouped_agg
+
+    def p1(t: pa.Table) -> pa.Table:
+        g = pa.table({key_col: t[key_col], "v": t[val_col]}) \
+            .group_by([key_col]).aggregate([("v", "sum"), ([], "count_all")])
+        return g.rename_columns([key_col, "s_p", "n_p"])
+
+    t1 = pa.concat_tables([pa.table(b) for b in grouped_agg(
+        ds.map_batches(p1, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col], [("s_p", "sum", "s"), ("n_p", "sum", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    n_tot = int(pc.sum(t1["n"]).as_py())
+    c = float(pc.sum(t1["s"]).as_py()) / n_tot   # global shift center
+
+    def p2(t: pa.Table) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        dv = v - c
+        g = pa.table({key_col: t[key_col], "d": dv, "dd": dv * dv}) \
+            .group_by([key_col]).aggregate(
+                [("d", "sum"), ("dd", "sum"), ([], "count_all")])
+        return g.rename_columns([key_col, "d_p", "dd_p", "n_p"])
+
+    t2 = pa.concat_tables([pa.table(b) for b in grouped_agg(
+        ds.map_batches(p2, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col], [("d_p", "sum", "d"), ("dd_p", "sum", "dd"),
+                    ("n_p", "sum", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    t2 = t2.sort_by([(key_col, "ascending")])
+    d_tot = float(pc.sum(t2["d"]).as_py())
+    dd_tot = float(pc.sum(t2["dd"]).as_py())
+
+    keys_out, ns, tstats, dfs = [], [], [], []
+    for key, d1, dd1, n1 in zip(t2[key_col].to_pylist(),
+                                t2["d"].to_pylist(), t2["dd"].to_pylist(),
+                                t2["n"].to_pylist()):
+        n0 = n_tot - n1
+        if n1 < 2 or n0 < 2:
+            continue  # Welch needs ≥2 on both sides (SQL mirrors via HAVING)
+        d0, dd0 = d_tot - d1, dd_tot - dd1
+        m1, m0 = c + d1 / n1, c + d0 / n0
+        v1 = (dd1 - d1 * d1 / n1) / (n1 - 1)
+        v0 = (dd0 - d0 * d0 / n0) / (n0 - 1)
+        se1, se0 = v1 / n1, v0 / n0
+        tt = (m1 - m0) / np.sqrt(se1 + se0)
+        df_w = (se1 + se0) ** 2 / (se1 * se1 / (n1 - 1)
+                                   + se0 * se0 / (n0 - 1))
+        keys_out.append(key)
+        ns.append(int(n1))
+        tstats.append(round_scalar(float(tt), 6))
+        dfs.append(round_scalar(float(df_w), 4))
+    return pa.table({key_col: pa.array(keys_out),
+                     "n": pa.array(ns, pa.int64()),
+                     "t_stat": pa.array(tstats, pa.float64()),
+                     "df": pa.array(dfs, pa.float64())})

@@ -16,6 +16,7 @@ import ray
 import ray.data as rd
 
 from ..functions.hashing import hash64
+from ..functions.rounding import round_scalar
 
 TOKEN_RE = r"[A-Za-z0-9_]+"
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "for")
@@ -1642,3 +1643,184 @@ def bigram_pmi(ds: rd.Dataset, text_col: str = "text",
 
 
 _BI_PMI_CACHE: dict = {}
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: per-language unigram JS divergence vs the corpus
+# ---------------------------------------------------------------------------
+
+def lang_unigram_jsd(ds: rd.Dataset, group_col: str = "lang",
+                     text_col: str = "text",
+                     vocab_k: int = 200) -> pa.Table:
+    """Training-mixture drift monitor: Jensen–Shannon divergence between
+    each group's unigram distribution and the whole corpus's, over the
+    corpus top-``vocab_k`` words plus one OOV mass bucket. JSD(P,Q) =
+    ½ΣP·ln(P/M) + ½ΣQ·ln(Q/M), M=(P+Q)/2, natural log; zero-P terms
+    contribute only their Q half (Q > 0 for every bucket by
+    construction — the vocab comes from corpus counts).
+
+    Scale shape: pass 1 is the corpus_top_words pattern (per-batch vocab
+    partials → shuffle-mode word reduce → top-k); pass 2 broadcasts the
+    tiny vocab and emits per-batch (group, bucket) count partials — keys
+    bounded at #groups × (vocab_k+1), so the combine is a driver fold and
+    driver state is independent of corpus size. Text is read twice and
+    never exchanged. Tokenization matches the oracle:
+    list_filter(string_split(text, ' '), x -> x <> '')."""
+    from .relational import grouped_agg, topk
+
+    def vocab_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        vc = batch[text_col].dropna().str.split(" ").explode()
+        vc = vc[vc != ""].value_counts()
+        return pd.DataFrame({"word": vc.index, "n_p": vc.to_numpy()})
+
+    counts = grouped_agg(
+        ds.select_columns([text_col]).map_batches(vocab_partial,
+                                                  batch_format="pandas"),
+        ["word"], [("n_p", "sum", "n")])
+    top = pa.concat_tables([pa.table(b) for b in topk(
+        counts, ["n", "word"], vocab_k,
+        descending=[True, False]).iter_batches(batch_format="pyarrow")])
+    vocab = {w: i for i, w in enumerate(top["word"].to_pylist())}
+    nv = len(vocab)  # bucket nv == OOV
+    vocab_ref = ray.put(vocab)
+
+    def bucket_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        v = ray.get(vocab_ref)
+        toks = batch[[group_col, text_col]].dropna(subset=[text_col])
+        toks = toks.assign(**{text_col: toks[text_col].str.split(" ")}) \
+                   .explode(text_col)
+        toks = toks[toks[text_col] != ""]
+        b = toks[text_col].map(v).fillna(nv).astype(np.int64)
+        g = pd.DataFrame({group_col: toks[group_col], "b": b}) \
+            .groupby([group_col, "b"], sort=False).size().reset_index()
+        g.columns = [group_col, "b", "n_p"]
+        return g
+
+    cells = pa.concat_tables([pa.table(x) for x in grouped_agg(
+        ds.select_columns([group_col, text_col]).map_batches(
+            bucket_partial, batch_format="pandas"),
+        [group_col, "b"], [("n_p", "sum", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+
+    df = cells.to_pandas()
+    # dense (group × bucket) count matrix, bounded: groups × (vocab_k+1)
+    groups = sorted(df[group_col].unique())
+    gi = {g: i for i, g in enumerate(groups)}
+    mat = np.zeros((len(groups), nv + 1), np.float64)
+    mat[df[group_col].map(gi).to_numpy(),
+        df["b"].to_numpy()] = df["n"].to_numpy()
+    q_cnt = mat.sum(axis=0)
+    q = q_cnt / q_cnt.sum()           # corpus distribution (all buckets > 0
+    out_g, out_j, out_n = [], [], []  # whenever the corpus has any token)
+    for g in groups:
+        row = mat[gi[g]]
+        tot = row.sum()
+        p = row / tot
+        m = (p + q) / 2.0
+        pos = p > 0
+        qpos = q > 0  # an all-zero OOV bucket (vocab covers every word)
+        jsd = 0.5 * float(np.sum(p[pos] * np.log(p[pos] / m[pos]))) \
+            + 0.5 * float(np.sum(q[qpos] * np.log(q[qpos] / m[qpos])))
+        out_g.append(g)
+        out_j.append(round_scalar(jsd, 6))
+        out_n.append(int(tot))
+    return pa.table({group_col: pa.array(out_g),
+                     "n_tokens": pa.array(out_n, pa.int64()),
+                     "jsd": pa.array(out_j, pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of BM25 and TF-IDF rankings
+# ---------------------------------------------------------------------------
+
+def hybrid_rrf(ds: rd.Dataset, terms: tuple[str, ...],
+               k1: float = 1.2, b: float = 0.75, k_rrf: int = 60,
+               list_k: int = 100, top_n: int = 20,
+               text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Reciprocal-rank fusion of two retrieval rankings for one query —
+    BM25 (the bm25_scores kernel) and length-normalized TF-IDF
+    (Σ tf·ln((N+1)/(df+1)) / dl) — the standard hybrid-search merge:
+    rrf(d) = Σ_lists 1/(k_rrf + rank_d), over each scorer's top
+    ``list_k`` (rank by score DESC, id ASC; scores rounded to 6 digits
+    BEFORE ranking on both sides so the oracle ranks identical doubles).
+
+    Scale shape: ONE tokenize pass keeps only (id, dl, tf_j…) integers;
+    corpus stats are bounded driver partials; both scores are row-local;
+    each top-``list_k`` list comes from the partializable topk operator
+    (per-block prune, no global sort); the fuse itself touches ≤
+    2·list_k driver rows."""
+    from ..functions.rounding import round_np
+    from .relational import topk
+
+    m = len(terms)
+    terms = tuple(terms)
+
+    def tf_fn(t: pa.Table) -> pa.Table:
+        text = _string_array(t[text_col])
+        n_words, lists = _word_counts(text)
+        offs = lists.offsets.to_numpy()
+        row_idx = np.repeat(np.arange(len(lists)), np.diff(offs))
+        flat = lists.flatten()
+        cols = {id_col: t[id_col], "dl": pa.array(n_words, pa.int64())}
+        for j, term in enumerate(terms):
+            eq = pc.equal(flat, term).to_numpy(zero_copy_only=False)
+            cols[f"tf_{j}"] = pa.array(
+                np.bincount(row_idx[eq], minlength=len(lists))
+                .astype(np.int64))
+        return pa.table(cols)
+
+    tf = ds.map_batches(tf_fn, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def stat_fn(t: pa.Table) -> pa.Table:
+        out = {"n": pa.array([t.num_rows], pa.int64()),
+               "dl_sum": pa.array([pc.sum(t["dl"]).as_py() or 0], pa.int64())}
+        for j in range(m):
+            out[f"df_{j}"] = pa.array(
+                [pc.sum(pc.cast(pc.greater(t[f"tf_{j}"], 0),
+                                pa.int64())).as_py() or 0], pa.int64())
+        return pa.table(out)
+
+    rows = tf.map_batches(stat_fn, batch_format="pyarrow").take_all()
+    n_docs = sum(r["n"] for r in rows)
+    dl_sum = sum(r["dl_sum"] for r in rows)
+    df = np.array([sum(r[f"df_{j}"] for r in rows) for j in range(m)],
+                  np.float64)
+    avgdl = dl_sum / n_docs
+    idf_bm = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+    idf_tfidf = np.log((n_docs + 1.0) / (df + 1.0))
+
+    def score_fn(t: pa.Table) -> pa.Table:
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        denom_base = k1 * (1 - b + b * dl / avgdl)
+        s1 = np.zeros(len(dl), np.float64)
+        s2 = np.zeros(len(dl), np.float64)
+        for j in range(m):
+            tfj = t[f"tf_{j}"].to_numpy(zero_copy_only=False) \
+                              .astype(np.float64)
+            s1 += idf_bm[j] * (tfj * (k1 + 1)) / (tfj + denom_base)
+            s2 += tfj * idf_tfidf[j]
+        with np.errstate(invalid="ignore"):  # dl == 0 → score 0, like SQL
+            s2 = np.where(dl > 0, s2 / dl, 0.0)
+        return pa.table({id_col: t[id_col],
+                         "s1": pa.array(round_np(s1, 6), pa.float64()),
+                         "s2": pa.array(round_np(s2, 6), pa.float64())})
+
+    sc = tf.map_batches(score_fn, batch_format="pyarrow",
+                        zero_copy_batch=True).materialize()
+
+    def ranked(col: str) -> dict:
+        lst = pa.concat_tables([pa.table(x) for x in topk(
+            sc.select_columns([id_col, col]), [col, id_col], list_k,
+            descending=[True, False]).iter_batches(batch_format="pyarrow")])
+        lst = lst.sort_by([(col, "descending"), (id_col, "ascending")])
+        return {d: r + 1 for r, d in enumerate(lst[id_col].to_pylist())}
+
+    r1, r2 = ranked("s1"), ranked("s2")
+    fused = {d: (1.0 / (k_rrf + r1[d]) if d in r1 else 0.0)
+             + (1.0 / (k_rrf + r2[d]) if d in r2 else 0.0)
+             for d in set(r1) | set(r2)}
+    order = sorted(fused, key=lambda d: (-fused[d], d))[:top_n]
+    return pa.table({id_col: pa.array(order, pa.int64()),
+                     "rrf": pa.array([round_scalar(fused[d], 6)
+                                      for d in order], pa.float64())})

@@ -7254,6 +7254,166 @@ def doc_compression_ratio(sf_dir: str):
     return textops.add_compression_ratio(docs)
 
 
+@register("events_hod_anomalies", """
+WITH c AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2, 3
+), s AS (
+  SELECT event_type, hod,
+         CAST(count(*) AS HUGEINT) AS d,
+         CAST(sum(n) AS HUGEINT) AS sn,
+         CAST(sum(n * n) AS HUGEINT) AS ss
+  FROM c GROUP BY 1, 2
+)
+SELECT c.event_type, c.day, c.hod, c.n,
+       ROUND(CAST(sn AS DOUBLE) / CAST(d AS DOUBLE), 6) AS mu,
+       ROUND(sqrt(CAST(ss * d - sn * sn AS DOUBLE)) / CAST(d AS DOUBLE), 6)
+         AS sigma
+FROM c JOIN s ON c.event_type = s.event_type AND c.hod = s.hod
+WHERE (CAST(c.n AS HUGEINT) * d - sn) * (CAST(c.n AS HUGEINT) * d - sn)
+      > 4 * (ss * d - sn * sn)
+""")
+def events_hod_anomalies(sf_dir: str):
+    """Seasonal rate-anomaly scan (≙ HealthReporter's rate tracking with a
+    per-(type, hour-of-day) baseline instead of a global rate): flag the
+    (type, day, hour) cells whose count deviates more than 2·σ from that
+    cell's seasonal mean. The flag predicate is INTEGER arithmetic —
+    (n·D−S)² > 4·(SS·D−S²) — identical on both engines, so borderline
+    cells can never flip on float drift (ops/stats.py)."""
+    from ..ops import stats as st
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    return st.seasonal_hod_anomalies(ds, "ts", "event_type", k=2)
+
+
+@register("events_type_ttest", """
+WITH tps AS (SELECT DISTINCT event_type FROM events),
+x AS (SELECT t.event_type AS et,
+             CASE WHEN e.event_type = t.event_type THEN 1 ELSE 0 END AS grp,
+             e.value AS v
+      FROM tps t CROSS JOIN events e),
+s AS (SELECT et, grp, CAST(count(*) AS BIGINT) AS n, avg(v) AS m,
+             var_samp(v) AS vv
+      FROM x GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT a.et AS event_type, a.n AS n,
+       ROUND((a.m - b.m) / sqrt(a.vv / a.n + b.vv / b.n), 6) AS t_stat,
+       ROUND(pow(a.vv / a.n + b.vv / b.n, 2) /
+             (pow(a.vv / a.n, 2) / (a.n - 1)
+              + pow(b.vv / b.n, 2) / (b.n - 1)), 4) AS df
+FROM s a JOIN s b ON a.et = b.et AND a.grp = 1 AND b.grp = 0
+ORDER BY 1
+""")
+def events_type_ttest(sf_dir: str):
+    """Group-vs-rest Welch t-test per event type (the per-segment
+    significance scan of an A/B report). Two bounded-key driver passes;
+    complement moments come from SHIFTED sums (global-mean center), never
+    raw Σx² differences, so the 6-digit round absorbs the cross-engine
+    variance-algorithm gap (ops/stats.py::welch_ttest_by)."""
+    from ..ops import stats as st
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    return st.welch_ttest_by(ds, "event_type", "value")
+
+
+@register("doc_lang_jsd", """
+WITH w AS (
+  SELECT lang,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+  FROM documents WHERE text IS NOT NULL
+), top AS (
+  SELECT word FROM (SELECT word, count(*) AS n FROM w GROUP BY 1
+                    ORDER BY n DESC, word LIMIT 200)
+), m AS (
+  SELECT lang, CASE WHEN word IN (SELECT word FROM top) THEN word
+               ELSE chr(1) END AS tok FROM w
+), lc AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1, 2),
+lt AS (SELECT lang, sum(n) AS tot FROM lc GROUP BY 1),
+gc AS (SELECT tok, sum(n) AS n FROM lc GROUP BY 1),
+gt AS (SELECT sum(n) AS tot FROM gc),
+fx AS (
+  SELECT l.lang, lt.tot AS ltot, gt.tot AS gtot,
+         coalesce(lc.n, 0) AS nl, g.n AS ng
+  FROM (SELECT DISTINCT lang FROM lc) l
+  CROSS JOIN gc g
+  CROSS JOIN gt
+  JOIN lt ON lt.lang = l.lang
+  LEFT JOIN lc ON lc.lang = l.lang AND lc.tok = g.tok
+)
+SELECT lang, CAST(max(ltot) AS BIGINT) AS n_tokens,
+       ROUND(sum(
+         CASE WHEN nl > 0 THEN 0.5e0 * (nl * 1.0e0 / ltot)
+              * ln((nl * 1.0e0 / ltot)
+                   / (((nl * 1.0e0 / ltot) + (ng * 1.0e0 / gtot)) / 2))
+              ELSE 0e0 END
+         + 0.5e0 * (ng * 1.0e0 / gtot)
+              * ln((ng * 1.0e0 / gtot)
+                   / (((nl * 1.0e0 / ltot) + (ng * 1.0e0 / gtot)) / 2))
+       ), 6) AS jsd
+FROM fx GROUP BY lang ORDER BY lang
+""")
+def doc_lang_jsd(sf_dir: str):
+    """Training-mixture drift: Jensen-Shannon divergence of each
+    language's unigram distribution vs the corpus, over the corpus
+    top-200 words + one OOV mass bucket. Pass 1 = the corpus_top_words
+    vocab reduce; pass 2 = broadcast-vocab bounded (lang × bucket) count
+    partials, driver-combined (ops/textops.py::lang_unigram_jsd). The
+    divergence sum is rounded to 6 digits, absorbing summation-order
+    drift across the ~201 terms."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    return textops.lang_unigram_jsd(ds, "lang", "text", vocab_k=200)
+
+
+_TFIDF_NUM_SQL = " + ".join(
+    f"tf_{j} * ln((n + 1.0e0) / (df_{j} + 1.0e0))"
+    for j in range(len(_BM25_TERMS)))
+
+
+@register("docs_hybrid_rrf", f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+         {_BM25_TF_SQL}
+  FROM toks
+), stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+         {_BM25_DF_SQL}
+  FROM tf
+), sc AS (
+  SELECT doc_id,
+         ROUND({_BM25_SCORE_SQL}, 6) AS s1,
+         ROUND(CASE WHEN dl > 0 THEN ({_TFIDF_NUM_SQL}) / CAST(dl AS DOUBLE)
+               ELSE 0e0 END, 6) AS s2
+  FROM tf, stats
+), r1 AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY s1 DESC, doc_id) AS BIGINT) AS r
+  FROM sc ORDER BY s1 DESC, doc_id LIMIT 100
+), r2 AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY s2 DESC, doc_id) AS BIGINT) AS r
+  FROM sc ORDER BY s2 DESC, doc_id LIMIT 100
+)
+SELECT coalesce(r1.doc_id, r2.doc_id) AS doc_id,
+       ROUND(coalesce(1.0e0 / (60 + r1.r), 0e0)
+             + coalesce(1.0e0 / (60 + r2.r), 0e0), 6) AS rrf
+FROM r1 FULL JOIN r2 ON r1.doc_id = r2.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 20
+""")
+def docs_hybrid_rrf(sf_dir: str):
+    """Hybrid retrieval: reciprocal-rank fusion of the BM25 ranking and a
+    length-normalized TF-IDF ranking for one query (the standard
+    lexical+lexical hybrid-search merge; rrf = Σ 1/(60+rank) over each
+    scorer's top-100). One tokenize pass feeds both scorers; both scores
+    round to 6 digits BEFORE ranking on both engines, ties break on
+    doc_id, so rank assignment is deterministic cross-engine
+    (ops/textops.py::hybrid_rrf)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.hybrid_rrf(ds, _BM25_TERMS)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
@@ -7276,7 +7436,7 @@ _DRIVER_FIRST = [
     "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
     # new operator families added late in round 4
     "doc_bigram_pmi", "events_scd2_history", "events_k_anonymous",
-    "events_k_anon_generalized", "embedding_rp_topk",
+    "embedding_rp_topk",
     "events_value_mad_filtered", "events_funnel_view_click_purchase",
     "pages_wire_grok",
     "events_by_type_from_orc", "near_dup_keep_best_docs",
@@ -7286,10 +7446,12 @@ _DRIVER_FIRST = [
     "events_value_winsorized", "events_by_type_skew_salted",
     "events_daily_from_csv", "pages_canonical_urls",
     "events_unpivot_metrics", "events_avg_value_from_avro",
-    "customer_supplier_pagerank", "supplier_pagerank_top10",
+    "supplier_pagerank_top10",
+    # late round-4 families: anomaly scan, significance test, drift, fusion
+    "events_hod_anomalies", "events_type_ttest", "doc_lang_jsd",
+    "docs_hybrid_rrf",
     "embedding_label_centroids", "docs_search_and",
-    "events_validation_report", "events_quarantine",
-    "events_late_by_batch",
+    "events_validation_report", "events_late_by_batch",
     "events_hourly_ontime", "docs_bm25_from_index",
     "events_cohort_retention", "pages_from_warc",
     "dedup_exact_incremental", "pages_latest_per_canonical",
@@ -7298,7 +7460,7 @@ _DRIVER_FIRST = [
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
     "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
     "embedding_hard_negatives",
-    "events_l_diversity", "events_scd2_latest",
+    "events_l_diversity",
 ]
 
 

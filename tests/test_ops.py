@@ -3851,3 +3851,69 @@ def test_random_projection_distortion_and_topk():
     want = sorted(zip(-sims, range(n)))[:5]
     assert [(s.score, s.vec_id) for s in got.itertuples()] == \
         [(-s, i) for s, i in want]
+
+
+def test_lang_unigram_jsd_separated_vs_identical():
+    from illumio_ray.ops import textops
+    # lang A and B share a distribution; lang C is disjoint → JSD(C) ≈ ln 2
+    rows = []
+    for i in range(60):
+        rows.append(("A", "alpha beta gamma alpha"))
+        rows.append(("B", "alpha beta gamma beta"))
+        rows.append(("C", "delta epsilon zeta delta"))
+    df = pd.DataFrame(rows, columns=["lang", "text"])
+    out = (textops.lang_unigram_jsd(rd.from_pandas(df).repartition(5),
+                                    "lang", "text", vocab_k=10)
+           .to_pandas().set_index("lang"))
+    assert out.loc["C", "jsd"] > out.loc["A", "jsd"]
+    assert out.loc["C", "jsd"] > 0.3          # disjoint support is far out
+    # A and B are symmetric around the corpus (alpha/beta swap) → equal JSD,
+    # and both sit well under the disjoint language
+    assert out.loc["A", "jsd"] == out.loc["B", "jsd"]
+    assert out.loc["A", "jsd"] < 0.5 * out.loc["C", "jsd"]
+    assert int(out.loc["A", "n_tokens"]) == 240
+
+
+def test_lang_unigram_jsd_partition_invariant():
+    from illumio_ray.ops import textops
+    rng = np.random.default_rng(7)
+    words = np.array(["w%d" % i for i in range(40)])
+    df = pd.DataFrame({
+        "lang": rng.choice(["en", "fr"], 300),
+        "text": [" ".join(rng.choice(words, 12)) for _ in range(300)]})
+    a = textops.lang_unigram_jsd(rd.from_pandas(df), "lang", "text",
+                                 vocab_k=25).to_pandas()
+    b = textops.lang_unigram_jsd(rd.from_pandas(df).repartition(11),
+                                 "lang", "text", vocab_k=25).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hybrid_rrf_fuses_both_rankings():
+    from illumio_ray.ops import textops
+    # doc 1 wins bm25 (rare term), doc 2 wins tf-idf density, doc 3 has
+    # nothing; fused top must put 1 and 2 ahead of every filler doc
+    df = pd.DataFrame({
+        "doc_id": np.arange(1, 31),
+        "text": (["cat cat dog filler filler filler"]   # balanced
+                 + ["cat cat"]                          # short → tfidf king
+                 + ["filler junk words here"] * 28)})
+    out = textops.hybrid_rrf(rd.from_pandas(df).repartition(4),
+                             ("cat", "dog"), list_k=10,
+                             top_n=5).to_pandas()
+    assert list(out.doc_id[:2]) in ([1, 2], [2, 1])
+    # every rrf value is one or two 1/(60+r) terms
+    assert (out.rrf <= round(2 / 61, 6) + 1e-9).all()
+    assert (out.rrf > 0).all()
+
+
+def test_hybrid_rrf_rank_ties_break_on_doc_id():
+    from illumio_ray.ops import textops
+    # all docs identical → every score ties; ranks follow doc_id, so the
+    # fused order is exactly doc_id ascending
+    df = pd.DataFrame({"doc_id": np.arange(1, 21),
+                       "text": ["cat dog"] * 20})
+    out = textops.hybrid_rrf(rd.from_pandas(df).repartition(3),
+                             ("cat", "dog"), list_k=8, top_n=8).to_pandas()
+    assert list(out.doc_id) == list(range(1, 9))
+    want0 = round(1 / 61 + 1 / 61, 6)
+    assert out.rrf.iloc[0] == want0

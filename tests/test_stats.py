@@ -136,3 +136,99 @@ def test_histogram_degenerate_and_empty():
         stats.histogram_equi_width(one, "x", 0)
     with pytest.raises(ValueError):
         stats.histogram_equi_width(one, "x", 4, lo=5.0, hi=1.0)
+
+
+# ---------------------------------------------------------------------------
+# seasonal_hod_anomalies
+# ---------------------------------------------------------------------------
+
+def _events_toy(n=4000, seed=11):
+    rng = np.random.default_rng(seed)
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = base + rng.integers(0, 14 * 24 * 3600, n).astype("timedelta64[s]")
+    key = rng.choice(["a", "b"], n)
+    # plant a burst: key 'a', day 5, hour 3 gets 300 extra events
+    burst = (base + np.timedelta64(5 * 24 + 3, "h")
+             + rng.integers(0, 3600, 300).astype("timedelta64[s]"))
+    ts = np.concatenate([ts.astype("datetime64[us]"),
+                         burst.astype("datetime64[us]")])
+    key = np.concatenate([key, np.array(["a"] * 300)])
+    return pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                     "k": pa.array(key)})
+
+
+def _anomaly_ref(t: pa.Table, k=2):
+    df = t.to_pandas()
+    df["day"] = df["ts"].dt.floor("D")
+    df["hod"] = df["ts"].dt.hour
+    cells = df.groupby(["k", "day", "hod"]).size().reset_index(name="n")
+    out = set()
+    for (key, hod), grp in cells.groupby(["k", "hod"]):
+        ns = grp["n"].to_numpy()
+        d, s, ss = len(ns), int(ns.sum()), int((ns.astype(object) ** 2).sum())
+        for day, n in zip(grp["day"], ns):
+            if (int(n) * d - s) ** 2 > k * k * (ss * d - s * s):
+                out.add((key, day, int(hod), int(n)))
+    return out
+
+
+@pytest.mark.parametrize("nblocks", [1, 9])
+def test_seasonal_anomalies_match_reference(nblocks):
+    t = _events_toy()
+    ds = rd.from_arrow(t).repartition(nblocks)
+    got = stats.seasonal_hod_anomalies(ds, "ts", "k", k=2).to_pandas()
+    got_set = {(r.k, r.day, int(r.hod), int(r.n))
+               for r in got.itertuples()}
+    assert got_set == _anomaly_ref(t)
+    # the planted burst is flagged
+    assert any(key == "a" and hod == 3 and n >= 300
+               for key, _, hod, n in got_set)
+    # μ/σ are consistent with the flag: every flagged row deviates > 2σ
+    assert ((got["n"] - got["mu"]).abs() >= 2 * got["sigma"] - 1e-6).all()
+
+
+def test_seasonal_anomalies_uniform_stream_flags_little():
+    # perfectly regular stream: 2 events per (hour, key) every day → σ = 0
+    # everywhere, nothing flagged (strict > on an all-equal cell set)
+    hours = np.arange(7 * 24)
+    ts = (np.datetime64("2024-03-01T00:30:00", "us")
+          + np.repeat(hours, 2) * np.timedelta64(3600, "s"))
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "k": pa.array(["a"] * len(ts))})
+    got = stats.seasonal_hod_anomalies(rd.from_arrow(t), "ts", "k", k=2)
+    assert got.num_rows == 0
+
+
+# ---------------------------------------------------------------------------
+# welch_ttest_by
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nblocks", [1, 8])
+def test_welch_ttest_matches_scipy_formula(nblocks):
+    rng = np.random.default_rng(5)
+    g = rng.choice(["x", "y", "z"], 6000, p=[0.5, 0.3, 0.2])
+    v = rng.normal(100.0, 10.0, 6000) + np.where(g == "y", 3.0, 0.0)
+    t = pa.table({"g": g, "v": v})
+    ds = rd.from_arrow(t).repartition(nblocks)
+    got = stats.welch_ttest_by(ds, "g", "v").to_pandas().set_index("g")
+    for key in ["x", "y", "z"]:
+        a = v[g == key]
+        b = v[g != key]
+        se = a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        t_ref = (a.mean() - b.mean()) / np.sqrt(se)
+        df_ref = se ** 2 / ((a.var(ddof=1) / len(a)) ** 2 / (len(a) - 1)
+                            + (b.var(ddof=1) / len(b)) ** 2 / (len(b) - 1))
+        row = got.loc[key]
+        assert row["n"] == len(a)
+        assert abs(row["t_stat"] - t_ref) < 1e-5
+        assert abs(row["df"] - df_ref) / df_ref < 1e-6
+    # the shifted group is the significant one
+    assert abs(got.loc["y", "t_stat"]) > abs(got.loc["x", "t_stat"])
+
+
+def test_welch_ttest_skips_singleton_groups():
+    t = pa.table({"g": ["a"] * 50 + ["solo"],
+                  "v": list(np.linspace(0, 1, 50)) + [9.9]})
+    got = stats.welch_ttest_by(rd.from_arrow(t), "g", "v").to_pandas()
+    # 'solo' has n=1 → skipped; 'a' vs rest needs rest ≥ 2 → also skipped
+    assert set(got["g"]) == set()
