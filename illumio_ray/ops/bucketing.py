@@ -150,12 +150,36 @@ def _read_head(bdir: Path) -> tuple[str | None, list[str]]:
 
 
 def _commit_head(bdir: Path, gen: str, tokens: list[str],
-                 tmp_tag: str) -> None:
+                 tmp_tag: str, seq: int | None = None) -> None:
     import os
 
     head_tmp = bdir / f"_HEAD.{tmp_tag}.tmp"
     head_tmp.write_text("\n".join([gen, *tokens]))
     os.replace(head_tmp, bdir / "_HEAD")   # commit point
+    if seq is not None:
+        # immutable snapshot pointer for time travel: written AFTER the
+        # _HEAD replace, so a crash in between resolves this op's
+        # snapshot to the PREVIOUS version — snapshot visibility never
+        # runs ahead of liveness (single-writer protocol; a retried op
+        # re-commits both)
+        ver_tmp = bdir / f"_HEAD@{seq:08d}.{tmp_tag}.tmp"
+        ver_tmp.write_text(gen)
+        os.replace(ver_tmp, bdir / f"_HEAD@{seq:08d}")
+
+
+def _next_seq(layout_dir: str | Path) -> int:
+    """Allocate the next layout-level snapshot sequence number (monotonic,
+    starts at 1; the pre-upsert base layout is snapshot 0). Single-writer,
+    like every other mutation of the layout."""
+    import os
+
+    seq_file = Path(layout_dir) / "_SEQ"
+    cur = int(seq_file.read_text()) if seq_file.exists() else 0
+    nxt = cur + 1
+    tmp = seq_file.with_suffix(".tmp")
+    tmp.write_text(str(nxt))
+    os.replace(tmp, seq_file)
+    return nxt
 
 
 def _live_files(bdir: Path) -> list[Path]:
@@ -175,7 +199,8 @@ read_bucket_live = read_bucket
 
 @ray.remote
 def _upsert_bucket(layout_dir: str, incoming_dir: str, bucket: int,
-                   key_col: str, token: str) -> dict:
+                   key_col: str, token: str,
+                   snap_seq: int | None = None) -> dict:
     import os
 
     import pyarrow.compute as pc
@@ -203,7 +228,7 @@ def _upsert_bucket(layout_dir: str, incoming_dir: str, bucket: int,
     # replace-by-key is idempotent per delta, but the merge-token ledger
     # must survive an interleaved upsert or a replayed merge re-adds
     _, applied = _read_head(bdir)
-    _commit_head(bdir, gen, applied, token)
+    _commit_head(bdir, gen, applied, token, seq=snap_seq)
     return {"bucket": bucket, "added": new.num_rows, "replaced": replaced}
 
 
@@ -222,22 +247,24 @@ def upsert_bucketed(layout_dir: str | Path, new_ds: rd.Dataset,
     incoming = Path(layout_dir) / f"_incoming-{token}"
     write_bucketed(new_ds, key_col, num_buckets, incoming)
     try:
+        snap = _next_seq(layout_dir)
         touched = sorted(int(p.name.split("=", 1)[1])
                          for p in incoming.glob("__bucket=*"))
         refs = [_upsert_bucket.remote(str(layout_dir), str(incoming), b,
-                                      key_col, token)
+                                      key_col, token, snap)
                 for b in touched]
         stats = ray.get(refs)
     finally:
         shutil.rmtree(incoming, ignore_errors=True)
-    return {"buckets_touched": len(stats),
+    return {"snapshot_seq": snap, "buckets_touched": len(stats),
             "rows_added": sum(s["added"] for s in stats),
             "rows_replaced": sum(s["replaced"] for s in stats)}
 
 
 @ray.remote
 def _merge_bucket(layout_dir: str, incoming_dir: str, bucket: int,
-                  key_col: str, sum_cols: list[str], token: str) -> dict:
+                  key_col: str, sum_cols: list[str], token: str,
+                  snap_seq: int | None = None) -> dict:
     import os
 
     import pyarrow.compute as pc
@@ -265,7 +292,7 @@ def _merge_bucket(layout_dir: str, incoming_dir: str, bucket: int,
     tmp = bdir / (gen + ".tmp")
     pq.write_table(merged, tmp)
     os.replace(tmp, bdir / gen)            # file visible, not yet live
-    _commit_head(bdir, gen, [*applied, token], token)
+    _commit_head(bdir, gen, [*applied, token], token, seq=snap_seq)
     return {"bucket": bucket, "keys": merged.num_rows, "skipped": False}
 
 
@@ -295,15 +322,17 @@ def merge_bucketed(layout_dir: str | Path, delta_ds: rd.Dataset,
     shutil.rmtree(incoming, ignore_errors=True)  # crashed-run leftovers
     write_bucketed(delta_ds, key_col, num_buckets, incoming)
     try:
+        snap = _next_seq(layout_dir)
         touched = sorted(int(p.name.split("=", 1)[1])
                          for p in incoming.glob("__bucket=*"))
         refs = [_merge_bucket.remote(str(layout_dir), str(incoming), b,
-                                     key_col, list(sum_cols), token)
+                                     key_col, list(sum_cols), token, snap)
                 for b in touched]
         stats = ray.get(refs)
     finally:
         shutil.rmtree(incoming, ignore_errors=True)
-    return {"token": token, "buckets_touched": len(stats),
+    return {"token": token, "snapshot_seq": snap,
+            "buckets_touched": len(stats),
             "buckets_skipped": sum(1 for s in stats if s["skipped"]),
             "live_keys_in_touched": sum(s["keys"] for s in stats)}
 
@@ -319,6 +348,79 @@ def live_parquet_files(layout_dir: str | Path,
         if bdir.exists():
             files += [str(f) for f in _live_files(bdir)]
     return files
+
+
+def _bucket_versions(bdir: Path) -> list[tuple[int, Path]]:
+    """Committed snapshot pointers of one bucket, ascending by seq."""
+    out = []
+    for p in bdir.glob("_HEAD@*"):
+        if p.name.endswith(".tmp"):
+            continue
+        try:
+            out.append((int(p.name.split("@", 1)[1]), p))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+def snapshot_parquet_files(layout_dir: str | Path, num_buckets: int,
+                           seq: int) -> list[str]:
+    """Time travel: the layout's parquet files AS OF snapshot ``seq``
+    (``snapshot_seq`` returned by upsert/merge/apply; 0 = the base
+    write_bucketed layout). Per bucket the newest committed snapshot
+    pointer ≤ seq names the live generation file; a bucket with no
+    pointer that old serves its base files. Pure directory-listing
+    metadata — O(buckets), no data scan; hand the list to
+    ray.data.read_parquet for the distributed read.
+
+    Raises FileNotFoundError if the snapshot's generation file has been
+    vacuumed (vacuum_bucketed keeps only the live generation; historic
+    snapshots are readable exactly until the next vacuum)."""
+    files: list[str] = []
+    for b in range(num_buckets):
+        bdir = _bucket_dir(layout_dir, b)
+        if not bdir.exists():
+            continue
+        vers = [(s, p) for s, p in _bucket_versions(bdir) if s <= seq]
+        if vers:
+            gen = vers[-1][1].read_text().strip()
+            gp = bdir / gen
+            if not gp.exists():
+                raise FileNotFoundError(
+                    f"snapshot {seq} of bucket {b} ({gen}) was vacuumed — "
+                    "historic snapshots survive only until vacuum_bucketed")
+            files.append(str(gp))
+        else:
+            # bucket untouched at/before seq: base files (never includes
+            # gen files — those are newer than any base state)
+            base = sorted(str(p) for p in bdir.glob("*.parquet")
+                          if not p.name.startswith("gen-"))
+            if not base and (bdir / "_BASE_VACUUMED").exists():
+                raise FileNotFoundError(
+                    f"snapshot {seq} of bucket {b}: base files were "
+                    "vacuumed — historic snapshots survive only until "
+                    "vacuum_bucketed")
+            files += base
+    return files
+
+
+def read_bucketed_asof(layout_dir: str | Path, num_buckets: int,
+                       seq: int,
+                       columns: list[str] | None = None) -> rd.Dataset:
+    """Distributed scan of the layout AS OF snapshot ``seq`` (see
+    snapshot_parquet_files). An empty snapshot (base layout never
+    written) yields an empty Dataset with the layout schema."""
+    files = snapshot_parquet_files(layout_dir, num_buckets, seq)
+    if not files:
+        empty = _bucket_schema(layout_dir).empty_table()
+        return rd.from_arrow(empty.select(columns) if columns else empty)
+    return rd.read_parquet(files, columns=columns)
+
+
+def current_snapshot_seq(layout_dir: str | Path) -> int:
+    """The latest allocated snapshot sequence (0 ⇔ base layout only)."""
+    seq_file = Path(layout_dir) / "_SEQ"
+    return int(seq_file.read_text()) if seq_file.exists() else 0
 
 
 def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
@@ -346,8 +448,18 @@ def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
             # readers by the _live_files contract)
             doomed = list(bdir.glob("gen-*.parquet*"))
         for p in doomed:
+            if not p.name.startswith("gen-"):
+                # deleting base files: leave a tombstone so a time-travel
+                # read of the pre-upsert state fails fast instead of
+                # silently yielding an empty bucket
+                (bdir / "_BASE_VACUUMED").touch()
             p.unlink()
             removed += 1
+        # snapshot pointers (_HEAD@seq) are KEPT even when their gen file
+        # is vacuumed: they act as tombstones so a time-travel read of
+        # vacuumed history fails fast (FileNotFoundError in
+        # snapshot_parquet_files) instead of silently resolving to the
+        # stale base files
     return removed
 
 
@@ -399,7 +511,7 @@ def bucketed_lookup(layout_dir: str | Path, key_col: str, keys: list,
 @ray.remote
 def _apply_bucket(layout_dir: str, incoming_dir: str, bucket: int,
                   key_col: str, op_col: str, seq_col: str | None,
-                  token: str) -> dict:
+                  token: str, snap_seq: int | None = None) -> dict:
     import os
 
     import pyarrow.parquet as pq
@@ -443,7 +555,7 @@ def _apply_bucket(layout_dir: str, incoming_dir: str, bucket: int,
     pq.write_table(merged, tmp)
     os.replace(tmp, bdir / gen)            # file visible, not yet live
     _, applied = _read_head(bdir)
-    _commit_head(bdir, gen, applied, token)
+    _commit_head(bdir, gen, applied, token, seq=snap_seq)
     return {"bucket": bucket, "deleted": n_del, "upserted": ups.num_rows}
 
 
@@ -470,14 +582,15 @@ def apply_changes_bucketed(layout_dir: str | Path, changes: rd.Dataset,
     incoming = Path(layout_dir) / f"_incoming-{token}"
     write_bucketed(changes, key_col, num_buckets, incoming)
     try:
+        snap = _next_seq(layout_dir)
         touched = sorted(int(p.name.split("=", 1)[1])
                          for p in incoming.glob("__bucket=*"))
         refs = [_apply_bucket.remote(str(layout_dir), str(incoming), b,
-                                     key_col, op_col, seq_col, token)
+                                     key_col, op_col, seq_col, token, snap)
                 for b in touched]
         stats = ray.get(refs)
     finally:
         shutil.rmtree(incoming, ignore_errors=True)
-    return {"buckets_touched": len(stats),
+    return {"snapshot_seq": snap, "buckets_touched": len(stats),
             "rows_deleted": sum(s["deleted"] for s in stats),
             "rows_upserted": sum(s["upserted"] for s in stats)}

@@ -7254,6 +7254,63 @@ def doc_compression_ratio(sf_dir: str):
     return textops.add_compression_ratio(docs)
 
 
+@register("events_user_totals_asof", """
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       ROUND(sum(value), 6) AS sum_value
+FROM events WHERE event_id < (SELECT count(*) // 2 FROM events)
+GROUP BY 1
+""")
+def events_user_totals_asof(sf_dir: str):
+    """Time travel over the bucketed-layout snapshot lineage: base layout
+    = first-half per-user totals (snapshot 0), second half merged in
+    additively (snapshot 1) — then the layout is read AS OF snapshot 0
+    and must equal the SQL aggregate over the first half only, proving
+    the merge didn't bleed into history. Snapshot resolution is pure
+    _HEAD@seq pointer metadata per bucket (ops/bucketing.py::
+    snapshot_parquet_files); vacuumed history fails fast instead of
+    silently serving stale state."""
+    import shutil
+    import tempfile
+
+    from ..ops import bucketing
+
+    src = Path(sf_dir) / "events.parquet"
+    n = pq.ParquetFile(str(src)).metadata.num_rows
+    half = n // 2
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "value"])
+
+    def part(lo: bool) -> rd.Dataset:
+        def f(t: pa.Table) -> pa.Table:
+            m = (pc.less(t["event_id"], half) if lo
+                 else pc.greater_equal(t["event_id"], half))
+            return t.filter(m).select(["user_id", "value"])
+
+        ds = ev.map_batches(f, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        return rel.grouped_agg(
+            ds, ["user_id"],
+            [("user_id", "count", "n_events"),
+             ("value", "sum", "sum_value")], mode="auto")
+
+    lay = Path(tempfile.mkdtemp(prefix="asof_gate_")) / "agg"
+    try:
+        bucketing.write_bucketed(part(True), "user_id", 16, lay)
+        r = bucketing.merge_bucketed(lay, part(False), "user_id", 16,
+                                     ["n_events", "sum_value"],
+                                     token="gate-asof")
+        assert r["snapshot_seq"] == 1
+        out = bucketing.read_bucketed_asof(lay, 16, seq=0).map_batches(
+            lambda t: pa.table({
+                "user_id": t["user_id"],
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "sum_value": round_col(t["sum_value"], 6),
+            }), batch_format="pyarrow", zero_copy_batch=True).materialize()
+    finally:
+        shutil.rmtree(lay.parent, ignore_errors=True)
+    return out
+
+
 @register("events_hod_anomalies", """
 WITH c AS (
   SELECT event_type, date_trunc('day', ts) AS day,
@@ -7456,7 +7513,7 @@ _DRIVER_FIRST = [
     "events_cohort_retention", "pages_from_warc",
     "dedup_exact_incremental", "pages_latest_per_canonical",
     "doc_ccnet_buckets", "pages_blocklist_filtered",
-    "events_user_totals_merged", "q1_incremental_refresh",
+    "events_user_totals_asof", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
     "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
     "embedding_hard_negatives",

@@ -3917,3 +3917,80 @@ def test_hybrid_rrf_rank_ties_break_on_doc_id():
     assert list(out.doc_id) == list(range(1, 9))
     want0 = round(1 / 61 + 1 / 61, 6)
     assert out.rrf.iloc[0] == want0
+
+
+def test_time_travel_snapshots_across_upserts(tmp_path):
+    """Every upsert/merge/apply allocates a snapshot seq; read_bucketed_asof
+    reconstructs the layout exactly as of each snapshot, and vacuum turns
+    historic snapshots into fast FileNotFoundError (never silent base
+    fallback) while the current one stays readable."""
+    from illumio_ray.ops import bucketing
+
+    layout = tmp_path / "layout"
+    nb = 4
+    base = pd.DataFrame({"k": np.arange(20, dtype=np.int64),
+                         "v": np.zeros(20, dtype=np.int64)})
+    bucketing.write_bucketed(rd.from_pandas(base), "k", nb, layout)
+    assert bucketing.current_snapshot_seq(layout) == 0
+
+    s1 = bucketing.upsert_bucketed(
+        layout, rd.from_pandas(pd.DataFrame(
+            {"k": np.arange(10, dtype=np.int64),
+             "v": np.full(10, 1, np.int64)})), "k", nb)["snapshot_seq"]
+    s2 = bucketing.upsert_bucketed(
+        layout, rd.from_pandas(pd.DataFrame(
+            {"k": np.arange(15, 30, dtype=np.int64),
+             "v": np.full(15, 2, np.int64)})), "k", nb)["snapshot_seq"]
+    assert (s1, s2) == (1, 2)
+    assert bucketing.current_snapshot_seq(layout) == 2
+
+    def state(seq):
+        df = (bucketing.read_bucketed_asof(layout, nb, seq)
+              .to_pandas().sort_values("k").reset_index(drop=True))
+        return list(zip(df.k, df.v))
+
+    want0 = [(k, 0) for k in range(20)]
+    want1 = [(k, 1) for k in range(10)] + [(k, 0) for k in range(10, 20)]
+    want2 = ([(k, 1) for k in range(10)] + [(k, 0) for k in range(10, 15)]
+             + [(k, 2) for k in range(15, 30)])
+    assert state(0) == want0
+    assert state(1) == want1
+    assert state(2) == want2
+    # asof beyond current = current
+    assert state(99) == want2
+
+    # vacuum: history gone (loud), current snapshot still exact
+    assert bucketing.vacuum_bucketed(layout, nb) > 0
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        bucketing.snapshot_parquet_files(layout, nb, 1)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        bucketing.snapshot_parquet_files(layout, nb, 0)  # base gone too
+    assert state(2) == want2
+
+
+def test_time_travel_merge_and_cdc_snapshots(tmp_path):
+    """merge_bucketed and apply_changes_bucketed participate in the same
+    snapshot lineage (one seq per operation, shared counter)."""
+    from illumio_ray.ops import bucketing
+
+    layout = tmp_path / "agg"
+    nb = 4
+    bucketing.write_bucketed(
+        rd.from_pandas(pd.DataFrame({"k": [1, 2, 3],
+                                     "n": [10, 20, 30]})), "k", nb, layout)
+    r1 = bucketing.merge_bucketed(
+        layout, rd.from_pandas(pd.DataFrame({"k": [2, 4], "n": [5, 7]})),
+        "k", nb, ["n"], token="t1")
+    r2 = bucketing.apply_changes_bucketed(
+        layout, rd.from_pandas(pd.DataFrame(
+            {"k": [1], "op": ["D"], "n": [0]})), "k", "op", nb)
+    assert r1["snapshot_seq"] == 1 and r2["snapshot_seq"] == 2
+
+    def state(seq):
+        df = (bucketing.read_bucketed_asof(layout, nb, seq)
+              .to_pandas().sort_values("k").reset_index(drop=True))
+        return list(zip(df.k, df.n))
+
+    assert state(0) == [(1, 10), (2, 20), (3, 30)]
+    assert state(1) == [(1, 10), (2, 25), (3, 30), (4, 7)]
+    assert state(2) == [(2, 25), (3, 30), (4, 7)]
