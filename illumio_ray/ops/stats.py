@@ -28,7 +28,8 @@ import ray.data as rd
 from ..functions.rounding import round_scalar
 
 __all__ = ["bivariate_stats", "histogram_equi_width",
-           "seasonal_hod_anomalies", "welch_ttest_by"]
+           "seasonal_hod_anomalies", "welch_ttest_by",
+           "chi_square_independence"]
 
 
 def _stream_sum_partials(partials: rd.Dataset, keys: list[str]) -> pa.Table:
@@ -407,3 +408,40 @@ def welch_ttest_by(ds: rd.Dataset, key_col: str, val_col: str) -> pa.Table:
                      "n": pa.array(ns, pa.int64()),
                      "t_stat": pa.array(tstats, pa.float64()),
                      "df": pa.array(dfs, pa.float64())})
+
+
+def chi_square_independence(ds: rd.Dataset, col_a: str,
+                            col_b: str) -> pa.Table:
+    """Pearson chi-square test of independence between two BOUNDED
+    categorical columns: one pass emits per-batch (a, b) count partials
+    (driver-combined, O(#cells) state), then the dense contingency table
+    — INCLUDING structurally-zero cells, which still contribute their
+    expected mass — yields chi2 = Σ (o−e)²/e with e = rowΣ·colΣ/N and
+    dof = (R−1)(C−1). Returns a single row {chi2, dof, n}."""
+    from .relational import grouped_agg
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = pa.table({col_a: t[col_a], col_b: t[col_b]}) \
+            .group_by([col_a, col_b]).aggregate([([], "count_all")])
+        return g.rename_columns([col_a, col_b, "n_p"])
+
+    cells = pa.concat_tables([pa.table(b) for b in grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        [col_a, col_b], [("n_p", "sum", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    df = cells.to_pandas()
+    avals = sorted(df[col_a].unique())
+    bvals = sorted(df[col_b].unique())
+    ai = {v: i for i, v in enumerate(avals)}
+    bi = {v: i for i, v in enumerate(bvals)}
+    mat = np.zeros((len(avals), len(bvals)), np.float64)
+    mat[df[col_a].map(ai).to_numpy(), df[col_b].map(bi).to_numpy()] = \
+        df["n"].to_numpy()
+    n = mat.sum()
+    e = np.outer(mat.sum(axis=1), mat.sum(axis=0)) / n
+    chi2 = float(np.sum((mat - e) ** 2 / e))
+    dof = (len(avals) - 1) * (len(bvals) - 1)
+    return pa.table({"chi2": pa.array([round_scalar(chi2, 6)], pa.float64()),
+                     "dof": pa.array([dof], pa.int64()),
+                     "n": pa.array([int(n)], pa.int64())})

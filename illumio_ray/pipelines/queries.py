@@ -7372,6 +7372,39 @@ def events_type_ttest(sf_dir: str):
     return st.welch_ttest_by(ds, "event_type", "value")
 
 
+@register("events_type_hour_chi2", """
+WITH c AS (
+  SELECT event_type AS a, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS b,
+         CAST(count(*) AS BIGINT) AS o
+  FROM events GROUP BY 1, 2
+), grid AS (
+  SELECT ra.a, cb.b, ra.rt, cb.ct, coalesce(c.o, 0) AS o
+  FROM (SELECT a, sum(o) AS rt FROM c GROUP BY 1) ra
+  CROSS JOIN (SELECT b, sum(o) AS ct FROM c GROUP BY 1) cb
+  LEFT JOIN c ON c.a = ra.a AND c.b = cb.b
+), tot AS (SELECT sum(o) AS nn FROM c)
+SELECT ROUND(sum(pow(o - (rt * ct * 1.0e0) / nn, 2)
+                 / ((rt * ct * 1.0e0) / nn)), 6) AS chi2,
+       CAST(((SELECT count(DISTINCT a) FROM c) - 1)
+            * ((SELECT count(DISTINCT b) FROM c) - 1) AS BIGINT) AS dof,
+       CAST(max(nn) AS BIGINT) AS n
+FROM grid, tot
+""")
+def events_type_hour_chi2(sf_dir: str):
+    """Chi-square independence test of event_type × hour-of-day (is the
+    event mix time-of-day dependent?). Bounded (type, hod) count partials
+    driver-combine; the dense contingency grid includes structurally-zero
+    cells (they still carry expected mass) on BOTH engines
+    (ops/stats.py::chi_square_independence)."""
+    from ..ops import stats as st
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    hod = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "hod": pc.cast(pc.hour(t["ts"]), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return st.chi_square_independence(hod, "event_type", "hod")
+
+
 @register("doc_lang_jsd", """
 WITH w AS (
   SELECT lang,

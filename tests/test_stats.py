@@ -232,3 +232,39 @@ def test_welch_ttest_skips_singleton_groups():
     got = stats.welch_ttest_by(rd.from_arrow(t), "g", "v").to_pandas()
     # 'solo' has n=1 → skipped; 'a' vs rest needs rest ≥ 2 → also skipped
     assert set(got["g"]) == set()
+
+
+# ---------------------------------------------------------------------------
+# chi_square_independence
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_chi_square_matches_dense_reference(nblocks):
+    rng = np.random.default_rng(9)
+    a = rng.choice(["p", "q", "r"], 5000)
+    # mild dependence: 'p' rows lean to category 0
+    b = np.where((a == "p") & (rng.random(5000) < 0.5), 0,
+                 rng.integers(0, 4, 5000))
+    t = pa.table({"a": a, "b": pa.array(b, pa.int64())})
+    got = stats.chi_square_independence(
+        rd.from_arrow(t).repartition(nblocks), "a", "b").to_pandas()
+    # dense numpy reference including zero cells
+    import pandas as pd
+    ct = pd.crosstab(a, b).reindex(
+        index=sorted(set(a)), columns=sorted(set(b)), fill_value=0).to_numpy()
+    e = np.outer(ct.sum(1), ct.sum(0)) / ct.sum()
+    chi2_ref = ((ct - e) ** 2 / e).sum()
+    assert abs(got.chi2[0] - chi2_ref) < 1e-4
+    assert got.dof[0] == (3 - 1) * (4 - 1)
+    assert got.n[0] == 5000
+    assert got.chi2[0] > 100  # planted dependence is detected
+
+
+def test_chi_square_independent_columns_small_stat():
+    rng = np.random.default_rng(2)
+    t = pa.table({"a": rng.choice(["x", "y"], 8000),
+                  "b": pa.array(rng.integers(0, 3, 8000), pa.int64())})
+    got = stats.chi_square_independence(rd.from_arrow(t), "a", "b") \
+        .to_pandas()
+    # under independence E[chi2] = dof = 2; anything near that passes
+    assert got.chi2[0] < 15
