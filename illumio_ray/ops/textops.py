@@ -1824,3 +1824,138 @@ def hybrid_rrf(ds: rd.Dataset, terms: tuple[str, ...],
     return pa.table({id_col: pa.array(order, pa.int64()),
                      "rrf": pa.array([round_scalar(fused[d], 6)
                                       for d in order], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# token-budget mixture: per-group doc selection under a token budget
+# ---------------------------------------------------------------------------
+
+def token_budget_sample(ds: rd.Dataset, budgets: dict | int,
+                        group_col: str = "lang", text_col: str = "text",
+                        id_col: str = "doc_id") -> rd.Dataset:
+    """Deterministic token-budget mixture: per group, walk the docs in
+    md5(id)-hash order (the reproducible-shuffle order of
+    doc_split_assign) and keep the prefix whose CUMULATIVE whitespace
+    token count stays ≤ the group's budget — the "mix N tokens of each
+    language" primitive of training-data assembly. Selection is exact
+    (identical to a per-group ORDER BY hash cumsum), stable under
+    re-runs and resharding.
+
+    Scale shape — NO global or per-group sort of the corpus:
+      pass 1 token-counts each doc and emits per-batch partial sums into
+      65,536 hash-prefix bins per group (bounded driver combine); the
+      driver prefix-sums each group's bins to locate the BOUNDARY bin
+      where the budget is crossed;
+      pass 2 collects ONLY the boundary bin's docs (≈ corpus/65k) and
+      walks them in (hash, id) order to the exact cutoff;
+      pass 3 is a row-local filter: keep bins below the boundary plus
+      the boundary's broadcast keep-set.
+    Groups whose total fits the budget keep everything without a
+    boundary walk."""
+    import hashlib
+
+    if not isinstance(budgets, dict):
+        budgets = {"__all__": int(budgets)}
+
+    def _h(ids) -> list[str]:
+        return [hashlib.md5(str(v).encode()).hexdigest() for v in ids]
+
+    def p1(t: pa.Table) -> pa.Table:
+        n_words, _ = _word_counts(_string_array(t[text_col]))
+        hs = _h(t[id_col].to_pylist())
+        bins = np.array([int(h[:4], 16) for h in hs], np.int64)
+        g = pa.table({group_col: t[group_col],
+                      "b": pa.array(bins, pa.int64()),
+                      "tok": pa.array(n_words, pa.int64())}) \
+            .group_by([group_col, "b"]).aggregate([("tok", "sum"),
+                                                   ([], "count_all")])
+        return g.rename_columns([group_col, "b", "tok_p", "n_p"])
+
+    from .relational import grouped_agg
+
+    cells = pa.concat_tables([pa.table(x) for x in grouped_agg(
+        ds.select_columns([group_col, id_col, text_col]).map_batches(
+            p1, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "b"], [("tok_p", "sum", "tok"), ("n_p", "sum", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    df = cells.to_pandas().sort_values(["b"])
+
+    # per group: boundary bin + tokens already consumed before it
+    boundary: dict = {}      # group → (boundary_bin, budget_left_at_bin)
+    keep_whole: set = set()  # groups whose total fits the budget
+    for g, sub in df.groupby(group_col, sort=False):
+        budget = budgets.get(g, budgets.get("__all__"))
+        if budget is None:
+            continue  # group not budgeted → dropped entirely
+        cum = sub["tok"].cumsum()
+        if int(cum.iloc[-1]) <= budget:
+            keep_whole.add(g)
+            continue
+        over = cum > budget
+        i = int(np.argmax(over.to_numpy()))
+        bb = int(sub["b"].iloc[i])
+        before = int(cum.iloc[i - 1]) if i else 0
+        boundary[g] = (bb, budget - before)
+
+    # pass 2: exact cutoff inside each boundary bin (tiny: corpus/65536)
+    if boundary:
+        bset = {(g, bb) for g, (bb, _) in boundary.items()}
+
+        def collect(t: pa.Table) -> pa.Table:
+            n_words, _ = _word_counts(_string_array(t[text_col]))
+            ids = t[id_col].to_pylist()
+            hs = _h(ids)
+            rows = [(g, h, i, int(n)) for g, h, i, n in
+                    zip(t[group_col].to_pylist(), hs, ids, n_words)
+                    if (g, int(h[:4], 16)) in bset]
+            if not rows:
+                return pa.table({group_col: pa.array([], pa.string()),
+                                 "h": pa.array([], pa.string()),
+                                 id_col: pa.array([], pa.int64()),
+                                 "tok": pa.array([], pa.int64())})
+            gs, hh, ii, tt = zip(*rows)
+            return pa.table({group_col: pa.array(list(gs)),
+                             "h": pa.array(list(hh)),
+                             id_col: pa.array(list(ii), pa.int64()),
+                             "tok": pa.array(list(tt), pa.int64())})
+
+        edge = pa.concat_tables([pa.table(x) for x in ds.select_columns(
+            [group_col, id_col, text_col]).map_batches(
+            collect, batch_format="pyarrow", zero_copy_batch=True)
+            .iter_batches(batch_format="pyarrow")])
+        edge_keep: dict = {g: set() for g in boundary}
+        epd = edge.to_pandas().sort_values(["h", id_col])
+        for g, sub in epd.groupby(group_col, sort=False):
+            left = boundary[g][1]
+            for i, n in zip(sub[id_col], sub["tok"]):
+                if n > left:
+                    break  # prefix semantics: first overflow stops the walk
+                left -= int(n)
+                edge_keep[g].add(int(i))
+    else:
+        edge_keep = {}
+
+    keep_ref = ray.put((keep_whole, boundary, edge_keep))
+
+    def final(t: pa.Table) -> pa.Table:
+        kw, bd, ek = ray.get(keep_ref)
+        n_words, _ = _word_counts(_string_array(t[text_col]))
+        ids = t[id_col].to_pylist()
+        hs = _h(ids)
+        keep = []
+        for g, h, i in zip(t[group_col].to_pylist(), hs, ids):
+            if g in kw:
+                keep.append(True)
+            elif g in bd:
+                b = int(h[:4], 16)
+                keep.append(b < bd[g][0]
+                            or (b == bd[g][0] and int(i) in ek.get(g, ())))
+            else:
+                keep.append(False)
+        out = t.filter(pa.array(keep))
+        nw2, _ = _word_counts(_string_array(out[text_col]))
+        return pa.table({id_col: out[id_col], group_col: out[group_col],
+                         "n_tokens": pa.array(nw2, pa.int64())})
+
+    return ds.select_columns([group_col, id_col, text_col]).map_batches(
+        final, batch_format="pyarrow", zero_copy_batch=True)

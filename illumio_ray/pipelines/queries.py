@@ -7453,6 +7453,33 @@ def doc_lang_jsd(sf_dir: str):
     return textops.lang_unigram_jsd(ds, "lang", "text", vocab_k=200)
 
 
+@register("doc_token_budget_sample", """
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= 1000
+""")
+def doc_token_budget_sample(sf_dir: str):
+    """Token-budget mixture: per language keep the md5(doc_id)-ordered
+    doc prefix whose cumulative token count fits a 1000-token budget
+    (the \"mix N tokens of each source\" assembly primitive). The engine
+    side computes the identical selection with NO per-group sort: 65,536
+    hash-prefix bins locate each budget boundary, only the boundary
+    bin's docs (≈ corpus/65k) are walked exactly
+    (ops/textops.py::token_budget_sample)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    return textops.token_budget_sample(ds, 1000, "lang", "text", "doc_id")
+
+
 _TFIDF_NUM_SQL = " + ".join(
     f"tf_{j} * ln((n + 1.0e0) / (df_{j} + 1.0e0))"
     for j in range(len(_BM25_TERMS)))

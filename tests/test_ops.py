@@ -3994,3 +3994,50 @@ def test_time_travel_merge_and_cdc_snapshots(tmp_path):
     assert state(0) == [(1, 10), (2, 20), (3, 30)]
     assert state(1) == [(1, 10), (2, 25), (3, 30), (4, 7)]
     assert state(2) == [(2, 25), (3, 30), (4, 7)]
+
+
+def test_token_budget_sample_matches_sorted_cumsum():
+    """Histogram-refined selection == brute-force per-group hash-ordered
+    cumulative prefix, across block layouts and budget shapes."""
+    import hashlib
+    from illumio_ray.ops import textops
+
+    rng = np.random.default_rng(13)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "fr", "de"], n),
+        "text": [" ".join(["w"] * int(k)) for k in rng.integers(1, 40, n)]})
+
+    def brute(budgets):
+        out = []
+        d = df.assign(
+            h=[hashlib.md5(str(v).encode()).hexdigest() for v in df.doc_id],
+            tok=df.text.str.split().str.len())
+        for g, sub in d.groupby("lang"):
+            b = budgets.get(g, budgets.get("__all__"))
+            if b is None:
+                continue
+            sub = sub.sort_values(["h", "doc_id"])
+            cum = sub.tok.cumsum()
+            out += list(sub.doc_id[cum <= b])
+        return sorted(out)
+
+    for budgets in [{"__all__": 500}, {"en": 300, "fr": 10_000},
+                    {"en": 0, "fr": 1, "de": 700}]:
+        got = (textops.token_budget_sample(
+            rd.from_pandas(df).repartition(7), budgets)
+            .to_pandas())
+        assert sorted(got.doc_id) == brute(budgets), budgets
+        # reported n_tokens are the doc token counts
+        want_tok = df.set_index("doc_id").text.str.split().str.len()
+        assert all(want_tok[i] == t for i, t in zip(got.doc_id, got.n_tokens))
+
+
+def test_token_budget_sample_keep_whole_group():
+    from illumio_ray.ops import textops
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "lang": ["en"] * 3,
+                       "text": ["a b", "c", "d e f"]})
+    got = textops.token_budget_sample(rd.from_pandas(df), 100).to_pandas()
+    assert sorted(got.doc_id) == [1, 2, 3]   # budget covers everything
