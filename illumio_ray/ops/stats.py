@@ -29,7 +29,7 @@ from ..functions.rounding import round_scalar
 
 __all__ = ["bivariate_stats", "histogram_equi_width",
            "seasonal_hod_anomalies", "welch_ttest_by",
-           "chi_square_independence"]
+           "chi_square_independence", "bootstrap_mean_ci"]
 
 
 def _stream_sum_partials(partials: rd.Dataset, keys: list[str]) -> pa.Table:
@@ -445,3 +445,99 @@ def chi_square_independence(ds: rd.Dataset, col_a: str,
     return pa.table({"chi2": pa.array([round_scalar(chi2, 6)], pa.float64()),
                      "dof": pa.array([dof], pa.int64()),
                      "n": pa.array([int(n)], pa.int64())})
+
+
+def _pois1_cum() -> np.ndarray:
+    import math
+    p = np.array([math.exp(-1.0) / math.factorial(k) for k in range(13)],
+                 np.float64)
+    return np.cumsum(p)
+
+
+# Poisson(1) inverse-CDF table: cumulative P(K <= k) for k = 0..12.
+# Truncating at 12 loses < 1e-12 mass; the truncation is part of the
+# deterministic contract (same weights in any run / engine build).
+_POIS1_CUM = _pois1_cum()
+
+
+def bootstrap_mean_ci(ds: rd.Dataset, id_col: str, val_col: str,
+                      by: list[str] | None = None, n_boot: int = 100,
+                      alpha: float = 0.05, seed: int = 7) -> pa.Table:
+    """Distributed POISSON bootstrap (Chamandy et al. 2012 — the
+    resample-free bootstrap for data too large to resample): replicate r
+    weights every row by an independent Poisson(1) count, so each
+    replicate's weighted mean is computable from ONE streaming pass of
+    per-batch partials. Weights are counter-based — splitmix64 of
+    (stable row hash ⊕ mix(seed, r)) through the Poisson(1) inverse CDF
+    — so they are deterministic under ANY partitioning/order and
+    reproducible across runs. Returns per group: the exact mean, the
+    (alpha/2, 1−alpha/2) percentile CI over replicate means, and n.
+
+    Scale shape: one pass, partials bounded at groups × n_boot rows per
+    batch; driver state O(groups × n_boot). CPU is ~n_boot vectorized
+    passes over each batch — the honest cost of a bootstrap, with no
+    data movement beyond the tiny partials."""
+    from ..functions.hashing import _splitmix64, stable_hash64
+    from .relational import grouped_agg
+
+    keys = list(by) if by else ["__g"]
+    rmix = _splitmix64(np.uint64(seed)
+                       ^ (np.arange(1, n_boot + 1, dtype=np.uint64)
+                          * np.uint64(0x9E3779B97F4A7C15)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = stable_hash64(t[id_col])
+        gcols = ({k: t[k] for k in by} if by
+                 else {"__g": pa.array(np.zeros(t.num_rows, np.int8))})
+        out_parts = []
+        for r in range(n_boot):
+            u = (_splitmix64(h ^ rmix[r]).astype(np.float64)
+                 / np.float64(2 ** 64))
+            w = np.searchsorted(_POIS1_CUM, u).astype(np.float64)
+            p = pa.table({**gcols,
+                          "r": pa.array(np.full(t.num_rows, r, np.int32)),
+                          "sw": pa.array(w * x),
+                          "sn": pa.array(w)})
+            out_parts.append(p.group_by(keys + ["r"]).aggregate(
+                [("sw", "sum"), ("sn", "sum")])
+                .rename_columns(keys + ["r", "sw", "sn"]))
+        # the exact (unweighted) mean rides along as replicate -1
+        p = pa.table({**gcols,
+                      "r": pa.array(np.full(t.num_rows, -1, np.int32)),
+                      "sw": pa.array(x),
+                      "sn": pa.array(np.ones(len(x)))})
+        out_parts.append(p.group_by(keys + ["r"]).aggregate(
+            [("sw", "sum"), ("sn", "sum")])
+            .rename_columns(keys + ["r", "sw", "sn"]))
+        return pa.concat_tables(out_parts)
+
+    cells = pa.concat_tables([pa.table(b) for b in grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        keys + ["r"], [("sw", "sum", "sw"), ("sn", "sum", "sn")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    df = cells.to_pandas()
+
+    out_rows = []
+    for gvals, sub in df.groupby(keys, sort=True):
+        gvals = gvals if isinstance(gvals, tuple) else (gvals,)
+        exact = sub[sub["r"] == -1]
+        reps = sub[sub["r"] >= 0]
+        reps = reps[reps["sn"] > 0]
+        means = (reps["sw"] / reps["sn"]).to_numpy()
+        mean = float(exact["sw"].iloc[0] / exact["sn"].iloc[0])
+        lo, hi = np.quantile(means, [alpha / 2, 1 - alpha / 2])
+        out_rows.append((*(gvals if by else ()), round_scalar(mean, 6),
+                         round_scalar(float(lo), 6),
+                         round_scalar(float(hi), 6),
+                         int(exact["sn"].iloc[0])))
+    cols = {}
+    for i, k in enumerate(by or []):
+        cols[k] = pa.array([r[i] for r in out_rows])
+    nk = len(by or [])
+    cols["mean"] = pa.array([r[nk] for r in out_rows], pa.float64())
+    cols["ci_lo"] = pa.array([r[nk + 1] for r in out_rows], pa.float64())
+    cols["ci_hi"] = pa.array([r[nk + 2] for r in out_rows], pa.float64())
+    cols["n"] = pa.array([r[nk + 3] for r in out_rows], pa.int64())
+    return pa.table(cols)

@@ -7453,6 +7453,22 @@ def doc_lang_jsd(sf_dir: str):
     return textops.lang_unigram_jsd(ds, "lang", "text", vocab_k=200)
 
 
+@register("events_value_mean_ci", None)  # bootstrap → not SQL-expressible
+def events_value_mean_ci(sf_dir: str):
+    """Distributed POISSON bootstrap (Chamandy et al. 2012) 95% CI of the
+    mean event value per type: replicate weights are counter-based
+    (splitmix64 of stable row hash ⊕ replicate mix → Poisson(1) inverse
+    CDF), so the whole bootstrap is ONE streaming pass of bounded
+    (type × replicate) partials, deterministic under any partitioning —
+    pinned by the partition-invariance test
+    (ops/stats.py::bootstrap_mean_ci)."""
+    from ..ops import stats as st
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "event_type", "value"])
+    return st.bootstrap_mean_ci(ds, "event_id", "value",
+                                by=["event_type"], n_boot=100)
+
+
 @register("doc_token_budget_sample", """
 WITH t AS (
   SELECT doc_id, lang,

@@ -4,6 +4,7 @@ Every test checks against a plain-numpy reference computed on the same
 arrays, plus partition invariance (the driver-combined partials must be
 independent of block boundaries)."""
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data as rd
@@ -268,3 +269,43 @@ def test_chi_square_independent_columns_small_stat():
         .to_pandas()
     # under independence E[chi2] = dof = 2; anything near that passes
     assert got.chi2[0] < 15
+
+
+# ---------------------------------------------------------------------------
+# bootstrap_mean_ci (Poisson bootstrap)
+# ---------------------------------------------------------------------------
+
+def test_bootstrap_ci_brackets_mean_and_shrinks():
+    rng = np.random.default_rng(21)
+    big = pa.table({"id": pa.array(np.arange(20_000), pa.int64()),
+                    "v": rng.normal(50.0, 5.0, 20_000)})
+    small = big.slice(0, 500)
+    got_b = stats.bootstrap_mean_ci(rd.from_arrow(big), "id", "v",
+                                    n_boot=60).to_pandas().iloc[0]
+    got_s = stats.bootstrap_mean_ci(rd.from_arrow(small), "id", "v",
+                                    n_boot=60).to_pandas().iloc[0]
+    for g in (got_b, got_s):
+        assert g.ci_lo <= g["mean"] <= g.ci_hi
+    # CI width shrinks roughly like 1/sqrt(n): 40x rows → much tighter
+    assert (got_b.ci_hi - got_b.ci_lo) < 0.5 * (got_s.ci_hi - got_s.ci_lo)
+    # the CI is centered near the true mean at this n
+    assert abs(got_b["mean"] - 50.0) < 0.5
+    assert got_b.n == 20_000
+
+
+@pytest.mark.parametrize("nblocks", [1, 9])
+def test_bootstrap_ci_partition_invariant_and_grouped(nblocks):
+    rng = np.random.default_rng(4)
+    t = pa.table({"id": pa.array(np.arange(3000), pa.int64()),
+                  "g": rng.choice(["a", "b"], 3000),
+                  "v": rng.normal(10.0, 2.0, 3000)})
+    got = stats.bootstrap_mean_ci(
+        rd.from_arrow(t).repartition(nblocks), "id", "v",
+        by=["g"], n_boot=40).to_pandas().set_index("g")
+    # counter-based weights ⇒ identical result in ANY layout
+    ref = stats.bootstrap_mean_ci(rd.from_arrow(t), "id", "v",
+                                  by=["g"], n_boot=40) \
+        .to_pandas().set_index("g")
+    pd.testing.assert_frame_equal(got, ref)
+    for g in ["a", "b"]:
+        assert got.loc[g, "ci_lo"] <= got.loc[g, "mean"] <= got.loc[g, "ci_hi"]
