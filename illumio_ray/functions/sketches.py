@@ -483,3 +483,82 @@ def cms_counts(ds, col: str, query_values,
     vals = np.asarray(query_values)
     return dict(zip(query_values, acc.estimate_array(vals).tolist()))
 
+
+
+class KMV:
+    """Bottom-k (K-Minimum-Values) distinct sketch (Bar-Yossef et al.
+    2002; Beyer et al. 2007): keep the k smallest stable 64-bit key
+    hashes. Mergeable (union = merge-and-truncate), so per-block
+    sketches combine on the driver in O(blocks × k). Supports distinct
+    estimation (D ≈ (k−1)/u_k with u_k the k-th minimum as a fraction of
+    hash space) and, across two sketches, Jaccard / intersection
+    estimation from the combined bottom-k — the join-planning statistic
+    (estimated key overlap) that decides broadcast vs shuffle vs
+    Bloom-prefilter without scanning either side twice."""
+
+    __slots__ = ("k", "mins")
+
+    def __init__(self, k: int = 1024):
+        self.k = k
+        self.mins = np.array([], np.uint64)
+
+    def update(self, hashes: np.ndarray) -> "KMV":
+        both = np.concatenate([self.mins, hashes])
+        both = np.unique(both)          # sorted distinct
+        self.mins = both[:self.k]
+        return self
+
+    def merge(self, other: "KMV") -> "KMV":
+        return self.update(other.mins)
+
+    def distinct(self) -> float:
+        n = len(self.mins)
+        if n < self.k:                  # saw fewer than k distinct: exact
+            return float(n)
+        u_k = (float(self.mins[-1]) + 1.0) / 2.0 ** 64
+        return (self.k - 1) / u_k
+
+    def jaccard(self, other: "KMV") -> float:
+        """Jaccard of the two key sets from the combined bottom-k."""
+        k = min(self.k, other.k)
+        union = np.unique(np.concatenate([self.mins, other.mins]))[:k]
+        if not len(union):
+            return 0.0
+        a = set(self.mins.tolist())
+        b = set(other.mins.tolist())
+        inter = sum(1 for h in union.tolist() if h in a and h in b)
+        return inter / len(union)
+
+    def intersection(self, other: "KMV") -> float:
+        """|A ∩ B| ≈ J(A,B) · |A ∪ B| (union distinct from the merged
+        sketch)."""
+        j = self.jaccard(other)
+        u = self.merge_copy(other).distinct()
+        return j * u
+
+    def merge_copy(self, other: "KMV") -> "KMV":
+        out = KMV(min(self.k, other.k))
+        out.update(self.mins)
+        out.update(other.mins)
+        return out
+
+
+def kmv_sketch(ds, col: str, k: int = 1024) -> KMV:
+    """Per-block bottom-k partials → driver merge: one pass, O(k) rows
+    leave each block, driver state O(k)."""
+    import pyarrow as pa
+
+    from .hashing import stable_hash64
+
+    def part(t: pa.Table) -> pa.Table:
+        h = np.unique(stable_hash64(t[col]))[:k]
+        return pa.table({"h": pa.array(h, pa.uint64())})
+
+    sk = KMV(k)
+    for b in ds.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True
+                            ).iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        if t.num_rows:
+            sk.update(t["h"].to_numpy(zero_copy_only=False))
+    return sk

@@ -7453,6 +7453,28 @@ def doc_lang_jsd(sf_dir: str):
     return textops.lang_unigram_jsd(ds, "lang", "text", vocab_k=200)
 
 
+@register("orders_customer_overlap_kmv", None)  # sketch → rows-only
+def orders_customer_overlap_kmv(sf_dir: str):
+    """Join-planning statistics from bottom-k (KMV) sketches: estimated
+    distinct keys on each side of the orders⋈customer join plus their
+    Jaccard / intersection — the numbers an optimizer uses to pick
+    broadcast vs shuffle vs Bloom-prefilter WITHOUT scanning either side
+    twice. One pass per side, O(k) rows leave each block
+    (functions/sketches.py::KMV; accuracy pinned by tests)."""
+    from ..functions.sketches import kmv_sketch
+
+    a = kmv_sketch(read_table(sf_dir, "orders", columns=["o_custkey"]),
+                   "o_custkey", k=1024)
+    b = kmv_sketch(read_table(sf_dir, "customer", columns=["c_custkey"]),
+                   "c_custkey", k=1024)
+    return pa.table({
+        "d_orders_custkey": pa.array([round(a.distinct(), 1)]),
+        "d_customers": pa.array([round(b.distinct(), 1)]),
+        "jaccard": pa.array([round(a.jaccard(b), 4)]),
+        "overlap": pa.array([round(a.intersection(b), 1)]),
+    })
+
+
 @register("events_value_mean_ci", None)  # bootstrap → not SQL-expressible
 def events_value_mean_ci(sf_dir: str):
     """Distributed POISSON bootstrap (Chamandy et al. 2012) 95% CI of the

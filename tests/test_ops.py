@@ -4041,3 +4041,48 @@ def test_token_budget_sample_keep_whole_group():
                        "text": ["a b", "c", "d e f"]})
     got = textops.token_budget_sample(rd.from_pandas(df), 100).to_pandas()
     assert sorted(got.doc_id) == [1, 2, 3]   # budget covers everything
+
+
+def test_kmv_exact_under_k_and_accurate_over_k():
+    from illumio_ray.functions.sketches import KMV, kmv_sketch
+    from illumio_ray.functions.hashing import stable_hash64
+    # under k: exact
+    sk = KMV(256)
+    sk.update(stable_hash64(pa.array(list(range(100)), pa.int64())))
+    assert sk.distinct() == 100.0
+    # over k: ±10% at k=256 over 50k distinct
+    h = stable_hash64(pa.array(np.arange(50_000), pa.int64()))
+    big = KMV(256).update(h)
+    assert abs(big.distinct() - 50_000) / 50_000 < 0.10
+    # merge == single-shot (partition invariance of the sketch)
+    parts = [KMV(256).update(h[i::7]) for i in range(7)]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.merge(p)
+    assert merged.distinct() == big.distinct()
+
+
+def test_kmv_jaccard_and_intersection_estimates():
+    from illumio_ray.functions.sketches import KMV
+    from illumio_ray.functions.hashing import stable_hash64
+    a_keys = np.arange(0, 30_000)
+    b_keys = np.arange(15_000, 45_000)       # true J = 15k/45k = 1/3
+    a = KMV(512).update(stable_hash64(pa.array(a_keys, pa.int64())))
+    b = KMV(512).update(stable_hash64(pa.array(b_keys, pa.int64())))
+    assert abs(a.jaccard(b) - 1 / 3) < 0.07
+    assert abs(a.intersection(b) - 15_000) / 15_000 < 0.2
+    # disjoint sets → zero-ish
+    c = KMV(512).update(stable_hash64(pa.array(
+        np.arange(100_000, 130_000), pa.int64())))
+    assert a.jaccard(c) < 0.02
+
+
+def test_kmv_sketch_over_dataset_matches_local():
+    from illumio_ray.functions.sketches import KMV, kmv_sketch
+    from illumio_ray.functions.hashing import stable_hash64
+    vals = np.concatenate([np.arange(5000), np.arange(2500)])  # dups
+    t = pa.table({"k": pa.array(vals, pa.int64())})
+    got = kmv_sketch(rd.from_arrow(t).repartition(6), "k", k=512)
+    ref = KMV(512).update(stable_hash64(t["k"]))
+    assert np.array_equal(got.mins, ref.mins)
+    assert abs(got.distinct() - 5000) / 5000 < 0.08
