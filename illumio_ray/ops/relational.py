@@ -817,6 +817,39 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
                      num_partitions=num_partitions)
 
 
+def auto_join(left: rd.Dataset, right: rd.Dataset, on: list[str],
+              join_type: str = "inner",
+              broadcast_limit_bytes: int = 64 << 20,
+              num_partitions: int | None = None) -> rd.Dataset:
+    """Adaptive join-strategy pick (the optimizer decision the engine's
+    sketches inform): if the RIGHT side's in-memory size — Ray's
+    size_bytes(), parquet/footer metadata on a fresh read, never a scan
+    — fits under ``broadcast_limit_bytes``, materialize it once and
+    broadcast (zero shuffle); otherwise fall back to the
+    hash-partitioned large-large join. Result is identical either way;
+    only data movement differs. Callers who know the right side is
+    key-skewed should use skew_salted_join instead — size says nothing
+    about skew."""
+    size = right.size_bytes()
+    if size is not None and size <= broadcast_limit_bytes:
+        small = pa.concat_tables(
+            [pa.table(b) for b in right.iter_batches(batch_format="pyarrow")])
+        if small.num_rows == 0:
+            small = _dataset_schema_table(right)
+        # pa.Table.join spells it "left outer"; Dataset.join "left_outer"
+        return broadcast_join(left, small, on,
+                              join_type=join_type.replace("_", " "))
+    return hash_join(left, right, on,
+                     join_type=join_type.replace(" ", "_"),
+                     num_partitions=num_partitions)
+
+
+def _dataset_schema_table(ds: rd.Dataset) -> pa.Table:
+    sch = ds.schema()
+    return pa.table({n: pa.array([], t)
+                     for n, t in zip(sch.names, sch.types)})
+
+
 def salted_join(left: rd.Dataset, right: rd.Dataset, on: str,
                 num_salts: int = 16,
                 num_partitions: int | None = None) -> rd.Dataset:

@@ -7453,6 +7453,33 @@ def doc_lang_jsd(sf_dir: str):
     return textops.lang_unigram_jsd(ds, "lang", "text", vocab_k=200)
 
 
+@register("orders_big_by_segment_auto", """
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_big_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 150000
+GROUP BY 1 ORDER BY 1
+""")
+def orders_big_by_segment_auto(sf_dir: str):
+    """Adaptive join-strategy pick (rel.auto_join): the customer side is
+    sized from Ray's metadata (no scan) and broadcast when it fits,
+    falling back to the hash-partitioned join above the limit — the
+    optimizer decision KMV/Bloom statistics inform. Both paths produce
+    identical rows (pinned by the forced-path equivalence test); the
+    oracle checks whichever the size rule picks at gate scale."""
+    big = rel.filter_batches(
+        read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]),
+        lambda t: pc.greater(t["o_totalprice"], 150000.0))
+    cust = read_table(sf_dir, "customer",
+                      columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: t.rename_columns(["o_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")
+    joined = rel.auto_join(big.select_columns(["o_custkey"]), cust,
+                           on=["o_custkey"], join_type="inner")
+    return rel.grouped_agg(joined, ["c_mktsegment"],
+                           [("c_mktsegment", "count", "n_big_orders")])
+
+
 @register("orders_customer_overlap_kmv", None)  # sketch → rows-only
 def orders_customer_overlap_kmv(sf_dir: str):
     """Join-planning statistics from bottom-k (KMV) sketches: estimated

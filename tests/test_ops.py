@@ -4086,3 +4086,23 @@ def test_kmv_sketch_over_dataset_matches_local():
     ref = KMV(512).update(stable_hash64(t["k"]))
     assert np.array_equal(got.mins, ref.mins)
     assert abs(got.distinct() - 5000) / 5000 < 0.08
+
+
+@pytest.mark.parametrize("limit", [0, 1 << 30])
+def test_auto_join_paths_equivalent(limit):
+    """broadcast path (huge limit) == hash path (limit 0), inner and
+    left_outer, including null-fill on the outer side."""
+    from illumio_ray.ops import relational as rel
+    left = pd.DataFrame({"k": [1, 2, 3, 4, 4], "x": [10, 20, 30, 40, 41]})
+    right = pd.DataFrame({"k": [2, 3, 5], "y": ["b", "c", "e"]})
+    for jt in ["inner", "left_outer"]:
+        got = (rel.auto_join(rd.from_pandas(left), rd.from_pandas(right),
+                             ["k"], join_type=jt,
+                             broadcast_limit_bytes=limit)
+               .to_pandas().sort_values(["k", "x"]).reset_index(drop=True))
+        want = left.merge(right, on="k",
+                          how="inner" if jt == "inner" else "left") \
+            .sort_values(["k", "x"]).reset_index(drop=True)
+        assert list(got.k) == list(want.k)
+        assert list(got.x) == list(want.x)
+        assert list(got.y.fillna("∅")) == list(want.y.fillna("∅"))
