@@ -2372,3 +2372,105 @@ def ewm_rolling_mean(ds: rd.Dataset, key_col: str, order_cols: list[str],
 
     return keyed_window(ds, key_col, per_bucket,
                         num_buckets=num_buckets, n_rows=n_rows)
+
+
+def grouped_mode(ds: rd.Dataset, keys: list[str], value_col: str,
+                 out_col: str = "mode", count_col: str = "n",
+                 mode: str = "shuffle") -> rd.Dataset:
+    """Most-frequent value of ``value_col`` per group (SQL mode()), with a
+    DETERMINISTIC tie rule (highest count, then smallest value) so results
+    are reproducible across engines and partitionings — DuckDB's mode()
+    leaves ties unspecified, so the oracle uses the explicit window form.
+
+    Composition, not a new kernel: one partial-combined count aggregate on
+    (keys, value) — cardinality ≤ keys x values, exchanged per ``mode``
+    ("shuffle" default; "bucket" when value space ≈ rows) — then the
+    existing per-group top-1 (local per-batch prune, O(1) rows per
+    (batch, group) into the final exchange)."""
+    counts = grouped_agg(ds, [*keys, value_col],
+                         [(value_col, "count", count_col)], mode=mode)
+    top = topk_per_group(counts, keys, [count_col, value_col], k=1,
+                         descending=[True, False])
+    return top.map_batches(
+        lambda t: t.rename_columns(
+            [out_col if c == value_col else c for c in t.column_names]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def table_checksum(ds: rd.Dataset, cols: list[str]) -> pa.Table:
+    """Order-insensitive content digest of a dataset: per row, md5 of the
+    '|'-joined column values (null → ''), lower 64 bits summed mod 2^64,
+    plus the row count. The cross-cluster consistency check a replicated
+    100 TB corpus needs (verify a copy / a migration / an engine port
+    without moving data): each block reduces to ONE (sum, count) partial,
+    the driver folds O(blocks) scalars, and the digest is independent of
+    partitioning and row order by construction.
+
+    Cryptographic md5 per row is the point (the digest must match other
+    engines: DuckDB md5_number_lower(concat_ws('|', …)) computes the
+    identical value); engine-internal fingerprints that don't need parity
+    should use functions.hashing.stable_hash64 instead (vectorized).
+    Returns a one-row table {checksum: str, n: int64} — the sum is decimal
+    -stringified because it exceeds int64."""
+    import hashlib
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        parts = []
+        for c in cols:
+            a = t[c]
+            if not pa.types.is_string(a.type):
+                a = pc.cast(a, pa.string())
+            parts.append(pc.fill_null(a, ""))
+        joined = pc.binary_join_element_wise(*parts, "|")
+        total = 0
+        for s in joined.to_pylist():
+            total += int.from_bytes(
+                hashlib.md5(s.encode()).digest()[8:16], "little")
+        return pa.table({"s": pa.array([str(total % (1 << 64))]),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    total, n = 0, 0
+    for b in ds.select_columns(cols).map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for i in range(t.num_rows):
+            total = (total + int(t["s"][i].as_py())) % (1 << 64)
+            n += int(t["n"][i].as_py())
+    return pa.table({"checksum": pa.array([str(total)]),
+                     "n": pa.array([n], pa.int64())})
+
+
+def debounce(ds: rd.Dataset, key_col: str, ts_col: str,
+             min_gap_s: float, tie_cols: list[str] | None = None,
+             num_buckets: int | None = None,
+             n_rows: int | None = None) -> rd.Dataset:
+    """Event de-bouncing: drop any row closer than ``min_gap_s`` seconds to
+    the IMMEDIATELY PRECEDING row of the same key (lag semantics — each row
+    compares to its predecessor whether or not that predecessor was kept,
+    which is exactly SQL `lag(ts) OVER (PARTITION BY key ORDER BY ts, tie)`
+    and, unlike the greedy kept-anchor variant, window-expressible on both
+    engines). The throttling/refractory filter every clickstream and
+    sensor pipeline needs before rate stats.
+
+    Same scale shape as every ordered per-key window here: one
+    keyed_window bucket exchange, vectorized predecessor diff per bucket
+    (rows never iterate in Python). Ties (equal ts) order by ``tie_cols``
+    so the drop set is deterministic."""
+    tie = tie_cols or []
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, *tie], kind="mergesort")
+        ts = ts_as_us(pa.Array.from_pandas(g[ts_col])).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = g[key_col].to_numpy()
+        same = np.concatenate(([False], keys[1:] == keys[:-1]))
+        gap = np.concatenate(([0], ts[1:] - ts[:-1]))
+        keep = ~same | (gap >= np.int64(round(min_gap_s * 1_000_000)))
+        return g[keep].drop(columns=["__b"], errors="ignore")
+
+    return keyed_window(ds, key_col, window,
+                        num_buckets=num_buckets, n_rows=n_rows)

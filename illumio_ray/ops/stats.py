@@ -21,6 +21,7 @@ streaming implementation.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
@@ -29,7 +30,8 @@ from ..functions.rounding import round_scalar
 
 __all__ = ["bivariate_stats", "histogram_equi_width",
            "seasonal_hod_anomalies", "welch_ttest_by",
-           "chi_square_independence", "bootstrap_mean_ci"]
+           "chi_square_independence", "bootstrap_mean_ci",
+           "cusum_flags"]
 
 
 def _stream_sum_partials(partials: rd.Dataset, keys: list[str]) -> pa.Table:
@@ -541,3 +543,61 @@ def bootstrap_mean_ci(ds: rd.Dataset, id_col: str, val_col: str,
     cols["ci_hi"] = pa.array([r[nk + 2] for r in out_rows], pa.float64())
     cols["n"] = pa.array([r[nk + 3] for r in out_rows], pa.int64())
     return pa.table(cols)
+
+
+def cusum_flags(ds: rd.Dataset, key_col: str, ts_col: str, val_col: str,
+                target_cents: int, h_cents: int,
+                tie_cols: list[str] | None = None,
+                num_buckets: int | None = None,
+                n_rows: int | None = None) -> rd.Dataset:
+    """One-sided upper CUSUM drift detection per key (Page 1954): flag the
+    rows where the cumulative excess of ``val_col`` over a target level
+    exceeds a decision threshold — the classic sequential change-point
+    monitor for per-entity rate/level shifts (abuse bursts, sensor drift,
+    cost runaways).
+
+    Exactness contract: values quantize to integer cents
+    (floor(value·100)), so every engine computes the identical recursion
+    S_i = max(0, S_{i-1} + x_i − target) in exact integer arithmetic — no
+    float-summation-order drift, and the SQL oracle expresses the
+    recursion CLOSED-FORM via the running-min identity
+    S_i = C_i − min(0, min_{j≤i} C_j) with two window CTEs (C = running
+    sum of deltas). The same identity vectorizes the Ray side:
+    np.cumsum + np.minimum.accumulate per key, no per-row Python.
+
+    Scale shape: one keyed_window bucket exchange (whole keys per bucket),
+    O(1) state per key, flagged rows only leave the bucket."""
+    from ..ops.relational import keyed_window, ts_as_us
+
+    tie = tie_cols or []
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, *tie], kind="mergesort")
+        cents = np.floor(g[val_col].to_numpy(np.float64) * 100.0).astype(
+            np.int64)
+        d = cents - np.int64(target_cents)
+        keys = g[key_col].to_numpy()
+        n = len(g)
+        cum = np.cumsum(d)
+        # restart the running sum and running min at each key boundary by
+        # subtracting the previous key's closing prefix
+        start = np.flatnonzero(np.concatenate(
+            ([True], keys[1:] != keys[:-1])))
+        offset = np.repeat(cum[start] - d[start], np.diff(
+            np.append(start, n)))
+        cum = cum - offset
+        # per-key running min via a segmented minimum.accumulate: reset by
+        # substituting +inf-like sentinel at starts is wrong for ints, so
+        # accumulate per segment over views (O(#keys) python, O(rows) C)
+        run_min = np.empty(n, np.int64)
+        bounds = np.append(start, n)
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            np.minimum.accumulate(cum[s:e], out=run_min[s:e])
+        s_stat = cum - np.minimum(run_min, 0)
+        keep = s_stat > np.int64(h_cents)
+        out = g[keep].drop(columns=["__b"], errors="ignore").copy()
+        out["cusum"] = s_stat[keep]
+        return out
+
+    return keyed_window(ds, key_col, window,
+                        num_buckets=num_buckets, n_rows=n_rows)

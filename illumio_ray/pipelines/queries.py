@@ -7596,6 +7596,137 @@ def docs_hybrid_rrf(sf_dir: str):
     return textops.hybrid_rrf(ds, _BM25_TERMS)
 
 
+@register("events_user_mode_per_type", """
+SELECT event_type, user_id AS mode_user, n FROM (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rn
+  FROM events GROUP BY event_type, user_id)
+WHERE rn = 1
+""")
+def events_user_mode_per_type(sf_dir: str):
+    """Statistical MODE per group (most frequent user per event type) with
+    the deterministic tie rule rel.grouped_mode pins (count desc, value
+    asc) — DuckDB's mode() leaves ties unspecified, so the oracle uses
+    the explicit window form. Composition: partial-combined (type, user)
+    counts → existing per-group top-1."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "user_id"])
+    return rel.grouped_mode(ds, ["event_type"], "user_id",
+                            out_col="mode_user", count_col="n")
+
+
+@register("orders_checksum", """
+SELECT CAST(sum(CAST(md5_number_lower(
+         concat_ws('|', CAST(o_orderkey AS VARCHAR),
+                   CAST(o_custkey AS VARCHAR),
+                   o_orderstatus, o_orderpriority)) AS HUGEINT))
+       % 18446744073709551616 AS VARCHAR) AS checksum,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+""")
+def orders_checksum(sf_dir: str):
+    """Order-insensitive table content digest (rel.table_checksum): lower
+    64 md5 bits of each row's '|'-joined values, summed mod 2^64. The
+    cross-engine/cross-cluster consistency check for a replicated corpus
+    — one (sum, count) scalar leaves each block, and THE DIGEST ITSELF is
+    the correctness gate here (DuckDB md5_number_lower computes the
+    identical per-row value, so the hashes must agree to the last bit)."""
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                             "o_orderpriority"])
+    return rel.table_checksum(
+        ds, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"])
+
+
+@register("events_debounced", """
+SELECT event_id FROM (
+  SELECT event_id,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+  FROM events)
+WHERE gap_us IS NULL OR gap_us >= 900000000
+""")
+def events_debounced(sf_dir: str):
+    """Event de-bouncing / refractory filter (rel.debounce): drop rows
+    closer than 15 min to the same user's immediately preceding event —
+    lag semantics (window-expressible), one keyed_window bucket exchange,
+    vectorized predecessor diff."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts"])
+    out = rel.debounce(ds, "user_id", "ts", min_gap_s=900,
+                       tie_cols=["event_id"])
+    return out.select_columns(["event_id"])
+
+
+@register("lineitem_price_decile_counts", """
+WITH b AS (SELECT quantile_disc(l_extendedprice,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+           FROM lineitem),
+u AS (SELECT unnest(bs) AS v FROM b)
+SELECT bin, CAST(count(*) AS BIGINT) AS n FROM (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM u
+          WHERE u.v < l.l_extendedprice) AS bin
+  FROM lineitem l) GROUP BY bin
+""")
+def lineitem_price_decile_counts(sf_dir: str):
+    """EQUI-DEPTH binning (equal-frequency deciles) over an unbounded
+    column: boundaries from the no-collect exact quantile refinement
+    (rel.exact_quantile_disc — the boundaries are exact order statistics,
+    so both engines compare the identical doubles), then one row-local
+    searchsorted assignment pass + bounded count. The data-driven
+    complement to the equi-WIDTH histogram."""
+    ds = read_table(sf_dir, "lineitem", columns=["l_extendedprice"])
+    qs = [i / 10 for i in range(1, 10)]
+    bounds = rel.exact_quantile_disc(ds, "l_extendedprice", qs,
+                                     collect_limit=500)
+    barr = np.asarray(bounds, np.float64)
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        # bin = #boundaries strictly below the value: searchsorted 'left'
+        # is exactly that count (values equal to a boundary fall in the
+        # lower bin, matching the oracle's u.v < x — also when quantile
+        # ties make boundaries repeat)
+        b = np.searchsorted(barr, v, side="left").astype(np.int64)
+        return pa.table({"bin": pa.array(b, pa.int64())})
+
+    binned = ds.map_batches(assign, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return rel.grouped_agg(binned, ["bin"], [("bin", "count", "n")],
+                           mode="driver")
+
+
+@register("events_value_cusum", """
+WITH o AS (SELECT user_id, event_id, ts,
+                  CAST(floor(value * 100) AS BIGINT) - 6000 AS d
+           FROM events),
+c AS (SELECT user_id, event_id, ts,
+             sum(d) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS cum FROM o),
+s AS (SELECT user_id, event_id,
+             cum - least(min(cum) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id), 0) AS s
+      FROM c)
+SELECT user_id, event_id, CAST(s AS BIGINT) AS cusum
+FROM s WHERE s > 20000
+""")
+def events_value_cusum(sf_dir: str):
+    """Per-user one-sided CUSUM drift detection (Page 1954): flag events
+    where cumulative excess over a 60.00 target exceeds 200.00
+    (stats.cusum_flags). Values quantize to integer cents so the
+    recursion S_i = max(0, S_{i-1}+x_i−target) is exact integer
+    arithmetic on both engines; the oracle states it closed-form via the
+    running-min identity (two window CTEs)."""
+    from ..ops import stats as st
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_id", "ts", "value"])
+    out = st.cusum_flags(ds, "user_id", "ts", "value",
+                         target_cents=6000, h_cents=20000,
+                         tie_cols=["event_id"])
+    return out.select_columns(["user_id", "event_id", "cusum"])
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -4106,3 +4106,52 @@ def test_auto_join_paths_equivalent(limit):
         assert list(got.k) == list(want.k)
         assert list(got.x) == list(want.x)
         assert list(got.y.fillna("∅")) == list(want.y.fillna("∅"))
+
+
+def test_grouped_mode_deterministic_ties():
+    df = pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 3,
+        # group a: 7 and 9 tie at 2 each -> smallest value (7) wins
+        "v": [9, 7, 9, 7, 5, 5, 8],
+    })
+    out = rel.grouped_mode(rd.from_pandas(df), ["g"], "v",
+                           out_col="mode_v", count_col="n",
+                           mode="driver").to_pandas()
+    got = dict(zip(out["g"], zip(out["mode_v"], out["n"])))
+    assert got == {"a": (7, 2), "b": (5, 2)}
+
+
+def test_table_checksum_order_and_partition_invariant():
+    df = pd.DataFrame({"k": [3, 1, 2], "s": ["x", "y", None]})
+    a = rel.table_checksum(rd.from_pandas(df), ["k", "s"])
+    shuffled = df.sample(frac=1, random_state=7).reset_index(drop=True)
+    b = rel.table_checksum(rd.from_pandas(shuffled).repartition(3),
+                           ["k", "s"])
+    assert a["checksum"][0].as_py() == b["checksum"][0].as_py()
+    assert a["n"][0].as_py() == b["n"][0].as_py() == 3
+    # any value change must move the digest
+    df2 = df.assign(k=[3, 1, 99])
+    c = rel.table_checksum(rd.from_pandas(df2), ["k", "s"])
+    assert c["checksum"][0].as_py() != a["checksum"][0].as_py()
+    # pinned reference value: md5 lower-64 of "3|x", "1|y", "2|" summed
+    import hashlib
+    ref = sum(int.from_bytes(hashlib.md5(s.encode()).digest()[8:16],
+                             "little")
+              for s in ["3|x", "1|y", "2|"]) % (1 << 64)
+    assert a["checksum"][0].as_py() == str(ref)
+
+
+def test_debounce_lag_gap_semantics():
+    # lag semantics: each row's gap is measured to its IMMEDIATE
+    # predecessor, kept or dropped — t=110 compares against the DROPPED
+    # t=50 row (gap exactly 60 -> keep), not against the kept t=0 row.
+    df = pd.DataFrame({
+        "user": [1, 1, 1, 1, 2],
+        "ts": pd.to_datetime([0, 50, 110, 171, 10], unit="s"),
+        "event_id": [0, 1, 2, 3, 4],
+    })
+    out = rel.debounce(rd.from_pandas(df), "user", "ts", min_gap_s=60,
+                       tie_cols=["event_id"]).to_pandas()
+    # lag semantics: row 2 keeps (110-50=60 >= 60), row 1 drops (50),
+    # row 3 keeps (171-110=61); user 2's first row always keeps.
+    assert sorted(out["event_id"]) == [0, 2, 3, 4]

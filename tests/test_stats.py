@@ -309,3 +309,55 @@ def test_bootstrap_ci_partition_invariant_and_grouped(nblocks):
     pd.testing.assert_frame_equal(got, ref)
     for g in ["a", "b"]:
         assert got.loc[g, "ci_lo"] <= got.loc[g, "mean"] <= got.loc[g, "ci_hi"]
+
+
+def _cusum_bruteforce(vals, target, h):
+    """Direct recursion S_i = max(0, S_{i-1} + x_i - target) in cents."""
+    s, out = 0, []
+    for v in vals:
+        s = max(0, s + int(np.floor(v * 100)) - target)
+        out.append(s)
+    return [s for s in out if s > h]
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_cusum_flags_matches_recursion(nblocks):
+    rng = np.random.default_rng(11)
+    n = 4000
+    users = rng.integers(0, 25, n)
+    ts = pd.to_datetime(rng.integers(0, 10**6, n) * 10**6, utc=False)
+    vals = rng.uniform(0, 100, n)
+    # plant a burst for user 3 so the threshold genuinely trips
+    burst = users == 3
+    vals[burst] = rng.uniform(150, 200, burst.sum())
+    df = pd.DataFrame({"user_id": users, "event_id": np.arange(n),
+                       "ts": ts.values, "value": vals})
+    ds = rd.from_pandas(df).repartition(nblocks)
+    out = stats.cusum_flags(ds, "user_id", "ts", "value",
+                            target_cents=6000, h_cents=20000,
+                            tie_cols=["event_id"]).to_pandas()
+    ref_rows = []
+    for u, sub in df.sort_values(["ts", "event_id"]).groupby("user_id"):
+        flagged = _cusum_bruteforce(sub["value"].to_numpy(), 6000, 20000)
+        ref_rows.extend((u, s) for s in flagged)
+    got = sorted(zip(out["user_id"], out["cusum"]))
+    assert got == sorted(ref_rows)
+    assert len(got) > 0  # the planted burst must actually flag
+
+
+def test_cusum_resets_at_key_boundaries():
+    # user 1 accumulates; user 2 (interleaved ids) must start from zero
+    df = pd.DataFrame({
+        "user_id": [1, 2, 1, 2, 1, 2],
+        "event_id": [0, 1, 2, 3, 4, 5],
+        "ts": pd.to_datetime([1, 1, 2, 2, 3, 3], unit="s"),
+        "value": [100.0, 10.0, 100.0, 10.0, 100.0, 10.0],
+    })
+    ds = rd.from_pandas(df)
+    out = stats.cusum_flags(ds, "user_id", "ts", "value",
+                            target_cents=5000, h_cents=9000,
+                            tie_cols=["event_id"]).to_pandas()
+    # user 1: +5000 per event -> S = 5000, 10000, 15000 (two flags > 9000)
+    # user 2: deltas are negative -> never flags
+    assert set(out["user_id"]) == {1}
+    assert sorted(out["cusum"]) == [10000, 15000]
