@@ -2474,3 +2474,78 @@ def debounce(ds: rd.Dataset, key_col: str, ts_col: str,
 
     return keyed_window(ds, key_col, window,
                         num_buckets=num_buckets, n_rows=n_rows)
+
+
+def merge_intervals(ds: rd.Dataset, key_col: str, start_col: str,
+                    end_col: str, num_buckets: int | None = None,
+                    n_rows: int | None = None) -> rd.Dataset:
+    """Coalesce overlapping/touching CLOSED intervals per key into their
+    union (SQL's islands-and-gaps pattern; the session-union /
+    availability-window / span-merge primitive). Two intervals merge when
+    the later one starts at or before the running max end of everything
+    before it.
+
+    Columns must be integer-comparable (epoch micros, offsets) so the
+    overlap predicate is exact on every engine. One keyed_window bucket
+    exchange; inside the bucket everything is vectorized: running-max end
+    via np.maximum.accumulate per key segment, island ids via cumsum of
+    the gap indicator, island min/max via reduceat — no per-interval
+    Python. Output: (key, start, end) per merged island."""
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, start_col, end_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        s = g[start_col].to_numpy(np.int64)
+        e = g[end_col].to_numpy(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({key_col: keys, start_col: s, end_col: e})
+        kstart = np.flatnonzero(np.concatenate(
+            ([True], keys[1:] != keys[:-1])))
+        # running max of end within each key segment
+        run_max = np.empty(n, np.int64)
+        bounds = np.append(kstart, n)
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            np.maximum.accumulate(e[a:b], out=run_max[a:b])
+        # new island when this start exceeds the max end BEFORE this row
+        prev_max = np.empty(n, np.int64)
+        prev_max[1:] = run_max[:-1]
+        new_island = np.zeros(n, bool)
+        new_island[kstart] = True
+        inner = ~new_island
+        new_island[inner] = s[inner] > prev_max[inner]
+        starts = np.flatnonzero(new_island)
+        out_end = np.maximum.reduceat(e, starts)
+        return pd.DataFrame({key_col: keys[starts], start_col: s[starts],
+                             end_col: out_end})
+
+    return keyed_window(ds, key_col, window,
+                        num_buckets=num_buckets, n_rows=n_rows)
+
+
+def ffill_by(ds: rd.Dataset, key_col: str, order_cols: list[str],
+             val_col: str, out_col: str | None = None,
+             num_buckets: int | None = None,
+             n_rows: int | None = None) -> rd.Dataset:
+    """Last-observation-carried-forward imputation per key (SQL
+    `last_value(x IGNORE NULLS) OVER (PARTITION BY key ORDER BY …)`):
+    fill each null with the key's most recent non-null value in event
+    order; leading nulls stay null. The standard sensor/metrics gap
+    repair before rate math.
+
+    Same keyed_window bucket shape as every ordered per-key op here;
+    in-bucket fill is pandas groupby().ffill() (C-vectorized). The filled
+    value is a VERBATIM copy of an input float, so cross-engine equality
+    is exact — no rounding games."""
+    out = out_col or val_col
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        g = g.drop(columns=["__b"], errors="ignore").copy()
+        g[out] = g.groupby(key_col, sort=False)[val_col].ffill()
+        if out != val_col:
+            g = g.drop(columns=[val_col])
+        return g
+
+    return keyed_window(ds, key_col, window,
+                        num_buckets=num_buckets, n_rows=n_rows)

@@ -601,3 +601,47 @@ def cusum_flags(ds: rd.Dataset, key_col: str, ts_col: str, val_col: str,
 
     return keyed_window(ds, key_col, window,
                         num_buckets=num_buckets, n_rows=n_rows)
+
+
+def mutual_information(ds: rd.Dataset, col_a: str, col_b: str,
+                       ndigits: int = 6) -> pa.Table:
+    """Mutual information (nats) between two BOUNDED categorical columns,
+    plus both marginal entropies and the normalized MI
+    (mi / sqrt(h_a·h_b)) — the dependence measure that complements the
+    chi-square test with an effect SIZE on a log scale (feature/leakage
+    screening over corpus metadata).
+
+    Same scale shape as chi_square_independence: ONE map_batches pass of
+    partial (a, b) counts (bounded by the category product), driver
+    combines O(cells) scalars and evaluates the closed form. Null rows in
+    either column drop (SQL GROUP BY would keep a NULL class; callers
+    wanting that should fill first)."""
+    from .relational import grouped_agg
+
+    def keep(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t[col_a]), pc.is_valid(t[col_b]))
+        return t.filter(m)
+
+    cells = pa.concat_tables([pa.table(b) for b in grouped_agg(
+        ds.select_columns([col_a, col_b]).map_batches(
+            keep, batch_format="pyarrow", zero_copy_batch=True),
+        [col_a, col_b], [(col_a, "count", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    n = cells["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = n.sum()
+    df = cells.to_pandas()
+    na = df.groupby(col_a)["n"].transform("sum").to_numpy(np.float64)
+    nb = df.groupby(col_b)["n"].transform("sum").to_numpy(np.float64)
+    p = n / total
+    mi = float(np.sum(p * np.log(n * total / (na * nb))))
+    pa_m = df.groupby(col_a)["n"].sum().to_numpy(np.float64) / total
+    pb_m = df.groupby(col_b)["n"].sum().to_numpy(np.float64) / total
+    h_a = float(-np.sum(pa_m * np.log(pa_m)))
+    h_b = float(-np.sum(pb_m * np.log(pb_m)))
+    nmi = mi / np.sqrt(h_a * h_b) if h_a > 0 and h_b > 0 else 0.0
+    return pa.table({
+        "mi": pa.array([round_scalar(mi, ndigits)], pa.float64()),
+        "h_a": pa.array([round_scalar(h_a, ndigits)], pa.float64()),
+        "h_b": pa.array([round_scalar(h_b, ndigits)], pa.float64()),
+        "nmi": pa.array([round_scalar(float(nmi), ndigits)], pa.float64()),
+    })

@@ -7727,6 +7727,104 @@ def events_value_cusum(sf_dir: str):
     return out.select_columns(["user_id", "event_id", "cusum"])
 
 
+@register("events_merged_sessions", """
+WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 600000000 AS e FROM events),
+m AS (SELECT user_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev_max
+      FROM iv),
+g AS (SELECT user_id, s, e,
+             sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, e) AS island
+      FROM m)
+SELECT user_id, CAST(min(s) AS BIGINT) AS start_us,
+       CAST(max(e) AS BIGINT) AS end_us
+FROM g GROUP BY user_id, island
+""")
+def events_merged_sessions(sf_dir: str):
+    """Interval COALESCING (rel.merge_intervals — the islands-and-gaps
+    union): each event opens a 10-minute presence interval per user;
+    overlapping/touching intervals merge into availability windows.
+    Integer-microsecond endpoints keep the overlap predicate exact on
+    both engines; the oracle states the same islands pattern with window
+    functions."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_iv(t: pa.Table) -> pa.Table:
+        s = rel.ts_as_us(t["ts"])
+        return pa.table({"user_id": t["user_id"],
+                         "start_us": s,
+                         "end_us": pc.add(s, 600000000)})
+
+    iv = ds.map_batches(to_iv, batch_format="pyarrow", zero_copy_batch=True)
+    return rel.merge_intervals(iv, "user_id", "start_us", "end_us")
+
+
+@register("events_value_locf", """
+SELECT event_id,
+       last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                  IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+FROM events
+""")
+def events_value_locf(sf_dir: str):
+    """Last-observation-carried-forward imputation per key
+    (rel.ffill_by ≙ last_value IGNORE NULLS): error readings are treated
+    as missing and repaired with the user's most recent good value;
+    leading gaps stay null. Filled values are verbatim input floats, so
+    equality is exact."""
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts",
+                             "event_type", "value"])
+
+    def nullify(t: pa.Table) -> pa.Table:
+        bad = pc.equal(t["event_type"], "error")
+        v = pc.if_else(bad, pa.scalar(None, pa.float64()), t["value"])
+        return (t.drop_columns(["value", "event_type"])
+                .append_column("value", v))
+
+    masked = ds.map_batches(nullify, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    out = rel.ffill_by(masked, "user_id", ["ts", "event_id"],
+                       "value", out_col="v")
+    return out.select_columns(["event_id", "v"])
+
+
+@register("events_type_hour_mi", """
+WITH c AS (SELECT event_type AS a, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS b,
+                  CAST(count(*) AS DOUBLE) AS n
+           FROM events GROUP BY 1, 2),
+tot AS (SELECT sum(n) AS nn FROM c),
+ma AS (SELECT a, sum(n) AS na FROM c GROUP BY a),
+mb AS (SELECT b, sum(n) AS nb FROM c GROUP BY b),
+mi AS (SELECT sum((n / nn) * ln(n * nn / (na * nb))) AS v
+       FROM c JOIN ma USING (a) JOIN mb USING (b), tot),
+ha AS (SELECT -sum((na / nn) * ln(na / nn)) AS v FROM ma, tot),
+hb AS (SELECT -sum((nb / nn) * ln(nb / nn)) AS v FROM mb, tot)
+SELECT ROUND(mi.v, 6) AS mi, ROUND(ha.v, 6) AS h_a, ROUND(hb.v, 6) AS h_b,
+       ROUND(mi.v / sqrt(ha.v * hb.v), 6) AS nmi
+FROM mi, ha, hb
+""")
+def events_type_hour_mi(sf_dir: str):
+    """Mutual information between event_type and hour-of-day
+    (stats.mutual_information): the effect-size companion to the
+    chi-square test over the same bounded contingency cells — one count
+    pass, closed-form driver math, entropies and normalized MI
+    alongside."""
+    from ..ops import stats as st
+
+    ds = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    hod = ds.map_batches(
+        lambda t: pa.table({"event_type": t["event_type"],
+                            "hod": pc.cast(pc.hour(t["ts"]), pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return st.mutual_information(hod, "event_type", "hod")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

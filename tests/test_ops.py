@@ -4155,3 +4155,53 @@ def test_debounce_lag_gap_semantics():
     # lag semantics: row 2 keeps (110-50=60 >= 60), row 1 drops (50),
     # row 3 keeps (171-110=61); user 2's first row always keeps.
     assert sorted(out["event_id"]) == [0, 2, 3, 4]
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_merge_intervals_matches_bruteforce(nblocks):
+    rng = np.random.default_rng(23)
+    n = 800
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "s": rng.integers(0, 10_000, n).astype(np.int64),
+    })
+    df["e"] = df["s"] + rng.integers(1, 500, n)
+    out = rel.merge_intervals(rd.from_pandas(df).repartition(nblocks),
+                              "k", "s", "e").to_pandas()
+
+    def brute(sub):
+        ivs = sorted(zip(sub["s"], sub["e"]))
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        return merged
+
+    ref = sorted((k, s, e) for k, sub in df.groupby("k")
+                 for s, e in brute(sub))
+    got = sorted(zip(out["k"], out["s"], out["e"]))
+    assert got == ref
+
+
+def test_merge_intervals_touching_merge_and_gap_split():
+    df = pd.DataFrame({"k": [1, 1, 1], "s": [0, 10, 21], "e": [10, 20, 30]})
+    out = rel.merge_intervals(rd.from_pandas(df), "k", "s", "e").to_pandas()
+    got = sorted(zip(out["s"], out["e"]))
+    # [0,10] and [10,20] touch (closed intervals) -> merge; 21 > 20 splits
+    assert got == [(0, 20), (21, 30)]
+
+
+def test_ffill_by_carries_forward_per_key():
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 1],
+        "t": [0, 1, 2, 0, 1, 3],
+        "v": [np.nan, 5.0, np.nan, np.nan, 7.0, np.nan],
+    })
+    out = rel.ffill_by(rd.from_pandas(df), "k", ["t"], "v").to_pandas()
+    out = out.sort_values(["k", "t"])
+    vals = list(out["v"])
+    # k=1: NaN (leading), 5, 5, 5 ; k=2: NaN (leading), 7
+    assert np.isnan(vals[0]) and vals[1:4] == [5.0, 5.0, 5.0]
+    assert np.isnan(vals[4]) and vals[5] == 7.0

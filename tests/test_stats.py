@@ -361,3 +361,34 @@ def test_cusum_resets_at_key_boundaries():
     # user 2: deltas are negative -> never flags
     assert set(out["user_id"]) == {1}
     assert sorted(out["cusum"]) == [10000, 15000]
+
+
+def test_mutual_information_independent_and_dependent():
+    rng = np.random.default_rng(5)
+    n = 20000
+    a = rng.choice(["x", "y", "z"], n)
+    b_ind = rng.choice([0, 1, 2, 3], n)
+    t = pa.table({"a": a, "b": b_ind})
+    out = stats.mutual_information(rd.from_arrow(t), "a", "b").to_pandas()
+    assert out["mi"][0] < 0.005  # independent -> MI near zero
+    assert out["nmi"][0] < 0.01
+    # fully dependent: b = f(a) -> MI equals H(a) (and nmi is capped by
+    # the sqrt normalization: H(a)/sqrt(H(a)H(b)) with H(b)=H(a) -> 1)
+    b_dep = np.where(a == "x", 0, np.where(a == "y", 1, 2))
+    t2 = pa.table({"a": a, "b": b_dep})
+    out2 = stats.mutual_information(rd.from_arrow(t2), "a", "b").to_pandas()
+    assert abs(out2["mi"][0] - out2["h_a"][0]) < 1e-6
+    assert abs(out2["nmi"][0] - 1.0) < 1e-6
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_mutual_information_partition_invariant_with_nulls(nblocks):
+    rng = np.random.default_rng(9)
+    n = 5000
+    a = rng.choice(["p", "q", None], n, p=[0.45, 0.45, 0.1])
+    b = rng.choice(["u", "v"], n)
+    t = pa.table({"a": a, "b": b})
+    ref = stats.mutual_information(rd.from_arrow(t), "a", "b").to_pandas()
+    got = stats.mutual_information(
+        rd.from_arrow(t).repartition(nblocks), "a", "b").to_pandas()
+    pd.testing.assert_frame_equal(got, ref)
