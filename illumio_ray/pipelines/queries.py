@@ -7852,25 +7852,31 @@ _DRIVER_FIRST = [
     "pages_wire_grok",
     "events_by_type_from_orc", "near_dup_keep_best_docs",
     "docs_dup_spans_removed",
-    "orders_pivot_status_by_priority", "events_ntile_by_user",
-    "events_cube_day_type", "doc_chars_dense_rank_by_lang",
-    "events_value_winsorized", "events_by_type_skew_salted",
-    "events_daily_from_csv", "pages_canonical_urls",
+    "orders_pivot_status_by_priority",
+    "events_by_type_skew_salted",
+    "pages_canonical_urls",
     "events_unpivot_metrics", "events_avg_value_from_avro",
     "supplier_pagerank_top10",
+    # freshest families (mode/checksum/debounce/deciles/CUSUM/intervals/
+    # LOCF/MI) take the slots of same-family redundancies (second window-
+    # rank variant, winsorize next to MAD, cube next to pivot, csv next to
+    # orc+avro, on-time next to late-flag, banded next to plain k-NN join,
+    # latest-per-key next to canonical urls) — those ride the local gate
+    "events_value_cusum", "orders_checksum", "events_user_mode_per_type",
+    "events_debounced", "lineitem_price_decile_counts",
+    "events_merged_sessions", "events_value_locf", "events_type_hour_mi",
     # late round-4 families: anomaly scan, significance test, drift, fusion
     "events_hod_anomalies", "events_type_ttest", "doc_lang_jsd",
     "docs_hybrid_rrf",
     "embedding_label_centroids", "docs_search_and",
     "events_validation_report", "events_late_by_batch",
-    "events_hourly_ontime", "docs_bm25_from_index",
+    "docs_bm25_from_index",
     "events_cohort_retention", "pages_from_warc",
-    "dedup_exact_incremental", "pages_latest_per_canonical",
+    "dedup_exact_incremental",
     "doc_ccnet_buckets", "pages_blocklist_filtered",
     "events_user_totals_asof", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
     "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
-    "embedding_hard_negatives",
     "events_l_diversity",
 ]
 
