@@ -2549,3 +2549,187 @@ def ffill_by(ds: rd.Dataset, key_col: str, order_cols: list[str],
 
     return keyed_window(ds, key_col, window,
                         num_buckets=num_buckets, n_rows=n_rows)
+
+
+def weighted_quantile(ds: rd.Dataset, col: str, w_col: str,
+                      qs: list[float], num_bins: int = 512,
+                      collect_limit: int = 200_000,
+                      max_passes: int = 8) -> list[float]:
+    """EXACT weighted quantiles over an unbounded column WITHOUT
+    collecting it: for each q, the smallest value v with
+    W(≤ v) >= q · W_total (the weighted quantile_disc convention — e.g.
+    the token-weighted median document length, where long docs count by
+    their tokens, not once). Same iterative histogram refinement as
+    exact_quantile_disc, but the bins accumulate WEIGHT MASS instead of
+    row counts; all quantiles share each pass's scan.
+
+    Exactness contract: weights cast to int64 (they must be integral and
+    non-negative — counts, tokens, quantities), so every cumulative mass
+    is an exact integer and the q·W threshold is the same double on every
+    engine; rows where value or weight is null drop pairwise. ~log_bins
+    passes of one map-reduce each, O(num_bins · len(qs)) driver state."""
+    def base(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(v) | np.isnan(w))
+        v, w = v[ok], w[ok].astype(np.int64)
+        if not len(v):
+            return pa.table({"w": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64()),
+                             "lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64())})
+        return pa.table({"w": [int(w.sum())], "n": [len(v)],
+                         "lo": [float(v.min())], "hi": [float(v.max())]})
+
+    parts = [pa.table(b) for b in ds.map_batches(
+        base, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow")]
+    nonempty = [p for p in parts if p.num_rows]
+    if not nonempty:
+        return [float("nan")] * len(qs)
+    allp = pa.concat_tables(nonempty)
+    W = int(pc.sum(allp["w"]).as_py())
+    n = int(pc.sum(allp["n"]).as_py())
+    if W <= 0:
+        return [float("nan")] * len(qs)
+    gmin = float(pc.min(allp["lo"]).as_py())
+    gmax = float(pc.max(allp["hi"]).as_py())
+
+    state = [{"target": q * W, "below": 0, "lo": gmin,
+              "hi": float(np.nextafter(gmax, np.inf)), "n": n,
+              "val": None} for q in qs]
+
+    for _ in range(max_passes):
+        active = [i for i, s in enumerate(state)
+                  if s["val"] is None and s["n"] > collect_limit]
+        if not active:
+            break
+        ranges = [(i, state[i]["lo"], state[i]["hi"]) for i in active]
+
+        def hist(t: pa.Table, ranges=ranges) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            w = t[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~(np.isnan(v) | np.isnan(w))
+            v, w = v[ok], w[ok].astype(np.int64)
+            rows_i, rows_w, rows_c = [], [], []
+            for i, lo, hi in ranges:
+                m = (v >= lo) & (v < hi)
+                mv = v[m]
+                ws, _ = np.histogram(mv, bins=num_bins, range=(lo, hi),
+                                     weights=w[m].astype(np.float64))
+                cs, _ = np.histogram(mv, bins=num_bins, range=(lo, hi))
+                rows_i.append(i)
+                rows_w.append(ws.astype(np.int64))
+                rows_c.append(cs.astype(np.int64))
+            return pa.table({"qi": pa.array(rows_i, pa.int32()),
+                             "wsum": pa.array(rows_w),
+                             "cnt": pa.array(rows_c)})
+
+        wsums = {i: np.zeros(num_bins, np.int64) for i in active}
+        cnts = {i: np.zeros(num_bins, np.int64) for i in active}
+        for b in ds.map_batches(hist, batch_format="pyarrow",
+                                zero_copy_batch=True
+                                ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for qi, wrow, crow in zip(t["qi"].to_pylist(),
+                                      t["wsum"].to_pylist(),
+                                      t["cnt"].to_pylist()):
+                wsums[qi] += np.asarray(wrow, np.int64)
+                cnts[qi] += np.asarray(crow, np.int64)
+        for i in active:
+            s = state[i]
+            cumw = np.cumsum(wsums[i])
+            b = int(np.searchsorted(cumw, s["target"] - s["below"],
+                                    side="left"))
+            b = min(b, num_bins - 1)
+            edges = np.linspace(s["lo"], s["hi"], num_bins + 1)
+            s["below"] += int(cumw[b - 1]) if b else 0
+            s["n"] = int(cnts[i][b])
+            s["lo"], s["hi"] = float(edges[b]), float(edges[b + 1])
+            if s["hi"] <= np.nextafter(s["lo"], np.inf):
+                s["val"] = s["lo"]
+
+    pending = [(i, state[i]["lo"], state[i]["hi"])
+               for i, s in enumerate(state) if s["val"] is None]
+    if pending:
+        def survivors(t: pa.Table, pending=pending) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            w = t[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            ok = ~(np.isnan(v) | np.isnan(w))
+            v, w = v[ok], w[ok].astype(np.int64)
+            ii, vv, ww = [], [], []
+            for i, lo, hi in pending:
+                m = (v >= lo) & (v < hi)
+                ii.extend([i] * int(m.sum()))
+                vv.extend(v[m].tolist())
+                ww.extend(w[m].tolist())
+            return pa.table({"qi": pa.array(ii, pa.int32()),
+                             "v": pa.array(vv, pa.float64()),
+                             "w": pa.array(ww, pa.int64())})
+
+        got: dict[int, list] = {i: ([], []) for i, _, _ in pending}
+        for b in ds.map_batches(survivors, batch_format="pyarrow",
+                                zero_copy_batch=True
+                                ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for qi, v, w in zip(t["qi"].to_pylist(), t["v"].to_pylist(),
+                                t["w"].to_pylist()):
+                got[qi][0].append(v)
+                got[qi][1].append(w)
+        for i, _, _ in pending:
+            s = state[i]
+            vs = np.asarray(got[i][0], np.float64)
+            ws = np.asarray(got[i][1], np.int64)
+            order = np.argsort(vs, kind="mergesort")
+            vs, ws = vs[order], ws[order]
+            # cumulative mass AT each distinct value includes its peers
+            uniq, inv = np.unique(vs, return_inverse=True)
+            mass = np.bincount(inv, weights=ws.astype(np.float64)
+                               ).astype(np.int64)
+            cum = s["below"] + np.cumsum(mass)
+            j = int(np.searchsorted(cum, s["target"], side="left"))
+            s["val"] = float(uniq[min(j, len(uniq) - 1)])
+    return [s["val"] for s in state]
+
+
+def transition_counts(ds: rd.Dataset, key_col: str, order_cols: list[str],
+                      state_col: str,
+                      num_buckets: int | None = None,
+                      n_rows: int | None = None) -> pa.Table:
+    """First-order Markov transition matrix over a BOUNDED state column:
+    per key, each consecutive (previous state → state) step counts once
+    (SQL lag() pairs), then the bounded |states|² matrix carries counts
+    and row-normalized probabilities. The clickstream/session sequence
+    -mining primitive (what follows what, per entity).
+
+    One keyed_window bucket exchange; inside each bucket the step pairs
+    come from a vectorized shift and reduce immediately to per-bucket
+    (prev, cur) value_counts — only O(states²) partial rows per bucket
+    leave the exchange, driver-combined like every bounded aggregate."""
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        st = g[state_col].to_numpy()
+        keys = g[key_col].to_numpy()
+        same = np.concatenate(([False], keys[1:] == keys[:-1]))
+        prev = np.concatenate(([None], st[:-1]))
+        sub = pd.DataFrame({"prev": prev[same], "cur": st[same]})
+        out = (sub.value_counts(["prev", "cur"]).rename("n")
+               .reset_index())
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    partials = keyed_window(ds, key_col, window,
+                            num_buckets=num_buckets, n_rows=n_rows)
+    combined = pa.concat_tables([pa.table(b) for b in grouped_agg(
+        partials, ["prev", "cur"], [("n", "sum", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    tot = combined.group_by("prev").aggregate([("n", "sum")])
+    t = combined.join(tot, keys="prev").sort_by(
+        [("prev", "ascending"), ("cur", "ascending")])
+    from ..functions.rounding import round_np
+    p = round_np(pc.divide(pc.cast(t["n"], pa.float64()),
+                           pc.cast(t["n_sum"], pa.float64())
+                           ).to_numpy(zero_copy_only=False), 6)
+    return pa.table({"prev": t["prev"], "cur": t["cur"], "n": t["n"],
+                     "p": pa.array(p, pa.float64())})

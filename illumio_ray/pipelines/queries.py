@@ -7825,6 +7825,53 @@ def events_type_hour_mi(sf_dir: str):
     return st.mutual_information(hod, "event_type", "hod")
 
 
+@register("lineitem_weighted_price_quantiles", """
+WITH w AS (SELECT l_extendedprice AS v, CAST(l_quantity AS BIGINT) AS wt
+           FROM lineitem),
+c AS (SELECT v, sum(wt) OVER (ORDER BY v) AS cw,
+             (SELECT sum(wt) FROM w) AS tot FROM w)
+SELECT (SELECT min(v) FROM c WHERE cw >= 0.25 * tot) AS p25,
+       (SELECT min(v) FROM c WHERE cw >= 0.5 * tot) AS p50,
+       (SELECT min(v) FROM c WHERE cw >= 0.9 * tot) AS p90
+""")
+def lineitem_weighted_price_quantiles(sf_dir: str):
+    """EXACT WEIGHTED quantiles with no driver collect
+    (rel.weighted_quantile): price quantiles where each row counts by its
+    quantity — the weight-mass generalization of the histogram-refinement
+    selection (token-weighted medians at corpus scale). Integer weights
+    keep every cumulative mass exact; collect_limit=500 forces a real
+    refinement pass at gate scale."""
+    ds = read_table(sf_dir, "lineitem",
+                    columns=["l_extendedprice", "l_quantity"])
+    p25, p50, p90 = rel.weighted_quantile(
+        ds, "l_extendedprice", "l_quantity", [0.25, 0.5, 0.9],
+        collect_limit=500)
+    return pa.table({"p25": [p25], "p50": [p50], "p90": [p90]})
+
+
+@register("events_type_transitions", """
+SELECT prev, cur, n,
+       ROUND(n * 1.0e0 / sum(n) OVER (PARTITION BY prev), 6) AS p
+FROM (
+  SELECT prev, event_type AS cur, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events)
+  WHERE prev IS NOT NULL GROUP BY 1, 2)
+""")
+def events_type_transitions(sf_dir: str):
+    """First-order Markov transition matrix of event types per user
+    (rel.transition_counts): consecutive lag() pairs, bounded |states|²
+    counts + row-normalized probabilities — the clickstream sequence
+    -mining primitive. Pairs reduce to per-bucket value_counts before the
+    exchange."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    return rel.transition_counts(ds, "user_id", ["ts", "event_id"],
+                                 "event_type")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -4205,3 +4205,63 @@ def test_ffill_by_carries_forward_per_key():
     # k=1: NaN (leading), 5, 5, 5 ; k=2: NaN (leading), 7
     assert np.isnan(vals[0]) and vals[1:4] == [5.0, 5.0, 5.0]
     assert np.isnan(vals[4]) and vals[5] == 7.0
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_weighted_quantile_matches_bruteforce(nblocks):
+    rng = np.random.default_rng(31)
+    n = 3000
+    v = np.round(rng.normal(100, 25, n), 2)
+    v[::11] = v[0]  # plant heavy ties
+    w = rng.integers(1, 20, n).astype(np.int64)
+    df = pd.DataFrame({"v": v, "w": w})
+    qs = [0.1, 0.5, 0.9]
+    got = rel.weighted_quantile(rd.from_pandas(df).repartition(nblocks),
+                                "v", "w", qs, num_bins=16,
+                                collect_limit=50, max_passes=8)
+
+    order = np.argsort(v, kind="mergesort")
+    sv, sw = v[order], w[order]
+    uniq, inv = np.unique(sv, return_inverse=True)
+    cum = np.cumsum(np.bincount(inv, weights=sw).astype(np.int64))
+    W = cum[-1]
+    ref = [float(uniq[np.searchsorted(cum, q * W, side="left")])
+           for q in qs]
+    assert got == ref
+
+
+def test_weighted_quantile_null_pairs_and_all_null():
+    df = pd.DataFrame({"v": [1.0, np.nan, 3.0, 5.0],
+                       "w": [1.0, 5.0, np.nan, 3.0]})
+    # usable pairs: (1,1), (5,3) -> W=4; q=0.5 target 2 -> v=5
+    got = rel.weighted_quantile(rd.from_pandas(df), "v", "w", [0.5])
+    assert got == [5.0]
+    allnull = pd.DataFrame({"v": [np.nan, np.nan], "w": [1.0, 1.0]})
+    got2 = rel.weighted_quantile(rd.from_pandas(allnull), "v", "w", [0.5])
+    assert np.isnan(got2[0])
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_transition_counts_matches_pandas(nblocks):
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "t": rng.permutation(n),
+        "s": rng.choice(["a", "b", "c"], n),
+    })
+    out = rel.transition_counts(
+        rd.from_pandas(df).repartition(nblocks), "k", ["t"], "s"
+    ).to_pandas()
+
+    d = df.sort_values(["k", "t"])
+    d["prev"] = d.groupby("k")["s"].shift()
+    ref = (d.dropna(subset=["prev"]).value_counts(["prev", "s"])
+           .rename("n").reset_index().rename(columns={"s": "cur"}))
+    ref["p"] = (ref["n"] / ref.groupby("prev")["n"].transform("sum")
+                ).round(6)
+    ref = ref.sort_values(["prev", "cur"]).reset_index(drop=True)
+    got = out.sort_values(["prev", "cur"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["prev", "cur", "n", "p"]],
+        ref[["prev", "cur", "n", "p"]].astype({"n": "int64"}))
