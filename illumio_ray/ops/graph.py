@@ -234,21 +234,16 @@ def _pagerank_broadcast(e: rd.Dataset, deg: rd.Dataset,
                                    "rank": pa.array(r)}))
 
 
-def cooccurrence_edges(ds: rd.Dataset, group_col: str, item_col: str,
-                       num_buckets: int | None = None,
-                       n_rows: int | None = None,
-                       max_group_items: int = 10_000) -> rd.Dataset:
-    """Undirected co-occurrence edge set: one (a, b) a < b edge per pair
-    of distinct items sharing a group (parts in the same order, terms in
-    the same doc) — the classic market-basket graph builder.
-
-    Shape: distinct (group, item) first (bucket exchange — keys ≈ rows),
-    then ONE group-bucket exchange emits each group's pairs fully
-    vectorized (repeat/arange index algebra, no per-row Python), then a
-    pair-bucket distinct. Fan-out per group is C(s, 2) — bounded-basket
-    data only; a group over ``max_group_items`` fails loudly instead of
-    emitting a quadratic block (salting a hot basket cannot help: the
-    pair set itself is quadratic in the basket)."""
+def _basket_items_and_pairs(ds: rd.Dataset, group_col: str, item_col: str,
+                            n_rows: int | None = None,
+                            max_group_items: int = 10_000
+                            ) -> tuple[rd.Dataset, rd.Dataset]:
+    """Shared market-basket front end: the distinct (group, item) table
+    (materialized — both consumers re-scan it) and the raw per-group pair
+    rows, ONE row per (group, unordered item pair), a < b. Pair emission
+    is fully vectorized (repeat/arange index algebra); a group over
+    ``max_group_items`` fails loudly instead of emitting a quadratic
+    block."""
     from .dedup import _distinct_rows_bucketed
     from .relational import keyed_window
 
@@ -300,7 +295,95 @@ def cooccurrence_edges(ds: rd.Dataset, group_col: str, item_col: str,
         lambda t: pa.table({"a": pc.cast(t["a"], pa.int64()),
                             "b": pc.cast(t["b"], pa.int64())}),
         batch_format="pyarrow", zero_copy_batch=True)
+    return gi, pairs
+
+
+def cooccurrence_edges(ds: rd.Dataset, group_col: str, item_col: str,
+                       num_buckets: int | None = None,
+                       n_rows: int | None = None,
+                       max_group_items: int = 10_000) -> rd.Dataset:
+    """Undirected co-occurrence edge set: one (a, b) a < b edge per pair
+    of distinct items sharing a group (parts in the same order, terms in
+    the same doc) — the classic market-basket graph builder.
+
+    Shape: distinct (group, item) first (bucket exchange — keys ≈ rows),
+    then ONE group-bucket exchange emits each group's pairs fully
+    vectorized (_basket_items_and_pairs), then a pair-bucket distinct."""
+    from .dedup import _distinct_rows_bucketed
+
+    _, pairs = _basket_items_and_pairs(ds, group_col, item_col,
+                                       n_rows=n_rows,
+                                       max_group_items=max_group_items)
     return _distinct_rows_bucketed(pairs, ["a", "b"])
+
+
+def association_rules(ds: rd.Dataset, group_col: str, item_col: str,
+                      min_pair_count: int = 2, k: int = 20,
+                      n_rows: int | None = None,
+                      max_group_items: int = 10_000,
+                      ndigits: int = 6) -> rd.Dataset:
+    """Market-basket association rules (Agrawal et al. 1993): for every
+    unordered item pair co-occurring in ≥ ``min_pair_count`` baskets,
+    support / both directed confidences / lift, top-k by lift. The
+    recommendation-mining family next to the co-occurrence graph ops.
+
+    Scale shape: pair counts come from the same vectorized basket pair
+    emit as cooccurrence_edges, reduced with a bucket-mode grouped count
+    (pair keys ≈ rows); the min-support filter prunes BEFORE the joins,
+    so only surviving pairs join against the item-support table (two hash
+    joins on a/b — item supports are never broadcast: the item space
+    grows with the catalog). All ratios are single divisions of exact
+    small-int products, so the rounded values are engine-independent."""
+    from .dedup import _distinct_rows_bucketed
+    from .relational import (drop_empty_blocks, grouped_agg, hash_join,
+                             topk)
+    from ..functions.rounding import round_np
+
+    gi, pairs = _basket_items_and_pairs(ds, group_col, item_col,
+                                        n_rows=n_rows,
+                                        max_group_items=max_group_items)
+    n_baskets = _distinct_rows_bucketed(gi.select_columns(["g"]),
+                                        ["g"]).count()
+    pair_counts = grouped_agg(pairs, ["a", "b"],
+                              [("a", "count", "n_ab")], mode="bucket")
+    lo = int(min_pair_count)
+    pair_counts = pair_counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_ab"], lo)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    item_counts = grouped_agg(gi, ["i"], [("i", "count", "n_i")],
+                              mode="bucket")
+    # both sides come through bucket-mode (shuffle groupby) exchanges —
+    # empty-schema blocks crash Dataset.join (Ray 2.49)
+    pair_counts = drop_empty_blocks(pair_counts)
+    item_counts = drop_empty_blocks(item_counts).materialize()
+
+    ia = item_counts.map_batches(
+        lambda t: pa.table({"a": t["i"], "n_a": t["n_i"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    ib = item_counts.map_batches(
+        lambda t: pa.table({"b": t["i"], "n_b": t["n_i"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = hash_join(pair_counts, ia, on=["a"])
+    j = hash_join(drop_empty_blocks(j), ib, on=["b"])
+
+    def metrics(t: pa.Table) -> pa.Table:
+        n_ab = t["n_ab"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = t["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_b = t["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nn = float(n_baskets)
+        return pa.table({
+            "a": t["a"], "b": t["b"],
+            "n_ab": pc.cast(t["n_ab"], pa.int64()),
+            "support": pa.array(round_np(n_ab / nn, ndigits)),
+            "conf_a_b": pa.array(round_np(n_ab / n_a, ndigits)),
+            "conf_b_a": pa.array(round_np(n_ab / n_b, ndigits)),
+            "lift": pa.array(round_np(n_ab * nn / (n_a * n_b), ndigits)),
+        })
+
+    scored = j.map_batches(metrics, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    return topk(scored, ["lift", "a", "b"], k,
+                descending=[True, False, False])
 
 
 def triangle_stats(edges: rd.Dataset, a: str = "a", b: str = "b",

@@ -7872,6 +7872,36 @@ def events_type_transitions(sf_dir: str):
                                  "event_type")
 
 
+@register("part_association_rules", """
+WITH gi AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+nb AS (SELECT CAST(count(DISTINCT g) AS DOUBLE) AS nn FROM gi),
+pc2 AS (SELECT a.i AS a, b.i AS b, CAST(count(*) AS BIGINT) AS n_ab
+        FROM gi a JOIN gi b ON a.g = b.g AND a.i < b.i GROUP BY 1, 2),
+ic AS (SELECT i, CAST(count(*) AS BIGINT) AS n_i FROM gi GROUP BY i)
+SELECT p.a, p.b, p.n_ab,
+       ROUND(p.n_ab * 1.0e0 / nn, 6) AS support,
+       ROUND(p.n_ab * 1.0e0 / ia.n_i, 6) AS conf_a_b,
+       ROUND(p.n_ab * 1.0e0 / ib.n_i, 6) AS conf_b_a,
+       ROUND(p.n_ab * nn / (ia.n_i * ib.n_i), 6) AS lift
+FROM pc2 p JOIN ic ia ON ia.i = p.a JOIN ic ib ON ib.i = p.b, nb
+WHERE p.n_ab >= 2
+ORDER BY lift DESC, p.a, p.b LIMIT 20
+""")
+def part_association_rules(sf_dir: str):
+    """Market-basket association rules over order baskets
+    (graph.association_rules, Agrawal et al. 1993): support, both
+    directed confidences, and lift for every part pair bought together
+    ≥ 2 times, top-20 by lift. Pair counts reduce bucket-mode before the
+    min-support prune; only survivors join the item-support table (two
+    hash joins — item space grows with the catalog, never broadcast).
+    Every ratio is one division of exact small-int products, so the
+    rounded metrics are engine-independent."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    return graph.association_rules(li, "l_orderkey", "l_partkey",
+                                   min_pair_count=2, k=20)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

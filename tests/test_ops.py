@@ -4265,3 +4265,48 @@ def test_transition_counts_matches_pandas(nblocks):
     pd.testing.assert_frame_equal(
         got[["prev", "cur", "n", "p"]],
         ref[["prev", "cur", "n", "p"]].astype({"n": "int64"}))
+
+
+def test_association_rules_matches_bruteforce():
+    from illumio_ray.ops import graph
+    from itertools import combinations
+    from collections import Counter
+
+    rng = np.random.default_rng(41)
+    rows = []
+    for g in range(60):
+        items = rng.choice(30, size=rng.integers(2, 6), replace=False)
+        rows.extend((g, int(i)) for i in items)
+    # plant a strongly-associated pair in 8 baskets
+    for g in range(100, 108):
+        rows.extend([(g, 900), (g, 901)])
+    df = pd.DataFrame(rows, columns=["g", "i"])
+    out = graph.association_rules(rd.from_pandas(df), "g", "i",
+                                  min_pair_count=2, k=10).to_pandas()
+
+    baskets = df.groupby("g")["i"].apply(set)
+    nn = len(baskets)
+    pair_n = Counter()
+    item_n = Counter()
+    for s in baskets:
+        for i in s:
+            item_n[i] += 1
+        for a, b in combinations(sorted(s), 2):
+            pair_n[(a, b)] += 1
+    ref = []
+    for (a, b), n_ab in pair_n.items():
+        if n_ab < 2:
+            continue
+        ref.append((round(n_ab * nn / (item_n[a] * item_n[b]), 6),
+                    a, b, n_ab,
+                    round(n_ab / nn, 6),
+                    round(n_ab / item_n[a], 6),
+                    round(n_ab / item_n[b], 6)))
+    ref.sort(key=lambda r: (-r[0], r[1], r[2]))
+    ref = ref[:10]
+    got = list(zip(out["lift"], out["a"], out["b"], out["n_ab"],
+                   out["support"], out["conf_a_b"], out["conf_b_a"]))
+    assert got == ref
+    # the planted pair must be the top rule (perfect confidence, max lift)
+    assert (got[0][1], got[0][2]) == (900, 901)
+    assert got[0][5] == 1.0 and got[0][6] == 1.0
