@@ -645,3 +645,54 @@ def mutual_information(ds: rd.Dataset, col_a: str, col_b: str,
         "h_b": pa.array([round_scalar(h_b, ndigits)], pa.float64()),
         "nmi": pa.array([round_scalar(float(nmi), ndigits)], pa.float64()),
     })
+
+
+def psi_numeric(ref: rd.Dataset, cur: rd.Dataset, col: str,
+                n_bins: int = 10, smoothing: float = 0.5,
+                collect_limit: int = 200_000,
+                ndigits: int = 6) -> pa.Table:
+    """Population Stability Index between two snapshots of a numeric
+    column — the industry-standard distribution-drift monitor (rule of
+    thumb: < 0.1 stable, 0.1–0.25 shifting, > 0.25 action). Bins are the
+    REFERENCE side's equal-frequency quantile cuts (exact order
+    statistics via the no-collect refinement, so both engines compare
+    identical doubles); each side then bin-counts in one bounded pass and
+    the driver evaluates Σ (p−q)·ln(p/q) over Laplace-smoothed
+    proportions ((n_i + s)/(N + s·bins) — empty bins otherwise make the
+    index infinite). Returns per-bin rows (n_ref, n_cur, psi_part) plus
+    the total as their sum, checkable bin by bin."""
+    from .relational import exact_quantile_disc, grouped_agg
+    from ..functions.rounding import round_np
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = np.asarray(exact_quantile_disc(
+        ref, col, qs, collect_limit=collect_limit), np.float64)
+
+    def counts_for(ds: rd.Dataset) -> np.ndarray:
+        def assign(t: pa.Table) -> pa.Table:
+            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+            return pa.table({"bin": pa.array(b, pa.int64())})
+
+        parts = pa.concat_tables([pa.table(x) for x in grouped_agg(
+            ds.select_columns([col]).map_batches(
+                assign, batch_format="pyarrow", zero_copy_batch=True),
+            ["bin"], [("bin", "count", "n")],
+            mode="driver").iter_batches(batch_format="pyarrow")])
+        dense = np.zeros(n_bins, np.int64)
+        got = parts.to_pandas()
+        dense[got["bin"].to_numpy(np.int64)] = got["n"].to_numpy(np.int64)
+        return dense
+
+    n_ref = counts_for(ref)
+    n_cur = counts_for(cur)
+    p = (n_ref + smoothing) / (n_ref.sum() + smoothing * n_bins)
+    q = (n_cur + smoothing) / (n_cur.sum() + smoothing * n_bins)
+    part = (p - q) * np.log(p / q)
+    return pa.table({
+        "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+        "n_ref": pa.array(n_ref, pa.int64()),
+        "n_cur": pa.array(n_cur, pa.int64()),
+        "psi_part": pa.array(round_np(part, ndigits)),
+    })

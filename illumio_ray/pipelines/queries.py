@@ -7902,6 +7902,146 @@ def part_association_rules(sf_dir: str):
                                    min_pair_count=2, k=20)
 
 
+@register("orders_benford_digits", """
+WITH d AS (SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS digit
+           FROM orders WHERE o_totalprice >= 1),
+c AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit),
+digits AS (SELECT CAST(x AS VARCHAR) AS digit, x AS dv
+           FROM generate_series(1, 9) AS t(x)),
+tot AS (SELECT sum(n) AS nn FROM c)
+SELECT digits.digit, coalesce(c.n, 0) AS n,
+       ROUND(coalesce(c.n, 0) * 1.0e0 / nn, 6) AS obs_p,
+       ROUND(log10(1 + 1.0e0 / dv), 6) AS exp_p,
+       ROUND(pow(coalesce(c.n, 0) - nn * log10(1 + 1.0e0 / dv), 2)
+             / (nn * log10(1 + 1.0e0 / dv)), 6) AS chi2_part
+FROM digits LEFT JOIN c USING (digit), tot
+""")
+def orders_benford_digits(sf_dir: str):
+    """Benford first-digit audit of order totals
+    (profile.benford_digit_test): observed vs log10(1+1/d) expected
+    proportions and per-digit chi-square contributions — the classic
+    fabricated-data screen. Digit extraction goes through the decimal
+    string (float log10 could flip at exact powers of ten); one bounded
+    9-key count pass."""
+    from ..ops import profile as prof
+
+    ds = read_table(sf_dir, "orders", columns=["o_totalprice"])
+    return prof.benford_digit_test(ds, "o_totalprice")
+
+
+@register("events_value_psi", """
+WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+b AS (SELECT quantile_disc(value,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM ref),
+u AS (SELECT unnest(bs) AS v FROM b),
+bins AS (SELECT CAST(x AS BIGINT) AS bin FROM generate_series(0, 9) t(x)),
+rc AS (SELECT (SELECT count(*) FROM u WHERE u.v < r.value) AS bin,
+              count(*) AS n FROM ref r GROUP BY 1),
+cc AS (SELECT (SELECT count(*) FROM u WHERE u.v < c.value) AS bin,
+              count(*) AS n FROM cur c GROUP BY 1),
+tot AS (SELECT (SELECT sum(n) FROM rc) AS nr, (SELECT sum(n) FROM cc) AS nc)
+SELECT bins.bin, CAST(coalesce(rc.n, 0) AS BIGINT) AS n_ref,
+       CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur,
+       ROUND(((coalesce(rc.n, 0) + 0.5) / (nr + 5.0)
+              - (coalesce(cc.n, 0) + 0.5) / (nc + 5.0))
+             * ln(((coalesce(rc.n, 0) + 0.5) / (nr + 5.0))
+                  / ((coalesce(cc.n, 0) + 0.5) / (nc + 5.0))), 6)
+         AS psi_part
+FROM bins LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin), tot
+""")
+def events_value_psi(sf_dir: str):
+    """Population Stability Index of the value distribution, first half
+    of the month vs second (stats.psi_numeric): reference-side exact
+    decile cuts (no-collect refinement), one bounded bin-count pass per
+    side, Laplace-smoothed Σ (p−q)·ln(p/q) — the standard drift monitor
+    for a training-data mixture, checkable per bin."""
+    from ..ops import stats as st
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    cut = pa.scalar(np.datetime64("2024-01-16T00:00:00", "us"))
+    ref = ev.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], cut)).select(["value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cur = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cut)).select(["value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return st.psi_numeric(ref, cur, "value", n_bins=10,
+                          collect_limit=500)
+
+
+@register("revenue_pareto_by_segment", """
+WITH r AS (
+  SELECT c.c_mktsegment AS segment, sum(o.o_totalprice) AS rev
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT segment, ROUND(rev, 2) AS rev,
+       ROUND(rev / sum(rev) OVER (), 6) AS share,
+       ROUND(sum(rev) OVER (ORDER BY rev DESC, segment)
+             / sum(rev) OVER (), 6) AS cum_share
+FROM r
+""")
+def revenue_pareto_by_segment(sf_dir: str):
+    """Pareto (cumulative-share) revenue report per market segment: the
+    80/20 concentration view every mix dashboard needs. Broadcast dim
+    join + bounded grouped sum; share and cumulative share are
+    driver-side math over the 5-row result (rounded at o_totalprice
+    sum scale per the repo convention)."""
+    from ..functions.rounding import round_np
+
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    dim = pq.read_table(str(Path(sf_dir) / "customer.parquet"),
+                        columns=["c_custkey", "c_mktsegment"])
+    dim = dim.rename_columns(["o_custkey", "c_mktsegment"])
+    j = rel.broadcast_join(orders, dim, on=["o_custkey"],
+                           join_type="inner")
+    agg = rel.grouped_agg(j, ["c_mktsegment"],
+                          [("o_totalprice", "sum", "rev")], mode="driver")
+    t = pa.concat_tables([pa.table(b) for b in
+                          agg.iter_batches(batch_format="pyarrow")])
+    df = t.to_pandas().rename(columns={"c_mktsegment": "segment"})
+    df = df.sort_values(["rev", "segment"],
+                        ascending=[False, True]).reset_index(drop=True)
+    total = df["rev"].sum()
+    out = pa.table({
+        "segment": df["segment"].to_numpy(),
+        "rev": round_np(df["rev"].to_numpy(np.float64), 2),
+        "share": round_np(df["rev"].to_numpy(np.float64) / total, 6),
+        "cum_share": round_np(
+            np.cumsum(df["rev"].to_numpy(np.float64)) / total, 6),
+    })
+    return out
+
+
+@register("events_top_users_by_distinct_days", """
+SELECT user_id, n_days FROM (
+  SELECT user_id, CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+           AS n_days,
+         row_number() OVER (ORDER BY count(DISTINCT date_trunc('day', ts))
+                            DESC, user_id) AS rn
+  FROM events GROUP BY user_id)
+WHERE rn <= 10
+""")
+def events_top_users_by_distinct_days(sf_dir: str):
+    """Top-k keys by DISTINCT count (most-active users by distinct days):
+    the two-level exchange ranking — bucketed distinct (user, day) so
+    duplicate activity never inflates the exchange, bucket-mode count per
+    user, partializable top-k. Composition of existing primitives."""
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+    days = rel.time_bucket(ds, "ts", "day", out_col="day")
+    days = days.select_columns(["user_id", "day"])
+    from ..ops.dedup import _distinct_rows_bucketed
+    dd = _distinct_rows_bucketed(days, ["user_id", "day"])
+    counts = rel.grouped_agg(dd, ["user_id"],
+                             [("user_id", "count", "n_days")],
+                             mode="bucket")
+    top = rel.topk(counts, ["n_days", "user_id"], 10,
+                   descending=[True, False])
+    return top.select_columns(["user_id", "n_days"])
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -4310,3 +4310,26 @@ def test_association_rules_matches_bruteforce():
     # the planted pair must be the top rule (perfect confidence, max lift)
     assert (got[0][1], got[0][2]) == (900, 901)
     assert got[0][5] == 1.0 and got[0][6] == 1.0
+
+
+def test_benford_digit_test_known_distribution():
+    from illumio_ray.ops import profile as prof
+
+    # exact Benford sample: digit d appears round(10000 * log10(1+1/d))
+    exp_p = np.log10(1 + 1.0 / np.arange(1, 10))
+    counts = np.round(exp_p * 10000).astype(int)
+    vals = np.concatenate([np.full(c, d, np.float64) * 10
+                           for d, c in zip(range(1, 10), counts)])
+    # sub-1 values must drop, not crash or skew
+    vals = np.concatenate([vals, [0.5, 0.01]])
+    out = prof.benford_digit_test(
+        rd.from_arrow(pa.table({"v": vals})), "v").to_pandas()
+    assert list(out["digit"]) == [str(d) for d in range(1, 10)]
+    assert out["n"].sum() == counts.sum()
+    # near-perfect conformity -> tiny chi-square contributions
+    assert out["chi2_part"].sum() < 0.01
+    # powers of ten keep their true leading digit (string extraction)
+    out2 = prof.benford_digit_test(
+        rd.from_arrow(pa.table({"v": [1000.0, 100.0, 10.0, 1.0]})),
+        "v").to_pandas()
+    assert int(out2.loc[out2["digit"] == "1", "n"].iloc[0]) == 4

@@ -392,3 +392,31 @@ def test_mutual_information_partition_invariant_with_nulls(nblocks):
     got = stats.mutual_information(
         rd.from_arrow(t).repartition(nblocks), "a", "b").to_pandas()
     pd.testing.assert_frame_equal(got, ref)
+
+
+def test_psi_identical_near_zero_and_shift_large():
+    rng = np.random.default_rng(7)
+    a = rng.normal(100, 10, 20000)
+    b = rng.normal(100, 10, 20000)   # same distribution, fresh draw
+    c = rng.normal(130, 10, 20000)   # strong location shift
+    ra = rd.from_arrow(pa.table({"v": a}))
+    psi_same = stats.psi_numeric(ra, rd.from_arrow(pa.table({"v": b})),
+                                 "v")["psi_part"].to_numpy().sum()
+    psi_shift = stats.psi_numeric(ra, rd.from_arrow(pa.table({"v": c})),
+                                  "v")["psi_part"].to_numpy().sum()
+    assert psi_same < 0.02          # stable (rule of thumb < 0.1)
+    assert psi_shift > 0.5          # drifted far beyond the 0.25 action bar
+    # empty current-side bins must stay finite (Laplace smoothing)
+    assert np.isfinite(psi_shift)
+
+
+def test_psi_partition_invariant():
+    rng = np.random.default_rng(13)
+    a = pa.table({"v": rng.uniform(0, 1, 4000)})
+    b = pa.table({"v": rng.uniform(0.2, 1.2, 4000)})
+    one = stats.psi_numeric(rd.from_arrow(a), rd.from_arrow(b), "v"
+                            ).to_pandas()
+    many = stats.psi_numeric(rd.from_arrow(a).repartition(7),
+                             rd.from_arrow(b).repartition(5), "v"
+                             ).to_pandas()
+    pd.testing.assert_frame_equal(one, many)
