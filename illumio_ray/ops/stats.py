@@ -696,3 +696,107 @@ def psi_numeric(ref: rd.Dataset, cur: rd.Dataset, col: str,
         "n_cur": pa.array(n_cur, pa.int64()),
         "psi_part": pa.array(round_np(part, ndigits)),
     })
+
+
+def autocorr_by(ds: rd.Dataset, key_col: str, ts_col: str, val_col: str,
+                lag: int = 1, tie_cols: list[str] | None = None,
+                out_col: str = "ac", ndigits: int = 6,
+                num_buckets: int | None = None,
+                n_rows: int | None = None) -> rd.Dataset:
+    """Lag-k autocorrelation of a per-key time series (corr of x_t with
+    x_{t-lag} in event order): the serial-dependence screen for metric
+    streams — near zero for i.i.d. noise, positive for trending/bursty
+    keys. Returns (key, ac, n_pairs); keys with fewer than lag+2 points
+    or a zero-variance side yield NULL (SQL corr semantics).
+
+    One keyed_window bucket exchange; per key the lagged pairs come from
+    an array shift and the correlation from the numerically-safe centered
+    two-pass form (the same cancellation-free shape as bivariate_stats,
+    here exact because each key's pairs are bucket-local)."""
+    from .relational import keyed_window
+
+    tie = tie_cols or []
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, *tie], kind="mergesort")
+        keys_arr = g[key_col].to_numpy()
+        x = g[val_col].to_numpy(np.float64)
+        n = len(g)
+        start = np.flatnonzero(np.concatenate(
+            ([True], keys_arr[1:] != keys_arr[:-1])))
+        bounds = np.append(start, n)
+        out_k, out_ac, out_n = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            xs = x[s:e]
+            if len(xs) <= lag:
+                continue
+            a, b = xs[lag:], xs[:-lag]
+            out_k.append(keys_arr[s])
+            out_n.append(len(a))
+            da, db = a - a.mean(), b - b.mean()
+            va, vb = float(da @ da), float(db @ db)
+            if va <= 0.0 or vb <= 0.0:
+                out_ac.append(None)
+            else:
+                out_ac.append(
+                    round_scalar(float(da @ db) / np.sqrt(va * vb),
+                                 ndigits))
+        return pd.DataFrame({key_col: out_k,
+                             out_col: pd.array(out_ac, dtype="float64"),
+                             "n_pairs": np.asarray(out_n, np.int64)})
+
+    return keyed_window(ds, key_col, window,
+                        num_buckets=num_buckets, n_rows=n_rows)
+
+
+def interarrival_by(ds: rd.Dataset, key_col: str, ts_col: str,
+                    tie_cols: list[str] | None = None,
+                    ndigits: int = 6,
+                    num_buckets: int | None = None,
+                    n_rows: int | None = None) -> rd.Dataset:
+    """Inter-arrival gap statistics per key (min/max/mean microseconds
+    between consecutive events): the burstiness/heartbeat profile that
+    capacity planning and bot detection read first. Gaps are exact int64
+    microsecond differences (lag semantics, deterministic tie order), so
+    min/max are exact and the mean is one exact-int division — identical
+    on every engine at any partitioning.
+
+    Same keyed_window shape; per-bucket the gaps reduce immediately to
+    one row per key, so only O(keys) rows leave the exchange."""
+    from .relational import keyed_window, ts_as_us
+
+    tie = tie_cols or []
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, *tie], kind="mergesort")
+        keys_arr = g[key_col].to_numpy()
+        ts = ts_as_us(pa.Array.from_pandas(g[ts_col])).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n = len(g)
+        same = np.concatenate(([False], keys_arr[1:] == keys_arr[:-1]))
+        gaps = np.concatenate(([0], ts[1:] - ts[:-1]))
+        start = np.flatnonzero(np.concatenate(
+            ([True], keys_arr[1:] != keys_arr[:-1])))
+        bounds = np.append(start, n)
+        out = {k: [] for k in (key_col, "min_gap_us", "max_gap_us",
+                               "mean_gap_us", "n_gaps")}
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            gs = gaps[s:e][same[s:e]]
+            if not len(gs):
+                continue
+            out[key_col].append(keys_arr[s])
+            out["min_gap_us"].append(int(gs.min()))
+            out["max_gap_us"].append(int(gs.max()))
+            out["mean_gap_us"].append(
+                round_scalar(float(int(gs.sum()) / len(gs)), ndigits))
+            out["n_gaps"].append(len(gs))
+        return pd.DataFrame({
+            key_col: out[key_col],
+            "min_gap_us": np.asarray(out["min_gap_us"], np.int64),
+            "max_gap_us": np.asarray(out["max_gap_us"], np.int64),
+            "mean_gap_us": np.asarray(out["mean_gap_us"], np.float64),
+            "n_gaps": np.asarray(out["n_gaps"], np.int64),
+        })
+
+    return keyed_window(ds, key_col, window,
+                        num_buckets=num_buckets, n_rows=n_rows)

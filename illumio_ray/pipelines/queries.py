@@ -8042,6 +8042,53 @@ def events_top_users_by_distinct_days(sf_dir: str):
     return top.select_columns(["user_id", "n_days"])
 
 
+@register("events_user_autocorr", """
+SELECT user_id, ROUND(corr(value, pv), 6) AS ac,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM (SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS pv
+      FROM events)
+WHERE pv IS NOT NULL GROUP BY user_id
+""")
+def events_user_autocorr(sf_dir: str):
+    """Lag-1 autocorrelation of each user's value stream
+    (stats.autocorr_by): the serial-dependence screen — near zero for
+    i.i.d. behavior, positive for bursty/trending keys. Centered two-pass
+    correlation per key inside the shared keyed_window bucket (the same
+    cancellation-free form the bivariate oracle validated at 6 digits)."""
+    from ..ops import stats as st
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "value"])
+    return st.autocorr_by(ds, "user_id", "ts", "value", lag=1,
+                          tie_cols=["event_id"])
+
+
+@register("events_user_interarrival", """
+SELECT user_id,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us,
+       ROUND(avg(gap), 6) AS mean_gap_us,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM (SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events)
+WHERE gap IS NOT NULL GROUP BY user_id
+""")
+def events_user_interarrival(sf_dir: str):
+    """Inter-arrival gap profile per user (stats.interarrival_by):
+    min/max/mean microseconds between consecutive events — burstiness and
+    heartbeat detection. Exact int64 gaps, one row per key leaves the
+    bucket exchange."""
+    from ..ops import stats as st
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id"])
+    return st.interarrival_by(ds, "user_id", "ts", tie_cols=["event_id"])
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -420,3 +420,47 @@ def test_psi_partition_invariant():
                              rd.from_arrow(b).repartition(5), "v"
                              ).to_pandas()
     pd.testing.assert_frame_equal(one, many)
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_autocorr_by_matches_numpy(nblocks):
+    rng = np.random.default_rng(3)
+    rows = []
+    for k in range(12):
+        n = rng.integers(5, 40)
+        x = np.cumsum(rng.normal(0, 1, n)) if k % 2 else rng.normal(0, 1, n)
+        rows.extend((k, t, float(v)) for t, v in enumerate(x))
+    df = pd.DataFrame(rows, columns=["k", "t", "v"])
+    out = stats.autocorr_by(rd.from_pandas(df).repartition(nblocks),
+                            "k", "t", "v", lag=1).to_pandas()
+    got = dict(zip(out["k"], out["ac"]))
+    for k, sub in df.sort_values(["k", "t"]).groupby("k"):
+        x = sub["v"].to_numpy()
+        ref = np.corrcoef(x[1:], x[:-1])[0, 1]
+        assert abs(got[k] - round(ref, 6)) < 2e-6
+    # random-walk keys (odd) should be far more autocorrelated on average
+    walk = np.mean([got[k] for k in got if k % 2])
+    iid = np.mean([got[k] for k in got if not k % 2])
+    assert walk > iid
+
+
+def test_autocorr_constant_series_is_null():
+    df = pd.DataFrame({"k": [1] * 6, "t": range(6), "v": [5.0] * 6})
+    out = stats.autocorr_by(rd.from_pandas(df), "k", "t", "v").to_pandas()
+    assert len(out) == 1 and pd.isna(out["ac"][0])
+    assert out["n_pairs"][0] == 5
+
+
+def test_interarrival_by_exact_gaps():
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2, 3],
+        "ts": pd.to_datetime([0, 10, 40, 5, 6, 9], unit="s"),
+    })
+    out = stats.interarrival_by(rd.from_pandas(df), "k", "ts").to_pandas()
+    got = out.set_index("k")
+    assert got.loc[1, "min_gap_us"] == 10_000_000
+    assert got.loc[1, "max_gap_us"] == 30_000_000
+    assert got.loc[1, "mean_gap_us"] == 20_000_000.0
+    assert got.loc[1, "n_gaps"] == 2
+    assert got.loc[2, "n_gaps"] == 1
+    assert 3 not in got.index  # single-event keys have no gaps
