@@ -8089,6 +8089,64 @@ def events_user_interarrival(sf_dir: str):
     return st.interarrival_by(ds, "user_id", "ts", tie_cols=["event_id"])
 
 
+@register("events_asof_nearest_error", """
+WITH c AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
+e AS (SELECT ts FROM events WHERE event_type = 'error'),
+b AS (SELECT c.event_id, c.ts, r.ts AS bts
+      FROM c ASOF LEFT JOIN e r ON c.ts >= r.ts),
+f AS (SELECT c.event_id, r.ts AS fts
+      FROM c ASOF LEFT JOIN e r ON c.ts <= r.ts)
+SELECT b.event_id, b.ts,
+       CASE WHEN bts IS NULL THEN fts
+            WHEN fts IS NULL THEN bts
+            WHEN epoch_us(b.ts) - epoch_us(bts)
+                 <= epoch_us(fts) - epoch_us(b.ts) THEN bts
+            ELSE fts END AS nearest_error_ts
+FROM b JOIN f USING (event_id)
+""")
+def events_asof_nearest_error(sf_dir: str):
+    """NEAREST-neighbor temporal alignment (min |Δt|, ties to the earlier
+    side): each click matched to the closest error in either direction —
+    the third as-of semantics next to backward and forward, composed
+    scale-safely from BOTH partitioned directional as-of joins plus one
+    row-local vectorized pick (no new exchange shape; neither side ever
+    broadcasts)."""
+    events = read_table(sf_dir, "events",
+                        columns=["event_id", "ts", "event_type"])
+    clicks = rel.filter_batches(
+        events, lambda t: pc.equal(t["event_type"], "click")
+    ).select_columns(["event_id", "ts"])
+    errors = rel.filter_batches(
+        read_table(sf_dir, "events", columns=["ts", "event_type"]),
+        lambda t: pc.equal(t["event_type"], "error")
+    ).select_columns(["ts"]).rename_columns({"ts": "r_ts"})
+
+    both = rel.asof_partitioned_join(
+        clicks, errors, "ts", "r_ts", {"bts": "r_ts"},
+        direction="backward")
+    both = rel.asof_partitioned_join(
+        both, errors, "ts", "r_ts", {"fts": "r_ts"},
+        direction="forward")
+
+    def pick(t: pa.Table) -> pa.Table:
+        lts = rel.ts_as_us(t["ts"]).to_numpy(zero_copy_only=False)
+        b = rel.ts_as_us(t["bts"])
+        f = rel.ts_as_us(t["fts"])
+        bi = b.to_numpy(zero_copy_only=False).astype(np.float64)
+        fi = f.to_numpy(zero_copy_only=False).astype(np.float64)
+        ok_b = pc.is_valid(t["bts"]).to_numpy(zero_copy_only=False)
+        ok_f = pc.is_valid(t["fts"]).to_numpy(zero_copy_only=False)
+        dt_b = np.where(ok_b, lts - bi, np.inf)
+        dt_f = np.where(ok_f, fi - lts, np.inf)
+        use_b = ok_b & (~ok_f | (dt_b <= dt_f))
+        nearest = pc.if_else(pa.array(use_b), t["bts"], t["fts"])
+        return pa.table({"event_id": t["event_id"], "ts": t["ts"],
+                         "nearest_error_ts": nearest})
+
+    return both.map_batches(pick, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

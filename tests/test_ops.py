@@ -4333,3 +4333,33 @@ def test_benford_digit_test_known_distribution():
         rd.from_arrow(pa.table({"v": [1000.0, 100.0, 10.0, 1.0]})),
         "v").to_pandas()
     assert int(out2.loc[out2["digit"] == "1", "n"].iloc[0]) == 4
+
+
+def test_asof_nearest_composition_matches_bruteforce():
+    # compose backward+forward partitioned as-of and pick min |dt|,
+    # exactly as the events_asof_nearest_error query does
+    rng = np.random.default_rng(57)
+    lts = np.sort(rng.choice(100_000, 200, replace=False))
+    rts = np.sort(rng.choice(100_000, 40, replace=False))
+    left = pd.DataFrame({"id": np.arange(200),
+                         "ts": pd.to_datetime(lts, unit="s")})
+    right = pd.DataFrame({"r_ts": pd.to_datetime(rts, unit="s")})
+
+    both = rel.asof_partitioned_join(
+        rd.from_pandas(left), rd.from_pandas(right), "ts", "r_ts",
+        {"bts": "r_ts"}, direction="backward", num_partitions=4)
+    both = rel.asof_partitioned_join(
+        both, rd.from_pandas(right), "ts", "r_ts",
+        {"fts": "r_ts"}, direction="forward", num_partitions=4)
+    df = both.to_pandas()
+    dt_b = (df["ts"] - df["bts"]).dt.total_seconds()
+    dt_f = (df["fts"] - df["ts"]).dt.total_seconds()
+    use_b = df["bts"].notna() & (df["fts"].isna() | (dt_b <= dt_f))
+    got = dict(zip(df["id"], np.where(use_b, df["bts"], df["fts"])))
+
+    for i, t in zip(left["id"], lts):
+        diffs = np.abs(rts.astype(np.int64) - t)
+        best = diffs.min()
+        cands = rts[diffs == best]
+        want = cands.min()  # tie -> earlier (backward) side
+        assert pd.Timestamp(got[i]).timestamp() == want
