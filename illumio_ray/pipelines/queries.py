@@ -8147,6 +8147,60 @@ def events_asof_nearest_error(sf_dir: str):
                             zero_copy_batch=True)
 
 
+@register("events_daily_value_p95", """
+SELECT date_trunc('day', ts) AS day,
+       quantile_disc(value, 0.5) AS q50,
+       quantile_disc(value, 0.95) AS q95
+FROM events GROUP BY 1
+""")
+def events_daily_value_p95(sf_dir: str):
+    """Daily exact p50/p95 of the value stream (the SLA-percentile
+    dashboard shape): bounded day keys × unbounded per-day rows through
+    the shared per-group refinement (rel.exact_quantile_disc_by — every
+    (day, quantile) range narrows in the same scan; collect_limit forced
+    low so the gate exercises a real refinement pass)."""
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    days = rel.time_bucket(ev, "ts", "day", out_col="day")
+    return rel.exact_quantile_disc_by(
+        days.select_columns(["day", "value"]), "day", "value",
+        [0.5, 0.95], collect_limit=100)
+
+
+@register("events_daily_top_types_other", """
+WITH c AS (SELECT date_trunc('day', ts) AS day, event_type,
+                  count(*) AS n FROM events GROUP BY 1, 2),
+r AS (SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT day, CASE WHEN rn <= 2 THEN event_type ELSE 'other' END AS bucket,
+       CAST(sum(n) AS BIGINT) AS n
+FROM r GROUP BY 1, 2
+""")
+def events_daily_top_types_other(sf_dir: str):
+    """Top-N-plus-OTHER reporting rollup (top 2 event types per day, the
+    rest folded into 'other'): the standard dashboard shape that keeps
+    category cardinality bounded. One bounded (day, type) partial count
+    pass; the rank-and-fold runs on the O(days × types) driver table with
+    the same deterministic tie rule as the oracle."""
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    days = rel.time_bucket(ev, "ts", "day", out_col="day")
+    counts = rel.grouped_agg(days.select_columns(["day", "event_type"]),
+                             ["day", "event_type"],
+                             [("event_type", "count", "n")], mode="driver")
+    df = pa.concat_tables([pa.table(b) for b in counts.iter_batches(
+        batch_format="pyarrow")]).to_pandas()
+    df = df.sort_values(["day", "n", "event_type"],
+                        ascending=[True, False, True])
+    df["rn"] = df.groupby("day").cumcount() + 1
+    df["bucket"] = np.where(df["rn"] <= 2, df["event_type"], "other")
+    out = (df.groupby(["day", "bucket"], as_index=False)["n"].sum())
+    return pa.table({"day": pa.array(out["day"]),
+                     "bucket": pa.array(out["bucket"]),
+                     "n": pa.array(out["n"].to_numpy(np.int64),
+                                   pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
