@@ -2733,3 +2733,55 @@ def transition_counts(ds: rd.Dataset, key_col: str, order_cols: list[str],
                            ).to_numpy(zero_copy_only=False), 6)
     return pa.table({"prev": t["prev"], "cur": t["cur"], "n": t["n"],
                      "p": pa.array(p, pa.float64())})
+
+
+def union_by_name(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
+    """Schema-evolution union (SQL UNION ALL BY NAME): columns match by
+    NAME, not position; a column missing on one side fills with TYPED
+    nulls of the other side's type. The heterogeneous-source merge every
+    long-lived ingestion needs when upstream schemas drift (new fields
+    appear, old ones retire) — plain Dataset.union would mis-align
+    positional schemas or route blocks through pandas null-padding
+    (int64 → float64 + NaN, the union pitfall documented in the repo
+    invariants).
+
+    Zero exchange: each side gets one row-local map that projects onto
+    the unified column order (shared names keep the LEFT side's type as
+    the contract; a conflicting right-side type fails loudly in the cast
+    rather than silently coercing), then the block streams union."""
+    def _arrow_type(t) -> pa.DataType:
+        # Ray schemas carry numpy dtypes for pandas-backed blocks; object
+        # dtype means strings in every table this engine produces
+        if isinstance(t, pa.DataType):
+            return t
+        dt = np.dtype(t)
+        if dt == np.dtype("O"):
+            return pa.string()
+        return pa.from_numpy_dtype(dt)
+
+    sa, sb = a.schema(), b.schema()
+    ta = {n: _arrow_type(t) for n, t in zip(sa.names, sa.types)}
+    tb = {n: _arrow_type(t) for n, t in zip(sb.names, sb.types)}
+    names = list(dict.fromkeys([*sa.names, *sb.names]))
+    unified = {n: (ta[n] if n in ta else tb[n]) for n in names}
+
+    def pad_to(schema_types: dict, have: dict):
+        def fn(t: pa.Table) -> pa.Table:
+            cols = {}
+            for n in names:
+                if n in have:
+                    col = t[n]
+                    if col.type != schema_types[n]:
+                        col = pc.cast(col, schema_types[n])
+                    cols[n] = col
+                else:
+                    cols[n] = pa.nulls(t.num_rows,
+                                       type=schema_types[n])
+            return pa.table(cols)
+        return fn
+
+    a2 = a.map_batches(pad_to(unified, ta), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    b2 = b.map_batches(pad_to(unified, tb), batch_format="pyarrow",
+                       zero_copy_batch=True)
+    return a2.union(b2)

@@ -8201,6 +8201,29 @@ def events_daily_top_types_other(sf_dir: str):
                                    pa.int64())})
 
 
+@register("events_union_by_name", """
+SELECT event_id, ts, value, event_type FROM (
+  SELECT event_id, ts, value FROM events WHERE event_type = 'click'
+  UNION ALL BY NAME
+  SELECT event_id, ts, event_type FROM events WHERE event_type = 'error')
+""")
+def events_union_by_name(sf_dir: str):
+    """Schema-evolution union (rel.union_by_name ≙ UNION ALL BY NAME):
+    two drifted projections of the stream merge by column NAME with
+    typed-null padding — no positional mis-alignment, no pandas
+    int64→float64 null coercion. Zero exchange: one row-local pad map per
+    side, then the streaming block union."""
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "value", "event_type"])
+    clicks = rel.filter_batches(
+        ev, lambda t: pc.equal(t["event_type"], "click")
+    ).select_columns(["event_id", "ts", "value"])
+    errors = rel.filter_batches(
+        ev, lambda t: pc.equal(t["event_type"], "error")
+    ).select_columns(["event_id", "ts", "event_type"])
+    return rel.union_by_name(clicks, errors)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

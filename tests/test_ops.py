@@ -4363,3 +4363,27 @@ def test_asof_nearest_composition_matches_bruteforce():
         cands = rts[diffs == best]
         want = cands.min()  # tie -> earlier (backward) side
         assert pd.Timestamp(got[i]).timestamp() == want
+
+
+def test_union_by_name_typed_null_padding():
+    a = pd.DataFrame({"k": np.array([1, 2], np.int64), "x": ["p", "q"]})
+    b = pd.DataFrame({"y": [1.5, 2.5, 3.5],
+                      "k": np.array([3, 4, 5], np.int64)})
+    out = rel.union_by_name(rd.from_pandas(a),
+                            rd.from_pandas(b))
+    t = pa.concat_tables([pa.table(x) for x in
+                          out.iter_batches(batch_format="pyarrow")])
+    assert t.column_names == ["k", "x", "y"]
+    # int64 keys survive padding on BOTH sides (no float64+NaN coercion)
+    assert t["k"].type == pa.int64()
+    assert sorted(t["k"].to_pylist()) == [1, 2, 3, 4, 5]
+    assert t["x"].to_pylist().count(None) == 3
+    assert t["y"].to_pylist().count(None) == 2
+
+
+def test_union_by_name_conflicting_type_fails_loudly():
+    a = pd.DataFrame({"k": np.array([1], np.int64)})
+    b = pd.DataFrame({"k": ["not-an-int"]})
+    ds = rel.union_by_name(rd.from_pandas(a), rd.from_pandas(b))
+    with pytest.raises(Exception):
+        ds.materialize()
