@@ -2785,3 +2785,28 @@ def union_by_name(a: rd.Dataset, b: rd.Dataset) -> rd.Dataset:
     b2 = b.map_batches(pad_to(unified, tb), batch_format="pyarrow",
                        zero_copy_batch=True)
     return a2.union(b2)
+
+
+def systematic_weighted_sample(ds: rd.Dataset, id_col: str,
+                               w_col: str, k: int) -> pa.Table:
+    """SYSTEMATIC weighted sampling (probability-proportional-to-size
+    with replacement, midpoint rule): draw j of k selects the row whose
+    cumulative-weight interval, in ascending ``id_col`` order, contains
+    position (j + 0.5)·W/k — the deterministic, zero-randomness PPS
+    design survey statistics uses (Madow 1949), and the reproducible
+    alternative to multinomial draws for mixture construction.
+
+    Each draw is a WEIGHTED RANK SELECTION, so the whole sample reuses
+    weighted_quantile's no-collect histogram refinement: all k draws
+    share each pass's scan, nothing sorts globally, and integer weights
+    make every cumulative mass exact (``w_col`` must be integral, e.g.
+    pre-floored cents). Rows with weight ≥ W/k can be drawn more than
+    once — that is with-replacement semantics, not a bug. Returns
+    (draw, picked id)."""
+    qs = [(j + 0.5) / k for j in range(k)]
+    vals = weighted_quantile(ds, id_col, w_col, qs)
+    return pa.table({
+        "draw": pa.array(np.arange(k, dtype=np.int64)),
+        id_col: pa.array([None if v != v else int(v) for v in vals],
+                         pa.int64()),
+    })

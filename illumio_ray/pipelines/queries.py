@@ -8224,6 +8224,68 @@ def events_union_by_name(sf_dir: str):
     return rel.union_by_name(clicks, errors)
 
 
+@register("events_systematic_sample", """
+WITH w AS (SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS wt
+           FROM events),
+c AS (SELECT event_id, sum(wt) OVER (ORDER BY event_id) AS cw,
+             (SELECT sum(wt) FROM w) AS tot FROM w),
+d AS (SELECT CAST(x AS BIGINT) AS draw FROM generate_series(0, 24) t(x))
+SELECT draw,
+       (SELECT min(event_id) FROM c
+        WHERE cw >= ((draw + 0.5) / 25) * tot) AS event_id
+FROM d
+""")
+def events_systematic_sample(sf_dir: str):
+    """Systematic PPS sampling, 25 draws weighted by value
+    (rel.systematic_weighted_sample, Madow 1949): deterministic
+    probability-proportional-to-size with replacement — every draw is a
+    weighted rank selection sharing the no-collect refinement passes.
+    Integer-cent weights keep cumulative masses exact; the threshold
+    ((j+0.5)/k)·W is evaluated with the identical operation order on
+    both engines."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        w = pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"event_id": t["event_id"], "w": w})
+
+    cds = ds.map_batches(cents, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return rel.systematic_weighted_sample(cds, "event_id", "w", 25)
+
+
+@register("events_daily_pct_change", """
+WITH d AS (SELECT date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1)
+SELECT day, n,
+       ROUND((n - lag(n) OVER (ORDER BY day)) * 1.0e0
+             / lag(n) OVER (ORDER BY day), 6) AS pct_change
+FROM d
+""")
+def events_daily_pct_change(sf_dir: str):
+    """Day-over-day percent change of event volume — the period-over-
+    period report every ops dashboard leads with. Bounded daily counts
+    (partial-combined), driver-side lag math over the O(days) result;
+    the ratio is one division of exact ints."""
+    from ..functions.rounding import round_np
+
+    ev = read_table(sf_dir, "events", columns=["ts"])
+    days = rel.time_bucket(ev, "ts", "day", out_col="day")
+    counts = rel.grouped_agg(days, ["day"], [("day", "count", "n")],
+                             mode="driver")
+    t = pa.concat_tables([pa.table(b) for b in counts.iter_batches(
+        batch_format="pyarrow")]).sort_by([("day", "ascending")])
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    pct = np.full(len(n), np.nan)
+    if len(n) > 1:
+        pct[1:] = round_np((n[1:] - n[:-1]) / n[:-1], 6)
+    # the first day has no predecessor: SQL lag yields NULL, not NaN
+    vals = [None if not np.isfinite(x) else float(x) for x in pct]
+    return pa.table({"day": t["day"],
+                     "n": pc.cast(t["n"], pa.int64()),
+                     "pct_change": pa.array(vals, pa.float64())})
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

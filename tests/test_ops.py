@@ -4387,3 +4387,24 @@ def test_union_by_name_conflicting_type_fails_loudly():
     ds = rel.union_by_name(rd.from_pandas(a), rd.from_pandas(b))
     with pytest.raises(Exception):
         ds.materialize()
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_systematic_weighted_sample_matches_bruteforce(nblocks):
+    rng = np.random.default_rng(61)
+    ids = np.arange(500, dtype=np.int64)
+    w = rng.integers(1, 100, 500).astype(np.int64)
+    # one heavy row that must be drawn several times (with replacement)
+    w[123] = 20_000
+    df = pd.DataFrame({"id": ids, "w": w})
+    k = 10
+    out = rel.systematic_weighted_sample(
+        rd.from_pandas(df).repartition(nblocks), "id", "w", k)
+
+    cw = np.cumsum(w)  # ids are already ascending
+    W = cw[-1]
+    ref = [int(ids[np.searchsorted(cw, ((j + 0.5) / k) * W,
+                                   side="left")])
+           for j in range(k)]
+    assert out["id"].to_pylist() == ref
+    assert ref.count(123) >= 2  # heavy row drawn multiple times
