@@ -525,3 +525,60 @@ def bfs_hops(edges: rd.Dataset, seeds: list[int], max_hops: int,
             break
         settled = settled.union(frontier).materialize()
     return settled
+
+
+def node_degrees(edges: rd.Dataset, a: str = "a", b: str = "b") -> rd.Dataset:
+    """Per-node degree of a canonical undirected edge set (a < b,
+    distinct): one bucket-mode grouped count over the unioned endpoints —
+    node space grows with the graph, so the exchange is hash-bucketed,
+    never a per-node Ray group."""
+    from .relational import grouped_agg
+
+    left = edges.map_batches(
+        lambda t: pa.table({"v": pc.cast(t[a], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    right = edges.map_batches(
+        lambda t: pa.table({"v": pc.cast(t[b], pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(left.union(right), ["v"], [("v", "count", "d")],
+                       mode="bucket")
+
+
+def degree_distribution(edges: rd.Dataset, a: str = "a",
+                        b: str = "b") -> rd.Dataset:
+    """Degree distribution (degree → node count) of an undirected graph:
+    the first structural profile of any co-occurrence / link graph, and
+    the input to heavy-tail diagnostics. Second reduce is over degree
+    VALUES (bounded by max degree ≪ nodes) — driver-combined."""
+    from .relational import grouped_agg
+
+    deg = node_degrees(edges, a, b)
+    return grouped_agg(deg, ["d"], [("d", "count", "n_nodes")],
+                       mode="driver")
+
+
+def hill_tail_alpha(edges: rd.Dataset, dmin: int, a: str = "a",
+                    b: str = "b", ndigits: int = 6) -> pa.Table:
+    """Hill estimator of the degree-distribution tail exponent
+    (α = 1 + n / Σ ln(d / (dmin − 0.5)), the discrete power-law MLE shape
+    of Clauset-Shalizi-Newman 2009) over nodes with degree ≥ dmin: is the
+    graph scale-free enough that hot-key salting / hub handling matters?
+    One bounded (degree, count) table reaches the driver; the estimator
+    folds it in O(distinct degrees)."""
+    from ..functions.rounding import round_scalar
+
+    dist = pa.concat_tables([pa.table(x) for x in degree_distribution(
+        edges, a, b).iter_batches(batch_format="pyarrow")])
+    d = dist["d"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = dist["n_nodes"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tail = d >= dmin
+    n_tail = float(n[tail].sum())
+    if n_tail == 0:
+        return pa.table({"n_tail": pa.array([0], pa.int64()),
+                         "alpha": pa.array([None], pa.float64())})
+    s = float((n[tail] * np.log(d[tail] / (dmin - 0.5))).sum())
+    return pa.table({
+        "n_tail": pa.array([int(n_tail)], pa.int64()),
+        "alpha": pa.array([round_scalar(1.0 + n_tail / s, ndigits)],
+                          pa.float64()),
+    })

@@ -8286,6 +8286,49 @@ def events_daily_pct_change(sf_dir: str):
                      "pct_change": pa.array(vals, pa.float64())})
 
 
+_PART_EDGES_CTE = """
+WITH e AS (SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+           FROM lineitem l1 JOIN lineitem l2
+             ON l1.l_orderkey = l2.l_orderkey
+            AND l1.l_partkey < l2.l_partkey),
+deg AS (SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+          SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        GROUP BY v)
+"""
+
+
+@register("part_degree_distribution", _PART_EDGES_CTE + """
+SELECT d, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY d
+""")
+def part_degree_distribution(sf_dir: str):
+    """Degree distribution of the part co-purchase graph
+    (graph.degree_distribution): the first structural profile of any
+    link graph. Node degrees via one bucket-mode count over unioned
+    endpoints (node space grows with the graph); the second reduce is
+    over degree VALUES (bounded by max degree) — driver-combined."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.degree_distribution(edges)
+
+
+@register("part_degree_tail_alpha", _PART_EDGES_CTE + """
+SELECT CAST(count(*) AS BIGINT) AS n_tail,
+       ROUND(1.0 + count(*) / sum(ln(d / 19.5)), 6) AS alpha
+FROM deg WHERE d >= 20
+""")
+def part_degree_tail_alpha(sf_dir: str):
+    """Hill tail-exponent estimate of the co-purchase degree
+    distribution (graph.hill_tail_alpha, the Clauset-Shalizi-Newman
+    discrete power-law MLE shape): the scale-free diagnostic that tells
+    a planner whether hub nodes need salting. Folds the bounded
+    (degree, count) table on the driver."""
+    li = read_table(sf_dir, "lineitem",
+                    columns=["l_orderkey", "l_partkey"])
+    edges = graph.cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return graph.hill_tail_alpha(edges, dmin=20)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

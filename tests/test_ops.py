@@ -4408,3 +4408,23 @@ def test_systematic_weighted_sample_matches_bruteforce(nblocks):
            for j in range(k)]
     assert out["id"].to_pylist() == ref
     assert ref.count(123) >= 2  # heavy row drawn multiple times
+
+
+def test_degree_distribution_and_hill_alpha():
+    from illumio_ray.ops import graph
+
+    # star graph: hub 0 connected to 1..8 -> hub degree 8, leaves 1
+    edges = pd.DataFrame({"a": [0] * 8, "b": list(range(1, 9))})
+    dist = graph.degree_distribution(rd.from_pandas(edges)).to_pandas()
+    got = dict(zip(dist["d"], dist["n_nodes"]))
+    assert got == {1: 8, 8: 1}
+
+    # Hill estimator end-to-end on the same star graph, dmin=1: every
+    # node is in the tail, alpha = 1 + 9 / (8*ln(1/0.5) + ln(8/0.5))
+    out = graph.hill_tail_alpha(rd.from_pandas(edges), dmin=1).to_pandas()
+    ref = 1.0 + 9.0 / (8 * np.log(1 / 0.5) + np.log(8 / 0.5))
+    assert out["n_tail"][0] == 9
+    assert abs(out["alpha"][0] - round(ref, 6)) < 1e-9
+    # empty tail -> NULL alpha, not a crash
+    out2 = graph.hill_tail_alpha(rd.from_pandas(edges), dmin=99).to_pandas()
+    assert out2["n_tail"][0] == 0 and pd.isna(out2["alpha"][0])
