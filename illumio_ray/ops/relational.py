@@ -2120,6 +2120,7 @@ def winsorize_by(ds: rd.Dataset, key: str, col: str,
 
 def funnel_counts(ds: rd.Dataset, user_col: str, ts_col: str,
                   type_col: str, steps: list[str],
+                  max_span_s: float | None = None,
                   num_buckets: int | None = None,
                   n_rows: int | None = None) -> pa.Table:
     """Ordered funnel: for each prefix of ``steps``, how many users
@@ -2129,11 +2130,18 @@ def funnel_counts(ds: rd.Dataset, user_col: str, ts_col: str,
     purchase). Greedy earliest-completion is the standard semantics and
     is what the SQL chained-min oracle defines.
 
+    With ``max_span_s`` set, each later step must also land WITHIN that
+    many seconds of the previous step's completion (the attribution-
+    window variant: a purchase an hour after the click no longer
+    converts); step 0 is never bounded.
+
     Distributed shape: rows prune to the step types at the scan, exchange
     ONCE on a user-hash bucket (keyed_window contract: a user's rows never
     split), and each bucket computes per-user completion vectorized —
     sort by (user, ts), then per step a chained earliest-after lookup.
     Only (bucket, step, count) partials reach the driver."""
+    span_us = (None if max_span_s is None
+               else np.int64(round(max_span_s * 1_000_000)))
     steps = list(steps)
     step_idx = {s: i for i, s in enumerate(steps)}
 
@@ -2162,6 +2170,11 @@ def funnel_counts(ds: rd.Dataset, user_col: str, ts_col: str,
             # (after -inf for step 0 → their earliest step-0 event)
             cand_u, cand_t = inv[m], ts[m]
             ok = cand_t > done[cand_u]
+            if span_us is not None and i > 0:
+                # bounded window after the previous step's completion;
+                # done is a real timestamp for every candidate that
+                # passed the > check against a completed prefix
+                ok &= cand_t <= done[cand_u] + span_us
             np.minimum.at(nxt, cand_u[ok], cand_t[ok])
             done = nxt
             counts.append(int((done < SENT).sum()))
@@ -2810,3 +2823,72 @@ def systematic_weighted_sample(ds: rd.Dataset, id_col: str,
         id_col: pa.array([None if v != v else int(v) for v in vals],
                          pa.int64()),
     })
+
+
+def bloom_filtered_hash_join(left: rd.Dataset, right: rd.Dataset,
+                             on: str, join_type: str = "inner",
+                             fpp: float = 0.01,
+                             n_right: int | None = None,
+                             num_partitions: int | None = None
+                             ) -> rd.Dataset:
+    """Hash join with a Bloom PRE-FILTER on the probe side: the standard
+    runtime-filter pushdown every warehouse engine applies when the build
+    side is too big to broadcast but still selective against the probe
+    side. The right side's join keys fold into one Bloom filter
+    DISTRIBUTED (per-block partial bit arrays with shared (m, k) sizing,
+    OR-combined on the driver — ~10 bits/key at fpp=0.01, mergeable
+    because the layout is fixed up front); the left side drops definite
+    non-matches BEFORE the all-to-all exchange, so the shuffle moves
+    ~match_rate + fpp of the probe rows instead of all of them. Results
+    are EXACT for inner joins — false positives are eliminated by the
+    join itself.
+
+    ``n_right`` sizes the filter without a count() when the caller knows
+    it (parquet footers); inner join only (an outer probe side must keep
+    non-matching rows, which the pre-filter would drop)."""
+    if join_type != "inner":
+        raise ValueError("bloom_filtered_hash_join: pre-filtering the "
+                         "probe side is only sound for inner joins")
+    from ..functions.sketches import BloomFilter
+
+    n = n_right if n_right is not None else right.count()
+    proto = BloomFilter(max(int(n), 1), fpp)
+    m, k = proto.m, proto.k
+
+    def partial_bits(t: pa.Table) -> pa.Table:
+        b = BloomFilter.__new__(BloomFilter)
+        b.m, b.k = m, k
+        b.bits = np.zeros(m, dtype=bool)
+        b.add_array(t[on].combine_chunks()
+                    if isinstance(t[on], pa.ChunkedArray) else t[on])
+        return pa.table({"bits": pa.array([np.packbits(b.bits).tobytes()],
+                                          pa.binary())})
+
+    bloom = BloomFilter.__new__(BloomFilter)
+    bloom.m, bloom.k = m, k
+    acc = np.zeros((m + 7) // 8, dtype=np.uint8)
+    for b in right.select_columns([on]).map_batches(
+            partial_bits, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        t = pa.table(b)
+        for i in range(t.num_rows):
+            acc |= np.frombuffer(t["bits"][i].as_py(), dtype=np.uint8)
+    bloom.bits = np.unpackbits(acc)[:m].astype(bool)
+    ref = ray.put(bloom)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bf = _BLOOM_JOIN_CACHE.get(ref)
+        if bf is None:
+            _BLOOM_JOIN_CACHE.clear()
+            bf = _BLOOM_JOIN_CACHE[ref] = ray.get(ref)
+        col = t[on].combine_chunks() if isinstance(t[on], pa.ChunkedArray) \
+            else t[on]
+        return t.filter(pa.array(bf.contains_array(col)))
+
+    pruned = left.map_batches(prefilter, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return hash_join(pruned, right, on=[on], join_type=join_type,
+                     num_partitions=num_partitions)
+
+
+_BLOOM_JOIN_CACHE: dict = {}

@@ -8329,6 +8329,82 @@ def part_degree_tail_alpha(sf_dir: str):
     return graph.hill_tail_alpha(edges, dmin=20)
 
 
+@register("events_funnel_windowed", """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+), s1 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > s0.t
+    AND e.ts <= s0.t + INTERVAL 6 HOUR GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+    AND e.ts <= s1.t + INTERVAL 6 HOUR GROUP BY 1
+)
+SELECT 'view' AS step, CAST(count(*) AS BIGINT) AS n_users FROM s0
+UNION ALL SELECT 'click', CAST(count(*) AS BIGINT) FROM s1
+UNION ALL SELECT 'purchase', CAST(count(*) AS BIGINT) FROM s2
+""")
+def events_funnel_windowed(sf_dir: str):
+    """ATTRIBUTION-WINDOW funnel (view → click → purchase, each later
+    step within 6 h of the previous completion): the bounded-window
+    variant of the conversion funnel — a purchase a day after the click
+    no longer converts. Same single user-bucket exchange
+    (rel.funnel_counts(max_span_s=…)); exact integer-microsecond window
+    predicate on both engines."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_type"])
+    return rel.funnel_counts(ds, "user_id", "ts", "event_type",
+                             ["view", "click", "purchase"],
+                             max_span_s=6 * 3600)
+
+
+@register("orders_building_revenue_bloom", """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       ROUND(sum(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY 1
+""")
+def orders_building_revenue_bloom(sf_dir: str):
+    """Runtime-filter join pushdown (rel.bloom_filtered_hash_join): the
+    BUILDING-segment customer keys fold into a distributed Bloom filter
+    (per-block partial bit arrays, OR-combined), the orders probe side
+    drops definite non-matches BEFORE the all-to-all exchange, and the
+    inner hash join erases the false positives — ~1/5 + fpp of the fact
+    rows shuffle instead of all of them. Same oracle as the plain join."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_totalprice"])
+    cust = rel.filter_batches(
+        read_table(sf_dir, "customer",
+                   columns=["c_custkey", "c_mktsegment", "c_nationkey"]),
+        lambda t: pc.equal(t["c_mktsegment"], "BUILDING")
+    ).map_batches(
+        lambda t: pa.table({"o_custkey": t["c_custkey"],
+                            "c_nationkey": t["c_nationkey"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    j = rel.bloom_filtered_hash_join(orders, cust, on="o_custkey")
+    agg = rel.grouped_agg(j, ["c_nationkey"],
+                          [("o_custkey", "count", "n_orders"),
+                           ("o_totalprice", "sum", "revenue")],
+                          mode="driver")
+    def finish(t: pa.Table) -> pa.Table:
+        # round_np, not pc.round: arrow's round returns the INPUT double
+        # unchanged when it already sits within an ulp of a 2-dp
+        # boundary, preserving cross-engine summation drift
+        # (13320411.959999999 stays ...999999); the floor(x·100+0.5)/100
+        # re-quantization collapses both drift variants to one double
+        rev = round_np(t["revenue"].to_numpy(zero_copy_only=False), 2)
+        return pa.table({
+            "c_nationkey": t["c_nationkey"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "revenue": pa.array(rev, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -4428,3 +4428,39 @@ def test_degree_distribution_and_hill_alpha():
     # empty tail -> NULL alpha, not a crash
     out2 = graph.hill_tail_alpha(rd.from_pandas(edges), dmin=99).to_pandas()
     assert out2["n_tail"][0] == 0 and pd.isna(out2["alpha"][0])
+
+
+def test_funnel_windowed_drops_late_conversions():
+    # user 1 converts within the window; user 2's click is too late;
+    # user 3's purchase is too late after the click
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3, 3, 3],
+        "ts": pd.to_datetime([0, 10, 20, 0, 200, 0, 30, 500], unit="s"),
+        "event_type": ["view", "click", "purchase",
+                       "view", "click",
+                       "view", "click", "purchase"],
+    })
+    full = rel.funnel_counts(rd.from_pandas(df), "user_id", "ts",
+                             "event_type", ["view", "click", "purchase"])
+    win = rel.funnel_counts(rd.from_pandas(df), "user_id", "ts",
+                            "event_type", ["view", "click", "purchase"],
+                            max_span_s=100)
+    assert full["n_users"].to_pylist() == [3, 3, 2]
+    # windowed: view 3 (never bounded), click 2 (user 2 late),
+    # purchase 1 (user 3's purchase 470s after click)
+    assert win["n_users"].to_pylist() == [3, 2, 1]
+
+
+def test_bloom_filtered_hash_join_matches_plain_join():
+    rng = np.random.default_rng(83)
+    left = pd.DataFrame({"k": rng.integers(0, 5000, 20000),
+                         "x": rng.normal(0, 1, 20000)})
+    right = pd.DataFrame({"k": rng.choice(5000, 400, replace=False)})
+    right["y"] = np.arange(400)
+    got = rel.bloom_filtered_hash_join(
+        rd.from_pandas(left).repartition(6),
+        rd.from_pandas(right).repartition(3), on="k").to_pandas()
+    want = left.merge(right, on="k")
+    assert len(got) == len(want)
+    assert sorted(zip(got["k"], got["y"])) == sorted(zip(want["k"], want["y"]))
+    assert got["x"].sum() == pytest.approx(want["x"].sum())
