@@ -2892,3 +2892,45 @@ def bloom_filtered_hash_join(left: rd.Dataset, right: rd.Dataset,
 
 
 _BLOOM_JOIN_CACHE: dict = {}
+
+
+def path_ngram_counts(ds: rd.Dataset, key_col: str, order_cols: list[str],
+                      state_col: str, n: int = 3,
+                      num_buckets: int | None = None,
+                      n_rows: int | None = None) -> rd.Dataset:
+    """Sequential pattern mining: counts of every length-``n`` CONSECUTIVE
+    state path per key (the n-gram generalization of the first-order
+    transition matrix — top user journeys, error signatures, session
+    shapes). State space must be bounded: the result is ≤ |states|^n
+    rows.
+
+    Same keyed_window shape as transition_counts: per bucket one sort,
+    n shifted views masked so no path crosses a key boundary, immediate
+    reduce to per-bucket value_counts — only O(|states|^n) partial rows
+    per bucket leave the exchange, driver-combined."""
+
+    def window(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, *order_cols], kind="mergesort")
+        st = g[state_col].to_numpy()
+        keys = g[key_col].to_numpy()
+        m = len(g)
+        cols = [f"s{i + 1}" for i in range(n)]
+        if m < n:
+            return pd.DataFrame({**{c: pd.Series([], dtype=object)
+                                    for c in cols},
+                                 "n": pd.Series([], dtype=np.int64)})
+        # a window starting at i is valid iff rows i..i+n-1 share the key
+        same = keys[1:] == keys[:-1]
+        valid = np.ones(m - n + 1, dtype=bool)
+        for j in range(n - 1):
+            valid &= same[j:m - n + 1 + j]
+        idx = np.flatnonzero(valid)
+        sub = pd.DataFrame({c: st[idx + j] for j, c in enumerate(cols)})
+        out = sub.value_counts(cols).rename("n").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    cols = [f"s{i + 1}" for i in range(n)]
+    partials = keyed_window(ds, key_col, window,
+                            num_buckets=num_buckets, n_rows=n_rows)
+    return grouped_agg(partials, cols, [("n", "sum", "n")], mode="driver")

@@ -8405,6 +8405,33 @@ def orders_building_revenue_bloom(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@register("events_top_paths", """
+SELECT s1, s2, s3, n FROM (
+  SELECT s1, s2, s3, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY count(*) DESC, s1, s2, s3) AS rn
+  FROM (
+    SELECT lag(event_type, 2) OVER w AS s1,
+           lag(event_type) OVER w AS s2,
+           event_type AS s3
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+  WHERE s1 IS NOT NULL GROUP BY 1, 2, 3)
+WHERE rn <= 10
+""")
+def events_top_paths(sf_dir: str):
+    """Top user journeys: the 10 most common CONSECUTIVE 3-step event
+    paths (rel.path_ngram_counts — the n-gram generalization of the
+    transition matrix; session-shape mining). Paths never cross a user
+    boundary; per-bucket value_counts keep the exchange at
+    O(|states|³) partials."""
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id", "event_type"])
+    paths = rel.path_ngram_counts(ds, "user_id", ["ts", "event_id"],
+                                  "event_type", n=3)
+    return rel.topk(paths, ["n", "s1", "s2", "s3"], 10,
+                    descending=[True, False, False, False])
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

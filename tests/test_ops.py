@@ -4464,3 +4464,27 @@ def test_bloom_filtered_hash_join_matches_plain_join():
     assert len(got) == len(want)
     assert sorted(zip(got["k"], got["y"])) == sorted(zip(want["k"], want["y"]))
     assert got["x"].sum() == pytest.approx(want["x"].sum())
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_path_ngram_counts_matches_pandas(nblocks):
+    rng = np.random.default_rng(91)
+    nrows = 1500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 30, nrows),
+        "t": rng.permutation(nrows),
+        "s": rng.choice(["a", "b", "c"], nrows),
+    })
+    out = rel.path_ngram_counts(
+        rd.from_pandas(df).repartition(nblocks), "k", ["t"], "s", n=3
+    ).to_pandas()
+
+    d = df.sort_values(["k", "t"])
+    d["s1"] = d.groupby("k")["s"].shift(2)
+    d["s2"] = d.groupby("k")["s"].shift(1)
+    ref = (d.dropna(subset=["s1"]).value_counts(["s1", "s2", "s"])
+           .rename("n").reset_index().rename(columns={"s": "s3"}))
+    got = sorted(zip(out["s1"], out["s2"], out["s3"], out["n"]))
+    want = sorted(zip(ref["s1"], ref["s2"], ref["s3"],
+                      ref["n"].astype(np.int64)))
+    assert got == want
