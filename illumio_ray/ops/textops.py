@@ -189,8 +189,11 @@ def add_bpeish_token_counts(ds: rd.Dataset, text_col: str = "text",
 
 def tfidf_top_term(ds: rd.Dataset, id_col: str = "doc_id",
                    text_col: str = "text",
-                   n_docs: int | None = None) -> rd.Dataset:
-    """Most-distinctive term per doc by TF-IDF (tf × ln(N/df)).
+                   n_docs: int | None = None,
+                   k: int = 1) -> rd.Dataset:
+    """Most-distinctive term(s) per doc by TF-IDF (tf × ln(N/df));
+    ``k > 1`` returns the top-k KEYWORDS per doc (RAKE-style keyword
+    extraction for corpus tagging/faceting).
 
     Scale shape — NO vocabulary broadcast (the corpus DF table grows with
     the data, so it shuffles like any fact table):
@@ -231,7 +234,7 @@ def tfidf_top_term(ds: rd.Dataset, id_col: str = "doc_id",
                              "tfidf": tfidf})
 
     scored = rel.keyed_window(tf, "word", score, n_rows=n_docs * 64)
-    return rel.topk_per_group(scored, [id_col], ["tfidf", "word"], 1,
+    return rel.topk_per_group(scored, [id_col], ["tfidf", "word"], k,
                               descending=[True, False])
 
 

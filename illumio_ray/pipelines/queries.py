@@ -8432,6 +8432,32 @@ def events_top_paths(sf_dir: str):
                     descending=[True, False, False, False])
 
 
+@register("doc_top_keywords", """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+           FROM documents),
+tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+       FROM w GROUP BY 1, 2),
+df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, word, ROUND(tf * ln(n * 1.0 / df), 6) AS tfidf
+FROM tf JOIN df USING (word) CROSS JOIN n
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY ROUND(tf * ln(n * 1.0 / df), 6) DESC, word) <= 3
+""")
+def doc_top_keywords(sf_dir: str):
+    """KEYWORD EXTRACTION: top-3 most-distinctive terms per doc
+    (textops.tfidf_top_term(k=3)) — corpus tagging/faceting on the same
+    fully-distributed TF-IDF (DF is a second shuffle over the tf table,
+    never a vocabulary broadcast); rounded scores + word tie-break keep
+    the per-doc rank cut engine-independent."""
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return textops.tfidf_top_term(ds, "doc_id", "text", n_docs=n_docs,
+                                  k=3)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
