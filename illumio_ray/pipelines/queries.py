@@ -8458,6 +8458,66 @@ def doc_top_keywords(sf_dir: str):
                                   k=3)
 
 
+@register("near_dup_cluster_sizes", r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+cs AS (SELECT component, CAST(count(*) AS BIGINT) AS size
+       FROM comp GROUP BY component)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY size
+""")
+def near_dup_cluster_sizes(sf_dir: str):
+    """Duplicate-CLUSTER size distribution (how big do near-dup groups
+    get?) — the dedup-planning profile that decides whether cluster-aware
+    removal needs hub handling. Same pair algebra + min-label closure as
+    near_dup_components, then two bounded reduces: members per component
+    (bucket — components ≈ docs) and clusters per size (driver — sizes
+    are tiny integers)."""
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8,
+                                      n_rows=n_docs * 256)
+    comps = dedup.dup_components(pairs)
+    per_comp = rel.grouped_agg(comps, ["component"],
+                               [("component", "count", "size")],
+                               mode="bucket")
+    return rel.grouped_agg(per_comp, ["size"],
+                           [("size", "count", "n_clusters")],
+                           mode="driver")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
