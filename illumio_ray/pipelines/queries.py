@@ -8518,6 +8518,36 @@ def near_dup_cluster_sizes(sf_dir: str):
                            mode="driver")
 
 
+@register("doc_bpe_fertility", None)  # trained-tokenizer metric → rows-only
+def doc_bpe_fertility(sf_dir: str):
+    """Tokenizer FERTILITY audit (pieces per word under the corpus-trained
+    BPE): the standard tokenizer-quality metric — fertility near 1 means
+    the merge table reconstructs whole words, high fertility flags
+    under-trained vocab or out-of-domain text. Composition: bpe_train
+    (distributed greedy merges) → broadcast apply counting BPE tokens →
+    row-local ratio vs whitespace words. Rows-only (the iterative greedy
+    fit is not SQL-expressible); invariants pinned by
+    tests/test_ops.py::test_bpe_fertility_invariants."""
+    from ..functions.rounding import round_np
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = textops.bpe_train(docs, n_merges=40)
+    seg = textops.bpe_segment(docs, merges, "doc_id", "text")
+
+    def fert(df: pd.DataFrame) -> pd.DataFrame:
+        words = df["text"].fillna("").str.split().str.len().to_numpy(
+            np.float64)
+        pieces = df["n_bpe_tokens"].to_numpy(np.float64)
+        f = np.divide(pieces, words, out=np.full(len(df), np.nan),
+                      where=words > 0)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "n_words": words.astype(np.int64),
+                             "n_pieces": pieces.astype(np.int64),
+                             "fertility": round_np(f, 6)})
+
+    return seg.map_batches(fert, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -4488,3 +4488,27 @@ def test_path_ngram_counts_matches_pandas(nblocks):
     want = sorted(zip(ref["s1"], ref["s2"], ref["s3"],
                       ref["n"].astype(np.int64)))
     assert got == want
+
+
+def test_bpe_fertility_invariants():
+    from illumio_ray.ops import textops
+    from illumio_ray.pipelines.queries import REGISTRY
+
+    out = REGISTRY["doc_bpe_fertility"].fn(
+        "/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0
+    ok = out[out["n_words"] > 0]
+    # every word is at least one piece, never fewer
+    assert (ok["fertility"] >= 1.0).all()
+    assert (ok["n_pieces"] >= ok["n_words"]).all()
+
+    # more merges -> never more pieces (monotone compression)
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    few = textops.bpe_train(docs, n_merges=5)
+    many = textops.bpe_train(docs, n_merges=30)
+    assert few == many[:5]  # greedy prefix property
+    a = textops.bpe_segment(docs, few, "doc_id", "text").to_pandas()
+    b = textops.bpe_segment(docs, many, "doc_id", "text").to_pandas()
+    m = a.merge(b, on="doc_id", suffixes=("_few", "_many"))
+    assert (m["n_bpe_tokens_many"] <= m["n_bpe_tokens_few"]).all()
