@@ -419,3 +419,59 @@ def label_centroids(ds: rd.Dataset, label_col: str = "label",
                               for l in labels], pa.list_(pa.float64())),
         "n": pa.array([acc[l][1] for l in labels], pa.int64()),
     })
+
+
+def class_compactness(ds: rd.Dataset, label_col: str = "label",
+                      vec_col: str = "embedding",
+                      ndigits: int = 6) -> pa.Table:
+    """Intra-class cosine compactness per label: mean cosine similarity
+    of each vector to its OWN class centroid — the embedding-space
+    quality report behind nearest-centroid classifiers and SemDeDup
+    partitioning (tight classes → high mean cosine; a low value flags
+    label noise or multi-modal classes). Returns (label, n, mean_cos).
+
+    Two bounded passes: centroids via label_centroids (O(labels × d)
+    driver state, broadcast once), then one row-local cosine map feeding
+    a bounded per-label mean — vectors never exchange."""
+    from .relational import grouped_agg
+    from ..functions.rounding import round_np, round_scalar
+
+    cents = label_centroids(ds, label_col, vec_col)
+    labels = cents[label_col].to_numpy(zero_copy_only=False)
+    mat = np.stack([np.asarray(cents["centroid"][i].as_py(), np.float64)
+                    for i in range(cents.num_rows)])
+    norms = np.linalg.norm(mat, axis=1)
+    slot = {int(l): i for i, l in enumerate(labels)}
+    ref = ray.put((slot, mat, norms))
+
+    def cos(t: pa.Table) -> pa.Table:
+        s, m, nc = _COMPACT_CACHE.get(ref) or _COMPACT_CACHE.setdefault(
+            ref, ray.get(ref))
+        x = vecs_from_arrow(t[vec_col]).astype(np.float64)
+        labs = t[label_col].to_numpy(zero_copy_only=False)
+        idx = np.fromiter((s[int(l)] for l in labs), np.int64,
+                          count=len(labs))
+        num = np.einsum("ij,ij->i", x, m[idx])
+        den = np.linalg.norm(x, axis=1) * nc[idx]
+        c = np.divide(num, den, out=np.zeros(len(x)), where=den > 0)
+        return pa.table({label_col: pa.array(labs.astype(np.int64)),
+                         "cos": pa.array(c)})
+
+    scored = ds.select_columns([label_col, vec_col]).map_batches(
+        cos, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(scored, [label_col],
+                      [("cos", "count", "n"), ("cos", "mean", "mean_raw")],
+                      mode="driver")
+    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(
+        batch_format="pyarrow")]).sort_by([(label_col, "ascending")])
+    return pa.table({
+        label_col: pa.array(t[label_col].to_numpy(zero_copy_only=False)
+                            .astype(np.int64)),
+        "n": pa.array(t["n"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)),
+        "mean_cos": pa.array(round_np(
+            t["mean_raw"].to_numpy(zero_copy_only=False), ndigits)),
+    })
+
+
+_COMPACT_CACHE: dict = {}

@@ -8548,6 +8548,29 @@ def doc_bpe_fertility(sf_dir: str):
     return seg.map_batches(fert, batch_format="pandas")
 
 
+@register("embedding_class_compactness", """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+c AS (SELECT label, pos, avg(x) AS m FROM (
+        SELECT label, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+        FROM e) GROUP BY 1, 2),
+cent AS (SELECT label, array_agg(m ORDER BY pos) AS cv FROM c GROUP BY 1),
+sc AS (SELECT e.label, list_cosine_similarity(e.v, cent.cv) AS cos
+       FROM e JOIN cent USING (label))
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       ROUND(avg(cos), 6) AS mean_cos
+FROM sc GROUP BY label
+""")
+def embedding_class_compactness(sf_dir: str):
+    """Intra-class cosine compactness per label
+    (clustering.class_compactness): mean cosine of each vector to its own
+    class centroid — the embedding-space label-quality report (low
+    compactness flags label noise / multi-modal classes). Centroids
+    broadcast once; vectors never exchange."""
+    ds = read_table(sf_dir, "embeddings", columns=["label", "embedding"])
+    return clustering.class_compactness(ds)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

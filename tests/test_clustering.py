@@ -119,3 +119,28 @@ def test_label_centroids_match_numpy_groupby():
         np.testing.assert_allclose(
             np.asarray(got["centroid"][i].as_py()), want, atol=1e-12)
         assert got["n"][i].as_py() == int((labs == lab).sum())
+
+
+def test_class_compactness_tight_vs_noisy():
+    import pyarrow as pa
+
+    from illumio_ray.ops import clustering
+
+    rng = np.random.default_rng(19)
+    d = 16
+    tight = rng.normal(0, 1, d)
+    rows = []
+    for _ in range(60):  # label 0: tiny perturbations of one direction
+        rows.append((0, (tight + rng.normal(0, 0.01, d)).astype(np.float32)))
+    for _ in range(60):  # label 1: isotropic noise
+        rows.append((1, rng.normal(0, 1, d).astype(np.float32)))
+    t = pa.table({
+        "label": pa.array([r[0] for r in rows], pa.int32()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    out = clustering.class_compactness(rd.from_arrow(t)).to_pandas()
+    got = out.set_index("label")
+    assert got.loc[0, "mean_cos"] > 0.99
+    assert got.loc[1, "mean_cos"] < 0.6
+    assert got.loc[0, "n"] == 60 and got.loc[1, "n"] == 60
