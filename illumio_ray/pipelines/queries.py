@@ -8590,7 +8590,7 @@ def embedding_class_compactness(sf_dir: str):
 # view) stay local-gate too.
 _DRIVER_FIRST = [
     # closure curation, partitioned as-of, exact k-NN join (VERDICT items)
-    "curation_kept_closure", "events_asof_next_error", "embedding_knn_join",
+    "curation_kept_closure", "events_asof_nearest_error", "embedding_knn_join",
     # new operator families added late in round 4
     "doc_bigram_pmi", "events_scd2_history", "events_k_anonymous",
     "embedding_rp_topk",
@@ -8601,8 +8601,14 @@ _DRIVER_FIRST = [
     "orders_pivot_status_by_priority",
     "events_by_type_skew_salted",
     "pages_canonical_urls",
-    "events_unpivot_metrics", "events_avg_value_from_avro",
+    "events_unpivot_metrics", "part_association_rules",
     "supplier_pagerank_top10",
+    # second refresh: association rules, PSI drift, weighted quantiles,
+    # systematic PPS, class compactness, and nearest-as-of replaced a
+    # second source decoder, a third graph walk, the AND-search next to
+    # BM25-from-index, the second privacy audit, the centroid view the
+    # compactness query subsumes, and the forward as-of the nearest
+    # variant exercises — all displaced queries ride the local gate
     # freshest families (mode/checksum/debounce/deciles/CUSUM/intervals/
     # LOCF/MI) take the slots of same-family redundancies (second window-
     # rank variant, winsorize next to MAD, cube next to pivot, csv next to
@@ -8614,7 +8620,7 @@ _DRIVER_FIRST = [
     # late round-4 families: anomaly scan, significance test, drift, fusion
     "events_hod_anomalies", "events_type_ttest", "doc_lang_jsd",
     "docs_hybrid_rrf",
-    "embedding_label_centroids", "docs_search_and",
+    "embedding_class_compactness", "lineitem_weighted_price_quantiles",
     "events_validation_report", "events_late_by_batch",
     "docs_bm25_from_index",
     "events_cohort_retention", "pages_from_warc",
@@ -8622,8 +8628,8 @@ _DRIVER_FIRST = [
     "doc_ccnet_buckets", "pages_blocklist_filtered",
     "events_user_totals_asof", "q1_incremental_refresh",
     "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
-    "events_user_ewma", "part_reach_hops", "revenue_by_segment_ivm",
-    "events_l_diversity",
+    "events_user_ewma", "events_value_psi", "revenue_by_segment_ivm",
+    "events_systematic_sample",
 ]
 
 
