@@ -151,3 +151,39 @@ def unique_violations(ds: rd.Dataset, key_cols: list[str]) -> int:
             t["__c"], pa.scalar(1, pa.int64()))}),
         batch_format="pyarrow", zero_copy_batch=True).sum("x")
     return int(over or 0)
+
+
+def expect_schema(ds: rd.Dataset, expected: dict[str, pa.DataType],
+                  allow_extra: bool = False) -> rd.Dataset:
+    """Schema CONTRACT gate: assert the dataset carries exactly the
+    expected (column → Arrow type) mapping before any work is scheduled —
+    the fail-fast guard a long pipeline wants at its source boundary
+    (upstream schema drift surfaces as one clear error, not a mid-job
+    task crash 40 minutes in). Metadata-only: reads the Ray schema, never
+    a row. Returns the dataset unchanged so it chains inline.
+
+    ``allow_extra`` tolerates additional columns (widening drift) while
+    still failing on missing columns or type changes."""
+    sch = ds.schema()
+    have: dict[str, pa.DataType] = {}
+    for name, t in zip(sch.names, sch.types):
+        if not isinstance(t, pa.DataType):
+            dt = np.dtype(t)
+            t = pa.string() if dt == np.dtype("O") \
+                else pa.from_numpy_dtype(dt)
+        have[name] = t
+    problems = []
+    for name, want in expected.items():
+        if name not in have:
+            problems.append(f"missing column {name!r} ({want})")
+        elif have[name] != want:
+            problems.append(
+                f"column {name!r}: expected {want}, found {have[name]}")
+    if not allow_extra:
+        for name in have:
+            if name not in expected:
+                problems.append(f"unexpected column {name!r} ({have[name]})")
+    if problems:
+        raise ValueError("schema contract violated:\n  "
+                         + "\n  ".join(sorted(problems)))
+    return ds

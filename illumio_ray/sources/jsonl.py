@@ -103,3 +103,53 @@ def read_pages_jsonl(path: str | Path, html_encoding: str = "base64",
     return ds.map_batches(
         lambda t: _parse_lines_batch(t, html_encoding),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_pages_jsonl(ds: rd.Dataset, out_dir: str | Path,
+                      gzip_level: int = 6) -> list[str]:
+    """Gzipped-JSONL SINK — the inverse of ``read_pages_jsonl``, for
+    interchange with the reference's wire-in format and any downstream
+    JSONL consumer. One ``.jsonl.gz`` member per block, written via a
+    content-addressed temp name + atomic rename (retry-safe like every
+    sink here); html bytes ride base64, timestamps ISO-8601 microseconds.
+    Returns the written paths. Round-trips bit-exactly through
+    ``read_pages_jsonl`` (pinned by test)."""
+    import gzip
+    import hashlib
+    import os
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        lines = []
+        urls = t["url"].to_pylist()
+        tss = t["warc_ts"].to_pylist()
+        htmls = t["html"].to_pylist()
+        texts = t["text"].to_pylist()
+        langs = t["lang"].to_pylist()
+        for u, ts, h, x, lg in zip(urls, tss, htmls, texts, langs):
+            lines.append(json.dumps({
+                "url": u,
+                "warc_ts": ts.isoformat(timespec="microseconds"),
+                "html": base64.b64encode(h or b"").decode("ascii"),
+                "text": x, "lang": lg,
+            }, ensure_ascii=False, sort_keys=True))
+        payload = gzip.compress(("\n".join(lines) + "\n").encode(),
+                                compresslevel=gzip_level, mtime=0)
+        name = hashlib.sha256(payload).hexdigest()[:16]
+        final = out / f"pages-{name}.jsonl.gz"
+        tmp = out / f".{final.name}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, final)  # atomic commit; rerun rewrites same name
+        return pa.table({"path": pa.array([str(final)]),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    res = ds.map_batches(write_block, batch_format="pyarrow",
+                         zero_copy_batch=True)
+    return [p for b in res.iter_batches(batch_format="pyarrow")
+            for p in pa.table(b)["path"].to_pylist()]

@@ -4512,3 +4512,50 @@ def test_bpe_fertility_invariants():
     b = textops.bpe_segment(docs, many, "doc_id", "text").to_pandas()
     m = a.merge(b, on="doc_id", suffixes=("_few", "_many"))
     assert (m["n_bpe_tokens_many"] <= m["n_bpe_tokens_few"]).all()
+
+
+def test_write_pages_jsonl_roundtrip(tmp_path):
+    from illumio_ray.sources.jsonl import read_pages_jsonl, write_pages_jsonl
+
+    df = pd.DataFrame({
+        "url": ["http://a/1", "http://b/2", "http://c/3"],
+        "warc_ts": pd.to_datetime([1_700_000_000_123456,
+                                   1_700_000_001_000000,
+                                   1_700_000_002_654321], unit="us"),
+        "html": [b"<html>\xff</html>", b"", b"<body>x</body>"],
+        "text": ["hello", "", "unicode é中"],
+        "lang": ["en", "de", "fr"],
+    })
+    paths = write_pages_jsonl(rd.from_pandas(df), tmp_path / "out")
+    assert paths and all(p.endswith(".jsonl.gz") for p in paths)
+    back = read_pages_jsonl(str(tmp_path / "out")).to_pandas()
+    back = back.sort_values("url").reset_index(drop=True)
+    want = df.sort_values("url").reset_index(drop=True)
+    assert list(back["url"]) == list(want["url"])
+    assert list(back["warc_ts"]) == list(want["warc_ts"])
+    assert list(back["html"]) == list(want["html"])
+    assert list(back["text"]) == list(want["text"])
+    assert list(back["lang"]) == list(want["lang"])
+    # deterministic payloads: rerunning writes the same file names
+    again = write_pages_jsonl(rd.from_pandas(df), tmp_path / "out")
+    assert sorted(again) == sorted(paths)
+
+
+def test_expect_schema_gate():
+    from illumio_ray.ops import validate as V
+
+    t = pa.table({"a": pa.array([1], pa.int64()),
+                  "b": pa.array(["x"], pa.string())})
+    ds = rd.from_arrow(t)
+    # exact match passes and chains
+    out = V.expect_schema(ds, {"a": pa.int64(), "b": pa.string()})
+    assert out.count() == 1
+    # extra column tolerated only with allow_extra
+    V.expect_schema(ds, {"a": pa.int64()}, allow_extra=True)
+    with pytest.raises(ValueError, match="unexpected column 'b'"):
+        V.expect_schema(ds, {"a": pa.int64()})
+    with pytest.raises(ValueError, match="missing column 'z'"):
+        V.expect_schema(ds, {"a": pa.int64(), "b": pa.string(),
+                             "z": pa.float64()})
+    with pytest.raises(ValueError, match="expected double"):
+        V.expect_schema(ds, {"a": pa.float64(), "b": pa.string()})
