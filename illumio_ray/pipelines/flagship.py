@@ -281,6 +281,13 @@ def run_shard(shard_id: int, fragments: list[str], out_dir: str | Path,
     pages = rd.read_parquet(
         fragments,
         override_num_blocks=_read_blocks_for(fragments, min_blocks))
+    # fail-fast on upstream schema drift before any task is scheduled
+    # (metadata-only; a crawl feed that changed a column type surfaces
+    # here as one clear error, not a mid-shard task crash)
+    from ..ops.validate import expect_schema
+    from ..schema import PAGES_SCHEMA
+    pages = expect_schema(
+        pages, {f.name: f.type for f in PAGES_SCHEMA}, allow_extra=True)
     if time_window is not None:
         lo = pa.scalar(np.datetime64(time_window[0], "us"), pa.timestamp("us"))
         hi = pa.scalar(np.datetime64(time_window[1], "us"), pa.timestamp("us"))
