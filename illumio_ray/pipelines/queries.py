@@ -8571,6 +8571,57 @@ def embedding_class_compactness(sf_dir: str):
     return clustering.class_compactness(ds)
 
 
+@register("events_forecast_backtest", """
+WITH d AS (SELECT event_type, date_trunc('day', ts) AS day,
+                  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+l AS (SELECT event_type, day, n,
+             lag(n) OVER w AS yhat_naive,
+             lag(n, 7) OVER w AS yhat_weekly
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+SELECT event_type,
+       ROUND(avg(abs(n - yhat_naive)), 6) AS mae_naive,
+       ROUND(avg(abs(n - yhat_weekly)), 6) AS mae_weekly,
+       CAST(count(yhat_weekly) AS BIGINT) AS n_scored
+FROM l GROUP BY event_type
+""")
+def events_forecast_backtest(sf_dir: str):
+    """FORECAST BACKTEST per key: mean absolute error of the naive
+    (yesterday) and seasonal-naive (same weekday last week) volume
+    forecasts — the baseline every capacity/anomaly model must beat, and
+    the evaluation harness shape for any forecasting stage. One bounded
+    (type, day) count pass; the lag-and-score math folds the O(types ×
+    days) table on the driver with SQL null-skipping mean semantics
+    (each horizon averages only where its prediction exists)."""
+    from ..functions.rounding import round_scalar
+
+    ev = read_table(sf_dir, "events", columns=["ts", "event_type"])
+    days = rel.time_bucket(ev, "ts", "day", out_col="day")
+    counts = rel.grouped_agg(days, ["event_type", "day"],
+                             [("day", "count", "n")], mode="driver")
+    df = pa.concat_tables([pa.table(b) for b in counts.iter_batches(
+        batch_format="pyarrow")]).to_pandas()
+    df = df.sort_values(["event_type", "day"])
+    g = df.groupby("event_type", sort=True)
+    rows = []
+    for et, sub in g:
+        n = sub["n"].to_numpy(np.int64)
+        res = {}
+        for name, h in (("mae_naive", 1), ("mae_weekly", 7)):
+            if len(n) > h:
+                err = np.abs(n[h:] - n[:-h])
+                res[name] = round_scalar(float(err.sum()) / len(err), 6)
+            else:
+                res[name] = None
+        rows.append((et, res["mae_naive"], res["mae_weekly"],
+                     max(0, len(n) - 7)))
+    return pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "mae_naive": pa.array([r[1] for r in rows], pa.float64()),
+        "mae_weekly": pa.array([r[2] for r in rows], pa.float64()),
+        "n_scored": pa.array([r[3] for r in rows], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
