@@ -195,3 +195,29 @@ def test_heartbeat_live_and_final_beats(tmp_path):
     hb2 = json.loads((out2 / "_heartbeat.json").read_text())
     assert hb2["in_progress"] is False and hb2["ok"] is False
     assert hb2["shards_committed"] == 2 and hb2["shards_planned"] == 4
+
+
+def test_run_shard_fails_fast_on_schema_drift(tmp_path):
+    """A drifted upstream schema (warc_ts as string) must surface as one
+    clear contract error before any shard work is scheduled."""
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from illumio_ray.pipelines.flagship import run_flagship
+    from illumio_ray.synth import synth_pages
+
+    info = synth_pages(tmp_path / "in", rows=200, num_files=2)
+    # rewrite one fragment with warc_ts stringified (upstream drift)
+    frag = sorted(Path(info["pages_dir"]).glob("*.parquet"))[0]
+    t = pq.read_table(frag)
+    drifted = t.set_column(t.schema.get_field_index("warc_ts"), "warc_ts",
+                           pc.cast(t["warc_ts"], pa.string()))
+    pq.write_table(drifted, frag)
+
+    with pytest.raises(Exception, match="schema contract"):
+        run_flagship(info["pages_dir"], tmp_path / "out",
+                     info["lookup_lang"], info["lookup_host"],
+                     num_shards=2)
