@@ -800,3 +800,42 @@ def interarrival_by(ds: rd.Dataset, key_col: str, ts_col: str,
 
     return keyed_window(ds, key_col, window,
                         num_buckets=num_buckets, n_rows=n_rows)
+
+
+def decayed_counts(ds: rd.Dataset, key_col: str, ts_col: str,
+                   half_life_s: float, anchor_us: int,
+                   ndigits: int = 6) -> pa.Table:
+    """Time-decayed popularity per key ("trending now"): each event
+    contributes 2^((t − anchor)/half_life), so an event one half-life
+    before the anchor counts half as much — the exponential-decay counter
+    streaming leaderboards use, computed in ONE bounded pass (per-batch
+    per-key partial sums of exponentials, driver combine; the anchor
+    pins the exponent range so nothing overflows and any two runs/
+    engines evaluate identical per-row doubles). Returns
+    (key, decayed, n) sorted by key."""
+    from .relational import grouped_agg, ts_as_us
+
+    hl_us = float(half_life_s) * 1_000_000.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = ts_as_us(t[ts_col]).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        w = np.power(2.0, (us - float(anchor_us)) / hl_us)
+        return pa.table({key_col: t[key_col],
+                         "__w": pa.array(w),
+                         "__n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    agg = grouped_agg(ds.select_columns([key_col, ts_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col], [("__w", "sum", "decayed"), ("__n", "sum", "n")],
+        mode="driver")
+    t = pa.concat_tables([pa.table(b) for b in agg.iter_batches(
+        batch_format="pyarrow")]).sort_by([(key_col, "ascending")])
+    from ..functions.rounding import round_np
+    return pa.table({
+        key_col: t[key_col],
+        "decayed": pa.array(round_np(
+            t["decayed"].to_numpy(zero_copy_only=False), ndigits)),
+        "n": pa.array(t["n"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64)),
+    })

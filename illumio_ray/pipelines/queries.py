@@ -8622,6 +8622,28 @@ def events_forecast_backtest(sf_dir: str):
     })
 
 
+@register("events_decayed_popularity", """
+SELECT event_type,
+       ROUND(sum(pow(2.0, (epoch_us(ts)
+                           - epoch_us(TIMESTAMP '2024-01-31'))
+                         / (7.0 * 86400.0 * 1000000.0))), 6) AS decayed,
+       CAST(count(*) AS BIGINT) AS n
+FROM events GROUP BY 1
+""")
+def events_decayed_popularity(sf_dir: str):
+    """Time-decayed popularity per event type (stats.decayed_counts,
+    7-day half-life anchored at month end): the exponential-decay counter
+    behind every "trending now" leaderboard — one bounded pass of
+    per-key exponential partial sums; the fixed anchor pins identical
+    per-row doubles on both engines."""
+    from ..ops import stats as st
+
+    anchor = int(np.datetime64("2024-01-31T00:00:00", "us").astype(np.int64))
+    ds = read_table(sf_dir, "events", columns=["event_type", "ts"])
+    return st.decayed_counts(ds, "event_type", "ts",
+                             half_life_s=7 * 86400.0, anchor_us=anchor)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

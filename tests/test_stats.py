@@ -464,3 +464,20 @@ def test_interarrival_by_exact_gaps():
     assert got.loc[1, "n_gaps"] == 2
     assert got.loc[2, "n_gaps"] == 1
     assert 3 not in got.index  # single-event keys have no gaps
+
+
+def test_decayed_counts_half_life_semantics():
+    anchor = int(np.datetime64("2024-01-08T00:00:00", "us").astype(np.int64))
+    hl = 7 * 86400.0
+    df = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "ts": pd.to_datetime(["2024-01-08",   # at anchor -> weight 1
+                              "2024-01-01",   # one half-life back -> 0.5
+                              "2024-01-08"]),
+    })
+    out = stats.decayed_counts(rd.from_pandas(df), "k", "ts",
+                               half_life_s=hl, anchor_us=anchor
+                               ).to_pandas().set_index("k")
+    assert out.loc["a", "decayed"] == 1.5
+    assert out.loc["b", "decayed"] == 1.0
+    assert out.loc["a", "n"] == 2
