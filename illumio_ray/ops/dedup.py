@@ -801,7 +801,8 @@ def near_dup_pairs(ds: rd.Dataset, docs: pa.Table, id_col: str, text_col: str,
 # ---------------------------------------------------------------------------
 
 def _reduce_pairs_to_jaccard(pairs: rd.Dataset, threshold: float,
-                             num_buckets: int) -> rd.Dataset:
+                             num_buckets: int,
+                             measure: str = "jaccard") -> rd.Dataset:
     """(id_a, id_b, sz_a, sz_b) co-occurrence rows → exact Jaccard pairs
     ≥ threshold. The pair count is a groupby where #groups ≈ #rows (most
     candidate pairs share exactly one shingle), the worst case for a
@@ -839,13 +840,21 @@ def _reduce_pairs_to_jaccard(pairs: rd.Dataset, threshold: float,
                .agg(inter=("inter", "sum"), sz_a=("sz_a", "first"),
                     sz_b=("sz_b", "first")).reset_index())
         inter = f["inter"].to_numpy(np.float64)
-        union = f["sz_a"].to_numpy(np.float64) + f["sz_b"].to_numpy() - inter
-        j = np.divide(inter, union, out=np.zeros_like(inter),
-                      where=union > 0)
+        if measure == "containment":
+            # MAX containment: |A∩B| / min(|A|,|B|) — 1.0 whenever the
+            # smaller shingle set sits wholly inside the larger, which
+            # symmetric Jaccard dilutes toward 0 as the size gap grows
+            den = np.minimum(f["sz_a"].to_numpy(np.float64),
+                             f["sz_b"].to_numpy(np.float64))
+        else:
+            den = (f["sz_a"].to_numpy(np.float64)
+                   + f["sz_b"].to_numpy() - inter)
+        j = np.divide(inter, den, out=np.zeros_like(inter),
+                      where=den > 0)
         keep = j >= threshold
         return pd.DataFrame({"id_a": f["id_a"][keep],
                              "id_b": f["id_b"][keep],
-                             "jaccard": round_np(j[keep], 6)})
+                             measure: round_np(j[keep], 6)})
 
     return partials.groupby("__pb").map_groups(finish,
                                                batch_format="pandas")
@@ -855,10 +864,14 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str, text_col: str, *,
                         n: int = 3, threshold: float = 0.8,
                         max_df: int | None = None,
                         n_rows: int | None = None,
-                        num_buckets: int | None = None) -> rd.Dataset:
+                        num_buckets: int | None = None,
+                        measure: str = "jaccard") -> rd.Dataset:
     """EXACT word-n-gram Jaccard pairs ≥ threshold via an inverted-index
     join — the non-approximate sibling of MinHash-LSH (same shingles, no
     signature error). ≙ the dedup family list in SURVEY §2.7.
+    ``measure="containment"`` scores |A∩B|/min(|A|,|B|) instead — the
+    asymmetric boilerplate/quote detector (a short doc embedded verbatim
+    in a long one scores 1.0 where Jaccard tends to 0).
 
     Scale shape (three shuffle-free map stages + two exchanges):
       1. explode each doc to (shingle_hash, doc_id, set_size) rows — set
@@ -932,7 +945,8 @@ def ngram_jaccard_pairs(ds: rd.Dataset, id_col: str, text_col: str, *,
 
     pairs = bucketed.groupby("__b").map_groups(emit_pairs,
                                                batch_format="pandas")
-    return _reduce_pairs_to_jaccard(pairs, threshold, num_buckets)
+    return _reduce_pairs_to_jaccard(pairs, threshold, num_buckets,
+                                    measure=measure)
 
 
 # ---------------------------------------------------------------------------

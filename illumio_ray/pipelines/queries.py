@@ -8644,6 +8644,50 @@ def events_decayed_popularity(sf_dir: str):
                              half_life_s=7 * 86400.0, anchor_us=anchor)
 
 
+@register("ngram_containment_pairs", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(i * 1.0 / least(sa.s, sb.s), 6) AS containment
+FROM inter
+JOIN sz sa ON sa.doc_id = id_a
+JOIN sz sb ON sb.doc_id = id_b
+WHERE i * 1.0 / least(sa.s, sb.s) >= 0.5
+""")
+def ngram_containment_pairs(sf_dir: str):
+    """ASYMMETRIC near-dup pairs by max CONTAINMENT
+    (|A∩B|/min(|A|,|B|) ≥ 0.5, dedup.ngram_jaccard_pairs
+    measure="containment"): the boilerplate/quote detector — a short doc
+    embedded verbatim in a long one scores 1.0 where symmetric Jaccard
+    tends to 0 with the size gap. Same inverted-index exchanges; only
+    the reduce's denominator changes."""
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
+    return dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5,
+                                     n_rows=n_docs * 256,
+                                     measure="containment")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

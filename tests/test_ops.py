@@ -4559,3 +4559,24 @@ def test_expect_schema_gate():
                              "z": pa.float64()})
     with pytest.raises(ValueError, match="expected double"):
         V.expect_schema(ds, {"a": pa.float64(), "b": pa.string()})
+
+
+def test_ngram_containment_catches_embedded_doc():
+    base = " ".join(f"w{i}" for i in range(40))
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            base + " " + " ".join(f"x{i}" for i in range(200)),  # long
+            base,                                   # embedded verbatim
+            " ".join(f"z{i}" for i in range(40)),   # unrelated
+        ],
+    })
+    ds = rd.from_pandas(docs)
+    cont = dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.9,
+                                     measure="containment").to_pandas()
+    jac = dedup.ngram_jaccard_pairs(ds, "doc_id", "text",
+                                    threshold=0.9).to_pandas()
+    # the embedded pair scores containment 1.0 but tiny Jaccard
+    assert list(zip(cont["id_a"], cont["id_b"])) == [(1, 2)]
+    assert cont["containment"].iloc[0] == 1.0
+    assert len(jac) == 0
