@@ -661,32 +661,15 @@ def psi_numeric(ref: rd.Dataset, cur: rd.Dataset, col: str,
     proportions ((n_i + s)/(N + s·bins) — empty bins otherwise make the
     index infinite). Returns per-bin rows (n_ref, n_cur, psi_part) plus
     the total as their sum, checkable bin by bin."""
-    from .relational import exact_quantile_disc, grouped_agg
+    from .relational import exact_quantile_disc
     from ..functions.rounding import round_np
 
     qs = [i / n_bins for i in range(1, n_bins)]
     bounds = np.asarray(exact_quantile_disc(
         ref, col, qs, collect_limit=collect_limit), np.float64)
 
-    def counts_for(ds: rd.Dataset) -> np.ndarray:
-        def assign(t: pa.Table) -> pa.Table:
-            v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            v = v[~np.isnan(v)]
-            b = np.searchsorted(bounds, v, side="left").astype(np.int64)
-            return pa.table({"bin": pa.array(b, pa.int64())})
-
-        parts = pa.concat_tables([pa.table(x) for x in grouped_agg(
-            ds.select_columns([col]).map_batches(
-                assign, batch_format="pyarrow", zero_copy_batch=True),
-            ["bin"], [("bin", "count", "n")],
-            mode="driver").iter_batches(batch_format="pyarrow")])
-        dense = np.zeros(n_bins, np.int64)
-        got = parts.to_pandas()
-        dense[got["bin"].to_numpy(np.int64)] = got["n"].to_numpy(np.int64)
-        return dense
-
-    n_ref = counts_for(ref)
-    n_cur = counts_for(cur)
+    n_ref = _psi_bin_counts(ref, col, bounds, n_bins)
+    n_cur = _psi_bin_counts(cur, col, bounds, n_bins)
     p = (n_ref + smoothing) / (n_ref.sum() + smoothing * n_bins)
     q = (n_cur + smoothing) / (n_cur.sum() + smoothing * n_bins)
     part = (p - q) * np.log(p / q)
@@ -838,4 +821,93 @@ def decayed_counts(ds: rd.Dataset, key_col: str, ts_col: str,
             t["decayed"].to_numpy(zero_copy_only=False), ndigits)),
         "n": pa.array(t["n"].to_numpy(zero_copy_only=False)
                       .astype(np.int64)),
+    })
+
+
+_PSI_SCHEME = "psi-v1:floor-decile-left-open:laplace0.5"
+
+
+def psi_save_baseline(ref: rd.Dataset, col: str, out_path: str,
+                      n_bins: int = 10,
+                      collect_limit: int = 200_000) -> dict:
+    """Persist a PSI drift BASELINE (the production monitor shape:
+    compute the reference profile once over the committed corpus, then
+    score every new batch against it with one cheap pass — never
+    re-reading the reference). Stores the exact quantile cut points and
+    the reference bin counts as one JSON artifact, committed via the
+    same tmp→rename atomic protocol as every persisted layout here, with
+    a ``scheme`` stamp so a binning change can't silently mix with old
+    baselines."""
+    import json
+    import os
+    from pathlib import Path
+
+    from .relational import exact_quantile_disc
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    bounds = exact_quantile_disc(ref, col, qs,
+                                 collect_limit=collect_limit)
+    n_ref = _psi_bin_counts(ref, col, np.asarray(bounds, np.float64),
+                            n_bins)
+    meta = {"scheme": _PSI_SCHEME, "col": col, "n_bins": n_bins,
+            "bounds": [float(b) for b in bounds],
+            "n_ref": [int(x) for x in n_ref]}
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_name("." + out.name + ".tmp")
+    tmp.write_text(json.dumps(meta, sort_keys=True))
+    os.replace(tmp, out)
+    return meta
+
+
+def _psi_bin_counts(ds: rd.Dataset, col: str, bounds: np.ndarray,
+                    n_bins: int) -> np.ndarray:
+    from .relational import grouped_agg
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        b = np.searchsorted(bounds, v, side="left").astype(np.int64)
+        return pa.table({"bin": pa.array(b, pa.int64())})
+
+    parts = pa.concat_tables([pa.table(x) for x in grouped_agg(
+        ds.select_columns([col]).map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["bin"], [("bin", "count", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    dense = np.zeros(n_bins, np.int64)
+    got = parts.to_pandas()
+    dense[got["bin"].to_numpy(np.int64)] = got["n"].to_numpy(np.int64)
+    return dense
+
+
+def psi_check_against_baseline(cur: rd.Dataset, baseline_path: str,
+                               smoothing: float = 0.5,
+                               ndigits: int = 6) -> pa.Table:
+    """Score a NEW batch against a persisted PSI baseline: one bounded
+    bin-count pass over the batch (the reference is never touched), the
+    same Laplace-smoothed per-bin contributions as psi_numeric. Refuses a
+    baseline written under a different binning scheme."""
+    import json
+    from pathlib import Path
+
+    from ..functions.rounding import round_np
+
+    meta = json.loads(Path(baseline_path).read_text())
+    if meta.get("scheme") != _PSI_SCHEME:
+        raise ValueError(
+            f"PSI baseline at {baseline_path} has scheme "
+            f"{meta.get('scheme')!r}; this build expects {_PSI_SCHEME!r}")
+    n_bins = int(meta["n_bins"])
+    bounds = np.asarray(meta["bounds"], np.float64)
+    n_ref = np.asarray(meta["n_ref"], np.int64)
+    n_cur = _psi_bin_counts(cur, meta["col"], bounds, n_bins)
+    p = (n_ref + smoothing) / (n_ref.sum() + smoothing * n_bins)
+    q = (n_cur + smoothing) / (n_cur.sum() + smoothing * n_bins)
+    part = (p - q) * np.log(p / q)
+    return pa.table({
+        "bin": pa.array(np.arange(n_bins, dtype=np.int64)),
+        "n_ref": pa.array(n_ref, pa.int64()),
+        "n_cur": pa.array(n_cur, pa.int64()),
+        "psi_part": pa.array(round_np(part, ndigits)),
     })

@@ -8688,6 +8688,53 @@ def ngram_containment_pairs(sf_dir: str):
                                      measure="containment")
 
 
+@register("events_value_psi_baseline", """
+WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+b AS (SELECT quantile_disc(value,
+        [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM ref),
+u AS (SELECT unnest(bs) AS v FROM b),
+bins AS (SELECT CAST(x AS BIGINT) AS bin FROM generate_series(0, 9) t(x)),
+rc AS (SELECT (SELECT count(*) FROM u WHERE u.v < r.value) AS bin,
+              count(*) AS n FROM ref r GROUP BY 1),
+cc AS (SELECT (SELECT count(*) FROM u WHERE u.v < c.value) AS bin,
+              count(*) AS n FROM cur c GROUP BY 1),
+tot AS (SELECT (SELECT sum(n) FROM rc) AS nr, (SELECT sum(n) FROM cc) AS nc)
+SELECT bins.bin, CAST(coalesce(rc.n, 0) AS BIGINT) AS n_ref,
+       CAST(coalesce(cc.n, 0) AS BIGINT) AS n_cur,
+       ROUND(((coalesce(rc.n, 0) + 0.5) / (nr + 5.0)
+              - (coalesce(cc.n, 0) + 0.5) / (nc + 5.0))
+             * ln(((coalesce(rc.n, 0) + 0.5) / (nr + 5.0))
+                  / ((coalesce(cc.n, 0) + 0.5) / (nc + 5.0))), 6)
+         AS psi_part
+FROM bins LEFT JOIN rc USING (bin) LEFT JOIN cc USING (bin), tot
+""")
+def events_value_psi_baseline(sf_dir: str):
+    """PSI against a PERSISTED baseline (the production monitor shape:
+    stats.psi_save_baseline writes the reference profile once — exact
+    cut points + bin counts, atomic rename, scheme-stamped — and
+    psi_check_against_baseline scores each new batch in ONE bounded pass
+    without touching the reference again). Identical math to
+    events_value_psi, so the same oracle gates the persisted path."""
+    from ..ops import stats as st
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    cut = pa.scalar(np.datetime64("2024-01-16T00:00:00", "us"))
+    ref = ev.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], cut)).select(["value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    cur = ev.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cut)).select(["value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n_rows = pq.ParquetFile(
+        str(Path(sf_dir) / "events.parquet")).metadata.num_rows
+    base = Path(f"/tmp/illumio_ray_testdata/"
+                f"psi_{Path(sf_dir).name}_{n_rows}.json")
+    if not base.exists():
+        st.psi_save_baseline(ref, "value", str(base), collect_limit=500)
+    return st.psi_check_against_baseline(cur, str(base))
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

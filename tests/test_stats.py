@@ -481,3 +481,25 @@ def test_decayed_counts_half_life_semantics():
     assert out.loc["a", "decayed"] == 1.5
     assert out.loc["b", "decayed"] == 1.0
     assert out.loc["a", "n"] == 2
+
+
+def test_psi_persisted_baseline_matches_direct(tmp_path):
+    rng = np.random.default_rng(29)
+    a = pa.table({"v": rng.uniform(0, 1, 3000)})
+    b = pa.table({"v": rng.uniform(0.1, 1.1, 3000)})
+    ra, rb = rd.from_arrow(a), rd.from_arrow(b)
+    direct = stats.psi_numeric(ra, rb, "v").to_pandas()
+
+    path = tmp_path / "base.json"
+    meta = stats.psi_save_baseline(ra, "v", str(path))
+    assert meta["scheme"] == stats._PSI_SCHEME
+    via = stats.psi_check_against_baseline(rb, str(path)).to_pandas()
+    pd.testing.assert_frame_equal(via, direct)
+
+    # a scheme mismatch must refuse, not silently mix binnings
+    import json
+    bad = json.loads(path.read_text())
+    bad["scheme"] = "psi-v0:other"
+    path.write_text(json.dumps(bad))
+    with pytest.raises(ValueError, match="scheme"):
+        stats.psi_check_against_baseline(rb, str(path))
