@@ -911,3 +911,60 @@ def psi_check_against_baseline(cur: rd.Dataset, baseline_path: str,
         "n_cur": pa.array(n_cur, pa.int64()),
         "psi_part": pa.array(round_np(part, ndigits)),
     })
+
+
+def psi_trajectory(cur: rd.Dataset, ts_col: str, col: str,
+                   baseline_path: str, unit: str = "day",
+                   smoothing: float = 0.5,
+                   ndigits: int = 6) -> pa.Table:
+    """Drift TRAJECTORY: PSI of every time bucket against a persisted
+    baseline — the monitoring view that turns the single drift scalar
+    into a when-did-it-start curve. ONE bounded pass emits
+    (bucket, bin) partial counts (buckets × bins, tiny), the driver
+    evaluates each bucket's Laplace-smoothed PSI against the stored
+    reference profile. Returns (bucket ts, psi, n) sorted by time."""
+    import json
+    from pathlib import Path
+
+    from .relational import grouped_agg
+    from ..functions.rounding import round_scalar
+
+    meta = json.loads(Path(baseline_path).read_text())
+    if meta.get("scheme") != _PSI_SCHEME:
+        raise ValueError(
+            f"PSI baseline at {baseline_path} has scheme "
+            f"{meta.get('scheme')!r}; this build expects {_PSI_SCHEME!r}")
+    n_bins = int(meta["n_bins"])
+    bounds = np.asarray(meta["bounds"], np.float64)
+    n_ref = np.asarray(meta["n_ref"], np.int64)
+    p = (n_ref + smoothing) / (n_ref.sum() + smoothing * n_bins)
+
+    vcol = meta["col"] if col is None else col
+
+    def assign(t: pa.Table) -> pa.Table:
+        v = t[vcol].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~np.isnan(v)
+        b = np.searchsorted(bounds, v[ok], side="left").astype(np.int64)
+        day = pc.floor_temporal(t[ts_col].filter(pa.array(ok)), unit=unit)
+        return pa.table({"bucket": day, "bin": pa.array(b, pa.int64())})
+
+    cells = pa.concat_tables([pa.table(x) for x in grouped_agg(
+        cur.select_columns([ts_col, vcol]).map_batches(
+            assign, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket", "bin"], [("bin", "count", "n")],
+        mode="driver").iter_batches(batch_format="pyarrow")])
+    df = cells.to_pandas()
+    out_b, out_psi, out_n = [], [], []
+    for bucket, sub in df.groupby("bucket", sort=True):
+        dense = np.zeros(n_bins, np.int64)
+        dense[sub["bin"].to_numpy(np.int64)] = sub["n"].to_numpy(np.int64)
+        q = (dense + smoothing) / (dense.sum() + smoothing * n_bins)
+        out_b.append(bucket)
+        out_psi.append(round_scalar(float(np.sum((p - q) * np.log(p / q))),
+                                    ndigits))
+        out_n.append(int(dense.sum()))
+    return pa.table({
+        "bucket": pa.array(out_b),
+        "psi": pa.array(out_psi, pa.float64()),
+        "n": pa.array(out_n, pa.int64()),
+    })

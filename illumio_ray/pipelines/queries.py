@@ -8735,6 +8735,55 @@ def events_value_psi_baseline(sf_dir: str):
     return st.psi_check_against_baseline(cur, str(base))
 
 
+@register("events_value_psi_daily", """
+WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+b AS (SELECT quantile_disc(value,
+       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs FROM ref),
+u AS (SELECT unnest(bs) AS v FROM b),
+rc AS (SELECT (SELECT count(*) FROM u WHERE u.v < r.value) AS bin,
+              CAST(count(*) AS BIGINT) AS n FROM ref r GROUP BY 1),
+nr AS (SELECT sum(n) AS t FROM rc),
+days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events),
+bins AS (SELECT CAST(x AS BIGINT) AS bin FROM generate_series(0, 9) t(x)),
+dc AS (SELECT date_trunc('day', ts) AS day,
+              (SELECT count(*) FROM u WHERE u.v < e.value) AS bin,
+              CAST(count(*) AS BIGINT) AS n
+       FROM events e GROUP BY 1, 2),
+nd AS (SELECT day, sum(n) AS t FROM dc GROUP BY day),
+grid AS (SELECT days.day, bins.bin, coalesce(dc.n, 0) AS n
+         FROM days CROSS JOIN bins LEFT JOIN dc USING (day, bin))
+SELECT grid.day AS bucket,
+       ROUND(sum(((coalesce(rc.n, 0) + 0.5) / (nr.t + 5.0)
+                  - (grid.n + 0.5) / (nd.t + 5.0))
+             * ln(((coalesce(rc.n, 0) + 0.5) / (nr.t + 5.0))
+                  / ((grid.n + 0.5) / (nd.t + 5.0)))), 6) AS psi,
+       CAST(max(nd.t) AS BIGINT) AS n
+FROM grid LEFT JOIN rc ON rc.bin = grid.bin
+JOIN nd ON nd.day = grid.day, nr
+GROUP BY grid.day
+""")
+def events_value_psi_daily(sf_dir: str):
+    """Drift TRAJECTORY (stats.psi_trajectory): per-day PSI of the value
+    distribution against a persisted first-week baseline — the
+    when-did-it-start curve behind the single drift scalar. One bounded
+    (day, bin) count pass; the reference profile loads from the
+    scheme-stamped artifact, never recomputes."""
+    from ..ops import stats as st
+
+    ev = read_table(sf_dir, "events", columns=["ts", "value"])
+    cut = pa.scalar(np.datetime64("2024-01-08T00:00:00", "us"))
+    ref = ev.map_batches(
+        lambda t: t.filter(pc.less(t["ts"], cut)).select(["value"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    n_rows = pq.ParquetFile(
+        str(Path(sf_dir) / "events.parquet")).metadata.num_rows
+    base = Path(f"/tmp/illumio_ray_testdata/"
+                f"psiw1_{Path(sf_dir).name}_{n_rows}.json")
+    if not base.exists():
+        st.psi_save_baseline(ref, "value", str(base), collect_limit=500)
+    return st.psi_trajectory(ev, "ts", "value", str(base))
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

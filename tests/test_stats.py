@@ -503,3 +503,25 @@ def test_psi_persisted_baseline_matches_direct(tmp_path):
     path.write_text(json.dumps(bad))
     with pytest.raises(ValueError, match="scheme"):
         stats.psi_check_against_baseline(rb, str(path))
+
+
+def test_psi_trajectory_flags_the_shifted_bucket(tmp_path):
+    rng = np.random.default_rng(37)
+    # 3 days: day 1 and 2 match the baseline, day 3 shifts location
+    rows = []
+    for day, (mu, n) in enumerate([(50, 2000), (50, 2000), (90, 2000)]):
+        ts = pd.Timestamp("2024-03-01") + pd.Timedelta(days=day)
+        rows.append(pd.DataFrame({
+            "ts": ts + pd.to_timedelta(rng.integers(0, 86400, n), unit="s"),
+            "v": rng.normal(mu, 10, n)}))
+    df = pd.concat(rows, ignore_index=True)
+    base_src = rd.from_pandas(rows[0])
+    path = tmp_path / "w1.json"
+    stats.psi_save_baseline(base_src, "v", str(path))
+    out = stats.psi_trajectory(rd.from_pandas(df), "ts", "v",
+                               str(path)).to_pandas()
+    assert len(out) == 3
+    assert out["psi"].iloc[0] < 0.05       # baseline day vs itself
+    assert out["psi"].iloc[1] < 0.1        # same distribution
+    assert out["psi"].iloc[2] > 1.0        # hard shift screams
+    assert list(out["n"]) == [2000, 2000, 2000]
