@@ -8784,6 +8784,82 @@ def events_value_psi_daily(sf_dir: str):
     return st.psi_trajectory(ev, "ts", "value", str(base))
 
 
+@register("corpus_type_growth", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1),
+f AS (SELECT g, min(doc_id) AS first_doc FROM sh GROUP BY g),
+m AS (SELECT max(doc_id) AS mx FROM documents),
+bins AS (SELECT CAST(x AS BIGINT) AS decile FROM generate_series(1, 10) t(x))
+SELECT decile,
+       CAST((SELECT count(*) FROM f, m
+             WHERE first_doc <= CAST(floor(decile * mx / 10.0) AS BIGINT))
+            AS BIGINT) AS n_types
+FROM bins
+""")
+def corpus_type_growth(sf_dir: str):
+    """Heaps-law TYPE-GROWTH curve: distinct trigram types seen after
+    each decile of the corpus (by doc id) — the vocabulary-growth profile
+    that sizes tokenizer vocab and predicts dedup index growth. One
+    shingle-bucket exchange computes first-occurrence (min doc id) per
+    type — the same inverted-index algebra as near-dup — then a row-local
+    decile assignment reduces to 10 cumulative counters. Type identity
+    rides the shared 64-bit shingle hashes (collision odds negligible at
+    any realistic type count, same contract as the near-dup oracles)."""
+    from ..ops.dedup import _shingle_hashes
+
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
+    mx = int(ds.max("doc_id"))
+    thresholds = np.array([int(np.floor(d * mx / 10.0))
+                           for d in range(1, 11)], np.int64)
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = _shingle_hashes(t["text"].to_pylist(), 3)
+        counts = np.array([len(a) for a in sh], np.int64)
+        flat = (np.concatenate(sh) if len(sh)
+                else np.array([], np.uint64))
+        ids = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False),
+                        counts)
+        return pa.table({"shingle": pa.array(flat.astype(np.int64)),
+                         "doc_id": pa.array(ids)})
+
+    first = rel.grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["shingle"], [("doc_id", "min", "first_doc")], mode="bucket")
+
+    def bin_counts(t: pa.Table) -> pa.Table:
+        fd = t["first_doc"].to_numpy(zero_copy_only=False)
+        b = np.searchsorted(thresholds, fd, side="left")
+        c = np.bincount(b[b < 10], minlength=10)
+        return pa.table({"bin": pa.array(np.arange(10, dtype=np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    parts = pa.concat_tables([pa.table(x) for x in first.map_batches(
+        bin_counts, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow")])
+    dense = np.zeros(10, np.int64)
+    got = parts.to_pandas()
+    np.add.at(dense, got["bin"].to_numpy(np.int64),
+              got["c"].to_numpy(np.int64))
+    return pa.table({
+        "decile": pa.array(np.arange(1, 11, dtype=np.int64)),
+        "n_types": pa.array(np.cumsum(dense).astype(np.int64)),
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
