@@ -2934,3 +2934,146 @@ def path_ngram_counts(ds: rd.Dataset, key_col: str, order_cols: list[str],
     partials = keyed_window(ds, key_col, window,
                             num_buckets=num_buckets, n_rows=n_rows)
     return grouped_agg(partials, cols, [("n", "sum", "n")], mode="driver")
+
+
+def weighted_quantile_by(ds: rd.Dataset, key: str, col: str, w_col: str,
+                         q: float | list[float],
+                         num_bins: int = 256,
+                         collect_limit: int = 200_000,
+                         max_passes: int = 8) -> pa.Table:
+    """Per-group EXACT WEIGHTED quantiles for a BOUNDED group key: for
+    each group and each q, the smallest value v with
+    W_g(≤ v) >= q · W_g — the token-weighted median doc length PER
+    LANGUAGE shape. Marries exact_quantile_disc_by's shared-pass grouped
+    refinement with weighted_quantile's weight-mass histograms: every
+    (group, q) range narrows in the SAME scan, weights are int64 so
+    every cumulative mass is exact (null value/weight pairs drop).
+    Returns (key, q<percent>…) one row per group."""
+    qs = [q] if isinstance(q, (int, float)) else list(q)
+
+    def wsum(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = t[w_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = ~(np.isnan(v) | np.isnan(w))
+        return pa.table({key: t[key].filter(pa.array(ok)),
+                         "__v": pa.array(v[ok]),
+                         "__w": pa.array(w[ok].astype(np.int64))})
+
+    clean = ds.select_columns([key, col, w_col]).map_batches(
+        wsum, batch_format="pyarrow", zero_copy_batch=True)
+    base = grouped_agg(clean, [key], [("__w", "sum", "W"),
+                                      ("__v", "count", "n"),
+                                      ("__v", "min", "lo"),
+                                      ("__v", "max", "hi")]).take_all()
+    state: dict = {}
+    groups: list = []
+    for r in base:
+        if int(r["n"]) == 0 or int(r["W"]) <= 0:
+            continue
+        groups.append(r[key])
+        for j, qq in enumerate(qs):
+            state[(r[key], j)] = {
+                "target": qq * int(r["W"]), "below": 0,
+                "lo": float(r["lo"]),
+                "hi": float(np.nextafter(float(r["hi"]), np.inf)),
+                "n": int(r["n"]), "val": None}
+
+    for _ in range(max_passes):
+        active = {gj: (s["lo"], s["hi"]) for gj, s in state.items()
+                  if s["val"] is None and s["n"] > collect_limit}
+        if not active:
+            break
+
+        def hist(t: pa.Table, active=active) -> pa.Table:
+            kv = t[key].to_numpy(zero_copy_only=False)
+            v = t["__v"].to_numpy(zero_copy_only=False)
+            w = t["__w"].to_numpy(zero_copy_only=False)
+            gs, js, ws, cs = [], [], [], []
+            for (g, j), (lo, hi) in active.items():
+                m = (kv == g) & (v >= lo) & (v < hi)
+                mv = v[m]
+                hw, _ = np.histogram(mv, bins=num_bins, range=(lo, hi),
+                                     weights=w[m].astype(np.float64))
+                hc, _ = np.histogram(mv, bins=num_bins, range=(lo, hi))
+                gs.append(g)
+                js.append(j)
+                ws.append(hw.astype(np.int64))
+                cs.append(hc.astype(np.int64))
+            return pa.table({"g": pa.array(gs),
+                             "j": pa.array(js, pa.int32()),
+                             "wsum": pa.array(ws), "cnt": pa.array(cs)})
+
+        wsums = {gj: np.zeros(num_bins, np.int64) for gj in active}
+        cnts = {gj: np.zeros(num_bins, np.int64) for gj in active}
+        for b in clean.map_batches(hist, batch_format="pyarrow",
+                                   zero_copy_batch=True
+                                   ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for g, j, wrow, crow in zip(t["g"].to_pylist(),
+                                        t["j"].to_pylist(),
+                                        t["wsum"].to_pylist(),
+                                        t["cnt"].to_pylist()):
+                wsums[(g, j)] += np.asarray(wrow, np.int64)
+                cnts[(g, j)] += np.asarray(crow, np.int64)
+        for gj in active:
+            s = state[gj]
+            cumw = np.cumsum(wsums[gj])
+            bi = int(np.searchsorted(cumw, s["target"] - s["below"],
+                                     side="left"))
+            bi = min(bi, num_bins - 1)
+            edges = np.linspace(s["lo"], s["hi"], num_bins + 1)
+            s["below"] += int(cumw[bi - 1]) if bi else 0
+            s["n"] = int(cnts[gj][bi])
+            s["lo"], s["hi"] = float(edges[bi]), float(edges[bi + 1])
+            if s["hi"] <= np.nextafter(s["lo"], np.inf):
+                s["val"] = s["lo"]
+
+    pending = {gj: (s["lo"], s["hi"]) for gj, s in state.items()
+               if s["val"] is None}
+    if pending:
+        def survivors(t: pa.Table, pending=pending) -> pa.Table:
+            kv = t[key].to_numpy(zero_copy_only=False)
+            v = t["__v"].to_numpy(zero_copy_only=False)
+            w = t["__w"].to_numpy(zero_copy_only=False)
+            gs, js, vv, ww = [], [], [], []
+            for (g, j), (lo, hi) in pending.items():
+                m = (kv == g) & (v >= lo) & (v < hi)
+                k = int(m.sum())
+                gs.extend([g] * k)
+                js.extend([j] * k)
+                vv.extend(v[m].tolist())
+                ww.extend(w[m].tolist())
+            return pa.table({"g": pa.array(gs),
+                             "j": pa.array(js, pa.int32()),
+                             "v": pa.array(vv, pa.float64()),
+                             "w": pa.array(ww, pa.int64())})
+
+        got = {gj: ([], []) for gj in pending}
+        for b in clean.map_batches(survivors, batch_format="pyarrow",
+                                   zero_copy_batch=True
+                                   ).iter_batches(batch_format="pyarrow"):
+            t = pa.table(b)
+            for g, j, v, w in zip(t["g"].to_pylist(), t["j"].to_pylist(),
+                                  t["v"].to_pylist(), t["w"].to_pylist()):
+                got[(g, j)][0].append(v)
+                got[(g, j)][1].append(w)
+        for gj in pending:
+            s = state[gj]
+            vs = np.asarray(got[gj][0], np.float64)
+            ws = np.asarray(got[gj][1], np.int64)
+            order = np.argsort(vs, kind="mergesort")
+            vs, ws = vs[order], ws[order]
+            uniq, inv = np.unique(vs, return_inverse=True)
+            mass = np.bincount(inv, weights=ws.astype(np.float64)
+                               ).astype(np.int64)
+            cum = s["below"] + np.cumsum(mass)
+            jj = int(np.searchsorted(cum, s["target"], side="left"))
+            s["val"] = float(uniq[min(jj, len(uniq) - 1)])
+
+    ks = sorted(set(groups))
+    cols: dict = {key: pa.array(ks)}
+    for j, qq in enumerate(qs):
+        out_name = f"q{int(round(qq * 100)):02d}"
+        cols[out_name] = pa.array([state[(g, j)]["val"] for g in ks],
+                                  pa.float64())
+    return pa.table(cols)

@@ -8860,6 +8860,33 @@ def corpus_type_growth(sf_dir: str):
     })
 
 
+@register("doc_token_weighted_median_by_lang", """
+WITH d AS (SELECT lang,
+                  CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+'))
+                       AS BIGINT) AS n FROM documents),
+c AS (SELECT lang, n,
+             sum(n) OVER (PARTITION BY lang ORDER BY n) AS cw,
+             sum(n) OVER (PARTITION BY lang) AS tot FROM d)
+SELECT lang, CAST(min(n) AS DOUBLE) AS q50
+FROM c WHERE cw >= 0.5 * tot GROUP BY lang
+""")
+def doc_token_weighted_median_by_lang(sf_dir: str):
+    """TOKEN-weighted median document length per language
+    (rel.weighted_quantile_by, value = weight = token count): the length
+    of the doc a TYPICAL TOKEN lives in — the statistic that actually
+    drives context-length and packing decisions, where the doc-weighted
+    median is dragged down by the short-doc majority. Every (lang, q)
+    range narrows in the same shared refinement scan; integer token
+    weights keep cumulative masses exact."""
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    toks = textops.add_token_counts(ds).select_columns(["lang", "n_tokens"])
+    toks = toks.map_batches(
+        lambda t: t.append_column("w", t["n_tokens"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+    return rel.weighted_quantile_by(toks, "lang", "n_tokens", "w", 0.5,
+                                    collect_limit=50)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

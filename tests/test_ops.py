@@ -4580,3 +4580,28 @@ def test_ngram_containment_catches_embedded_doc():
     assert list(zip(cont["id_a"], cont["id_b"])) == [(1, 2)]
     assert cont["containment"].iloc[0] == 1.0
     assert len(jac) == 0
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_weighted_quantile_by_matches_bruteforce(nblocks):
+    rng = np.random.default_rng(47)
+    n = 2500
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], n),
+        "v": np.round(rng.lognormal(3, 1, n), 1),
+        "w": rng.integers(1, 50, n).astype(np.int64),
+    })
+    out = rel.weighted_quantile_by(
+        rd.from_pandas(df).repartition(nblocks), "g", "v", "w",
+        [0.25, 0.5, 0.9], num_bins=16, collect_limit=40).to_pandas()
+    got = out.set_index("g")
+
+    for g, sub in df.groupby("g"):
+        sub = sub.sort_values("v", kind="mergesort")
+        uniq, inv = np.unique(sub["v"].to_numpy(), return_inverse=True)
+        cum = np.cumsum(np.bincount(
+            inv, weights=sub["w"].to_numpy(np.float64)).astype(np.int64))
+        W = cum[-1]
+        for qq, cname in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
+            ref = float(uniq[np.searchsorted(cum, qq * W, side="left")])
+            assert got.loc[g, cname] == ref
