@@ -8887,6 +8887,76 @@ def doc_token_weighted_median_by_lang(sf_dir: str):
                                     collect_limit=50)
 
 
+@register("doc_boilerplate_rate_by_source", r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS L FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks, UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                         ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT id_a, id_b FROM inter
+        JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        WHERE i * 1.0 / least(sa.s, sb.s) >= 0.5),
+dup AS (SELECT id_a AS id FROM prs UNION SELECT id_b FROM prs)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(dup.id) AS BIGINT) AS n_boiler,
+       ROUND(count(dup.id) * 1.0 / count(*), 6) AS boiler_rate
+FROM documents d LEFT JOIN dup ON dup.id = d.doc_id
+GROUP BY 1
+""")
+def doc_boilerplate_rate_by_source(sf_dir: str):
+    """SOURCE-QUALITY triage: fraction of each source's docs carrying a
+    containment partner (≥ 0.5 of the smaller shingle set shared) — the
+    per-feed boilerplate/template rate that decides which crawls need
+    template stripping before training. Containment pairs → bucketed
+    distinct flagged-id set → LEFT OUTER hash join back (never a driver
+    set) → bounded per-source counts."""
+    from ..ops.dedup import _distinct_rows_bucketed
+
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.5,
+                                      n_rows=n_docs * 256,
+                                      measure="containment")
+    ids = pairs.map_batches(
+        lambda t: pa.table({"doc_id": pa.concat_arrays([
+            t["id_a"].combine_chunks() if isinstance(t["id_a"], pa.ChunkedArray) else t["id_a"],
+            t["id_b"].combine_chunks() if isinstance(t["id_b"], pa.ChunkedArray) else t["id_b"]])}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    flagged = _distinct_rows_bucketed(ids, ["doc_id"]).map_batches(
+        lambda t: t.append_column("__f", pa.array(
+            np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow", zero_copy_batch=True)
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+    joined = rel.hash_join(docs, rel.drop_empty_blocks(flagged),
+                           on=["doc_id"], join_type="left_outer")
+    agg = rel.grouped_agg(joined, ["source"],
+                          [("source", "count", "n_docs"),
+                           ("__f", "sum", "n_boiler")], mode="driver")
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.nan_to_num(t["n_boiler"].to_numpy(zero_copy_only=False)
+                          .astype(np.float64))
+        return pa.table({
+            "source": t["source"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "n_boiler": pa.array(b.astype(np.int64)),
+            "boiler_rate": pa.array(round_np(b / n, 6))})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
