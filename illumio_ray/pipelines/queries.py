@@ -8957,6 +8957,86 @@ def doc_boilerplate_rate_by_source(sf_dir: str):
                            zero_copy_batch=True)
 
 
+@register("events_session_profile", """
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sid AS (SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts) AS s
+        FROM e),
+s AS (SELECT user_id, s, CAST(count(*) AS BIGINT) AS n,
+             epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+      FROM sid GROUP BY 1, 2)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       ROUND(avg(n), 6) AS mean_events,
+       ROUND(avg(dur_us), 6) AS mean_dur_us,
+       CAST(max(dur_us) AS BIGINT) AS max_dur_us
+FROM s
+""")
+def events_session_profile(sf_dir: str):
+    """SESSION-LEVEL profile (count, mean events per session, mean and
+    max duration): the session-duration distribution behind engagement
+    dashboards — one keyed_window bucket exchange computes whole-session
+    rows vectorized (segmented min/max via reduceat, never a per-session
+    loop), then a bounded driver combine. Exact integer-µs durations and
+    exact-int mean divisions on both engines."""
+    from ..functions.rounding import round_scalar
+
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "ts", "event_id"])
+    gap_us = np.int64(30 * 60 * 1_000_000)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        ts = rel.ts_as_us(pa.Array.from_pandas(g["ts"])).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        users = g["user_id"].to_numpy()
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({
+                "n_sessions": pd.Series([], dtype=np.int64),
+                "sum_events": pd.Series([], dtype=np.int64),
+                "sum_dur_us": pd.Series([], dtype=np.int64),
+                "max_dur_us": pd.Series([], dtype=np.int64)})
+        same = np.concatenate(([False], users[1:] == users[:-1]))
+        gaps = np.concatenate(([0], ts[1:] - ts[:-1]))
+        new_s = ~same | (gaps > gap_us)
+        starts = np.flatnonzero(new_s)
+        last = np.append(starts[1:], n) - 1
+        durs = (ts[last] - ts[starts]).astype(np.int64)
+        # bucket-level PARTIAL (sessions grow with the data — only four
+        # scalars per bucket reach the driver)
+        return pd.DataFrame({
+            "n_sessions": np.array([len(starts)], np.int64),
+            "sum_events": np.array([n], np.int64),
+            "sum_dur_us": np.array([int(durs.sum())], np.int64),
+            "max_dur_us": np.array([int(durs.max())], np.int64)})
+
+    partials = rel.keyed_window(ds, "user_id", sessions)
+    parts = pa.concat_tables(
+        [pa.table(b) for b in partials.iter_batches(
+            batch_format="pyarrow")])
+    ns = int(pc.sum(parts["n_sessions"]).as_py())
+    return pa.table({
+        "n_sessions": pa.array([ns], pa.int64()),
+        "mean_events": pa.array(
+            [round_scalar(float(pc.sum(parts["sum_events"]).as_py()) / ns,
+                          6)]),
+        "mean_dur_us": pa.array(
+            [round_scalar(float(pc.sum(parts["sum_dur_us"]).as_py()) / ns,
+                          6)]),
+        "max_dur_us": pa.array(
+            [int(pc.max(parts["max_dur_us"]).as_py())], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
