@@ -9037,6 +9037,80 @@ def events_session_profile(sf_dir: str):
     })
 
 
+@register("customer_rfm_segments", """
+WITH rfm AS (
+  SELECT o_custkey AS c,
+         epoch_us(max(o_orderdate)) AS r,
+         CAST(count(*) AS BIGINT) AS f,
+         max(o_totalprice) AS m
+  FROM orders GROUP BY 1),
+qr AS (SELECT quantile_disc(r, [1.0/3, 2.0/3]) AS q FROM rfm),
+qf AS (SELECT quantile_disc(f, [1.0/3, 2.0/3]) AS q FROM rfm),
+qm AS (SELECT quantile_disc(m, [1.0/3, 2.0/3]) AS q FROM rfm),
+coded AS (
+  SELECT (SELECT count(*) FROM (SELECT unnest(q) AS v FROM qr)
+          WHERE v < rfm.r) AS rc,
+         (SELECT count(*) FROM (SELECT unnest(q) AS v FROM qf)
+          WHERE v < rfm.f) AS fc,
+         (SELECT count(*) FROM (SELECT unnest(q) AS v FROM qm)
+          WHERE v < rfm.m) AS mc
+  FROM rfm)
+SELECT CAST(rc AS BIGINT) AS rc, CAST(fc AS BIGINT) AS fc,
+       CAST(mc AS BIGINT) AS mc, CAST(count(*) AS BIGINT) AS n_customers
+FROM coded GROUP BY 1, 2, 3
+""")
+def customer_rfm_segments(sf_dir: str):
+    """RFM customer segmentation (recency / frequency / monetary tercile
+    codes → 27-cell population grid): the classic value-segmentation
+    composite, built DRIFT-FREE — every per-customer statistic is an
+    exact pick (max date, count, max single order), tercile boundaries
+    are exact order statistics from the shared no-collect refinement,
+    and codes come from strict-less comparisons of identical doubles.
+    One bucket-mode per-customer aggregate, three refinement scans, one
+    row-local coding pass, bounded 27-cell count."""
+    orders = read_table(sf_dir, "orders",
+                        columns=["o_custkey", "o_orderdate",
+                                 "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": t["o_custkey"],
+            "r": rel.ts_as_us(t["o_orderdate"]),
+            "m": t["o_totalprice"]})
+
+    per = rel.grouped_agg(
+        orders.map_batches(prep, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["c"], [("r", "max", "r"), ("c", "count", "f"),
+                ("m", "max", "m")], mode="bucket").materialize()
+
+    qs = [1.0 / 3, 2.0 / 3]
+    b_r = np.asarray(rel.exact_quantile_disc(per, "r", qs,
+                                             collect_limit=200))
+    b_f = np.asarray(rel.exact_quantile_disc(per, "f", qs,
+                                             collect_limit=200))
+    b_m = np.asarray(rel.exact_quantile_disc(per, "m", qs,
+                                             collect_limit=200))
+
+    def code(t: pa.Table) -> pa.Table:
+        r = t["r"].to_numpy(zero_copy_only=False).astype(np.float64)
+        f = t["f"].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = t["m"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "rc": pa.array(np.searchsorted(b_r, r, side="left")
+                           .astype(np.int64)),
+            "fc": pa.array(np.searchsorted(b_f, f, side="left")
+                           .astype(np.int64)),
+            "mc": pa.array(np.searchsorted(b_m, m, side="left")
+                           .astype(np.int64))})
+
+    coded = per.map_batches(code, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    return rel.grouped_agg(coded, ["rc", "fc", "mc"],
+                           [("rc", "count", "n_customers")],
+                           mode="driver")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
