@@ -6104,6 +6104,88 @@ def events_hourly_ontime(sf_dir: str):
         ["hour"], [("__n", "sum", "n_ontime")], mode="driver")
 
 
+@register("events_clock_skew", _EVENTS_BATCH_WM_CTE + """
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       ROUND(avg((epoch_us(mx.mts) - epoch_us(b.ts)) / 1e6), 6)
+         AS skew_mean_s,
+       ROUND(max((epoch_us(mx.mts) - epoch_us(b.ts)) / 1e6), 6)
+         AS skew_max_s,
+       ROUND(stddev_pop((epoch_us(mx.mts) - epoch_us(b.ts)) / 1e6), 6)
+         AS skew_std_s
+FROM b JOIN mx USING (batch) JOIN events e USING (event_id)
+GROUP BY 1
+""")
+def events_clock_skew(sf_dir: str):
+    """Per-source clock-skew audit — the data-plane analogue of the
+    reference's NTP/S3 server-time validation
+    (/root/reference/app/s3_ntp_check.py:51-114,
+    app/s3_time_validator.py:58-72): there the local wall clock is
+    checked against the S3 server's Date header before timestamps are
+    trusted; here each row's EVENT time is compared to its arrival
+    unit's completion time (max event ts within the arrival batch — the
+    poll loop's clock when the unit landed; same deterministic batch
+    synthesis as the watermark family). Output per event_type: row
+    count plus mean/max/stdev of skew seconds. Shapes: per-batch
+    arrival proxy is a grouped max (driver mode — O(#batches) state,
+    the bound the watermark helpers already accept) broadcast back via
+    a searchsorted row-local attach (no shuffle); the per-type moments
+    are exact two-pass shifted sums (ops/stats.bivariate_stats) over
+    the bounded event_type key plus a grouped max, so nothing beyond
+    O(types + batches) ever reaches the driver."""
+    from ..ops import stats as st
+
+    ev = read_table(sf_dir, "events",
+                    columns=["event_id", "ts", "event_type"])
+
+    def add_batch(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        b = eid // 100 + (eid % 13 == 0)
+        return pa.table({"batch": pa.array(b.astype(np.int64)),
+                         "ts": t["ts"], "event_type": t["event_type"]})
+
+    withb = ev.map_batches(add_batch, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    arr = rel.grouped_agg(withb.select_columns(["batch", "ts"]), ["batch"],
+                          [("ts", "max", "__arr")], mode="driver")
+    at = pa.concat_tables(
+        arr.iter_batches(batch_format="pyarrow", batch_size=None))
+    units = at["batch"].to_numpy(zero_copy_only=False)
+    arr_us = at["__arr"].to_numpy(zero_copy_only=False) \
+        .astype("datetime64[us]").astype(np.int64)
+    order = np.argsort(units, kind="stable")
+    units, arr_us = units[order], arr_us[order]
+
+    def add_skew(t: pa.Table) -> pa.Table:
+        u = t["batch"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(units, u)
+        ts = t["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        return pa.table({"event_type": t["event_type"],
+                         "skew_s": pa.array((arr_us[idx] - ts) / 1e6)})
+
+    skewed = withb.map_batches(add_skew, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    mo = st.bivariate_stats(skewed, "skew_s", "skew_s", by=["event_type"])
+    mx = rel.grouped_agg(skewed, ["event_type"],
+                         [("skew_s", "max", "skew_max_s")], mode="driver")
+    mxt = pa.concat_tables(
+        mx.iter_batches(batch_format="pyarrow", batch_size=None))
+    j = mo.select(["event_type", "n", "mean_x", "var_x"]).join(
+        mxt, keys=["event_type"], join_type="inner").sort_by("event_type")
+    return pa.table({
+        "event_type": j["event_type"],
+        "n_rows": pc.cast(j["n"], pa.int64()),
+        "skew_mean_s": pa.array(
+            round_np(j["mean_x"].to_numpy(zero_copy_only=False), 6)),
+        "skew_max_s": pa.array(
+            round_np(j["skew_max_s"].to_numpy(zero_copy_only=False), 6)),
+        "skew_std_s": pa.array(
+            round_np(np.sqrt(np.maximum(
+                j["var_x"].to_numpy(zero_copy_only=False), 0.0)), 6)),
+    })
+
+
 def _term_index_for(sf_dir: str) -> Path:
     """Build (or reuse, marker-keyed per tier + token scheme) the
     persisted term index over the documents table."""
@@ -9129,47 +9211,43 @@ def customer_rfm_segments(sf_dir: str):
 # variant, percent vs dense rank, rollup vs cube, the k-anonymity audit
 # view) stay local-gate too.
 _DRIVER_FIRST = [
-    # closure curation, partitioned as-of, exact k-NN join (VERDICT items)
-    "curation_kept_closure", "events_asof_nearest_error", "embedding_knn_join",
-    # new operator families added late in round 4
-    "doc_bigram_pmi", "events_scd2_history", "events_k_anonymous",
-    "embedding_rp_topk",
-    "events_value_mad_filtered", "events_funnel_view_click_purchase",
-    "pages_wire_grok",
-    "events_by_type_from_orc", "near_dup_keep_best_docs",
-    "docs_dup_spans_removed",
-    "orders_pivot_status_by_priority",
-    "events_by_type_skew_salted",
-    "pages_canonical_urls",
-    "events_unpivot_metrics", "part_association_rules",
-    "supplier_pagerank_top10",
-    # second refresh: association rules, PSI drift, weighted quantiles,
-    # systematic PPS, class compactness, and nearest-as-of replaced a
-    # second source decoder, a third graph walk, the AND-search next to
-    # BM25-from-index, the second privacy audit, the centroid view the
-    # compactness query subsumes, and the forward as-of the nearest
-    # variant exercises — all displaced queries ride the local gate
-    # freshest families (mode/checksum/debounce/deciles/CUSUM/intervals/
-    # LOCF/MI) take the slots of same-family redundancies (second window-
-    # rank variant, winsorize next to MAD, cube next to pivot, csv next to
-    # orc+avro, on-time next to late-flag, banded next to plain k-NN join,
-    # latest-per-key next to canonical urls) — those ride the local gate
-    "events_value_cusum", "orders_checksum", "events_user_mode_per_type",
-    "events_debounced", "lineitem_price_decile_counts",
-    "events_merged_sessions", "events_value_locf", "events_type_hour_mi",
-    # late round-4 families: anomaly scan, significance test, drift, fusion
-    "events_hod_anomalies", "events_type_ttest", "doc_lang_jsd",
-    "docs_hybrid_rrf",
-    "embedding_class_compactness", "lineitem_weighted_price_quantiles",
-    "events_validation_report", "events_late_by_batch",
-    "docs_bm25_from_index",
-    "events_cohort_retention", "pages_from_warc",
-    "dedup_exact_incremental",
-    "doc_ccnet_buckets", "pages_blocklist_filtered",
-    "events_user_totals_asof", "q1_incremental_refresh",
-    "orders_skyline", "part_cooccur_triangles", "orders_cdc_applied",
-    "events_user_ewma", "events_value_psi", "revenue_by_segment_ivm",
-    "events_systematic_sample",
+    # ROUND-5 rotation (third refresh): every name below is oracled and has
+    # NEVER occupied a driver CORRECTNESS slot (r1–r4 union = 117 names,
+    # cross-checked against CORRECTNESS_r0{1..4}.json). The 50 r4 names all
+    # carry driver-pass records and ride the local replica gate from here.
+    # The VERDICT-named promotions lead; the new clock-skew audit (the
+    # s3_ntp_check analogue) follows; then ALL never-hashed TPC-H queries
+    # (the strongest cross-engine correctness anchors), then one
+    # representative per remaining never-hashed family — same-family
+    # redundancies (rank vs dense-rank vs ntile, intersect vs except,
+    # rolling mean vs median, csv vs avro both kept: distinct decoders)
+    # stay on the local gate.
+    "events_interval_overlap", "orders_cube", "orders_rollup",
+    "q9_product_profit", "q21_waiting_suppliers", "doc_token_budget_sample",
+    "events_zorder_range_count", "corpus_type_growth",
+    "customer_rfm_segments", "events_session_profile",
+    "events_clock_skew",
+    # never-hashed TPC-H
+    "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
+    "q8_market_share", "q10_returned_revenue", "q11_top_value_suppliers",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q16_brand_supplier_counts", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_bracket_revenue", "q20_excess_stock_suppliers",
+    "q22_idle_customers",
+    # one per never-hashed family (25 slots): the LLM-curation doc_*
+    # operators lead, then merge/set-ops/full-outer joins, sources,
+    # search, exact quantiles, persisted-index ANN, bucketed lookup
+    "pages_latest_per_canonical", "lineitem_price_qty_linreg",
+    "events_user_totals_merged", "documents_profile",
+    "customers_intersect_years", "top_words_per_lang",
+    "embedding_topk_ivf_index", "ngram_jaccard_pairs",
+    "events_hourly_gapfill", "doc_tfidf_top_term", "doc_decontaminate",
+    "doc_gopher_filter", "doc_pii_redact", "near_dup_components",
+    "doc_mixture_sample", "doc_segment_dedup", "doc_lm_nll",
+    "doc_dsir_weights", "customers_orders_full_outer",
+    "doc_prefix_edit_pairs", "embedding_hard_negatives",
+    "events_daily_from_csv", "docs_search_and",
+    "events_value_quantiles_exact", "orders_bucketed_lookup",
 ]
 
 
