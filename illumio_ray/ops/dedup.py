@@ -973,10 +973,17 @@ def simhash_dup_groups(ds: rd.Dataset, id_col: str, text_col: str) -> rd.Dataset
 
     nb = adaptive_bucket_count(None)
     sh = add_simhash(ds, id_col, text_col)
+    # pre-project BEFORE the bucket exchange: the group stage needs only
+    # (id, simhash) — the text must not ride a shuffle it takes no part in
     sh = sh.map_batches(
-        lambda t: t.append_column("__shb", pa.array(
-            (t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-             % np.uint64(nb)).astype(np.int32), pa.int32())),
+        lambda t: pa.table({
+            id_col: t[id_col],
+            "simhash": t["simhash"],
+            "__shb": pa.array(
+                (t["simhash"].to_numpy(zero_copy_only=False)
+                 .astype(np.uint64) % np.uint64(nb)).astype(np.int32),
+                pa.int32()),
+        }),
         batch_format="pyarrow", zero_copy_batch=True)
 
     def group(g: pd.DataFrame) -> pd.DataFrame:

@@ -1561,40 +1561,54 @@ def bigram_pmi(ds: rd.Dataset, text_col: str = "text",
     from .relational import (drop_empty_blocks, filter_batches, grouped_agg,
                              hash_join)
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({
-            "kind": pd.Series([], dtype=np.int8),
-            "w1": pd.Series([], dtype=object),
-            "w2": pd.Series([], dtype=object),
-            "n": pd.Series([], dtype=np.int64)})
-        words = df[text_col].dropna().str.split(" ")
-        lens = words.str.len().to_numpy()
-        if lens.sum() == 0:
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"kind": pa.array([], pa.int8()),
+                          "w1": pa.array([], pa.string()),
+                          "w2": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        arr = _string_array(t[text_col]).drop_null()
+        if len(arr) == 0:
             return empty
-        flat = np.concatenate(words.to_numpy())
-        uni = pd.Series(flat).value_counts()
-        out = [pd.DataFrame({"kind": np.int8(1), "w1": uni.index,
-                             "w2": "", "n": uni.to_numpy()})]
-        if len(flat) > 1:
+        # tokenize in Arrow: split once, keep the flat token buffer
+        # zero-copy (no per-doc Python lists — this was the slowest
+        # non-curation headline stage as a pandas str.split)
+        lists = pc.split_pattern(arr, " ")
+        flat = lists.flatten()
+        n_flat = len(flat)
+        if n_flat == 0:
+            return empty
+        ug = pa.table({"w1": flat}).group_by(["w1"]).aggregate(
+            [([], "count_all")])
+        n_uni = ug.num_rows
+        out = [pa.table({
+            "kind": pa.array(np.ones(n_uni, np.int8)),
+            "w1": ug["w1"],
+            "w2": pa.array([""] * n_uni, pa.string()),
+            "n": pc.cast(ug["count_all"], pa.int64()),
+        })]
+        if n_flat > 1:
             # adjacent pairs, masking the doc-boundary positions so no
             # bigram spans two documents
-            valid = np.ones(len(flat) - 1, dtype=bool)
+            lens = np.diff(lists.offsets.to_numpy())
+            valid = np.ones(n_flat - 1, dtype=bool)
             ends = np.cumsum(lens) - 1
             valid[ends[:-1]] = False
-            bi = (pd.DataFrame({"w1": flat[:-1][valid],
-                                "w2": flat[1:][valid]})
-                  .groupby(["w1", "w2"], sort=False).size())
-            if len(bi):
-                idx = bi.index
-                out.append(pd.DataFrame({
-                    "kind": np.int8(0),
-                    "w1": idx.get_level_values(0).to_numpy(),
-                    "w2": idx.get_level_values(1).to_numpy(),
-                    "n": bi.to_numpy()}))
-        return pd.concat(out, ignore_index=True)
+            vmask = pa.array(valid)
+            w1 = flat.slice(0, n_flat - 1).filter(vmask)
+            w2 = flat.slice(1, n_flat - 1).filter(vmask)
+            if len(w1):
+                bg = pa.table({"w1": w1, "w2": w2}).group_by(
+                    ["w1", "w2"]).aggregate([([], "count_all")])
+                out.append(pa.table({
+                    "kind": pa.array(np.zeros(bg.num_rows, np.int8)),
+                    "w1": bg["w1"],
+                    "w2": bg["w2"],
+                    "n": pc.cast(bg["count_all"], pa.int64()),
+                }))
+        return pa.concat_tables(out, promote_options="permissive")
 
     parts = ds.select_columns([text_col]).map_batches(
-        partial, batch_format="pandas")
+        partial, batch_format="pyarrow", zero_copy_batch=True)
     # type space grows with data but ≪ token instances (Zipf) → shuffle
     counts = grouped_agg(parts, ["kind", "w1", "w2"],
                          [("n", "sum", "n")], mode="shuffle")
