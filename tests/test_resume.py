@@ -96,6 +96,50 @@ def test_uncommitted_partial_output_is_discarded(tmp_path):
     assert len(urls) == len(set(urls))
 
 
+def test_worker_death_mid_shard_exactly_once(tmp_path, monkeypatch):
+    """Task-level fault tolerance, one level below the driver-kill resume
+    suite: a worker PROCESS dies mid-task inside a shard pipeline
+    (os._exit — what Ray sees on an OOM-kill or node loss). Ray must
+    retry the task on a fresh worker, and the content-addressed output
+    names (make_write_summarize) must make any replayed write overwrite
+    rather than duplicate, so the run completes exactly-once with NO
+    resume step. The crash fires exactly once per test via an O_EXCL
+    sentinel committed before the exit."""
+    import os
+
+    import illumio_ray.pipelines.flagship as fl
+
+    real = fl.extract_page_fields
+    sentinel = str(tmp_path / "crashed-once")
+
+    def crash_once_then_extract(t):
+        try:
+            fd = os.open(sentinel, os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            pass
+        else:
+            os.close(fd)
+            os._exit(1)  # kill THIS worker mid-task
+        return real(t)
+
+    monkeypatch.setattr(fl, "extract_page_fields", crash_once_then_extract)
+    info = synth_pages(tmp_path / "in", rows=800, num_files=4)
+    out = tmp_path / "out"
+    metrics = run_flagship(info["pages_dir"], out, info["lookup_lang"],
+                           info["lookup_host"], num_shards=2)
+    assert os.path.exists(sentinel), "fault was never injected"
+    assert metrics["shards_run_this_invocation"] == 2
+
+    pages = pads.dataset(info["pages_dir"]).to_table(columns=["url", "html"])
+    expected = {
+        u for u, h in zip(pages["url"].to_pylist(), pages["html"].to_pylist())
+        if BODY.search(h.decode())
+    }
+    urls = _routed_urls(out)
+    assert len(urls) == len(set(urls)), "duplicate rows after task retry"
+    assert set(urls) == expected, "dropped or extra rows after task retry"
+
+
 def test_completed_run_resume_is_noop(tmp_path):
     info = synth_pages(tmp_path / "in", rows=400, num_files=4)
     out = tmp_path / "out"
