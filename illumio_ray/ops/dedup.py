@@ -598,19 +598,27 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
         tbl = pa.concat_tables(
             pa.table(b) for b in band_rows.iter_batches(batch_format="pyarrow"))
         df = tbl.to_pandas()
-        out_a, out_b = [], []
-        for _, g in df.groupby(["band_id", "band_hash"], sort=False):
-            if len(g) < 2:
-                continue
-            ids = np.sort(g[id_col].to_numpy())
-            a, b = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a])
-            out_b.append(ids[b])
-        if out_a:
-            pairs_df = pd.DataFrame({
-                "id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b),
-            }).drop_duplicates(ignore_index=True)
-            return rd.from_pandas(pairs_df)
+        # NO per-group Python loop: with docs × bands band rows, almost
+        # every (band_id, band_hash) group is a singleton, and even the
+        # non-singleton groups number O(dup docs × bands) — a groupby
+        # iteration is a Python loop over both (measured: 250 k docs with
+        # ~10% dups pegged the driver for >10 min). Instead: duplicated()
+        # drops singletons in one vectorized pass, then a self-merge on
+        # the band key emits every intra-group pair (same shape as
+        # ngram_jaccard's emit_pairs); the a<b filter orders them and
+        # drop_duplicates collapses multi-band hits.
+        df = df[df.duplicated(["band_id", "band_hash"], keep=False)]
+        if len(df):
+            cols = ["band_id", "band_hash", id_col]
+            m = df[cols].merge(df[cols], on=["band_id", "band_hash"],
+                               suffixes=("_a", "_b"))
+            m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+            if len(m):
+                pairs_df = (m[[f"{id_col}_a", f"{id_col}_b"]]
+                            .rename(columns={f"{id_col}_a": "id_a",
+                                             f"{id_col}_b": "id_b"})
+                            .drop_duplicates(ignore_index=True))
+                return rd.from_pandas(pairs_df)
         # keep the input id TYPE (string doc ids must not become int64 here
         # while the non-empty case and the distributed path preserve them);
         # built as Arrow — Ray drops columns on an empty object-dtype
@@ -635,19 +643,24 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
         return df.assign(__cb=(h % np.uint64(nb)).astype(np.int32))
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b = [], []
-        for _, gg in g.groupby(["band_id", "band_hash"], sort=False):
-            if len(gg) < 2:
-                continue
-            ids = np.sort(gg[id_col].to_numpy())
-            a, b = np.triu_indices(len(ids), k=1)
-            out_a.append(ids[a])
-            out_b.append(ids[b])
-        if not out_a:
-            return pd.DataFrame({"id_a": g[id_col].iloc[:0],
-                                 "id_b": g[id_col].iloc[:0]})
-        return pd.DataFrame({"id_a": np.concatenate(out_a),
-                             "id_b": np.concatenate(out_b)})
+        # same vectorized shape as the driver fast path: singleton
+        # pre-filter, then a self-merge on the band key — no per-group
+        # Python loop (a bucket holds ~rows×bands/nb band groups,
+        # nearly all size 1, and groupby ITERATION is a Python loop
+        # over all of them)
+        g = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        empty = pd.DataFrame({"id_a": g[id_col].iloc[:0],
+                              "id_b": g[id_col].iloc[:0]})
+        if not len(g):
+            return empty
+        cols = ["band_id", "band_hash", id_col]
+        m = g[cols].merge(g[cols], on=["band_id", "band_hash"],
+                          suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return empty
+        return pd.DataFrame({"id_a": m[f"{id_col}_a"].to_numpy(),
+                             "id_b": m[f"{id_col}_b"].to_numpy()})
 
     cand = (band_rows.map_batches(add_cb, batch_format="pandas")
             .groupby("__cb").map_groups(pairs_in_bucket,
@@ -777,8 +790,91 @@ def verify_jaccard_pairs_join(cand: rd.Dataset, docs: rd.Dataset, id_col: str,
         return merged.groupby("__kb").map_groups(attach,
                                                  batch_format="pyarrow")
 
-    step1 = _attach(cand, "id_a", ["id_a", "id_b"], "__text_a")
+    # Materialize between the two attach rounds (and the candidate table
+    # feeding round 1): both are O(pairs) rows — megabytes — while leaving
+    # them lazy fuses candidates + two union→sort→attach exchanges into
+    # ONE executed plan. Ray 2.49's resource manager splits the object
+    # store budget across every operator of the running plan, and under a
+    # constrained store (measured: 250 k docs, 16 CPUs, ≤1 GB) the fused
+    # plan starves — the executor spins with zero task output
+    # indefinitely. Stage-wise execution keeps at most one all-to-all in
+    # flight, and the same probe completes with zero spill.
+    step1 = _attach(cand.materialize(), "id_a", ["id_a", "id_b"],
+                    "__text_a").materialize()
     step2 = _attach(step1, "id_b", ["id_a", "id_b", "__text_a"], "__text_b")
+
+    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+        sh_a = _shingle_hashes(batch["__text_a"].tolist(), shingle_n)
+        sh_b = _shingle_hashes(batch["__text_b"].tolist(), shingle_n)
+        js = np.asarray([jaccard(a, b) for a, b in zip(sh_a, sh_b)])
+        out = batch[["id_a", "id_b"]].assign(jaccard=round_np(js, 6))
+        return out[out["jaccard"] >= threshold]
+
+    return step2.map_batches(verify, batch_format="pandas")
+
+
+def verify_jaccard_pairs_disk(cand: rd.Dataset, docs: rd.Dataset,
+                              id_col: str, text_col: str, work_dir,
+                              threshold: float = 0.8, shingle_n: int = 3,
+                              num_buckets: int | None = None) -> rd.Dataset:
+    """The CONSTRAINED-STORE verify path: same reduce-side join semantics
+    as verify_jaccard_pairs_join, but the exchange medium is a parquet
+    bucket layout on disk (ops/bucketing), not an object-store all-to-all.
+    Ray 2.49's union→sort plan starves under a small object store once
+    the sort's working set (the corpus text) approaches the budget — the
+    resource manager admits no tasks and the executor spins (measured:
+    250 k docs stall at a 1 GB store that the flagship streams through
+    untouched). Here each step is one map-write (streams, any store size)
+    plus one Ray task per bucket doing an in-memory arrow join of
+    bucket-sized inputs — working set per task = corpus/num_buckets,
+    chosen by adaptive_bucket_count. This is also the honest 100 TB
+    shape: at corpus ≫ store, a disk (or object-storage) exchange is the
+    only medium that holds the shuffle."""
+    import shutil
+    from pathlib import Path
+
+    from .bucketing import bucketed_join, write_bucketed
+    from .relational import adaptive_bucket_count
+
+    cand = cand.materialize()  # O(pairs) rows; consumed for count + write
+    if cand.count() == 0:
+        # empty bucket layouts have no schema file — and no pairs means
+        # no output regardless of the corpus
+        return rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64())}))
+    nb = num_buckets or adaptive_bucket_count(None)
+    work = Path(work_dir)
+    shutil.rmtree(work, ignore_errors=True)
+    docs_dir = work / "docs"
+    write_bucketed(
+        docs.map_batches(
+            lambda t: pa.table({"__k": pc.cast(t[id_col], pa.int64()),
+                                "__doc_text": pc.cast(t[text_col],
+                                                      pa.string())}),
+            batch_format="pyarrow", zero_copy_batch=True),
+        "__k", nb, docs_dir)
+
+    def _attach_disk(pairs_ds: rd.Dataset, key: str, pair_cols: list[str],
+                     out_text: str, tag: str) -> rd.Dataset:
+        pdir = work / f"pairs_{tag}"
+        write_bucketed(
+            pairs_ds.map_batches(
+                lambda t, k=key: t.select(pair_cols).append_column(
+                    "__k", pc.cast(t[k], pa.int64())),
+                batch_format="pyarrow", zero_copy_batch=True),
+            "__k", nb, pdir)
+        joined = bucketed_join(pdir, docs_dir, on=["__k"], num_buckets=nb,
+                               join_type="inner")
+        return joined.map_batches(
+            lambda t: pa.table({**{c: t[c] for c in pair_cols},
+                                out_text: t["__doc_text"]}),
+            batch_format="pyarrow", zero_copy_batch=True)
+
+    step1 = _attach_disk(cand, "id_a", ["id_a", "id_b"], "__text_a", "a")
+    step2 = _attach_disk(step1, "id_b", ["id_a", "id_b", "__text_a"],
+                         "__text_b", "b")
 
     def verify(batch: pd.DataFrame) -> pd.DataFrame:
         sh_a = _shingle_hashes(batch["__text_a"].tolist(), shingle_n)
@@ -1048,41 +1144,43 @@ def hamming_dup_pairs(ds: rd.Dataset, id_col: str, sig_col: str,
                           zero_copy_batch=True)
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_h = [], [], []
-        for _, grp in g.groupby("__k", sort=False):
-            if len(grp) < 2:
-                continue
-            if max_group is not None and len(grp) > max_group:
-                continue  # stop-key pruning (see docstring)
-            ids = grp[id_col].to_numpy()
-            sigs = grp["sig"].to_numpy().astype(np.uint64)
-            order = np.argsort(ids, kind="mergesort")
-            ids, sigs = ids[order], sigs[order]
-            ai, bi = np.triu_indices(len(ids), k=1)
-            x = sigs[ai] ^ sigs[bi]
-            # vectorized popcount over the candidate pairs
-            h = np.zeros(len(x), np.int64)
-            while True:
-                nz = x != 0
-                if not nz.any():
-                    break
-                h[nz] += 1
-                x = x & (x - np.uint64(1))
-            ok = h <= max_hamming
-            out_a.append(ids[ai[ok]])
-            out_b.append(ids[bi[ok]])
-            out_h.append(h[ok])
-        if not out_a:
-            # id-dtype-preserving empty frame (same convention as
-            # ngram_jaccard_pairs' _empty): float64 placeholders would
-            # clash with int/string id blocks at schema unification
-            empty_ids = g[id_col].iloc[:0]
-            return pd.DataFrame({"id_a": empty_ids, "id_b": empty_ids,
-                                 "hamming": pd.Series([], dtype=np.int64)})
+        # singleton band values can never pair — drop them vectorized,
+        # then emit every intra-group candidate with a self-merge on the
+        # band key and verify ALL candidates in one popcount pass (no
+        # per-group Python loop — see minhash pairs_in_bucket)
+        g = g[g.duplicated("__k", keep=False)]
+        if max_group is not None and len(g):
+            sz = g.groupby("__k")["__k"].transform("size")
+            g = g[sz.to_numpy() <= max_group]  # stop-key pruning
+        # id-dtype-preserving empty frame (same convention as
+        # ngram_jaccard_pairs' _empty): float64 placeholders would
+        # clash with int/string id blocks at schema unification
+        empty_ids = g[id_col].iloc[:0]
+        empty = pd.DataFrame({"id_a": empty_ids, "id_b": empty_ids,
+                              "hamming": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        cols = ["__k", id_col, "sig"]
+        m = g[cols].merge(g[cols], on="__k", suffixes=("_a", "_b"))
+        m = m[m[f"{id_col}_a"] < m[f"{id_col}_b"]]
+        if not len(m):
+            return empty
+        x = (m["sig_a"].to_numpy().astype(np.uint64)
+             ^ m["sig_b"].to_numpy().astype(np.uint64))
+        h = np.zeros(len(x), np.int64)
+        while True:
+            nz = x != 0
+            if not nz.any():
+                break
+            h[nz] += 1
+            x = x & (x - np.uint64(1))
+        ok = h <= max_hamming
+        if not ok.any():
+            return empty
         return pd.DataFrame({
-            "id_a": np.concatenate(out_a),
-            "id_b": np.concatenate(out_b),
-            "hamming": np.concatenate(out_h).astype(np.int64)})
+            "id_a": m[f"{id_col}_a"].to_numpy()[ok],
+            "id_b": m[f"{id_col}_b"].to_numpy()[ok],
+            "hamming": h[ok]})
 
     cand = rows.groupby("__b").map_groups(pairs_in_bucket,
                                           batch_format="pandas")

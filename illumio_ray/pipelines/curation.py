@@ -161,6 +161,14 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
 
     spill = Path(spill_dir or tempfile.mkdtemp(prefix="illumio_curate_"))
     surv_dir = spill / "survivors"
+    if surv_dir.exists():
+        # a survivors dir left by a killed/previous run MUST NOT merge
+        # with this run's write: write_parquet appends files, so stale
+        # generations would silently multiply every doc (and push the
+        # survivor count across the distributed-path gates)
+        import shutil
+
+        shutil.rmtree(surv_dir)
     exact.map_batches(
         lambda t: t.select(["doc_id", "lang", "n_tokens", "text"]),
         batch_format="pyarrow", zero_copy_batch=True,
@@ -186,11 +194,19 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
             surv_pruned, docs_tbl, "doc_id", "text",
             threshold=near_dup_threshold, n_docs=n_filtered_exact)
     else:
-        pairs = dedup.verify_jaccard_pairs_join(
+        # disk-exchange verify: above the broadcast gate the corpus text
+        # no longer fits workers, and the object-store union→sort verify
+        # (verify_jaccard_pairs_join) starves Ray 2.49's resource manager
+        # once the sort working set nears the store budget (measured:
+        # 250 k docs spin at a 1 GB store). The bucket-layout join runs
+        # one corpus/num_buckets-sized task per bucket — any store size,
+        # the 100 TB shape.
+        pairs = dedup.verify_jaccard_pairs_disk(
             dedup.minhash_lsh_candidates(surv_pruned, "doc_id", "text",
                                          n_docs=n_filtered_exact),
             rd.read_parquet(str(surv_dir), columns=["doc_id", "text"]),
-            "doc_id", "text", threshold=near_dup_threshold)
+            "doc_id", "text", work_dir=spill / "verify",
+            threshold=near_dup_threshold)
     # pin the verified pairs: the funnel count and dup_components both
     # consume them — unmaterialized each would re-run LSH + verify
     pairs = pairs.materialize()

@@ -1008,6 +1008,43 @@ def test_verify_jaccard_join_matches_broadcast():
         check_dtype=False)
 
 
+def test_verify_jaccard_disk_matches_broadcast(tmp_path):
+    """The constrained-store disk-exchange verify must agree exactly with
+    the broadcast verify (pairs AND jaccard values), including the
+    preserved int64 ids and the empty-candidates early-out."""
+    texts = [f"unique words {i} " + " ".join(f"w{i}{j}" for j in range(20))
+             for i in range(30)]
+    texts.append(texts[0])
+    big = 2**60
+    ids = list(range(len(texts) - 1)) + [big]
+    df = pd.DataFrame({"doc_id": ids, "text": texts})
+    ds = rd.from_pandas(df)
+    cand = dedup.minhash_lsh_candidates(ds, "doc_id", "text")
+    a = dedup.verify_jaccard_pairs(cand, pa.Table.from_pandas(df), "doc_id",
+                                   "text", threshold=0.9).to_pandas()
+    cand2 = dedup.minhash_lsh_candidates(ds, "doc_id", "text")
+    b = dedup.verify_jaccard_pairs_disk(
+        cand2, rd.from_pandas(df), "doc_id", "text",
+        work_dir=tmp_path / "vj", threshold=0.9).to_pandas()
+    key = ["id_a", "id_b", "jaccard"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True)[key],
+        b.sort_values(key).reset_index(drop=True)[key],
+        check_dtype=False)
+    assert b.id_a.dtype == np.int64 and b.id_b.dtype == np.int64
+    assert big in set(b.id_a) | set(b.id_b)
+    # empty candidate table → empty result, stable schema, no layout
+    # error (schema checked on the Dataset: Ray 2.49 to_pandas drops the
+    # schema of a 0-row dataset — CLAUDE.md invariant)
+    empty = dedup.verify_jaccard_pairs_disk(
+        rd.from_arrow(pa.table({"id_a": pa.array([], pa.int64()),
+                                "id_b": pa.array([], pa.int64())})),
+        rd.from_pandas(df), "doc_id", "text",
+        work_dir=tmp_path / "vj2")
+    assert empty.schema().names == ["id_a", "id_b", "jaccard"]
+    assert empty.count() == 0
+
+
 def test_read_pages_jsonl_gz_roundtrip(tmp_path):
     import base64
     import gzip
