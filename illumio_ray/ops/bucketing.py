@@ -423,7 +423,8 @@ def current_snapshot_seq(layout_dir: str | Path) -> int:
     return int(seq_file.read_text()) if seq_file.exists() else 0
 
 
-def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
+def vacuum_bucketed(layout_dir: str | Path, num_buckets: int,
+                    grace_sec: float = 0.0) -> int:
     """Delete non-live generation files left by completed upserts.
 
     SINGLE-WRITER ONLY (same contract as the lineage manifest protocol):
@@ -432,7 +433,23 @@ def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
     upsert can list _HEAD, then unlink a generation file that becomes
     live an instant later; two concurrent upserts to one bucket lose one
     writer's rows (last _HEAD wins over a stale base). Run vacuum (and
-    upserts) from the one process that owns the layout."""
+    upserts) from the one process that owns the layout.
+
+    ``grace_sec`` is belt-and-braces for operational drift from that
+    contract: files younger than the grace are kept even when they look
+    dead, so a vacuum that DOES race an in-flight upsert (gen renamed,
+    _HEAD not yet committed) cannot unlink the file about to become
+    live. It does not make concurrent upserts safe — only the
+    vacuum-vs-one-upsert race benign."""
+    import time
+
+    now = time.time()
+
+    def _young(p: Path) -> bool:
+        try:
+            return grace_sec > 0 and now - p.stat().st_mtime < grace_sec
+        except OSError:
+            return True  # raced with a writer/renamer: leave it alone
     removed = 0
     for b in range(num_buckets):
         bdir = _bucket_dir(layout_dir, b)
@@ -441,12 +458,13 @@ def vacuum_bucketed(layout_dir: str | Path, num_buckets: int) -> int:
         if (bdir / "_HEAD").exists():
             live = {p.name for p in _live_files(bdir)}
             doomed = [p for p in bdir.glob("*.parquet*")
-                      if p.name not in live]
+                      if p.name not in live and not _young(p)]
         else:
             # no _HEAD: base files are live; any gen file here is
             # renamed-but-never-committed crash debris (invisible to
             # readers by the _live_files contract)
-            doomed = list(bdir.glob("gen-*.parquet*"))
+            doomed = [p for p in bdir.glob("gen-*.parquet*")
+                      if not _young(p)]
         for p in doomed:
             if not p.name.startswith("gen-"):
                 # deleting base files: leave a tombstone so a time-travel

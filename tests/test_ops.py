@@ -2639,7 +2639,11 @@ def test_upsert_bucketed_replace_by_key_and_vacuum(tmp_path):
     joined = bucketing.bucketed_join(layout, dim_dir, ["k"], nb).to_pandas()
     assert len(joined) == 150 and set(joined.columns) >= {"k", "v", "name"}
 
-    # dead generations exist until vacuum; live view unchanged after
+    # dead generations exist until vacuum. With a generous grace period
+    # every just-written file is "young" → nothing is removed (the race
+    # guard); with no grace the dead generations go and the live view is
+    # unchanged.
+    assert bucketing.vacuum_bucketed(layout, nb, grace_sec=3600) == 0
     assert bucketing.vacuum_bucketed(layout, nb) > 0
     again = pa.concat_tables(
         [t for b in range(nb)
