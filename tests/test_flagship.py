@@ -133,6 +133,51 @@ def test_enrich_actor_mode_matches_task_mode(tmp_path):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_enrich_actor_death_mid_batch_exactly_once(tmp_path, monkeypatch):
+    """Actor-pool fault tolerance: an Enricher ACTOR process dies
+    mid-batch (os._exit — OOM-kill shape); Ray must replace the actor and
+    re-run the batch, producing the same routed rows as the task-mode
+    pipeline with no duplicates. One crash per test via an O_EXCL
+    sentinel (the companion worker-death test covers the fused task
+    mode)."""
+    import os
+
+    import ray.data as rd
+
+    import illumio_ray.pipelines.flagship as fl
+    from illumio_ray.stages.enrich import Enricher, broadcast_lookups
+    from illumio_ray.synth import synth_pages
+
+    sentinel = str(tmp_path / "crashed-once")
+
+    class CrashOnceEnricher(Enricher):
+        _sentinel = sentinel
+
+        def __call__(self, batch):
+            try:
+                fd = os.open(self._sentinel, os.O_CREAT | os.O_EXCL)
+            except FileExistsError:
+                pass
+            else:
+                os.close(fd)
+                os._exit(1)  # kill THIS actor process mid-batch
+            return super().__call__(batch)
+
+    info = synth_pages(tmp_path / "in", rows=1200, num_files=4)
+    lk = broadcast_lookups(info["lookup_lang"], info["lookup_host"])
+    pages = rd.read_parquet(info["pages_dir"])
+    expected = fl.build_routed(pages, lk, enrich_mode="task").to_pandas()
+
+    monkeypatch.setattr(fl, "Enricher", CrashOnceEnricher)
+    got = fl.build_routed(pages, lk, enrich_mode="actor",
+                          enrich_concurrency=2).to_pandas()
+    assert os.path.exists(sentinel), "fault was never injected"
+    cols = sorted(expected.columns)
+    a = expected[cols].sort_values("url").reset_index(drop=True)
+    b = got[cols].sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_sweep_stale_removes_unmanifested_dirs(tmp_path):
     from illumio_ray.state import lineage
 
