@@ -162,6 +162,42 @@ def probe_curation(n_docs: int, num_cpus: int, store_mb: int) -> dict:
     return out
 
 
+def probe_pmi(n_docs: int, num_cpus: int, store_mb: int) -> dict:
+    """Bigram PMI over the synthetic corpus — exercises grouped_agg's
+    SHUFFLE mode (Ray sort-based groupby over a grows-with-data key
+    space) under the constrained store, the other all-to-all family the
+    curation probe doesn't cover."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus,
+             object_store_memory=store_mb * 1024 * 1024,
+             include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    from illumio_ray.ops.textops import bigram_pmi
+
+    docs_dir = synth_documents(
+        Path(f"/tmp/illumio_probe_docs_{n_docs}"), n_docs)
+    t0 = time.time()
+    docs = rd.read_parquet(str(docs_dir), columns=["text"])
+    out = bigram_pmi(docs, "text", min_count=2)
+    n_pairs = out.count()
+    elapsed = time.time() - t0
+    res = {
+        "what": "pmi", "n_docs": n_docs, "num_cpus": num_cpus,
+        "object_store_mb": store_mb, "elapsed_sec": round(elapsed, 2),
+        "docs_per_sec": round(n_docs / elapsed), "n_pairs": n_pairs,
+        "spilled_mib": _spilled_mib(),
+        "driver_peak_rss_mb": round(
+            resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024),
+    }
+    ray.shutdown()
+    return res
+
+
 def probe_flagship(sf: float, num_cpus: int, store_mb: int) -> dict:
     import ray
 
@@ -203,7 +239,7 @@ def main() -> None:
 
     faulthandler.register(signal.SIGUSR1)  # kill -USR1 <pid> → stack dump
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", choices=["curation", "flagship"],
+    ap.add_argument("--what", choices=["curation", "flagship", "pmi"],
                     default="curation")
     ap.add_argument("--docs", type=int, default=250_000)
     ap.add_argument("--sf", type=float, default=4.0)
@@ -212,6 +248,8 @@ def main() -> None:
     a = ap.parse_args()
     if a.what == "curation":
         out = probe_curation(a.docs, a.cpus, a.store_mb)
+    elif a.what == "pmi":
+        out = probe_pmi(a.docs, a.cpus, a.store_mb)
     else:
         out = probe_flagship(a.sf, a.cpus, a.store_mb)
     print(json.dumps(out))
