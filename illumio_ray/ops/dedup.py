@@ -591,10 +591,13 @@ def minhash_lsh_candidates(ds: rd.Dataset, id_col: str, text_col: str,
     # caller (parquet footers, survivor counters) — no plan introspection:
     # unknown size takes the distributed path, which is correct at any
     # scale and merely pays two sort-shuffles of fixed overhead. Gate at
-    # 500k docs: the driver frame is docs × bands band rows (8M rows ≈
-    # a few hundred MB with string ids at the gate) — the 2M gate this
-    # replaces flirted with multi-GB driver frames.
-    if n_docs is not None and n_docs <= 500_000:
+    # 100k docs (lowered from 500k in round 5): with the vectorized
+    # self-merge pair emission the distributed path already TIES the
+    # driver path by 250k docs (measured 4.5 vs 4.8 s) while holding the
+    # O(docs × bands) band-row frame off the driver (697 → 245 MB RSS at
+    # 250k); below 100k the driver path's ~0.4 s fixed-cost win stands
+    # and its frame stays ≤ ~100 MB.
+    if n_docs is not None and n_docs <= 100_000:
         tbl = pa.concat_tables(
             pa.table(b) for b in band_rows.iter_batches(batch_format="pyarrow"))
         df = tbl.to_pandas()
