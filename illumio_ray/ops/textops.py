@@ -1618,7 +1618,24 @@ def bigram_pmi(ds: rd.Dataset, text_col: str = "text",
     bi = filter_batches(counts, lambda t: pc.and_(
         pc.equal(t["kind"], 0), pc.greater_equal(t["n"], min_count))) \
         .select_columns(["w1", "w2", "n"])
-    n_tok = float(uni.sum("n") or 0)
+
+    # ONE streaming pass over the (materialized, so re-scan-cheap) unigram
+    # side computes n_tok, the vocab size AND the broadcast dict together —
+    # this used to be three separate Dataset executions (sum, count,
+    # to_pandas), and at bench scale each execution is ~0.1-0.2 s of pure
+    # orchestration latency. The dict stays capacity-gated: the moment it
+    # crosses ``broadcast_vocab_max`` it is discarded and the loop keeps
+    # only the n_tok accumulator, so driver memory never exceeds the gate
+    # and the giant-vocab regime still falls through to the hash joins.
+    n_tok = 0.0
+    vocab: dict | None = {}
+    for b in uni.iter_batches(batch_format="pyarrow", batch_size=65536):
+        ns = b["n"].to_numpy(zero_copy_only=False)
+        n_tok += float(ns.sum())
+        if vocab is not None:
+            vocab.update(zip(b["w1"].to_pylist(), ns))
+            if len(vocab) > broadcast_vocab_max:
+                vocab = None
 
     def finish(df: pd.DataFrame, n1, n2) -> pd.DataFrame:
         pmi = np.log(df["n"].to_numpy(np.float64) * n_tok
@@ -1628,10 +1645,8 @@ def bigram_pmi(ds: rd.Dataset, text_col: str = "text",
                              "n_pair": df["n"].astype(np.int64),
                              "pmi": round_np(pmi, 6)})
 
-    vocab_rows = uni.count()
-    if vocab_rows <= broadcast_vocab_max:
-        vt = uni.to_pandas()
-        ref = ray.put(dict(zip(vt["w1"], vt["n"].to_numpy())))
+    if vocab is not None:
+        ref = ray.put(vocab)
 
         def score(df: pd.DataFrame) -> pd.DataFrame:
             m = _BI_PMI_CACHE.get(ref)

@@ -9193,6 +9193,242 @@ def customer_rfm_segments(sf_dir: str):
                            mode="driver")
 
 
+@register("doc_char_entropy", """
+WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+  FROM documents WHERE text IS NOT NULL),
+cnt AS (SELECT doc_id, c, count(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2),
+n AS (SELECT doc_id, SUM(k) AS n FROM cnt GROUP BY 1)
+SELECT cnt.doc_id, ROUND(ln(n.n) - SUM(k * ln(k)) / n.n, 6) AS entropy
+FROM cnt JOIN n USING (doc_id) GROUP BY cnt.doc_id, n.n
+""")
+def doc_char_entropy(sf_dir: str):
+    """Per-document character-level Shannon entropy (natural log) — the
+    classic gibberish/keyboard-mash/encoding-junk quality signal (low
+    entropy = repeated filler, near-log(alphabet) = random noise). Pure
+    map, no exchange: each batch concatenates its text once, decodes to a
+    flat uint32 codepoint buffer (one C call), and computes every doc's
+    char histogram in a single np.unique over (doc_idx << 21 | codepoint)
+    packed keys (Unicode max 0x10FFFF < 2^21) — no per-doc loop, no
+    per-char Python. H = ln(n) - Σ k·ln(k)/n over the histogram."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ent(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        clen = pc.fill_null(pc.utf8_length(arr), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = pc.is_valid(arr).to_numpy(zero_copy_only=False) & (clen > 0)
+        if not keep.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "entropy": pa.array([], pa.float64())})
+        lens = clen[keep]
+        buf = "".join(arr.filter(pa.array(keep)).to_pylist())
+        cp = np.frombuffer(buf.encode("utf-32-le"), np.uint32)
+        doc_idx = np.repeat(np.arange(len(lens), dtype=np.uint64), lens)
+        key = (doc_idx << np.uint64(21)) | cp.astype(np.uint64)
+        uk, k = np.unique(key, return_counts=True)
+        udoc = (uk >> np.uint64(21)).astype(np.int64)
+        s = np.zeros(len(lens), np.float64)
+        np.add.at(s, udoc, k * np.log(k))
+        h = np.log(lens.astype(np.float64)) - s / lens
+        return pa.table({"doc_id": pa.array(ids[keep]),
+                         "entropy": pa.array(round_np(h, 6))})
+
+    return docs.map_batches(ent, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+@register("corpus_trigram_df_top", r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+)
+SELECT g AS gram, CAST(count(*) AS BIGINT) AS df
+FROM sh GROUP BY g
+ORDER BY df DESC, gram LIMIT 30
+""")
+def corpus_trigram_df_top(sf_dir: str):
+    """Boilerplate / stop-gram mining: top trigrams by DOCUMENT frequency
+    (distinct docs containing the gram, not token frequency — the C4/CCNet
+    recipe for spotting nav-bars, cookie banners and license footers worth
+    stripping before training). Same token/shingle algebra as the near-dup
+    family (lower, \\s+ split, whole-doc gram for <3-token docs).
+
+    Scale shape: a doc lives wholly inside one batch, so per-batch DISTINCT
+    (doc, gram) pairs ARE globally distinct — each batch emits partial
+    (gram, df) counts after an in-batch Arrow group_by, and only the
+    O(gram-types × blocks) partials ride the shuffle reduce (type space
+    grows with data but ≪ instances → shuffle mode), then a driver top-30.
+    Gram assembly is flat-buffer Arrow: split → empty-token mask → three
+    shifted slices joined element-wise; no per-doc Python."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "df": pa.array([], pa.int64())})
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        arr = arr.filter(pa.array(keep))
+        ids = ids[keep]
+        if len(arr) == 0:
+            return empty
+        lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+        flat = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray) else lists
+        toks = flat.flatten()
+        lens = np.diff(flat.offsets.to_numpy())
+        nonempty = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        lens2 = np.bincount(doc_idx[nonempty], minlength=len(lens))
+        toks2 = toks.filter(pa.array(nonempty))
+        if isinstance(toks2, pa.ChunkedArray):
+            toks2 = toks2.combine_chunks()
+        total = len(toks2)
+        parts = []
+        long_docs = lens2 >= 3
+        if long_docs.any() and total >= 3:
+            # valid trigram start positions: all but the last two of each doc
+            # a start position p (of doc with end index e) yields a trigram
+            # iff p <= e-2, so exactly e-1 and e are invalid per doc; docs
+            # with len<3 have all their positions covered by those marks
+            valid = np.ones(total - 2, bool)
+            ends = np.cumsum(lens2) - 1
+            for off in (0, 1):
+                e = ends - off
+                e = e[(e >= 0) & (e < total - 2)]
+                valid[e] = False
+            start_doc = np.repeat(np.arange(len(lens2)),
+                                  np.clip(lens2 - 2, 0, None))
+            vm = pa.array(valid)
+            w1 = toks2.slice(0, total - 2).filter(vm)
+            w2 = toks2.slice(1, total - 2).filter(vm)
+            w3 = toks2.slice(2, total - 2).filter(vm)
+            g = pc.binary_join_element_wise(w1, w2, w3, " ")
+            parts.append(pa.table({"d": pa.array(ids[start_doc]), "g": g}))
+        short = (lens2 >= 1) & (lens2 < 3)
+        if short.any():
+            off2 = np.zeros(len(lens2) + 1, np.int64)
+            np.cumsum(lens2, out=off2[1:])
+            sl = pa.ListArray.from_arrays(pa.array(off2), toks2)
+            g_short = pc.binary_join(sl.take(pa.array(np.flatnonzero(short))),
+                                     " ")
+            parts.append(pa.table({"d": pa.array(ids[short]), "g": g_short}))
+        if not parts:
+            return empty
+        pairs = pa.concat_tables(parts).group_by(["d", "g"]).aggregate([])
+        dfp = pairs.group_by(["g"]).aggregate([([], "count_all")])
+        return pa.table({"gram": dfp["g"],
+                         "df": pc.cast(dfp["count_all"], pa.int64())})
+
+    parts = docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    counts = rel.grouped_agg(parts, ["gram"], [("df", "sum", "df")],
+                             mode="shuffle")
+    return rel.topk(counts, ["df", "gram"], 30, descending=[True, False])
+
+
+@register("doc_split_leakage_safe", r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'),
+                     x -> x <> '') AS L
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         CASE WHEN len(L) < 3 THEN array_to_string(L, ' ')
+              ELSE L[i] || ' ' || L[i+1] || ' ' || L[i+2] END AS g
+  FROM toks,
+       UNNEST(CASE WHEN len(L) >= 3 THEN range(1, len(L) - 1)
+                   ELSE [1] END) AS t(i)
+  WHERE len(L) >= 1
+),
+sz AS (SELECT doc_id, count(*) AS s FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+prs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+  WHERE i * 1.0 / (sa.s + sb.s - i) >= 0.8
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM prs
+          UNION SELECT id_b, id_a FROM prs),
+reach(id, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN edges e ON e.a = reach.r
+),
+comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS group_id,
+       CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)),
+                 1, 8) < 'cccccccd'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+""")
+def doc_split_leakage_safe(sf_dir: str):
+    """LEAKAGE-SAFE train/val split: near-duplicate documents must land in
+    the SAME split, or the val set silently contains paraphrases of
+    training docs and eval numbers inflate (the contamination failure mode
+    `doc_decontaminate` guards against, applied to the split itself).
+    Composition: near-dup pairs → connected components (min-label
+    propagation) → every doc keyed by COALESCE(component, own id) → the
+    same deterministic md5 tercile split as `doc_split_assign`, but hashed
+    on the GROUP id so a whole dup cluster moves together.
+
+    Scale shape: pairs/components touch only dup-graph vertices (≪
+    corpus); the corpus-wide attach is one left-outer hash join against
+    the small component table; split assignment is a row-local map."""
+    import hashlib
+
+    path = str(Path(sf_dir) / "documents.parquet")
+    n_docs = pq.ParquetFile(path).metadata.num_rows
+    ds = _read_coalesced(sf_dir, "documents", ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(ds, "doc_id", "text", threshold=0.8,
+                                      n_rows=n_docs * 256)
+    comps = dedup.dup_components(pairs)
+    comps = comps.map_batches(
+        lambda t: pa.table({"doc_id": t["id"], "__comp": t["component"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+    docs = read_table(sf_dir, "documents", columns=["doc_id"])
+    joined = rel.hash_join(docs, rel.drop_empty_blocks(comps),
+                           on=["doc_id"], join_type="left_outer")
+
+    def assign(t: pa.Table) -> pa.Table:
+        own = t["doc_id"].to_numpy(zero_copy_only=False)
+        comp = t["__comp"].to_numpy(zero_copy_only=False)
+        gid = np.where(np.isnan(comp.astype(np.float64)), own,
+                       comp).astype(np.int64) if comp.dtype != np.int64 \
+            else comp
+        split = ["train" if hashlib.md5(str(v).encode()).hexdigest()[:8]
+                 < "cccccccd" else "val" for v in gid]
+        return pa.table({"doc_id": pa.array(own),
+                         "group_id": pa.array(gid),
+                         "split": pa.array(split, pa.string())})
+
+    return joined.map_batches(assign, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
@@ -9230,8 +9466,7 @@ _DRIVER_FIRST = [
     # never-hashed TPC-H
     "q2_min_cost_supplier", "q4_order_priority", "q7_nation_volume",
     "q8_market_share", "q10_returned_revenue", "q11_top_value_suppliers",
-    "q13_customer_distribution", "q15_top_supplier",
-    "q16_brand_supplier_counts", "q17_small_quantity_revenue",
+    "q15_top_supplier", "q17_small_quantity_revenue",
     "q18_large_orders", "q19_bracket_revenue", "q20_excess_stock_suppliers",
     "q22_idle_customers",
     # one per never-hashed family (25 slots): the LLM-curation doc_*
@@ -9248,6 +9483,12 @@ _DRIVER_FIRST = [
     "doc_prefix_edit_pairs", "embedding_hard_negatives",
     "events_daily_from_csv", "docs_search_and",
     "events_value_quantiles_exact", "orders_bucketed_lookup",
+    # round-5 late additions — two NEW computation families (per-doc char
+    # entropy; trigram document-frequency mining) take the slots of two
+    # TPC-H entries whose family shapes (outer-join count distribution,
+    # group count-distinct) already carry driver-pass records via
+    # customers_order_counts_outer / events_hourly_distinct_users et al.
+    "doc_char_entropy", "corpus_trigram_df_top",
 ]
 
 

@@ -4646,3 +4646,77 @@ def test_weighted_quantile_by_matches_bruteforce(nblocks):
         for qq, cname in [(0.25, "q25"), (0.5, "q50"), (0.9, "q90")]:
             ref = float(uniq[np.searchsorted(cum, qq * W, side="left")])
             assert got.loc[g, cname] == ref
+
+
+def test_doc_char_entropy_matches_counter_bruteforce():
+    from collections import Counter
+    from illumio_ray.pipelines.queries import REGISTRY
+
+    texts = ["aabbc", "zzzz", "ab", "", None, "héllo wörld", "a" * 100 + "b"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        out = REGISTRY["doc_char_entropy"].fn(d).to_pandas().set_index("doc_id")
+    # empty and null docs are excluded
+    assert sorted(out.index) == [0, 1, 2, 5, 6]
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        c = np.array(list(Counter(t).values()), np.float64)
+        p = c / c.sum()
+        ref = round(float(-(p * np.log(p)).sum()), 6)
+        assert abs(out.loc[i, "entropy"] - ref) <= 1e-9, (i, t)
+    assert out.loc[1, "entropy"] == 0.0  # single-symbol doc
+
+
+def test_corpus_trigram_df_counts_distinct_docs_not_tokens():
+    from illumio_ray.pipelines.queries import REGISTRY
+
+    texts = [
+        "the cookie banner appears the cookie banner appears",  # gram twice, df 1
+        "the cookie banner is here",
+        "short doc",            # <3 tokens → whole-text gram
+        "the  cookie   banner",  # multi-space split, exactly one gram
+        "THE COOKIE BANNER x",   # lowercased
+    ]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        out = REGISTRY["corpus_trigram_df_top"].fn(d).to_pandas()
+    got = dict(zip(out.gram, out.df))
+    # document frequency, not token frequency: doc 0 counts once
+    assert got["the cookie banner"] == 4
+    assert got["short doc"] == 1
+
+
+def test_leakage_safe_split_keeps_clusters_together():
+    from illumio_ray.pipelines.queries import REGISTRY
+
+    base = " ".join(f"tok{j}" for j in range(30))
+    texts = [base, base + " extra", base + " other",      # near-dup cluster 0,1,2
+             "completely different words entirely here again " * 3,
+             "another standalone document with its own vocabulary"]
+    df = pd.DataFrame({"doc_id": [10, 11, 12, 20, 30], "text": texts})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        out = REGISTRY["doc_split_leakage_safe"].fn(d).to_pandas()
+    out = out.set_index("doc_id")
+    assert len(out) == 5
+    # the near-dup cluster shares one group id (min member) and ONE split
+    cluster = out.loc[[10, 11, 12]]
+    assert set(cluster.group_id) == {10}
+    assert cluster.split.nunique() == 1
+    # singletons are their own group
+    assert out.loc[20, "group_id"] == 20 and out.loc[30, "group_id"] == 30
+    # split labels are the md5-prefix convention shared with doc_split_assign
+    import hashlib
+    for did, row in out.iterrows():
+        exp = ("train" if hashlib.md5(str(row.group_id).encode())
+               .hexdigest()[:8] < "cccccccd" else "val")
+        assert row.split == exp
