@@ -9429,6 +9429,163 @@ def doc_split_leakage_safe(sf_dir: str):
     return joined.map_batches(assign, batch_format="pyarrow")
 
 
+@register("doc_ttr", r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT w) AS BIGINT) AS n_types,
+       ROUND(count(DISTINCT w) * 1.0 / count(*), 6) AS ttr
+FROM toks GROUP BY doc_id
+""")
+def doc_ttr(sf_dir: str):
+    """Type-token ratio per document — the lexical-diversity quality
+    signal (near-0 TTR = repeated filler / keyword stuffing; the Gopher
+    repetition rules approximate this, TTR states it directly). Pure map,
+    no exchange: a doc lives wholly inside one batch, so token and
+    distinct-type counts are exact per batch — split → empty-token mask →
+    one in-batch Arrow group_by for types; zero-token docs drop out like
+    the oracle's GROUP BY."""
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def ttr(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "n_tokens": pa.array([], pa.int64()),
+                          "n_types": pa.array([], pa.int64()),
+                          "ttr": pa.array([], pa.float64())})
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        arr = arr.filter(pa.array(keep))
+        ids = ids[keep]
+        if len(arr) == 0:
+            return empty
+        lists = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+")
+        flat = lists.combine_chunks() if isinstance(
+            lists, pa.ChunkedArray) else lists
+        toks = flat.flatten()
+        lens = np.diff(flat.offsets.to_numpy())
+        nonempty = pc.not_equal(toks, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        n_tokens = np.bincount(doc_idx[nonempty], minlength=len(lens))
+        dw = pa.table({"d": pa.array(doc_idx[nonempty]),
+                       "w": toks.filter(pa.array(nonempty))}) \
+            .group_by(["d", "w"]).aggregate([])
+        n_types = np.bincount(dw["d"].to_numpy(zero_copy_only=False),
+                              minlength=len(lens))
+        m = n_tokens > 0
+        return pa.table({
+            "doc_id": pa.array(ids[m]),
+            "n_tokens": pa.array(n_tokens[m].astype(np.int64)),
+            "n_types": pa.array(n_types[m].astype(np.int64)),
+            "ttr": pa.array(round_np(
+                n_types[m].astype(np.float64) / n_tokens[m], 6))})
+
+    return docs.map_batches(ttr, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+@register("corpus_zipf_alpha", r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+wc AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r FROM wc)
+SELECT ROUND(regr_slope(ln(n), ln(r)), 6) AS zipf_slope,
+       ROUND(regr_intercept(ln(n), ln(r)), 6) AS zipf_intercept,
+       CAST(count(*) AS BIGINT) AS n_types
+FROM ranked
+""")
+def corpus_zipf_alpha(sf_dir: str):
+    """Zipf-law fit over the corpus word-frequency distribution: OLS of
+    ln(freq) on ln(rank) — the corpus-health diagnostic (natural text sits
+    near slope −1; synthetic/boilerplate-heavy corpora flatten or steepen
+    it; Piantadosi 2014 surveys why). Regression is rank-tie invariant:
+    within a tie group ln(freq) is constant, so the fit doesn't depend on
+    which word gets which rank and the oracle's row_number tie-break never
+    has to be replicated.
+
+    Scale shape: word counts ride one shuffle reduce; the per-FREQUENCY
+    histogram (f, m_f) streams to the driver — distinct frequency values
+    are bounded by √(2·total tokens) (distinct positive integers summing
+    to N), orders below the type count. The driver emits O(types/64k)
+    chunk descriptors; rank enumeration + (ln r, ln n) expansion happen
+    back on workers (large tie groups — the f=1 singleton tail holds
+    ~half the vocabulary — are chunked so no task sees more than 64k
+    ranks), and the fit is the shared two-pass centered OLS
+    (rel.grouped_linreg), never a driver-side vocabulary."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        if len(arr) == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+").flatten()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"w": toks}).group_by(["w"]).aggregate([([], "count_all")])
+        return pa.table({"w": g["w"], "n": pc.cast(g["count_all"], pa.int64())})
+
+    counts = rel.grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], [("n", "sum", "n")], mode="shuffle")
+    hist = rel.grouped_agg(counts, ["n"], [("n", "count", "m")],
+                           mode="shuffle")
+    fs, ms = [], []
+    for b in hist.iter_batches(batch_format="pyarrow", batch_size=65536):
+        fs.append(b["n"].to_numpy(zero_copy_only=False))
+        ms.append(b["m"].to_numpy(zero_copy_only=False))
+    f = np.concatenate(fs) if fs else np.array([], np.int64)
+    m = np.concatenate(ms) if ms else np.array([], np.int64)
+    order = np.argsort(-f)
+    f, m = f[order], m[order]
+    n_types = int(m.sum())
+    # rank of each tie group's first word: 1 + ranks consumed above it
+    starts = np.empty(len(m), np.int64)
+    starts[0] = 1
+    np.cumsum(m[:-1], out=starts[1:])
+    starts[1:] += 1
+    # chunk tie groups to ≤64k ranks per descriptor row
+    CHUNK = 65536
+    cf, cs, cl = [], [], []
+    for fi, si, mi in zip(f, starts, m):
+        for off in range(0, int(mi), CHUNK):
+            cf.append(int(fi)); cs.append(int(si) + off)
+            cl.append(min(CHUNK, int(mi) - off))
+    desc = rd.from_arrow(pa.table({"f": pa.array(cf, pa.int64()),
+                                   "start": pa.array(cs, pa.int64()),
+                                   "len": pa.array(cl, pa.int64())}))
+
+    def expand(t: pa.Table) -> pa.Table:
+        fv = t["f"].to_numpy(zero_copy_only=False)
+        sv = t["start"].to_numpy(zero_copy_only=False)
+        lv = t["len"].to_numpy(zero_copy_only=False)
+        ranks = np.concatenate([np.arange(s, s + l)
+                                for s, l in zip(sv, lv)]) if len(sv) \
+            else np.array([], np.int64)
+        lnn = np.repeat(np.log(fv.astype(np.float64)), lv)
+        return pa.table({"k": pa.array(np.zeros(len(ranks), np.int8)),
+                         "lnr": pa.array(np.log(ranks.astype(np.float64))),
+                         "lnn": pa.array(lnn)})
+
+    expanded = desc.map_batches(expand, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    fit = rel.grouped_linreg(expanded, ["k"], x="lnr", y="lnn", ndigits=6)
+    return pa.table({"zipf_slope": fit["slope"],
+                     "zipf_intercept": fit["intercept"],
+                     "n_types": pa.array([n_types] * fit.num_rows,
+                                         pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -4720,3 +4720,48 @@ def test_leakage_safe_split_keeps_clusters_together():
         exp = ("train" if hashlib.md5(str(row.group_id).encode())
                .hexdigest()[:8] < "cccccccd" else "val")
         assert row.split == exp
+
+
+def test_doc_ttr_counts_types_and_tokens():
+    from illumio_ray.pipelines.queries import REGISTRY
+
+    texts = ["a b a b c", "x x x x", "  ", None, "Mixed MIXED mixed"]
+    df = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        out = REGISTRY["doc_ttr"].fn(d).to_pandas().set_index("doc_id")
+    # whitespace-only and null docs drop out (no tokens)
+    assert sorted(out.index) == [0, 1, 4]
+    assert (out.loc[0, "n_tokens"], out.loc[0, "n_types"]) == (5, 3)
+    assert out.loc[0, "ttr"] == 0.6
+    assert (out.loc[1, "n_tokens"], out.loc[1, "n_types"]) == (4, 1)
+    # lowercased before typing: one type
+    assert (out.loc[4, "n_tokens"], out.loc[4, "n_types"]) == (3, 1)
+
+
+def test_corpus_zipf_alpha_matches_bruteforce_ranks():
+    from illumio_ray.pipelines.queries import REGISTRY
+    from collections import Counter
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    p = (1.0 / np.arange(1, 41)) ** 1.2
+    p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=60, p=p)) for _ in range(50)]
+    df = pd.DataFrame({"doc_id": range(50), "text": texts})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        out = REGISTRY["corpus_zipf_alpha"].fn(d).to_pandas()
+    # brute-force reference: rank all words by freq desc, fit lnn ~ lnr
+    c = Counter(w for t in texts for w in t.split())
+    n = np.array(sorted(c.values(), reverse=True), np.float64)
+    r = np.arange(1, len(n) + 1, dtype=np.float64)
+    x, y = np.log(r), np.log(n)
+    slope = ((x - x.mean()) * (y - y.mean())).sum() / ((x - x.mean()) ** 2).sum()
+    assert out.n_types[0] == len(c)
+    assert abs(out.zipf_slope[0] - round(slope, 6)) <= 1e-6
+    assert out.zipf_slope[0] < -0.5  # a Zipfian corpus slopes down
