@@ -968,3 +968,68 @@ def psi_trajectory(cur: rd.Dataset, ts_col: str, col: str,
         "psi": pa.array(out_psi, pa.float64()),
         "n": pa.array(out_n, pa.int64()),
     })
+
+
+def gini(ds: rd.Dataset, col: str, ndigits: int = 6) -> pa.Table:
+    """Exact Gini concentration index of a CONTINUOUS column — the
+    inequality/concentration diagnostic a corpus health report wants for
+    "how much of the traffic/revenue/token mass sits in the head"
+    (host-skew and Zipf-head questions in one scalar; 0 = uniform,
+    →1 = one row holds everything). G = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n
+    over 1-based ranks of the ascending sort.
+
+    Scale shape: distinct values ≈ rows here, so the bounded-histogram
+    rank tricks (global_percent_rank) don't apply — this is the honest
+    sort-based path. ONE all-to-all range sort, then a single partial
+    pass per block emitting (min, max, count, Σx, Σ j·x over LOCAL
+    0-based j); the driver orders the O(blocks) partials by (min, max)
+    and folds Σ i·x = Σ_b [offset_b·Σx_b + Σ j·x + Σx_b] (1-based).
+    (min, max) is a total order on contiguous runs of a sorted sequence:
+    two runs can collide on both only when each is a constant run of one
+    tied value, and Σ i·x is invariant under permuting equal values.
+    Nulls drop (SQL rank semantics)."""
+    from .relational import filter_batches
+
+    nn = filter_batches(ds.select_columns([col]),
+                        lambda t: pc.is_valid(t[col]))
+    sorted_ds = nn.sort(col)
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.float64()),
+                             "sjx": pa.array([], pa.float64())})
+        j = np.arange(len(v), dtype=np.float64)
+        return pa.table({"mn": pa.array([float(v[0])]),
+                         "mx": pa.array([float(v[-1])]),
+                         "cnt": pa.array([len(v)], pa.int64()),
+                         "sx": pa.array([float(v.sum())]),
+                         "sjx": pa.array([float((j * v).sum())])})
+
+    parts = []
+    for b in sorted_ds.map_batches(
+            partial, batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        parts.append(pa.table(b))
+    tbl = pa.concat_tables(parts) if parts else None
+    if tbl is None or tbl.num_rows == 0:
+        return pa.table({"gini": pa.array([], pa.float64()),
+                         "n": pa.array([], pa.int64())})
+    mn = tbl["mn"].to_numpy()
+    mx = tbl["mx"].to_numpy()
+    order = np.lexsort((mx, mn))
+    cnt = tbl["cnt"].to_numpy()[order].astype(np.int64)
+    sx = tbl["sx"].to_numpy()[order]
+    sjx = tbl["sjx"].to_numpy()[order]
+    offs = np.zeros(len(cnt), np.int64)
+    np.cumsum(cnt[:-1], out=offs[1:])
+    n = int(cnt.sum())
+    total = float(sx.sum())
+    # 1-based global ranks: i = offset + j + 1
+    s_ix = float((offs * sx).sum() + sjx.sum() + sx.sum())
+    g = 2.0 * s_ix / (n * total) - (n + 1.0) / n
+    return pa.table({"gini": pa.array([round_scalar(g, ndigits)]),
+                     "n": pa.array([n], pa.int64())})

@@ -9586,6 +9586,27 @@ def corpus_zipf_alpha(sf_dir: str):
                                          pa.int64())})
 
 
+@register("events_value_gini", """
+WITH s AS (
+  SELECT value AS v, row_number() OVER (ORDER BY value) AS i
+  FROM events WHERE value IS NOT NULL)
+SELECT ROUND(2.0 * SUM(i * v) / (count(*) * SUM(v))
+             - (count(*) + 1.0) / count(*), 6) AS gini,
+       CAST(count(*) AS BIGINT) AS n
+FROM s
+""")
+def events_value_gini(sf_dir: str):
+    """Gini concentration index over events.value — the one-scalar
+    inequality diagnostic ("how much of the mass sits in the head") that
+    complements revenue_pareto_by_segment's banded view. value is
+    effectively continuous (distinct ≈ rows), so this exercises the
+    sort-based exact path: one range sort, per-run (min, max, count, Σx,
+    Σ j·x) partials, O(blocks) driver fold (ops/stats.gini)."""
+    ds = read_table(sf_dir, "events", columns=["value"])
+    from ..ops import stats as stat_ops
+    return stat_ops.gini(ds, "value")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------

@@ -4765,3 +4765,32 @@ def test_corpus_zipf_alpha_matches_bruteforce_ranks():
     assert out.n_types[0] == len(c)
     assert abs(out.zipf_slope[0] - round(slope, 6)) <= 1e-6
     assert out.zipf_slope[0] < -0.5  # a Zipfian corpus slopes down
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_gini_matches_bruteforce_and_is_partition_invariant(nblocks):
+    from illumio_ray.ops import stats as stat_ops
+
+    rng = np.random.default_rng(23)
+    # heavy ties + a pathological boundary: many equal values
+    v = np.concatenate([rng.lognormal(1, 1, 900).round(1),
+                        np.full(300, 5.0), [0.0] * 10])
+    rng.shuffle(v)
+    df = pd.DataFrame({"value": v})
+    out = stat_ops.gini(rd.from_pandas(df).repartition(nblocks), "value").to_pandas()
+    s = np.sort(v)
+    i = np.arange(1, len(s) + 1)
+    ref = 2.0 * (i * s).sum() / (len(s) * s.sum()) - (len(s) + 1.0) / len(s)
+    assert out.n[0] == len(v)
+    assert abs(out.gini[0] - round(ref, 6)) <= 1e-9
+
+
+def test_gini_extremes():
+    from illumio_ray.ops import stats as stat_ops
+
+    # uniform mass → 0; single holder → (n-1)/n
+    eq = stat_ops.gini(rd.from_pandas(pd.DataFrame({"v": [3.0] * 50})), "v").to_pandas()
+    assert eq.gini[0] == 0.0
+    one = stat_ops.gini(rd.from_pandas(
+        pd.DataFrame({"v": [0.0] * 9 + [10.0]})), "v").to_pandas()
+    assert abs(one.gini[0] - 0.9) <= 1e-9
