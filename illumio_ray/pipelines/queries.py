@@ -9607,6 +9607,35 @@ def events_value_gini(sf_dir: str):
     return stat_ops.gini(ds, "value")
 
 
+@register("events_by_type_pushdown", """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events WHERE value > 90 GROUP BY event_type
+""")
+def events_by_type_pushdown(sf_dir: str):
+    """Storage-level predicate pushdown: the row filter rides INTO
+    ``read_parquet`` as a PyArrow dataset expression, so fragments and row
+    groups whose column statistics exclude `value > 90` never leave
+    storage and non-matching rows never enter the object store — the
+    "prune at the read" discipline stated as an operator (every other
+    query prunes columns; this one proves row pruning composes with the
+    same aggregate shapes). Semantically identical to filter_batches
+    downstream; the literal 90 is populated at every sf tier."""
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(str(Path(sf_dir) / "events.parquet"),
+                         columns=["event_type", "value"],
+                         filter=pads.field("value") > 90.0)
+    agg = rel.grouped_agg(ds, ["event_type"],
+                          [("value", "count", "n"),
+                           ("value", "sum", "sum_raw")], mode="driver")
+    return agg.map_batches(lambda t: pa.table({
+        "event_type": t["event_type"],
+        "n": t["n"],
+        "sum_value": round_col(t["sum_raw"], 6),
+    }), batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # driver-facing ordering
 # ---------------------------------------------------------------------------
