@@ -545,3 +545,69 @@ def gif_keyframes(ds: rd.Dataset, binary_col: str = "payload", k: int = 3,
         fn_constructor_kwargs={"binary_col": binary_col, "k": k},
         batch_format="pyarrow", zero_copy_batch=True,
         batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+class DecodeImageJPEG:
+    """Actor-pool stage: baseline JPEG payload → (width, height, channels,
+    n_bytes, ahash of the DECODED pixels). REAL decode via the pure
+    numpy/stdlib baseline-sequential codec in ops/codecs.py (table-driven
+    from the stream: DQT/DHT parsed per file; 4:4:4 / 4:2:2 / 4:2:0) — no
+    PIL. Same shape and contract as DecodeImagePNG; the PIL-gated
+    DecodeImageStub remains only for formats that genuinely need a codec
+    library (progressive JPEG, WebP, MP4)."""
+
+    def __init__(self, binary_col: str = "payload"):
+        from . import codecs
+        self.codecs = codecs
+        self.binary_col = binary_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payload = batch[self.binary_col]
+        n = batch.num_rows
+        w = np.zeros(n, np.int64)
+        h = np.zeros(n, np.int64)
+        ch = np.zeros(n, np.int64)
+        ah = np.zeros(n, np.int64)
+        for i, buf in enumerate(payload.to_pylist()):
+            img = self.codecs.jpeg_decode(buf)
+            hh, ww = img.shape[:2]
+            w[i], h[i] = ww, hh
+            ch[i] = 1 if img.ndim == 2 else img.shape[2]
+            ah[i] = np.uint64(self.codecs.ahash64(img)).astype(np.int64)
+        nb = pa.compute.cast(pa.compute.binary_length(payload), pa.int64())
+        return (batch.drop_columns([self.binary_col])
+                .append_column("n_bytes", nb)
+                .append_column("width", pa.array(w, pa.int64()))
+                .append_column("height", pa.array(h, pa.int64()))
+                .append_column("channels", pa.array(ch, pa.int64()))
+                .append_column("ahash", pa.array(ah, pa.int64())))
+
+
+def decode_jpeg_metadata(ds: rd.Dataset, binary_col: str = "payload",
+                         concurrency=(1, 4),
+                         batch_size: int = 128) -> rd.Dataset:
+    return ds.map_batches(
+        DecodeImageJPEG, fn_constructor_kwargs={"binary_col": binary_col},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)
+
+
+def synth_jpeg_payloads(ids: np.ndarray) -> list[bytes]:
+    """Deterministic real baseline-JPEG payloads for tests/queries: per
+    id, an RGB gradient+sinusoid with id-derived dimensions; even ids
+    encode 4:4:4, odd ids 4:2:0 (so a corpus exercises both decode
+    paths). Equal ids produce byte-identical payloads."""
+    from . import codecs
+    out = []
+    for i in ids:
+        i = int(i)
+        w = 24 + (i * 7) % 40
+        h = 20 + (i * 11) % 32
+        yy, xx = np.mgrid[0:h, 0:w]
+        r = (xx * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (yy * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = ((np.sin(xx / 3.0 + i) + 1) * 127).astype(np.uint8)
+        img = np.stack([r, g, b], axis=2)
+        out.append(codecs.jpeg_encode(
+            img, 75, subsampling="444" if i % 2 == 0 else "420"))
+    return out

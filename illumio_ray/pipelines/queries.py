@@ -3483,6 +3483,35 @@ def _png_payload_ds(sf_dir: str) -> rd.Dataset:
                           zero_copy_batch=True)
 
 
+def _jpeg_payload_ds(sf_dir: str) -> rd.Dataset:
+    """Real baseline-JPEG payloads, one per document id (deterministic
+    bytes — synth_jpeg_payloads; even ids 4:4:4, odd ids 4:2:0), built
+    inside map_batches so payload bytes are generated where the rows
+    live, never on the driver."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(multimodal.synth_jpeg_payloads(ids),
+                                pa.binary())})
+
+    return ds.map_batches(add_payload, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+@register("multimodal_jpeg_decode", None)  # real decode → rows-only
+def multimodal_jpeg_decode(sf_dir: str):
+    """REAL JPEG decode (pure numpy/stdlib baseline-sequential codec —
+    Huffman entropy decode, dequantize, IDCT, chroma upsample, YCbCr→RGB;
+    no PIL): payload → actual width/height/channels + the perceptual
+    ahash of the decoded pixels. The corpus mixes 4:4:4 and 4:2:0
+    payloads so both sampling paths run. Actor-pool stage, small
+    batches."""
+    return multimodal.decode_jpeg_metadata(_jpeg_payload_ds(sf_dir))
+
+
 @register("multimodal_png_decode", None)  # real decode → rows-only
 def multimodal_png_decode(sf_dir: str):
     """REAL image decode (stdlib PNG codec, no PIL): payload → actual

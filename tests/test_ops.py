@@ -4794,3 +4794,53 @@ def test_gini_extremes():
     one = stat_ops.gini(rd.from_pandas(
         pd.DataFrame({"v": [0.0] * 9 + [10.0]})), "v").to_pandas()
     assert abs(one.gini[0] - 0.9) <= 1e-9
+
+
+def test_jpeg_codec_roundtrip_444_420_gray_and_edges():
+    from illumio_ray.ops.codecs import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(3)
+    base = np.clip(np.add.outer(np.linspace(0, 255, 52),
+                                np.linspace(0, 255, 60)) / 2
+                   + rng.normal(0, 3, (52, 60)), 0, 255).astype(np.uint8)
+    rgb = np.stack([base, base[::-1], (base // 2 + 60)], axis=-1)
+    for sub in ("444", "420"):
+        b = jpeg_encode(rgb, 75, subsampling=sub)
+        assert b == jpeg_encode(rgb, 75, subsampling=sub)  # deterministic
+        d = jpeg_decode(b)
+        assert d.shape == rgb.shape
+        assert np.abs(d.astype(float) - rgb).mean() < 5.0
+    # gray, non-multiple-of-8 dims
+    g = base[:33, :41]
+    dg = jpeg_decode(jpeg_encode(g, 85))
+    assert dg.shape == g.shape and np.abs(dg.astype(float) - g).mean() < 4.0
+    # flat image reconstructs exactly; 1x1 survives
+    flat = np.full((16, 16), 200, np.uint8)
+    assert (jpeg_decode(jpeg_encode(flat, 50)) == flat).all()
+    assert jpeg_decode(jpeg_encode(np.array([[137]], np.uint8))).tolist() == [[137]]
+    # higher quality → closer reconstruction and more bytes
+    lo, hi = jpeg_encode(rgb, 10), jpeg_encode(rgb, 95)
+    assert len(hi) > len(lo)
+    assert (np.abs(jpeg_decode(hi).astype(float) - rgb).mean()
+            < np.abs(jpeg_decode(lo).astype(float) - rgb).mean())
+    # honest fail-fast on non-baseline input
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x00\x01not a jpeg")
+
+
+def test_multimodal_real_jpeg_stage_dims_and_dup_ahash():
+    from illumio_ray.ops import multimodal
+    from illumio_ray.ops.codecs import jpeg_decode
+
+    ids = np.array([0, 1, 2, 3, 2])  # duplicate id 2 → identical payloads
+    payloads = multimodal.synth_jpeg_payloads(ids)
+    df = pd.DataFrame({"doc_id": ids, "payload": payloads})
+    out = multimodal.decode_jpeg_metadata(
+        rd.from_arrow(pa.Table.from_pandas(df))).to_pandas()
+    assert len(out) == 5
+    for _, row in out.iterrows():
+        img = jpeg_decode(payloads[list(ids).index(row.doc_id)])
+        assert (row.width, row.height) == (img.shape[1], img.shape[0])
+        assert row.channels == 3
+    dups = out[out.doc_id == 2]
+    assert dups.ahash.nunique() == 1  # identical payloads → equal ahash
