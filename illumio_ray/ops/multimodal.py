@@ -611,3 +611,50 @@ def synth_jpeg_payloads(ids: np.ndarray) -> list[bytes]:
         out.append(codecs.jpeg_encode(
             img, 75, subsampling="444" if i % 2 == 0 else "420"))
     return out
+
+
+class ResizeImageJPEG:
+    """Actor-pool stage: baseline JPEG payload → RESIZED JPEG payload
+    (bilinear, aspect-preserving fit into max_w × max_h; images already
+    inside the box pass through re-encoded) + output dims. Decode and
+    re-encode both ride the pure numpy/stdlib baseline codec; output
+    bytes are deterministic (fixed tables/quality/subsampling)."""
+
+    def __init__(self, binary_col: str = "payload", max_w: int = 64,
+                 max_h: int = 64, quality: int = 75):
+        from . import codecs
+        self.codecs = codecs
+        self.binary_col = binary_col
+        self.max_w = max_w
+        self.max_h = max_h
+        self.quality = quality
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_payload = []
+        out_w = np.zeros(batch.num_rows, np.int64)
+        out_h = np.zeros(batch.num_rows, np.int64)
+        for i, buf in enumerate(batch[self.binary_col].to_pylist()):
+            img = self.codecs.jpeg_decode(buf)
+            hh, ww = img.shape[:2]
+            scale = min(1.0, self.max_w / ww, self.max_h / hh)
+            tw = max(1, int(ww * scale))
+            th = max(1, int(hh * scale))
+            resized = self.codecs.resize_bilinear(img, tw, th)
+            out_payload.append(self.codecs.jpeg_encode(
+                resized, self.quality))
+            out_w[i], out_h[i] = tw, th
+        return (batch.drop_columns([self.binary_col])
+                .append_column("payload", pa.array(out_payload, pa.binary()))
+                .append_column("out_width", pa.array(out_w, pa.int64()))
+                .append_column("out_height", pa.array(out_h, pa.int64())))
+
+
+def resize_jpeg(ds: rd.Dataset, binary_col: str = "payload",
+                max_w: int = 64, max_h: int = 64,
+                concurrency=(1, 4), batch_size: int = 128) -> rd.Dataset:
+    return ds.map_batches(
+        ResizeImageJPEG,
+        fn_constructor_kwargs={"binary_col": binary_col, "max_w": max_w,
+                               "max_h": max_h},
+        batch_format="pyarrow", zero_copy_batch=True,
+        batch_size=batch_size, concurrency=concurrency, num_cpus=1)

@@ -3512,6 +3512,47 @@ def multimodal_jpeg_decode(sf_dir: str):
     return multimodal.decode_jpeg_metadata(_jpeg_payload_ds(sf_dir))
 
 
+@register("multimodal_jpeg_resize", None)  # real resize → rows-only
+def multimodal_jpeg_resize(sf_dir: str):
+    """REAL JPEG resize: baseline decode → bilinear aspect-preserving fit
+    into 32×32 → deterministic baseline re-encode; output payload is a
+    valid JPEG of the reported dims (pinned by test)."""
+    out = multimodal.resize_jpeg(_jpeg_payload_ds(sf_dir),
+                                 max_w=32, max_h=32)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "out_width": t["out_width"], "out_height": t["out_height"],
+            "out_bytes": pc.cast(pc.binary_length(t["payload"]),
+                                 pa.int64())}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+@register("multimodal_jpeg_dedup", None)  # real perceptual dedup → rows-only
+def multimodal_jpeg_dedup(sf_dir: str):
+    """Image near-dup on DECODED JPEG pixels: payloads synthesized from
+    doc_id % 61 (each of 61 patterns recurs, half 4:4:4 / half 4:2:0),
+    real baseline decode → perceptual ahash → bounded-key grouped count.
+    The ahash groups re-encoded identical content that a byte hash would
+    split — and, unlike PNG, JPEG is lossy, so the hash must group
+    through quantization noise too."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def add_payload(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False) % 61
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "payload": pa.array(multimodal.synth_jpeg_payloads(ids),
+                                pa.binary())})
+
+    payloads = ds.map_batches(add_payload, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    meta = multimodal.decode_jpeg_metadata(payloads)
+    return rel.grouped_agg(meta.select_columns(["ahash", "doc_id"]),
+                           ["ahash"], [("doc_id", "count", "n_copies"),
+                                       ("doc_id", "min", "first_doc")])
+
+
 @register("multimodal_png_decode", None)  # real decode → rows-only
 def multimodal_png_decode(sf_dir: str):
     """REAL image decode (stdlib PNG codec, no PIL): payload → actual

@@ -4844,3 +4844,19 @@ def test_multimodal_real_jpeg_stage_dims_and_dup_ahash():
         assert row.channels == 3
     dups = out[out.doc_id == 2]
     assert dups.ahash.nunique() == 1  # identical payloads → equal ahash
+
+
+def test_multimodal_jpeg_resize_outputs_valid_jpegs():
+    from illumio_ray.ops import multimodal
+    from illumio_ray.ops.codecs import jpeg_decode
+
+    ids = np.array([0, 1, 5, 8])
+    df = pd.DataFrame({"doc_id": ids,
+                       "payload": multimodal.synth_jpeg_payloads(ids)})
+    out = multimodal.resize_jpeg(
+        rd.from_arrow(pa.Table.from_pandas(df)), max_w=24,
+        max_h=24).to_pandas()
+    for _, row in out.iterrows():
+        img = jpeg_decode(row.payload)
+        assert (img.shape[1], img.shape[0]) == (row.out_width, row.out_height)
+        assert max(row.out_width, row.out_height) <= 24
