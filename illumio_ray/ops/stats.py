@@ -1033,3 +1033,92 @@ def gini(ds: rd.Dataset, col: str, ndigits: int = 6) -> pa.Table:
     g = 2.0 * s_ix / (n * total) - (n + 1.0) / n
     return pa.table({"gini": pa.array([round_scalar(g, ndigits)]),
                      "n": pa.array([n], pa.int64())})
+
+
+def ks_two_sample(ds: rd.Dataset, group_col: str, val_col: str,
+                  group_a, group_b, ndigits: int = 6) -> pa.Table:
+    """Exact two-sample Kolmogorov–Smirnov statistic between the value
+    distributions of two groups: D = max over v of |F_a(v) − F_b(v)| —
+    the distribution-drift test that needs no binning choices (the
+    nonparametric companion to psi_numeric/JSD/chi²/t-test in the drift
+    family).
+
+    Scale shape: values are continuous (distinct ≈ rows), so per-VALUE
+    counts ride a bucket-mode exchange first (never a driver histogram),
+    then ONE range sort of the distinct-value table and ONE partial pass
+    over it. The per-batch partial is (min value, Σa, Σb, and the
+    extremes of the batch's LOCAL inclusive prefix-gap series
+    gᵢ = cumsum(a)/tₐ − cumsum(b)/t_b): the global gap inside a batch is
+    |C + gᵢ| for the batch-constant offset C = offₐ/tₐ − off_b/t_b, and
+    max|C + gᵢ| = max(|C + max g|, |C + min g|) — so batch extremes plus
+    an O(batches) driver offset fold reconstruct the exact global max
+    under ANY batching (batch boundaries need not be stable or known;
+    distinct values make batch minima a strict total order for the
+    fold). CDF ratios divide identical integers on every engine, so the
+    rounded statistic is drift-free cross-engine."""
+    from .relational import filter_batches, grouped_agg
+
+    two = filter_batches(
+        ds.select_columns([group_col, val_col]),
+        lambda t: pc.and_(pc.is_valid(t[val_col]),
+                          pc.is_in(t[group_col],
+                                   value_set=pa.array([group_a, group_b]))))
+
+    def tag(t: pa.Table) -> pa.Table:
+        isa = pc.equal(t[group_col], group_a)
+        return pa.table({
+            "v": t[val_col],
+            "na": pc.cast(isa, pa.int64()),
+            "nb": pc.cast(pc.invert(isa), pa.int64())})
+
+    per_val = grouped_agg(two.map_batches(tag, batch_format="pyarrow",
+                                          zero_copy_batch=True),
+                          ["v"], [("na", "sum", "na"), ("nb", "sum", "nb")],
+                          mode="bucket")
+    sorted_ds = per_val.sort("v").materialize()
+    ta = int(sorted_ds.sum("na") or 0)
+    tb = int(sorted_ds.sum("nb") or 0)
+    if ta == 0 and tb == 0:
+        return pa.table({"ks": pa.array([], pa.float64()),
+                         "n_a": pa.array([], pa.int64()),
+                         "n_b": pa.array([], pa.int64())})
+    if ta == 0 or tb == 0:
+        raise ValueError("ks_two_sample: one group has no rows")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"mn": pa.array([], pa.float64()),
+                          "sa": pa.array([], pa.int64()),
+                          "sb": pa.array([], pa.int64()),
+                          "gmax": pa.array([], pa.float64()),
+                          "gmin": pa.array([], pa.float64())})
+        if t.num_rows == 0:
+            return empty
+        v = t["v"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        g = np.cumsum(na) / ta - np.cumsum(nb) / tb
+        return pa.table({
+            "mn": pa.array([float(v[0])]),
+            "sa": pa.array([int(na.sum())], pa.int64()),
+            "sb": pa.array([int(nb.sum())], pa.int64()),
+            "gmax": pa.array([float(g.max())]),
+            "gmin": pa.array([float(g.min())])})
+
+    parts = pa.concat_tables([pa.table(b) for b in sorted_ds.map_batches(
+        partial, batch_format="pyarrow",
+        zero_copy_batch=True).iter_batches(batch_format="pyarrow")])
+    mn = parts["mn"].to_numpy()
+    order = np.argsort(mn, kind="stable")
+    sa = parts["sa"].to_numpy()[order].astype(np.int64)
+    sb = parts["sb"].to_numpy()[order].astype(np.int64)
+    gmax = parts["gmax"].to_numpy()[order]
+    gmin = parts["gmin"].to_numpy()[order]
+    offa = np.zeros(len(sa), np.int64)
+    offb = np.zeros(len(sb), np.int64)
+    np.cumsum(sa[:-1], out=offa[1:])
+    np.cumsum(sb[:-1], out=offb[1:])
+    c = offa / ta - offb / tb
+    dmax = float(np.maximum(np.abs(c + gmax), np.abs(c + gmin)).max())
+    return pa.table({"ks": pa.array([round_scalar(dmax, ndigits)]),
+                     "n_a": pa.array([ta], pa.int64()),
+                     "n_b": pa.array([tb], pa.int64())})

@@ -9656,6 +9656,101 @@ def corpus_zipf_alpha(sf_dir: str):
                                          pa.int64())})
 
 
+@register("events_value_ks_view_click", """
+WITH x AS (
+  SELECT value AS v,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS ga
+  FROM events
+  WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+agg AS (SELECT v, SUM(ga) AS na, SUM(1 - ga) AS nb FROM x GROUP BY v),
+c AS (SELECT SUM(na) OVER (ORDER BY v) AS ca,
+             SUM(nb) OVER (ORDER BY v) AS cb FROM agg),
+t AS (SELECT CAST(SUM(na) AS DOUBLE) AS ta,
+             CAST(SUM(nb) AS DOUBLE) AS tb FROM agg)
+SELECT ROUND(MAX(ABS(ca / ta - cb / tb)), 6) AS ks,
+       CAST(MAX(ta) AS BIGINT) AS n_a, CAST(MAX(tb) AS BIGINT) AS n_b
+FROM c, t
+""")
+def events_value_ks_view_click(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov drift test between the value
+    distributions of 'view' and 'click' events — max CDF gap, exact, no
+    binning (the nonparametric member of the drift family: PSI/JSD bin,
+    chi² categorizes, Welch compares means; KS sees any shape change).
+    ops/stats.ks_two_sample: bucket-mode per-value counts, one range
+    sort, two block-aligned passes with an O(blocks) offset fold — value
+    rows never collect on the driver. CDF ratios divide identical
+    integers on both engines, so the rounded max is drift-free."""
+    ds = read_table(sf_dir, "events", columns=["event_type", "value"])
+    from ..ops import stats as stat_ops
+    return stat_ops.ks_two_sample(ds, "event_type", "value",
+                                  "view", "click")
+
+
+@register("corpus_vocab_coverage_topk", r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents),
+wc AS (SELECT w, count(*) AS n FROM toks GROUP BY 1),
+ranked AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS r FROM wc),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM wc)
+SELECT k, ROUND(SUM(CASE WHEN r <= k THEN n ELSE 0 END) / t, 6) AS coverage
+FROM ranked, tot, (SELECT unnest([10, 30, 100, 300]) AS k) ks
+GROUP BY k, t ORDER BY k
+""")
+def corpus_vocab_coverage_topk(sf_dir: str):
+    """Vocabulary coverage curve: fraction of all token INSTANCES covered
+    by the top-k word types, at k ∈ {10, 30, 100, 300} — the tokenizer/
+    vocab-sizing diagnostic (how big must the vocab be before OOV mass is
+    negligible) and the Zipf-head companion to `corpus_zipf_alpha`.
+    Ties at the rank boundary break by word (same as the oracle's
+    row_number), but with distinct counts a tie group shares n, so the
+    covered MASS at any k inside a tie group is rank-assignment-invariant
+    only when the boundary falls between groups — the deterministic
+    (n desc, w) order makes it exact either way.
+
+    Scale shape: word counts ride one shuffle reduce; only the top-300
+    types (bounded by max(k)) and the scalar total ever reach the driver
+    — rel.topk's partializable per-block top-k, no global sort."""
+    docs = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = t["text"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        if len(arr) == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"\s+").flatten()
+        toks = toks.filter(pc.not_equal(toks, ""))
+        g = pa.table({"w": toks}).group_by(["w"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"w": g["w"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    from ..functions.rounding import round_scalar
+
+    counts = rel.grouped_agg(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], [("n", "sum", "n")], mode="shuffle").materialize()
+    total = float(counts.sum("n") or 0)
+    ks = [10, 30, 100, 300]
+    top = pa.concat_tables([pa.table(b) for b in rel.topk(
+        counts, ["n", "w"], max(ks),
+        descending=[True, False]).iter_batches(batch_format="pyarrow")])
+    # topk returns the rows; enforce (n desc, w asc) order for the cumsum
+    idx = pc.sort_indices(top, sort_keys=[("n", "descending"),
+                                          ("w", "ascending")])
+    n_sorted = top["n"].take(idx).to_numpy(zero_copy_only=False)
+    cum = np.cumsum(n_sorted)
+    cov = [round_scalar(float(cum[min(k, len(cum)) - 1] / total), 6)
+           if len(cum) else 0.0 for k in ks]
+    return pa.table({"k": pa.array(ks, pa.int64()),
+                     "coverage": pa.array(cov, pa.float64())})
+
+
 @register("events_value_gini", """
 WITH s AS (
   SELECT value AS v, row_number() OVER (ORDER BY value) AS i

@@ -4860,3 +4860,65 @@ def test_multimodal_jpeg_resize_outputs_valid_jpegs():
         img = jpeg_decode(row.payload)
         assert (img.shape[1], img.shape[0]) == (row.out_width, row.out_height)
         assert max(row.out_width, row.out_height) <= 24
+
+
+@pytest.mark.parametrize("nblocks", [1, 9])
+def test_ks_two_sample_matches_scipy_style_bruteforce(nblocks):
+    from illumio_ray.ops import stats as stat_ops
+
+    rng = np.random.default_rng(31)
+    va = rng.normal(0, 1, 700).round(3)
+    vb = rng.normal(0.4, 1.3, 500).round(3)  # shifted+scaled → real gap
+    df = pd.DataFrame({
+        "g": ["a"] * len(va) + ["b"] * len(vb) + ["other"] * 50,
+        "v": np.concatenate([va, vb, rng.normal(9, 1, 50)]),
+    })
+    out = stat_ops.ks_two_sample(
+        rd.from_pandas(df).repartition(nblocks), "g", "v", "a", "b")
+    allv = np.unique(np.concatenate([va, vb]))
+    fa = np.searchsorted(np.sort(va), allv, side="right") / len(va)
+    fb = np.searchsorted(np.sort(vb), allv, side="right") / len(vb)
+    ref = np.abs(fa - fb).max()
+    assert out["n_a"][0].as_py() == len(va)
+    assert out["n_b"][0].as_py() == len(vb)
+    assert abs(out["ks"][0].as_py() - round(ref, 6)) <= 1e-6
+    assert out["ks"][0].as_py() > 0.1  # the shift is detectable
+
+
+def test_ks_two_sample_identical_distributions_near_zero():
+    from illumio_ray.ops import stats as stat_ops
+
+    v = np.arange(500, dtype=np.float64)
+    df = pd.DataFrame({"g": ["a", "b"] * 500,
+                       "v": np.concatenate([v, v])[np.argsort(
+                           np.tile(np.arange(500), 2), kind="stable")]})
+    # identical samples in both groups → ks == 0 exactly
+    df = pd.DataFrame({"g": ["a"] * 500 + ["b"] * 500,
+                       "v": np.concatenate([v, v])})
+    out = stat_ops.ks_two_sample(rd.from_pandas(df), "g", "v", "a", "b")
+    assert out["ks"][0].as_py() == 0.0
+
+
+def test_vocab_coverage_curve_monotone_and_exact():
+    from illumio_ray.pipelines.queries import REGISTRY
+    from collections import Counter
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(500)]
+    p = (1.0 / np.arange(1, 501)) ** 1.1
+    p /= p.sum()
+    texts = [" ".join(rng.choice(vocab, size=80, p=p)) for _ in range(60)]
+    df = pd.DataFrame({"doc_id": range(60), "text": texts})
+    import tempfile, os
+    import pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pandas(df), os.path.join(d, "documents.parquet"))
+        out = REGISTRY["corpus_vocab_coverage_topk"].fn(d).to_pandas()
+    c = Counter(w for t in texts for w in t.split())
+    n = np.array(sorted(c.values(), reverse=True), np.float64)
+    tot = n.sum()
+    for _, row in out.iterrows():
+        ref = round(n[:int(row.k)].sum() / tot, 6)
+        assert abs(row.coverage - ref) <= 1e-9, row.k
+    cov = out.sort_values("k").coverage.to_numpy()
+    assert (np.diff(cov) >= 0).all() and cov[-1] <= 1.0
