@@ -4922,3 +4922,34 @@ def test_vocab_coverage_curve_monotone_and_exact():
         assert abs(row.coverage - ref) <= 1e-9, row.k
     cov = out.sort_values("k").coverage.to_numpy()
     assert (np.diff(cov) >= 0).all() and cov[-1] <= 1.0
+
+
+def test_jpeg_codec_property_roundtrip_random_images():
+    from hypothesis import given, settings, strategies as st
+    from illumio_ray.ops.codecs import jpeg_decode, jpeg_encode
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(1, 25), st.integers(1, 25), st.integers(0, 2 ** 32 - 1),
+           st.sampled_from(["444", "420"]), st.booleans())
+    def prop(w, h, seed, sub, gray):
+        rng = np.random.default_rng(seed)
+        # smooth base + bounded noise: JPEG is built for this; pure noise
+        # would only bound error loosely. Structural bugs (huffman, MCU
+        # layout, upsampling) blow far past the tolerance or raise.
+        base = np.add.outer(np.linspace(0, 200, h), np.linspace(0, 55, w))
+        img = np.clip(base + rng.normal(0, 4, (h, w)), 0, 255).astype(np.uint8)
+        if not gray:
+            # chroma varies smoothly with luma: 4:2:0 box-averages chroma
+            # 2x2, so adversarial per-pixel chroma flips would measure the
+            # subsampling's designed loss, not codec correctness
+            img = np.stack([img,
+                            np.clip(img * 0.7 + 30, 0, 255).astype(np.uint8),
+                            np.clip(img * 0.5 + 80, 0, 255).astype(np.uint8)],
+                           axis=-1)
+        data = jpeg_encode(img, 85, subsampling=sub)
+        assert data == jpeg_encode(img, 85, subsampling=sub)
+        dec = jpeg_decode(data)
+        assert dec.shape == img.shape
+        assert np.abs(dec.astype(float) - img).mean() < 16.0
+
+    prop()
