@@ -9559,6 +9559,32 @@ def doc_ttr(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def _zipf_chunk_descriptors(f: np.ndarray, m: np.ndarray,
+                            chunk: int = 65536):
+    """Turn a per-frequency histogram (f, m_f word types with count f)
+    into worker rank-enumeration descriptors (freq, start_rank, length):
+    ties sorted by f desc get consecutive 1-based ranks; groups larger
+    than ``chunk`` (the f=1 singleton tail holds ~half the vocabulary)
+    split into ≤chunk ranges so no expand task sees an unbounded group.
+    Returns (cf, cs, cl, n_types)."""
+    order = np.argsort(-f)
+    f, m = f[order], m[order]
+    n_types = int(m.sum())
+    if len(m) == 0:
+        return [], [], [], 0
+    # rank of each tie group's first word: 1 + ranks consumed above it
+    starts = np.empty(len(m), np.int64)
+    starts[0] = 1
+    np.cumsum(m[:-1], out=starts[1:])
+    starts[1:] += 1
+    cf, cs, cl = [], [], []
+    for fi, si, mi in zip(f, starts, m):
+        for off in range(0, int(mi), chunk):
+            cf.append(int(fi)); cs.append(int(si) + off)
+            cl.append(min(chunk, int(mi) - off))
+    return cf, cs, cl, n_types
+
+
 @register("corpus_zipf_alpha", r"""
 WITH toks AS (
   SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
@@ -9616,21 +9642,7 @@ def corpus_zipf_alpha(sf_dir: str):
         ms.append(b["m"].to_numpy(zero_copy_only=False))
     f = np.concatenate(fs) if fs else np.array([], np.int64)
     m = np.concatenate(ms) if ms else np.array([], np.int64)
-    order = np.argsort(-f)
-    f, m = f[order], m[order]
-    n_types = int(m.sum())
-    # rank of each tie group's first word: 1 + ranks consumed above it
-    starts = np.empty(len(m), np.int64)
-    starts[0] = 1
-    np.cumsum(m[:-1], out=starts[1:])
-    starts[1:] += 1
-    # chunk tie groups to ≤64k ranks per descriptor row
-    CHUNK = 65536
-    cf, cs, cl = [], [], []
-    for fi, si, mi in zip(f, starts, m):
-        for off in range(0, int(mi), CHUNK):
-            cf.append(int(fi)); cs.append(int(si) + off)
-            cl.append(min(CHUNK, int(mi) - off))
+    cf, cs, cl, n_types = _zipf_chunk_descriptors(f, m)
     desc = rd.from_arrow(pa.table({"f": pa.array(cf, pa.int64()),
                                    "start": pa.array(cs, pa.int64()),
                                    "len": pa.array(cl, pa.int64())}))

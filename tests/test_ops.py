@@ -4953,3 +4953,26 @@ def test_jpeg_codec_property_roundtrip_random_images():
         assert np.abs(dec.astype(float) - img).mean() < 16.0
 
     prop()
+
+
+def test_zipf_chunk_descriptors_cover_ranks_exactly():
+    from illumio_ray.pipelines.queries import _zipf_chunk_descriptors
+
+    # tie groups incl. one far larger than the chunk (the f=1 tail)
+    f = np.array([7, 1, 3], np.int64)
+    m = np.array([2, 25, 4], np.int64)
+    cf, cs, cl, n_types = _zipf_chunk_descriptors(f, m, chunk=10)
+    assert n_types == 31
+    # ranks 1..31 covered exactly once, in freq-desc order
+    covered = np.concatenate([np.arange(s, s + l) for s, l in zip(cs, cl)])
+    assert sorted(covered.tolist()) == list(range(1, 32))
+    # freq of each rank matches the histogram sorted by f desc
+    by_rank = {}
+    for fi, s, l in zip(cf, cs, cl):
+        for r in range(s, s + l):
+            by_rank[r] = fi
+    assert [by_rank[r] for r in (1, 2, 3, 6, 7, 31)] == [7, 7, 3, 3, 1, 1]
+    # the 25-wide group split into <=10-rank chunks
+    assert max(cl) <= 10
+    assert _zipf_chunk_descriptors(np.array([], np.int64),
+                                   np.array([], np.int64)) == ([], [], [], 0)
