@@ -106,3 +106,23 @@ def test_curate_dup_span_removal_stage():
     df3 = kept3.to_pandas()
     assert len(df3) == report3["docs_kept"]
     assert "span_tokens_removed" in report3
+
+
+def test_curate_reused_spill_dir_does_not_merge_generations(tmp_path):
+    """Regression: a survivors dir left by a previous/killed run must be
+    cleared before this run's write — write_parquet appends files, so a
+    stale generation would silently multiply every doc (and can push the
+    survivor count across the distributed-path gates)."""
+    spill = tmp_path / "curate_spill"
+    kept1, rep1 = curate(rd.from_pandas(_docs()), near_dup_threshold=0.7,
+                         spill_dir=str(spill))
+    n1 = len(kept1.to_pandas())
+    # second run over the SAME spill dir (simulates rerun after a crash
+    # or an operator pointing two runs at one scratch path)
+    kept2, rep2 = curate(rd.from_pandas(_docs()), near_dup_threshold=0.7,
+                         spill_dir=str(spill))
+    df2 = kept2.to_pandas()
+    assert len(df2) == n1 == rep2["docs_kept"] == rep1["docs_kept"]
+    assert df2.doc_id.is_unique
+    assert rep2["docs_after_quality_and_exact_dedup"] == \
+        rep1["docs_after_quality_and_exact_dedup"]
