@@ -358,13 +358,18 @@ def cmd_curate(args) -> int:
     docs = rd.read_parquet(args.docs)
     langs = args.langs.split(",") if args.langs else None
     out = Path(args.out)
+    # exact input rows from parquet footers only (no scan) — curate()
+    # would otherwise pay a full extra pass just for the funnel report
+    import pyarrow.dataset as pads
+    n_input = pads.dataset(args.docs).count_rows()
     kept, report = curate(docs, min_tokens=args.min_tokens,
                           max_stop_ratio=args.max_stop_ratio, langs=langs,
                           near_dup_threshold=args.near_dup_threshold,
                           spill_dir=str(out / "_spill"),
                           max_lm_nll=args.max_lm_nll,
                           segment_dedup=args.segment_dedup,
-                          dup_span_removal=args.dup_span_removal)
+                          dup_span_removal=args.dup_span_removal,
+                          n_input=n_input)
     kept.write_parquet(str(out / "kept"))
     (out / "report.json").write_text(json.dumps(report, indent=1))
     import shutil

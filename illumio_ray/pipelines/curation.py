@@ -120,7 +120,8 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
            segment_dedup: bool = False,
            seg_words: int = 10,
            dup_span_removal: bool = False,
-           span_ngram: int = 3) -> tuple[rd.Dataset, dict]:
+           span_ngram: int = 3,
+           n_input: int | None = None) -> tuple[rd.Dataset, dict]:
     """Full curation; returns (kept dataset, funnel report).
 
     The near-dup stage needs the survivor corpus twice (signatures +
@@ -146,7 +147,12 @@ def curate(docs: rd.Dataset, min_tokens: int = DEFAULT_MIN_TOKENS,
 
     import ray
 
-    n_input = docs.count()
+    # ``n_input`` feeds only the funnel report and the tiny-corpus
+    # coalesce gate; callers reading straight from parquet should pass the
+    # footer row count (exact, no scan) — docs.count() here is a FULL
+    # extra pass over the input, a whole read of the corpus at 100 TB.
+    if n_input is None:
+        n_input = docs.count()
     filtered = quality_filter(docs, min_tokens, max_stop_ratio, langs)
     if n_input <= COALESCE_MAX_DOCS:
         # a small corpus read as many tiny blocks pays the sort-exchange

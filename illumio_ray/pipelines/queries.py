@@ -1583,8 +1583,10 @@ def curation_kept_docs(sf_dir: str):
     """Full curation pipeline incl. MinHash near-dup removal."""
     from .curation import curate
 
+    path = str(Path(sf_dir) / "documents.parquet")
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text", "lang"])
-    kept, _report = curate(docs)
+    kept, _report = curate(docs,
+                           n_input=pq.ParquetFile(path).metadata.num_rows)
     return kept.select_columns(["doc_id", "lang", "n_tokens"])
 
 
@@ -1596,9 +1598,11 @@ def curation_modern_kept(sf_dir: str):
     training-ready text (doc_id, clean_text, per-doc segment funnel)."""
     from .curation import curate
 
+    path = str(Path(sf_dir) / "documents.parquet")
     docs = read_table(sf_dir, "documents",
                       columns=["doc_id", "text", "lang"])
-    kept, _report = curate(docs, max_lm_nll=3.45, segment_dedup=True)
+    kept, _report = curate(docs, max_lm_nll=3.45, segment_dedup=True,
+                           n_input=pq.ParquetFile(path).metadata.num_rows)
     return kept
 
 
